@@ -1,10 +1,7 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() + oracle_sql() correctness.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries() key maps to an operator row in SURVEY.md §2; oracle_sql()
+holds the DuckDB-ANSI twin the driver cross-checks at sf=0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +10,136 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from telemetry_streaming_datalake_spark.session import load_table, load_tables
+from telemetry_streaming_datalake_spark import datamodel as dm
+from telemetry_streaming_datalake_spark.ingest import bronze as B
+from telemetry_streaming_datalake_spark.ingest import silver as S
+from telemetry_streaming_datalake_spark.operators import custom_metric as CM
+from telemetry_streaming_datalake_spark.operators import detect as DT
+from telemetry_streaming_datalake_spark.operators import latest as L
+from telemetry_streaming_datalake_spark.operators import retention as RT
+from telemetry_streaming_datalake_spark.operators import rollup as R
+from telemetry_streaming_datalake_spark.operators import scd as SCD
+from telemetry_streaming_datalake_spark.operators import temporal as T
+from telemetry_streaming_datalake_spark.queries import tpch as Q
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+PURGE_CUTOFF = "2024-01-15"
+
+
+# ---------------------------------------------------------------- pipeline
+
+def _bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return B.parse_bronze(load_table(spark, sf_dir, "events"))
+
+
+def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.to_silver(B.dedup_exact(_bronze(spark, sf_dir)), dm.metric_mapping(spark))
+
+
+def _gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    history = dm.remote_history(spark, load_table(spark, sf_dir, "customer"))
+    return T.enrich_gold(_silver(spark, sf_dir), history)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
+    return R.rollup_day(_gold(spark, SF_SMOKE))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
+        "bronze_parse": _bronze,
+        "silver_dedup": lambda s, d: B.dedup_exact(_bronze(s, d)),
+        "silver_metrics": _silver,
+        "gold_enrich": _gold,
+        "custom_metric_sum": lambda s, d: CM.custom_metric_sum(
+            _gold(s, d), dm.custom_metric_mapping(s)
+        ),
+        "custom_metric_join": lambda s, d: CM.custom_metric_join(
+            _gold(s, d), dm.custom_metric_mapping(s)
+        ),
+        "agg_hour": lambda s, d: R.rollup_hour(_gold(s, d)),
+        "agg_day": lambda s, d: R.rollup_day(_gold(s, d)),
+        "agg_month": lambda s, d: R.rollup_month(_gold(s, d)),
+        "latest_metric": lambda s, d: L.latest_metric(_gold(s, d)),
+        "serving_kv": lambda s, d: L.serving_kv(_gold(s, d)),
+        "gap_detect": lambda s, d: DT.gap_detect(_silver(s, d)),
+        "orphan_usage": lambda s, d: DT.orphan_usage(
+            B.dedup_exact(_bronze(s, d)),
+            dm.remote_history(s, load_table(s, d, "customer")),
+            dm.metric_mapping(s),
+        ),
+        "retention_purge": lambda s, d: RT.purge_keep(
+            B.dedup_exact(_bronze(s, d)), PURGE_CUTOFF
+        ),
+        "scd2_current": lambda s, d: SCD.scd2_current(
+            dm.remote_history(s, load_table(s, d, "customer"))
+        ),
+        # --- ad-hoc query layer (#25) ---
+        "q1_pricing": lambda s, d: Q.q1_pricing(load_table(s, d, "lineitem")),
+        "q3_shipping": lambda s, d: Q.q3_shipping(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
+        "q5_supplier": lambda s, d: Q.q5_supplier_volume(
+            **load_tables(s, d, "region", "nation", "customer", "orders", "lineitem", "supplier")
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    silver = T.silver_oracle()
+    gold = T.GOLD_ORACLE
+    bucket_hour = "unix_ts - unix_ts % 3600"
+    bucket_day = "unix_ts - unix_ts % 86400"
+    return {
+        "bronze_parse": B.BRONZE_PARSE_ORACLE,
+        "silver_dedup": f"""
+WITH bronze AS ({B.BRONZE_PARSE_ORACLE})
+SELECT event_id, serial, metric, value, payload_k, unix_ts, datestamp,
+       hourstamp, unique_hash_key
+FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY unique_hash_key ORDER BY event_id) AS rn
+    FROM bronze b
+) WHERE rn = 1
+""",
+        "silver_metrics": silver,
+        "gold_enrich": gold,
+        "custom_metric_sum": CM.custom_metric_sum_oracle(gold),
+        "custom_metric_join": CM.custom_metric_join_oracle(gold),
+        "agg_hour": R.rollup_oracle(gold, bucket_hour, "bucket_ts"),
+        "agg_day": R.rollup_oracle(gold, bucket_day, "bucket_ts"),
+        "agg_month": R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
+        "latest_metric": L.latest_oracle(gold),
+        "serving_kv": L.serving_kv_oracle(gold),
+        "gap_detect": DT.gap_detect_oracle(silver),
+        "orphan_usage": DT.orphan_usage_oracle(
+            f"""
+SELECT event_id, serial, metric, value, payload_k, unix_ts, datestamp,
+       hourstamp, unique_hash_key
+FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY unique_hash_key ORDER BY event_id) AS rn
+    FROM ({B.BRONZE_PARSE_ORACLE}) b
+) WHERE rn = 1
+"""
+        ),
+        "retention_purge": RT.purge_oracle(
+            f"""
+SELECT event_id, serial, metric, value, payload_k, unix_ts, datestamp,
+       hourstamp, unique_hash_key
+FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY unique_hash_key ORDER BY event_id) AS rn
+    FROM ({B.BRONZE_PARSE_ORACLE}) b
+) WHERE rn = 1
+""",
+            PURGE_CUTOFF,
+        ),
+        "scd2_current": SCD.scd2_current_oracle(),
+        "q1_pricing": Q.Q1_ORACLE,
+        "q3_shipping": Q.Q3_ORACLE,
+        "q5_supplier": Q.Q5_ORACLE,
+    }

@@ -1,0 +1,103 @@
+"""Bronze stage: schema-on-read JSON extraction, timestamp
+normalization, and hash-key exact dedup.
+
+Re-expresses the reference's Kafka→bronze notebooks
+(``Bronze-Silver/Part1 - Step 01-02 ….scala:33-74``): there, each raw
+Kafka record is pulled apart with ``get_json_object``, the timestamp is
+normalized to unix seconds plus a ``Datestamp`` partition column, a
+``sha1(concat(...))`` hash key is added, and watermarked
+``dropDuplicates`` removes re-deliveries.
+
+Here the raw feed is the ``events`` table (``props`` is the JSON
+payload, ``user_id`` the terminal serial, ``event_type`` the raw metric
+symbol).  md5 stands in for sha1 purely so the DuckDB oracle can verify
+the exact same key (DuckDB has no sha1); the dedup semantics are
+identical.  Everything is built-in JVM expressions — no Python UDFs —
+so the whole stage stays inside WholeStageCodegen and the only shuffle
+is the one hash-partitioned exchange the dedup itself requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: salt prefixed into the hash key, like the reference's per-source
+#: literal (``sha1(concat(lit("peplink"), ...))``).
+HASH_SALT = "telemetry"
+
+
+def parse_bronze(events: DataFrame) -> DataFrame:
+    """JSON extraction + timestamp normalization + hash key.
+
+    Input: raw ``events`` (``ts`` already TimestampType via the loader).
+    Output columns (all derived with codegen-friendly built-ins):
+
+    - ``serial``          terminal serial number (string)
+    - ``metric``          raw metric symbol
+    - ``value``           measurement (double)
+    - ``payload_k``       extracted JSON field ``$.k`` (bigint)
+    - ``unix_ts``         unix seconds (bigint, exact floor)
+    - ``datestamp``       'yyyy-MM-dd' partition key
+    - ``hourstamp``       'yyyy-MM-dd HH'
+    - ``unique_hash_key`` md5 over (salt, serial, metric, unix_ts)
+    """
+    return events.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("serial"),
+        F.col("event_type").alias("metric"),
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("payload_k"),
+        F.unix_timestamp("ts").alias("unix_ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("datestamp"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hourstamp"),
+    ).withColumn(
+        "unique_hash_key",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(HASH_SALT),
+                F.col("serial"),
+                F.col("metric"),
+                F.col("unix_ts").cast("string"),
+            )
+        ),
+    )
+
+
+def dedup_exact(bronze: DataFrame) -> DataFrame:
+    """Keep exactly one row per hash key, deterministically.
+
+    The reference's streaming ``dropDuplicates("uniqueHashKey")`` keeps
+    the first arrival; batch Spark has no arrival order, so we keep the
+    lowest ``event_id`` — deterministic and oracle-checkable.
+
+    Scale: one hash-partitioned shuffle on an md5 key (uniform, no
+    skew). ``row_number`` over that partitioning sorts only within each
+    key group.  At 100 TB this is the same exchange a streaming
+    ``dropDuplicates`` state store would imply; no global sort happens.
+    """
+    w = Window.partitionBy("unique_hash_key").orderBy("event_id")
+    return (
+        bronze.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+#: Shared SELECT used by the DuckDB oracle for :func:`parse_bronze`.
+BRONZE_PARSE_ORACLE = """
+SELECT
+    event_id,
+    CAST(user_id AS VARCHAR)                       AS serial,
+    event_type                                     AS metric,
+    value,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k,
+    (epoch_us(ts) // 1000000)         AS unix_ts,
+    strftime(ts, '%Y-%m-%d')                       AS datestamp,
+    strftime(ts, '%Y-%m-%d %H')                    AS hourstamp,
+    md5('telemetry' || '|' || CAST(user_id AS VARCHAR) || '|' || event_type
+        || '|' || CAST((epoch_us(ts) // 1000000) AS VARCHAR))
+                                                   AS unique_hash_key
+FROM events
+"""

@@ -1,0 +1,107 @@
+"""Operational detection queries: data-gap/lag monitoring and orphaned
+usage.
+
+Reference semantics:
+
+- ``Detection Data Lack/Bronze to Gold - Report the time through
+  system ….scala`` + ``Monitor the latest timestamps ….scala``: latest
+  timestamp per source/provider, compared against the global newest
+  timestamp to flag lagging feeds.
+- ``Detection Data Lack/Data Lack Detection for Orphaned Usage due to
+  Unmapped Remote.scala:22-65``: silver records whose serial has no
+  (current) modem-history mapping, aggregated per (datestamp, serial,
+  provider) with counts, then provider names attached.
+
+Both are single-scan aggregations; the orphan check is a broadcast
+anti-join (NOT EXISTS) against the dimension-sized history table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.datamodel import (
+    METRIC_MAPPING_CTE,
+    REMOTE_HISTORY_CTE,
+)
+
+#: feeds lagging more than this many seconds behind the newest event
+#: are flagged (the reference uses wall-clock now; we use the global
+#: max so the check is deterministic/replayable).
+GAP_THRESHOLD_S = 6 * 3600
+
+
+def gap_detect(silver: DataFrame, threshold_s: int = GAP_THRESHOLD_S) -> DataFrame:
+    """Latest ts per (provider_id, metric) + lag vs global newest."""
+    per_feed = silver.groupBy("provider_id", "metric").agg(
+        F.max("unix_ts").alias("latest_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    global_max = silver.agg(F.max("unix_ts").alias("global_latest"))
+    return (
+        per_feed.crossJoin(F.broadcast(global_max))
+        .withColumn("lag_seconds", F.col("global_latest") - F.col("latest_ts"))
+        .withColumn("is_lagging", F.col("lag_seconds") > threshold_s)
+        .select(
+            "provider_id", "metric", "latest_ts", "n_rows",
+            "global_latest", "lag_seconds", "is_lagging",
+        )
+    )
+
+
+def orphan_usage(bronze: DataFrame, history: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Bronze records whose serial has no history interval at all.
+
+    Anti-join on the broadcast history dim, then the reference's
+    per-(datestamp, serial) count with provider names attached.
+    """
+    serials = history.select(F.col("serial").cast("string").alias("h_serial")).distinct()
+    orphans = bronze.join(
+        F.broadcast(serials), bronze["serial"] == F.col("h_serial"), "left_anti"
+    )
+    with_provider = orphans.join(
+        F.broadcast(mapping), orphans["metric"] == mapping["raw_symbol"]
+    )
+    return (
+        with_provider.groupBy("datestamp", "serial", "provider_id", "provider_name")
+        .agg(F.count(F.lit(1)).alias("unmap_count"))
+        .withColumn("unmap_remote_status", F.lit("NEVER_MAPPED"))
+    )
+
+
+def gap_detect_oracle(silver_cte: str, threshold_s: int = GAP_THRESHOLD_S) -> str:
+    return f"""
+WITH silver AS ({silver_cte}),
+per_feed AS (
+    SELECT provider_id, metric, max(unix_ts) AS latest_ts, count(*) AS n_rows
+    FROM silver GROUP BY ALL
+),
+g AS (SELECT max(unix_ts) AS global_latest FROM silver)
+SELECT provider_id, metric, latest_ts, n_rows, global_latest,
+       global_latest - latest_ts AS lag_seconds,
+       (global_latest - latest_ts) > {threshold_s} AS is_lagging
+FROM per_feed, g
+"""
+
+
+def orphan_usage_oracle(bronze_cte: str) -> str:
+    return (
+        "WITH bronze_all AS ("
+        + bronze_cte
+        + "), "
+        + REMOTE_HISTORY_CTE.strip()
+        + ", "
+        + METRIC_MAPPING_CTE.strip()
+        + """
+SELECT b.datestamp, b.serial, m.provider_id, m.provider_name,
+       count(*) AS unmap_count,
+       'NEVER_MAPPED' AS unmap_remote_status
+FROM bronze_all b
+JOIN metric_mapping m ON b.metric = m.raw_symbol
+WHERE NOT EXISTS (
+    SELECT 1 FROM remote_history h WHERE CAST(h.serial AS VARCHAR) = b.serial
+)
+GROUP BY ALL
+"""
+    )

@@ -1,0 +1,119 @@
+"""Ad-hoc query layer over the lake tables.
+
+The reference ships an interactive notebook layer over its silver/gold
+tables (``Query the Metric tables/Query the delta tables.scala`` and the
+Step 05.a/b/c aggregate queries).  This module is the same capability
+over this lake's TPC-H-shaped tables: declarative DataFrame plans that
+Catalyst turns into pushed-down scans, broadcast joins for the small
+dims, and partial-aggregated shuffles.
+
+Doubles are rounded at the output edge (engine-stable comparison);
+every computed column is aliased to match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def q1_pricing(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary (scan + single agg shuffle)."""
+    li = lineitem.filter(F.col("l_shipdate") <= cutoff)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                segment: str = "BUILDING", date: str = "1995-03-15") -> DataFrame:
+    """TPC-H Q3-style shipping priority: filtered 3-way join, customer
+    side broadcast, top revenue per order."""
+    c = F.broadcast(customer.filter(F.col("c_mktsegment") == segment))
+    o = orders.filter(F.col("o_orderdate") < date)
+    l = lineitem.filter(F.col("l_shipdate") > date)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def q5_supplier_volume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                       orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                       region_name: str = "ASIA",
+                       date_lo: str = "1996-01-01", date_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q5-style local supplier volume: star join, all dims
+    broadcast, customer and supplier constrained to the same nation."""
+    r = region.filter(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"])
+    o = orders.filter((F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(o, lineitem["l_orderkey"] == o["o_orderkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              (supplier["s_nationkey"] == F.col("n_nationkey"))
+              & (F.col("c_nationkey") == F.col("n_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                   AS avg_qty,
+       round(avg(l_extendedprice), 6)                              AS avg_price,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY ALL
+"""
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY ALL
+"""
+
+Q5_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey AND c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ALL
+"""
