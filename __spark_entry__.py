@@ -21,9 +21,17 @@ from telemetry_streaming_datalake_spark.operators import retention as RT
 from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import scd as SCD
 from telemetry_streaming_datalake_spark.operators import temporal as T
+from telemetry_streaming_datalake_spark.operators import dedup as DD
+from telemetry_streaming_datalake_spark.operators import multimodal as MM
+from telemetry_streaming_datalake_spark.operators import similarity as SIM
+from telemetry_streaming_datalake_spark.operators import text as TX
 from telemetry_streaming_datalake_spark.queries import tpch as Q
+from telemetry_streaming_datalake_spark.streaming import pipeline as SP
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+#: fixed query set for the similarity-search checks
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
 
 PURGE_CUTOFF = "2024-01-15"
 
@@ -41,6 +49,13 @@ def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = dm.remote_history(spark, load_table(spark, sf_dir, "customer"))
     return T.enrich_gold(_silver(spark, sf_dir), history)
+
+
+def _streaming_silver_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_stream_")
+    return SP.streaming_silver_dedup(spark, sf_dir, work)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -88,6 +103,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_supplier": lambda s, d: Q.q5_supplier_volume(
             **load_tables(s, d, "region", "nation", "customer", "orders", "lineitem", "supplier")
         ),
+        # --- LLM-data-pipeline operators (SURVEY §2 #26-36) ---
+        "dedup_exact": lambda s, d: DD.dedup_exact_docs(load_table(s, d, "documents")),
+        "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
+        "dedup_simhash": lambda s, d: DD.simhash_near_dups(load_table(s, d, "documents")),
+        "ann_cosine_topk": lambda s, d: SIM.cosine_topk(
+            load_table(s, d, "embeddings"), ANN_QUERY_IDS
+        ),
+        "ann_lsh": lambda s, d: SIM.ann_lsh_topk(
+            load_table(s, d, "embeddings"), ANN_QUERY_IDS
+        ),
+        "text_quality": lambda s, d: TX.text_quality(load_table(s, d, "documents")),
+        "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
+        "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
+        "multimodal_meta": lambda s, d: MM.multimodal_meta(load_table(s, d, "documents")),
+        "multimodal_features": lambda s, d: MM.extract_features(
+            MM.attach_payload(load_table(s, d, "documents"))
+        ),
+        # --- streaming surfaces (#1, #5) ---
+        "streaming_silver_dedup": _streaming_silver_dedup,
     }
 
 
@@ -142,4 +176,22 @@ FROM (
         "q1_pricing": Q.Q1_ORACLE,
         "q3_shipping": Q.Q3_ORACLE,
         "q5_supplier": Q.Q5_ORACLE,
+        # LLM ops (minhash/simhash/lsh/features are non-SQL → rows-only)
+        "dedup_exact": DD.DEDUP_EXACT_ORACLE,
+        "ann_cosine_topk": SIM.cosine_topk_oracle(ANN_QUERY_IDS),
+        "text_quality": TX.text_quality_oracle(),
+        "lang_id": TX.lang_id_oracle(),
+        "doc_fingerprint": TX.doc_fingerprint_oracle(),
+        "multimodal_meta": MM.MULTIMODAL_META_ORACLE,
+        # streaming availableNow drain over a single-file feed is
+        # deterministic and equals the batch dedup
+        "streaming_silver_dedup": f"""
+WITH bronze AS ({B.BRONZE_PARSE_ORACLE})
+SELECT event_id, serial, metric, value, payload_k, unix_ts, datestamp,
+       hourstamp, unique_hash_key
+FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY unique_hash_key ORDER BY event_id) AS rn
+    FROM bronze b
+) WHERE rn = 1
+""",
     }

@@ -1,0 +1,119 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+A 100 TB multimodal pipeline stores image/audio/video as ``binary``
+columns plus typed metadata, and runs decode/feature-extraction as
+Arrow-batched Pandas stages (``mapInPandas``) so bytes never leave the
+executor as Python row objects.
+
+The actual media codecs are not available in this container, so
+:func:`decode_image` is an explicitly stubbed seam — the *plumbing*
+(schema, batch shape, partitioning, deterministic fake features) is
+real and tested.  The payloads here are utf-8 bytes of the document
+text standing in for media bytes; everything downstream treats them as
+opaque binary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: histogram bins for the fake feature extractor
+FEATURE_BINS = 16
+
+
+def attach_payload(documents: DataFrame) -> DataFrame:
+    """Materialize the opaque binary column + typed metadata.
+
+    ``payload`` is utf-8 bytes (media stand-in); ``media_type`` is the
+    container tag a real pipeline would carry alongside.
+    """
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain;fake-media").alias("media_type"),
+    )
+
+
+def multimodal_meta(documents: DataFrame) -> DataFrame:
+    """Typed metadata extracted from the binary column with JVM
+    built-ins only: byte length, content digest, magic prefix."""
+    p = attach_payload(documents)
+    return p.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.substring(F.col("payload").cast("string"), 1, 8).alias("magic_prefix"),
+    )
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       'text/plain;fake-media' AS media_type,
+       octet_length(encode(text)) AS byte_len,
+       md5(text)                  AS payload_md5,
+       substr(text, 1, 8)         AS magic_prefix
+FROM documents
+"""
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode seam for real media. Requires an image codec library,
+    which this environment does not ship."""
+    raise NotImplementedError(
+        "media decode requires an image/audio codec library (PIL/av); "
+        "wire it here when available"
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("byte_len", LongType(), False),
+        StructField("features", ArrayType(LongType()), False),
+    ]
+)
+
+
+def extract_features(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    The deterministic fake feature is a ``bins``-bucket byte histogram —
+    the same batch shape (binary in, fixed-length vector out) a real
+    decode-and-embed stage has.  ``mapInPandas`` keeps the transfer
+    Arrow-vectorized; partitioning is whatever the upstream scan chose,
+    i.e. the stage adds no shuffle.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for raw in pdf["payload"]:
+                counts = [0] * bins
+                for byte in raw:
+                    counts[byte % bins] += 1
+                feats.append(counts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(r) for r in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return payloads.mapInPandas(_batches, _FEATURE_SCHEMA)

@@ -1,0 +1,129 @@
+"""LLM-data-pipeline operator tests: dedup family, similarity, text,
+multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.operators import dedup as DD
+from telemetry_streaming_datalake_spark.operators import multimodal as MM
+from telemetry_streaming_datalake_spark.operators import similarity as SIM
+from telemetry_streaming_datalake_spark.operators import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized_copies(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),       # same after normalization
+            (3, "something else"),
+        ],
+    )
+    out = {r.keep_doc_id: r.n_copies for r in DD.dedup_exact_docs(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_duplicates_not_distinct_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark dataframes and shuffles " * 5
+    docs = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = {(r.doc_a, r.doc_b) for r in DD.dedup_minhash(docs, threshold=0.6).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_plan_has_no_cartesian_product(spark, documents):
+    plan = DD.dedup_minhash(documents)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_hamming_small_for_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "lambda")
+    docs = _docs(spark, [(1, base), (2, near)])
+    fps = {r.doc_id: r.simhash for r in DD.simhash(docs).collect()}
+    ham = bin(fps[1] ^ fps[2]).count("1")
+    assert ham <= 12  # near-identical token sets → close fingerprints
+
+
+def test_cosine_topk_exact_neighbors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = SIM.cosine_topk(emb, [0], k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert out[0].cosine == pytest.approx(0.9939, abs=1e-4)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, embeddings):
+    queries = [0, 1, 2, 3]
+    exact = SIM.cosine_topk(embeddings, queries, k=5).collect()
+    approx = SIM.ann_lsh_topk(embeddings, queries, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hit = sum(
+        1 for r in approx if r.vec_id in exact_sets.get(r.query_id, set())
+    )
+    # hyperplane LSH with multi-band probing: expect reasonable recall
+    assert hit >= len(approx) * 0.4
+    assert len(approx) > 0
+
+
+def test_text_quality_token_math(spark):
+    docs = spark.createDataFrame(
+        [(1, "The cat and the dog", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = TX.text_quality(docs).collect()[0]
+    assert row.n_tokens == 5
+    assert row.n_chars_norm == 19
+    # marker hits: 'the'×2 (one capitalized, lowercased by normalize) + 'and'×1
+    assert row.stopword_ratio == pytest.approx(0.6, abs=1e-6)
+
+
+def test_lang_id_marks_english_and_undetermined(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house", "en", "s", 1),
+            (2, "zzz qqq www", "en", "s", 1),
+            (3, "der hund und die katze und das haus", "de", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r.lang_pred for r in TX.lang_id(docs).collect()}
+    assert out == {1: "en", 2: "und", 3: "de"}
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(1, "some  document   text here", "en", "s", 1),
+         (2, "some document text here", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = [r.fingerprint for r in TX.doc_fingerprint(docs).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_payload_roundtrip_and_features(spark, documents):
+    payloads = MM.attach_payload(documents.limit(20))
+    feats = MM.extract_features(payloads).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == MM.FEATURE_BINS
+        assert sum(r.features) == r.byte_len  # histogram covers every byte
+
+
+def test_multimodal_decode_is_an_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")

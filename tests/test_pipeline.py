@@ -1,0 +1,124 @@
+"""Medallion pipeline unit tests (bronze → silver → gold → rollups)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark import datamodel as dm
+from telemetry_streaming_datalake_spark.ingest import bronze as B
+from telemetry_streaming_datalake_spark.ingest import silver as S
+from telemetry_streaming_datalake_spark.operators import custom_metric as CM
+from telemetry_streaming_datalake_spark.operators import latest as L
+from telemetry_streaming_datalake_spark.operators import rollup as R
+from telemetry_streaming_datalake_spark.operators import temporal as T
+
+
+@pytest.fixture(scope="module")
+def bronze(events):
+    return B.parse_bronze(events).cache()
+
+
+@pytest.fixture(scope="module")
+def gold(spark, bronze, customer):
+    silver = S.to_silver(B.dedup_exact(bronze), dm.metric_mapping(spark))
+    return T.enrich_gold(silver, dm.remote_history(spark, customer)).cache()
+
+
+def test_bronze_extracts_json_and_normalizes_ts(bronze, events):
+    row = bronze.orderBy("event_id").first()
+    src = events.orderBy("event_id").first()
+    assert row["payload_k"] is not None
+    assert row["unix_ts"] == int(src["ts"].timestamp())
+    assert row["datestamp"] == src["ts"].strftime("%Y-%m-%d")
+    assert len(row["unique_hash_key"]) == 32
+
+
+def test_dedup_is_deterministic_and_keyed(spark):
+    df = spark.createDataFrame(
+        [(2, "k1"), (1, "k1"), (3, "k2")], ["event_id", "unique_hash_key"]
+    )
+    kept = B.dedup_exact(df).orderBy("event_id").collect()
+    assert [(r.event_id, r.unique_hash_key) for r in kept] == [(1, "k1"), (3, "k2")]
+
+
+def test_silver_normalizes_status_values(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "7", "signup", 5.0, 1, 1704067200, "2024-01-01", "2024-01-01 00", "h1"),
+            (2, "7", "error", -3.0, 2, 1704067201, "2024-01-01", "2024-01-01 00", "h2"),
+            (3, "7", "click", 2.5, 3, 1704067202, "2024-01-01", "2024-01-01 00", "h3"),
+        ],
+        "event_id long, serial string, metric string, value double, payload_k long,"
+        " unix_ts long, datestamp string, hourstamp string, unique_hash_key string",
+    )
+    out = {r.metric: r.value for r in S.to_silver(raw, dm.metric_mapping(spark)).collect()}
+    assert out == {"signup": 1.0, "error": 0.0, "click": 2.5}
+
+
+def test_temporal_join_picks_interval_containing_ts(spark, customer):
+    silver = spark.createDataFrame(
+        [
+            # slot 0 (first 10 days)
+            (1, "8", "click", 1.0, 1, dm.HISTORY_EPOCH + 5, "2024-01-01", "2024-01-01 00", 100, 1, "SUM", 1),
+            # slot 2 (open-ended)
+            (2, "8", "click", 1.0, 1, dm.HISTORY_EPOCH + 25 * 86400, "2024-01-26", "2024-01-26 00", 100, 1, "SUM", 1),
+        ],
+        "event_id long, serial string, metric string, value double, payload_k long,"
+        " unix_ts long, datestamp string, hourstamp string,"
+        " metric_id long, provider_id long, agg_type string, category_id long",
+    )
+    hist = dm.remote_history(spark, customer)
+    out = {r.event_id: r.remote_id for r in T.enrich_gold(silver, hist).collect()}
+    assert out == {1: 80, 2: 82}
+
+
+def test_temporal_join_excludes_private_remotes(gold):
+    # serials divisible by 50 are flagged private and must be filtered
+    assert gold.filter(F.col("serial").cast("long") % 50 == 0).count() == 0
+
+
+def test_rollup_day_sums_within_bucket(spark):
+    gold = spark.createDataFrame(
+        [
+            (10, 100, 1, 1, "SUM", 1704067200 + 10, "2024-01-01", 2.0),
+            (10, 100, 1, 1, "SUM", 1704067200 + 7200, "2024-01-01", 3.0),
+            (10, 100, 1, 1, "SUM", 1704067200 + 86400 + 5, "2024-01-02", 5.0),
+        ],
+        "remote_id long, metric_id long, provider_id long, category_id long,"
+        " agg_type string, unix_ts long, datestamp string, value_double double",
+    )
+    rows = {r.bucket_ts: r for r in R.rollup_day(gold).collect()}
+    assert rows[1704067200].sum_value == 5.0
+    assert rows[1704067200].n_points == 2
+    assert rows[1704153600].sum_value == 5.0
+    assert rows[1704067200].id == "10|1704067200|100|1|1"
+
+
+def test_latest_picks_newest_with_tiebreak(spark):
+    gold = spark.createDataFrame(
+        [
+            (10, 100, 1, 1, "SUM", 100, 1, "2024-01-01", 1.0, None),
+            (10, 100, 1, 1, "SUM", 200, 2, "2024-01-01", 2.0, None),
+            (10, 100, 1, 1, "SUM", 200, 3, "2024-01-01", 3.0, None),
+        ],
+        "remote_id long, metric_id long, provider_id long, category_id long,"
+        " agg_type string, unix_ts long, event_id long, datestamp string,"
+        " value_double double, value_string string",
+    )
+    row = L.latest_metric(gold).collect()[0]
+    assert (row.unix_ts, row.event_id, row.value_double) == (200, 3, 3.0)
+
+
+def test_custom_metric_sum_combines_constituents(spark):
+    gold = spark.createDataFrame(
+        [
+            (10, 100, 1, 1, "SUM", 500, "2024-01-01", 1.0, "click"),
+            (10, 101, 1, 1, "SUM", 500, "2024-01-01", 2.0, "view"),
+            (10, 104, 2, 3, "AVG", 500, "2024-01-01", 9.0, "error"),  # not mapped to SUM
+        ],
+        "remote_id long, metric_id long, provider_id long, category_id long,"
+        " agg_type string, unix_ts long, datestamp string, value_double double, metric string",
+    )
+    out = CM.custom_metric_sum(gold, dm.custom_metric_mapping(spark)).collect()
+    assert len(out) == 1
+    assert out[0].metric_id == 200
+    assert out[0].value_double == 3.0

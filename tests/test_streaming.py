@@ -1,0 +1,50 @@
+"""Structured Streaming tests: watermarked dedup ingest, upsert sink."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.ingest import bronze as B
+from telemetry_streaming_datalake_spark.operators import retention as RT
+from telemetry_streaming_datalake_spark.streaming import pipeline as SP
+from telemetry_streaming_datalake_spark.streaming.sinks import ParquetUpsertStore
+
+from tests.conftest import SF_DIR
+
+
+def test_streaming_bronze_matches_batch(spark, events, tmp_path):
+    out = SP.streaming_silver_dedup(spark, SF_DIR, str(tmp_path))
+    batch = B.dedup_exact(B.parse_bronze(events))
+    assert out.count() == batch.count()
+    s = {tuple(r) for r in out.select("event_id", "unique_hash_key").collect()}
+    b = {tuple(r) for r in batch.select("event_id", "unique_hash_key").collect()}
+    assert s == b
+
+
+def test_streaming_sink_partitions_by_datestamp(spark, tmp_path):
+    work = str(tmp_path / "w")
+    SP.streaming_silver_dedup(spark, SF_DIR, work)
+    parts = [p for p in os.listdir(os.path.join(work, "bronze_out")) if p.startswith("datestamp=")]
+    assert len(parts) > 1  # date-partitioned layout, like the reference
+
+
+def test_upsert_store_item_overwrite(spark, tmp_path):
+    store = ParquetUpsertStore(spark, str(tmp_path / "store"), key="id")
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int")
+    b1 = spark.createDataFrame([("b", 20), ("c", 3)], "id string, v int")
+    store.apply_batch(b0, 0)
+    store.apply_batch(b1, 1)
+    final = {r.id: r.v for r in store.read().collect()}
+    assert final == {"a": 1, "b": 20, "c": 3}
+
+
+def test_purge_and_compact_rewrite(spark, events, tmp_path):
+    bronze = B.parse_bronze(events)
+    path = str(tmp_path / "lake")
+    RT.purge_rewrite(bronze, "2024-01-15", path)
+    kept = spark.read.parquet(path)
+    assert kept.filter(F.col("datestamp") < "2024-01-15").count() == 0
+    kept_count = kept.count()
+    assert kept_count == bronze.filter(F.col("datestamp") >= "2024-01-15").count()
+    RT.compact(spark, path)
+    assert spark.read.parquet(path).count() == kept_count
