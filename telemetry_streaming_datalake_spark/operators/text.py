@@ -94,18 +94,34 @@ def doc_fingerprint(documents: DataFrame, window: int = 16) -> DataFrame:
     probability; used as a cheap pre-cluster key."""
     norm = normalize_text(F.col("text"))
     n_shingles = F.greatest(F.length(norm) - (window - 1), F.lit(1))
-    fp = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), n_shingles),
-            lambda i: F.md5(norm.substr(i, F.lit(window))),
-        )
-    )
-    return documents.select(
+    # explode + min-aggregate rather than transform/array_min: Spark's
+    # higher-order functions are CodegenFallback (interpreted per
+    # element), while this shape keeps md5 + min inside whole-stage
+    # codegen with map-side partial aggregation — the shuffle carries
+    # one row per doc, not per shingle.
+    base = documents.select(
         "doc_id",
-        fp.alias("fingerprint"),
+        norm.alias("norm"),
         F.md5(norm).alias("content_hash"),
         n_shingles.alias("n_shingles"),
+    ).repartition(documents.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    ex = base.select(
+        "doc_id",
+        "content_hash",
+        "n_shingles",
+        "norm",
+        F.explode(F.sequence(F.lit(1), F.col("n_shingles"))).alias("i"),
+    ).select(
+        "doc_id",
+        "content_hash",
+        "n_shingles",
+        F.md5(F.col("norm").substr(F.col("i"), F.lit(window))).alias("mh"),
     )
+    return ex.groupBy("doc_id").agg(
+        F.min("mh").alias("fingerprint"),
+        F.max("content_hash").alias("content_hash"),
+        F.max("n_shingles").alias("n_shingles"),
+    ).select("doc_id", "fingerprint", "content_hash", "n_shingles")
 
 
 # --------------------------------------------------------------------------
