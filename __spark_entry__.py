@@ -58,6 +58,13 @@ def _streaming_silver_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_silver_dedup(spark, sf_dir, work)
 
 
+def _streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_upsert_")
+    return SP.streaming_upsert_rollup(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -107,21 +114,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: DD.dedup_exact_docs(load_table(s, d, "documents")),
         "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: DD.simhash_near_dups(load_table(s, d, "documents")),
+        "dedup_ngram_jaccard": lambda s, d: DD.ngram_jaccard_dedup(
+            load_table(s, d, "documents")
+        ),
+        "dedup_embedding": lambda s, d: SIM.embedding_near_dups(
+            load_table(s, d, "embeddings")
+        ),
         "ann_cosine_topk": lambda s, d: SIM.cosine_topk(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
         ),
         "ann_lsh": lambda s, d: SIM.ann_lsh_topk(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
         ),
+        "ann_ivf": lambda s, d: SIM.ann_ivf_topk(
+            load_table(s, d, "embeddings"), ANN_QUERY_IDS
+        ),
         "text_quality": lambda s, d: TX.text_quality(load_table(s, d, "documents")),
+        "token_count": lambda s, d: TX.token_count(load_table(s, d, "documents")),
         "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
         "multimodal_meta": lambda s, d: MM.multimodal_meta(load_table(s, d, "documents")),
         "multimodal_features": lambda s, d: MM.extract_features(
             MM.attach_payload(load_table(s, d, "documents"))
         ),
-        # --- streaming surfaces (#1, #5) ---
+        "frame_sample": lambda s, d: MM.frame_sample(load_table(s, d, "documents")),
+        # --- streaming surfaces (#1, #5, #16) ---
         "streaming_silver_dedup": _streaming_silver_dedup,
+        "streaming_upsert": _streaming_upsert,
     }
 
 
@@ -176,13 +195,29 @@ FROM (
         "q1_pricing": Q.Q1_ORACLE,
         "q3_shipping": Q.Q3_ORACLE,
         "q5_supplier": Q.Q5_ORACLE,
-        # LLM ops (minhash/simhash/lsh/features are non-SQL → rows-only)
+        # LLM ops (minhash/simhash/lsh/ivf/features are non-SQL → rows-only)
         "dedup_exact": DD.DEDUP_EXACT_ORACLE,
+        "dedup_ngram_jaccard": DD.ngram_jaccard_oracle(),
+        "dedup_embedding": SIM.embedding_near_dups_oracle(),
         "ann_cosine_topk": SIM.cosine_topk_oracle(ANN_QUERY_IDS),
         "text_quality": TX.text_quality_oracle(),
+        "token_count": TX.token_count_oracle(),
         "lang_id": TX.lang_id_oracle(),
         "doc_fingerprint": TX.doc_fingerprint_oracle(),
         "multimodal_meta": MM.MULTIMODAL_META_ORACLE,
+        "frame_sample": MM.frame_sample_oracle(),
+        # one-micro-batch complete-mode agg == the batch aggregate
+        "streaming_upsert": f"""
+WITH bronze AS ({B.BRONZE_PARSE_ORACLE})
+SELECT metric || '|' || datestamp || '|' || hourstamp AS id,
+       metric, datestamp, hourstamp,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM bronze
+GROUP BY metric, datestamp, hourstamp
+""",
         # streaming availableNow drain over a single-file feed is
         # deterministic and equals the batch dedup
         "streaming_silver_dedup": f"""

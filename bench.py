@@ -38,9 +38,16 @@ HEADLINE = [
     "q5_supplier",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
     "ann_cosine_topk",
+    "ann_lsh",
+    "token_count",
+    "lang_id",
     "text_quality",
     "doc_fingerprint",
+    "frame_sample",
 ]
 
 

@@ -117,3 +117,47 @@ def extract_features(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFrame
             )
 
     return payloads.mapInPandas(_batches, _FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# frame sampling (video-analog: strided fixed-size blocks of the payload)
+# --------------------------------------------------------------------------
+
+#: frame geometry for the stand-in codec: 64-byte "frames", every 2nd kept
+FRAME_SIZE = 64
+FRAME_STRIDE = 2
+
+
+def frame_sample(
+    documents: DataFrame, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Sample every ``stride``-th fixed-size block of the payload as a
+    "frame" and digest it — the plumbing of video frame-sampling
+    (seek → decode keyframe → fingerprint) with the codec stubbed to
+    byte-block slicing.  Frame digests keep their temporal order (the
+    array is built positionally, not via collect_list), which is the
+    contract a real frame-dedup stage needs.
+
+    Map-only: no shuffle, one scan, output rows = input rows.
+    """
+    n_frames = F.greatest(F.ceil(F.length("text") / F.lit(frame_size)), F.lit(1)).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1, F.lit(stride)),
+        lambda i: F.md5(F.encode(F.col("text").substr(i * frame_size + 1, F.lit(frame_size)), "UTF-8")),
+    )
+    return documents.select(
+        "doc_id",
+        n_frames.alias("n_frames_total"),
+        frames.alias("frame_hashes"),
+    )
+
+
+def frame_sample_oracle(frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE) -> str:
+    n_frames = f"greatest(CAST(ceil(length(text) / {frame_size}.0) AS INTEGER), 1)"
+    return f"""
+SELECT doc_id,
+       {n_frames} AS n_frames_total,
+       [md5(substr(text, CAST(i * {frame_size} + 1 AS INTEGER), {frame_size}))
+        for i in range(0, {n_frames}, {stride})] AS frame_hashes
+FROM documents
+"""

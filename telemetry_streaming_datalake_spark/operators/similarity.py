@@ -19,6 +19,7 @@ are reproducible and oracle-checkable.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +46,30 @@ def _norm(a):
 def cosine(a, b):
     """Cosine similarity between two array<numeric> columns (double)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _sign_bits_udf(planes: list[list[float]]):
+    """Arrow-batched signature bits: one numpy matmul per batch against
+    the closure-captured hyperplane matrix — the scale path for LSH
+    signatures (a 64×16 matmul per row is ~1000 flops; doing it through
+    interpreted per-element column lambdas costs ~100× more).
+
+    Float note: numpy's summation order differs from a sequential SQL
+    dot product, but the *sign* only disagrees when |dot| < ~1e-14 —
+    measure-zero for continuous embeddings — so the banding stays
+    reproducible against the sequential-sum oracle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array(planes, dtype=np.float64).T  # (dim, planes)
+
+    @pandas_udf("array<int>")
+    def sig(emb: pd.Series) -> pd.Series:
+        m = np.array(emb.tolist(), dtype=np.float64)
+        bits = (m @ mat >= 0).astype("int32")
+        return pd.Series(bits.tolist())
+
+    return sig
 
 
 def cosine_topk(
@@ -146,7 +171,7 @@ def ann_lsh_topk(
     planes = _hyperplanes(dim)
     per_band = LSH_PLANES // LSH_SIG_BANDS
     sig = embeddings.select(
-        "vec_id", "embedding", lsh_signature(F.col("embedding"), planes).alias("sig")
+        "vec_id", "embedding", _sign_bits_udf(planes)(F.col("embedding")).alias("sig")
     )
     bands = sig.select(
         "vec_id",
@@ -173,6 +198,214 @@ def ann_lsh_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "q_emb", "vec_id", "embedding")
         .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (LSH-blocked, SQL-checkable)
+# --------------------------------------------------------------------------
+
+#: near-dup banding: 16 sign bits in 2 bands of 8 — 8-bit bands keep
+#: buckets fine-grained (256 per band) so within-bucket pair counts
+#: stay near-linear; band keys are plain bit-strings (no hash) so the
+#: DuckDB oracle can replicate them exactly
+NEARDUP_THRESHOLD = 0.45
+NEARDUP_BANDS = 2
+NEARDUP_ROWS = LSH_PLANES // NEARDUP_BANDS
+
+
+def _band_keys(sig_bits: list, bands: int, rows: int):
+    """Band key columns: '<band>:<bit><bit><bit><bit>' strings."""
+    return [
+        F.concat_ws(
+            "", F.lit(f"{b}:"), *[sig_bits[b * rows + r].cast("string") for r in range(rows)]
+        )
+        for b in range(bands)
+    ]
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    dim: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine, LSH-blocked.
+
+    Scale shape, in order: (1) signature bits via one Arrow-batched
+    matmul; (2) the band self-join carries ONLY (vec_id, band_key) —
+    vectors never enter the candidate shuffle; (3) pair ids are
+    deduplicated BEFORE embeddings are re-joined, so each candidate's
+    cosine is computed once, vectorized in numpy.  The band key is a
+    uniform-ish 8-bit string — no crossJoin at any scale.  Banding is
+    sign-deterministic, which is what lets the oracle SQL reproduce
+    the same candidate set and therefore the same result rows.
+    """
+    planes = _hyperplanes(dim)
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+    sig = embeddings.select(
+        "vec_id", _sign_bits_udf(planes)(F.col("embedding")).alias("sig")
+    )
+    bits = [F.col("sig")[i] for i in range(LSH_PLANES)]
+    banded = sig.select(
+        "vec_id",
+        F.explode(F.array(*_band_keys(bits, NEARDUP_BANDS, NEARDUP_ROWS))).alias("band_key"),
+    )
+    from telemetry_streaming_datalake_spark.operators.dedup import bucket_pairs
+
+    pairs = (
+        bucket_pairs(banded, ["band_key"], ["vec_id"])
+        .select(F.col("a_vec_id").alias("vec_a"), F.col("b_vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(x: pd.Series, y: pd.Series) -> pd.Series:
+        mx = np.array(x.tolist(), dtype=np.float64)
+        my = np.array(y.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", mx, my)
+        den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
+        return pd.Series(num / den)
+
+    scored = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(pair_cosine(F.col("emb_a"), F.col("emb_b")), round_to).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in p) + "]"
+
+
+def embedding_near_dups_oracle(
+    threshold: float = NEARDUP_THRESHOLD, dim: int = 64, round_to: int = 4
+) -> str:
+    planes = _hyperplanes(dim)
+    bits = [
+        f"CASE WHEN list_dot_product(emb, {_plane_sql(p)}) >= 0 THEN 1 ELSE 0 END"
+        for p in planes
+    ]
+    band_exprs = ", ".join(
+        "concat('%d:', %s)" % (b, ", ".join(bits[b * NEARDUP_ROWS + r] for r in range(NEARDUP_ROWS)))
+        for b in range(NEARDUP_BANDS)
+    )
+    return f"""
+WITH n AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+banded AS (
+    SELECT vec_id, emb, unnest([{band_exprs}]) AS band_key FROM n
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), {round_to}) AS cosine
+    FROM banded a JOIN banded b
+      ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN (inverted-file cells, Pandas-UDF assignment)
+# --------------------------------------------------------------------------
+
+#: cell count and probe width for the IVF index
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ivf_assign_cells(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """Assign every vector to its nearest cell centroid.
+
+    Centroids are the vectors with the ``n_cells`` lowest vec_ids — a
+    deterministic sample (random-projection-quality cells without an
+    iterative k-means whose result would depend on partitioning).  The
+    centroid matrix is tiny and broadcast inside an Arrow-batched
+    pandas_udf; assignment is one numpy matmul per batch — the exact
+    shape a 100 TB IVF build has (no shuffle, map-only).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cents = (
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_mat = np.array([r.embedding for r in sorted(cents, key=lambda r: r.vec_id)], dtype=np.float64)
+    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def nearest_cell(emb: pd.Series) -> pd.Series:
+        m = np.array(emb.tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cent_norm.T, axis=1).astype("int32"))
+
+    return embeddings.withColumn("cell", nearest_cell(F.col("embedding")))
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF probe: each query scans only its ``nprobe`` nearest cells.
+
+    The (query, probe-cell) table is tiny and broadcast; the corpus is
+    partitioned by cell, so the probe join touches ~nprobe/n_cells of
+    the data — the IVF speedup — and exact cosine ranks candidates.
+    """
+    assigned = ivf_assign_cells(embeddings, n_cells)
+    cents = (
+        embeddings.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
+    )
+    cent_mat = np.array([r.embedding for r in sorted(cents, key=lambda r: r.vec_id)], dtype=np.float64)
+    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    q_rows = embeddings.filter(F.col("vec_id").isin(query_ids)).select("vec_id", "embedding").collect()
+    probe = []
+    for r in q_rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        for cell in np.argsort(-(cent_norm @ v))[:nprobe]:
+            probe.append((int(r.vec_id), int(cell)))
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probe, "query_id int, cell int")
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
     )
     scored = cands.select(
         "query_id",

@@ -185,3 +185,41 @@ SELECT doc_id,
        {n_shingles} AS n_shingles
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# --------------------------------------------------------------------------
+
+#: pre-tokenizer pattern: word runs OR single non-word-non-space marks —
+#: the ASCII-safe core of GPT-2-style pre-tokenization, written with
+#: explicit classes so the Java (Spark) and RE2 (DuckDB) dialects agree
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace and regex token counts + UTF-8 byte size per doc.
+
+    All JVM built-ins (split/regexp_extract_all/encode) — one codegen
+    scan, no shuffle; the per-doc counts feed corpus token budgeting.
+    """
+    norm = normalize_text(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(norm), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(TOKEN_REGEX), F.lit(0))).alias("n_re_tokens"),
+        F.length(F.encode(norm, "UTF-8")).alias("n_bytes_utf8"),
+        F.length(norm).alias("n_chars"),
+    )
+
+
+def token_count_oracle() -> str:
+    norm = _NORM_SQL
+    return f"""
+SELECT doc_id,
+       len(string_split(trim({norm}), ' '))                       AS n_ws_tokens,
+       len(regexp_extract_all({norm}, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_re_tokens,
+       octet_length(encode({norm}))                               AS n_bytes_utf8,
+       length({norm})                                             AS n_chars
+FROM documents
+"""

@@ -125,3 +125,46 @@ def streaming_silver_dedup(spark: SparkSession, sf_dir: str, work_dir: str) -> D
         .withColumn("datestamp", F.col("datestamp").cast("string"))
         .select(*cols)
     )
+
+
+def streaming_upsert_rollup(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Streaming hour-rollup upserted into the serving store — the
+    ``Gold Aggregation/Step 05`` pattern: complete-mode aggregate →
+    ``foreachBatch`` MERGE (ItemOverwrite) into a keyed store.
+
+    The stream applies the stateless bronze parse, aggregates per
+    (metric, datestamp, hourstamp) — ONE stateful operator, as complete
+    mode requires — and lands each micro-batch through
+    :class:`~..streaming.sinks.ParquetUpsertStore`.  Returns the store
+    contents after the availableNow drain.
+    """
+    from telemetry_streaming_datalake_spark.streaming.sinks import ParquetUpsertStore
+
+    raw = _events_glob(spark, sf_dir, work_dir)
+    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    bronze = parse_bronze(raw)
+    agg = bronze.groupBy("metric", "datestamp", "hourstamp").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # rounded at the edge like the batch rollups: summation order
+        # varies with partitioning, 6dp makes results engine-stable
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).withColumn(
+        "id", F.concat_ws("|", F.col("metric"), F.col("datestamp"), F.col("hourstamp"))
+    )
+    store_path = os.path.join(work_dir, "rollup_store")
+    ckpt = os.path.join(work_dir, "upsert_ckpt")
+    store = ParquetUpsertStore(spark, store_path, key="id")
+    (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(store.apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(store_path).select(
+        "id", "metric", "datestamp", "hourstamp",
+        "n_events", "sum_value", "min_value", "max_value",
+    )

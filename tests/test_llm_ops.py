@@ -127,3 +127,59 @@ def test_multimodal_payload_roundtrip_and_features(spark, documents):
 def test_multimodal_decode_is_an_explicit_stub():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+
+
+def test_ngram_jaccard_blocks_and_verifies(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    docs = _docs(spark, [(1, base), (2, base + "extra tail"), (3, "unrelated words entirely")])
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in DD.ngram_jaccard_dedup(docs).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.8
+    assert all(3 not in k for k in out)
+
+
+def test_embedding_near_dups_finds_planted_pair(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.05
+    far = rng.standard_normal(64)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near]),
+            (2, [float(x) for x in far])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in
+             SIM.embedding_near_dups(emb, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.97
+    assert all(2 not in k for k in pairs)
+
+
+def test_ann_ivf_matches_bruteforce_for_in_cell_hits(spark, embeddings):
+    """IVF probes nprobe cells; its hits must be a subset of the exact
+    brute-force ranking and every hit's cosine must agree."""
+    qids = [0, 1, 2, 3]
+    exact = {(r.query_id, r.vec_id): r.cosine
+             for r in SIM.cosine_topk(embeddings, qids, k=50).collect()}
+    approx = SIM.ann_ivf_topk(embeddings, qids).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert exact.get((r.query_id, r.vec_id)) == r.cosine
+
+
+def test_token_count_basic(spark):
+    docs = _docs(spark, [(1, "Hello, world! it's 42")])
+    r = TX.token_count(docs).collect()[0]
+    # normalized: "hello, world! it's 42"
+    assert r.n_ws_tokens == 4
+    # hello , world ! it ' s 42  → 8 regex tokens
+    assert r.n_re_tokens == 8
+    assert r.n_chars == 21
+
+
+def test_frame_sample_strided_digests(spark):
+    text = "a" * 200  # 4 frames of 64 → sampled frames 0 and 2
+    docs = _docs(spark, [(1, text)])
+    r = MM.frame_sample(docs).collect()[0]
+    assert r.n_frames_total == 4
+    assert len(r.frame_hashes) == 2
+    import hashlib
+    assert r.frame_hashes[0] == hashlib.md5(("a" * 64).encode()).hexdigest()
