@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_supplier": lambda s, d: Q.q5_supplier_volume(
             **load_tables(s, d, "region", "nation", "customer", "orders", "lineitem", "supplier")
         ),
+        "adhoc_gold_slice": lambda s, d: Q.adhoc_gold_slice(_gold(s, d)),
         # --- LLM-data-pipeline operators (SURVEY §2 #26-36) ---
         "dedup_exact": lambda s, d: DD.dedup_exact_docs(load_table(s, d, "documents")),
         "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
@@ -195,6 +196,7 @@ FROM (
         "q1_pricing": Q.Q1_ORACLE,
         "q3_shipping": Q.Q3_ORACLE,
         "q5_supplier": Q.Q5_ORACLE,
+        "adhoc_gold_slice": Q.adhoc_gold_slice_oracle(gold),
         # LLM ops (minhash/simhash/lsh/ivf/features are non-SQL → rows-only)
         "dedup_exact": DD.DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": DD.ngram_jaccard_oracle(),

@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
+
 import __spark_entry__ as E
 from telemetry_streaming_datalake_spark.session import get_spark
 
@@ -36,6 +38,7 @@ HEADLINE = [
     "q1_pricing",
     "q3_shipping",
     "q5_supplier",
+    "adhoc_gold_slice",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
@@ -51,10 +54,44 @@ HEADLINE = [
 ]
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """One-time session warmup, excluded from timings (standard bench
+    practice): first parquet scan, first shuffle+codegen compile, and
+    the Python-worker pool spawn for pandas_udf stages.  Without this
+    the first timed query absorbs ~7s of fixed JVM/Arrow startup that
+    has nothing to do with its plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    (
+        spark.range(100_000)
+        .select(F.md5(F.col("id").cast("string")).alias("h"))
+        .groupBy("h")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    @pandas_udf("double")
+    def _identity(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    (
+        spark.range(100_000)
+        .select(_identity(F.col("id").cast("double")).alias("v"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    _warmup(spark, sf_dir)
     qs = E.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

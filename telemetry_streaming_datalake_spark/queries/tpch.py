@@ -117,3 +117,43 @@ WHERE r_name = 'ASIA'
   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY ALL
 """
+
+
+def adhoc_gold_slice(gold: DataFrame) -> DataFrame:
+    """The reference's live-debug slice (``Query Delta tables - 3 -
+    aggregation issue.scala:66-69``): filter gold to one provider and a
+    metric set over a day window, day-bucket the timestamp, group by
+    (bucket, remote, metric, provider, category), sum values, and keep
+    non-zero sums (HAVING).
+
+    Plan shape: the provider/metric/datestamp predicates push into the
+    scan (partition + row-group pruning on a datestamp-partitioned
+    lake); one partial-aggregated shuffle; no joins.
+    """
+    sliced = gold.filter(
+        (F.col("provider_id") == 1)
+        & F.col("metric_id").isin(100, 101, 102)
+        & (F.col("datestamp") >= "2024-01-08")
+        & (F.col("datestamp") < "2024-01-15")
+    )
+    day = (F.col("unix_ts") - F.col("unix_ts") % 86400).alias("unix_day")
+    return (
+        sliced.select(day, "remote_id", "metric_id", "provider_id", "category_id", "value_double")
+        .groupBy("unix_day", "remote_id", "metric_id", "provider_id", "category_id")
+        .agg(F.round(F.sum("value_double"), 6).alias("sum_value"))
+        .filter(F.col("sum_value") != 0)
+    )
+
+
+def adhoc_gold_slice_oracle(gold_cte: str) -> str:
+    return f"""
+WITH gold AS ({gold_cte})
+SELECT unix_ts - unix_ts % 86400 AS unix_day,
+       remote_id, metric_id, provider_id, category_id,
+       round(sum(value_double), 6) AS sum_value
+FROM gold
+WHERE provider_id = 1 AND metric_id IN (100, 101, 102)
+  AND datestamp >= '2024-01-08' AND datestamp < '2024-01-15'
+GROUP BY ALL
+HAVING round(sum(value_double), 6) <> 0
+"""
