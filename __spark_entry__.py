@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.attach_payload(load_table(s, d, "documents"))
         ),
         "frame_sample": lambda s, d: MM.frame_sample(load_table(s, d, "documents")),
+        "multimodal_thumb": lambda s, d: MM.thumbnail_digest(load_table(s, d, "documents")),
         # --- streaming surfaces (#1, #5, #16) ---
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
@@ -208,6 +209,7 @@ FROM (
         "doc_fingerprint": TX.doc_fingerprint_oracle(),
         "multimodal_meta": MM.MULTIMODAL_META_ORACLE,
         "frame_sample": MM.frame_sample_oracle(),
+        "multimodal_thumb": MM.THUMBNAIL_ORACLE,
         # one-micro-batch complete-mode agg == the batch aggregate
         "streaming_upsert": f"""
 WITH bronze AS ({B.BRONZE_PARSE_ORACLE})

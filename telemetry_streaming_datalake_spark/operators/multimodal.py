@@ -161,3 +161,35 @@ SELECT doc_id,
         for i in range(0, {n_frames}, {stride})] AS frame_hashes
 FROM documents
 """
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize seam for real media, like :func:`decode_image`: requires
+    an image codec library this environment does not ship."""
+    raise NotImplementedError(
+        "image resize requires a codec library (PIL/opencv); "
+        "wire it here when available"
+    )
+
+
+def thumbnail_digest(documents: DataFrame, thumb_bytes: int = 256) -> DataFrame:
+    """Deterministic stand-in for decode→resize→re-encode: digest the
+    leading ``thumb_bytes`` of the payload (the "thumbnail"), keeping
+    the exact batch shape (binary in, binary-derived metadata out) a
+    real resize stage has.  Map-only, no shuffle."""
+    p = attach_payload(documents)
+    return p.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").alias("byte_len"),
+        F.md5(F.substring(F.col("payload").cast("string"), 1, thumb_bytes)).alias("thumb_md5"),
+    )
+
+
+THUMBNAIL_ORACLE = """
+SELECT doc_id,
+       'text/plain;fake-media'    AS media_type,
+       octet_length(encode(text)) AS byte_len,
+       md5(substr(text, 1, 256))  AS thumb_md5
+FROM documents
+"""

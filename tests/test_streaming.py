@@ -48,3 +48,41 @@ def test_purge_and_compact_rewrite(spark, events, tmp_path):
     assert kept_count == bronze.filter(F.col("datestamp") >= "2024-01-15").count()
     RT.compact(spark, path)
     assert spark.read.parquet(path).count() == kept_count
+
+
+def test_streaming_upsert_rollup_matches_batch_agg(spark, tmp_path):
+    """One availableNow drain of the complete-mode hour rollup through
+    the foreachBatch upsert store equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import parse_bronze
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_upsert_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_upsert_rollup(spark, sf, str(tmp_path))
+    bronze = parse_bronze(load_table(spark, sf, "events"))
+    want = bronze.groupBy("metric", "datestamp", "hourstamp").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    assert got.count() == want.count()
+    diff = got.select("id", "n_events").exceptAll(
+        want.select(
+            F.concat_ws("|", "metric", "datestamp", "hourstamp").alias("id"), "n_events"
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_multimodal_resize_stub_raises(spark):
+    import pytest as _pytest
+
+    from telemetry_streaming_datalake_spark.operators.multimodal import resize_image
+
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"xx", 8, 8)
