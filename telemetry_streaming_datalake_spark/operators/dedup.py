@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -235,12 +238,58 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame, threshold: float = 0.
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def _signatures_from_sets(k: int = MINHASH_K):
+    """Arrow-batched k-permutation MinHash over a hashed-shingle-set
+    column: one ``(len × k)`` numpy outer-product per row.  Used when
+    the shingle sets are already materialized (the full near-dup pass
+    needs them again for Jaccard) — hashing work is then shared instead
+    of re-run through the explode path."""
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(k)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def sig(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            h = np.mod(np.array(arr, dtype=np.int64), MINHASH_PRIME)
+            m = np.mod(np.outer(h, A) + B, MINHASH_PRIME)
+            out.append(np.min(m, axis=0).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
 def dedup_minhash(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
     """Full near-dup pass: signatures → banded candidates → verified
-    pairs above the Jaccard threshold."""
-    sigs = minhash_signatures(documents)
+    pairs above the Jaccard threshold.
+
+    The hashed shingle sets are computed ONCE and persisted: they feed
+    both the signature derivation (numpy permutations per row) and the
+    Jaccard verification joins.  Without the persist, the three plan
+    branches (signatures, pair-side A, pair-side B) would each re-run
+    the shingle explode+collect_set — at 100 TB, three full corpus
+    scans instead of one.  The persisted form is the compact long-array
+    set (~8 bytes/shingle), the cheapest representation to hold.
+    """
+    from pyspark import StorageLevel
+
+    sets = hashed_shingle_sets(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sets.select("doc_id", _signatures_from_sets()(F.col("sh")).alias("signature"))
     cands = lsh_candidate_pairs(sigs)
-    return jaccard_verify(documents, cands, threshold)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # --------------------------------------------------------------------------
