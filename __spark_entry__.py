@@ -20,6 +20,7 @@ from telemetry_streaming_datalake_spark.operators import latest as L
 from telemetry_streaming_datalake_spark.operators import retention as RT
 from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import scd as SCD
+from telemetry_streaming_datalake_spark.operators import sessions as SES
 from telemetry_streaming_datalake_spark.operators import temporal as T
 from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import multimodal as MM
@@ -100,6 +101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_current": lambda s, d: SCD.scd2_current(
             dm.remote_history(s, load_table(s, d, "customer"))
         ),
+        "agg_consistency": lambda s, d: DT.agg_consistency(
+            R.rollup_day(_gold(s, d)), R.rollup_month(_gold(s, d))
+        ),
+        "sessionize": lambda s, d: SES.sessionize(load_table(s, d, "events")),
         # --- ad-hoc query layer (#25) ---
         "q1_pricing": lambda s, d: Q.q1_pricing(load_table(s, d, "lineitem")),
         "q3_shipping": lambda s, d: Q.q3_shipping(
@@ -194,6 +199,11 @@ FROM (
             PURGE_CUTOFF,
         ),
         "scd2_current": SCD.scd2_current_oracle(),
+        "agg_consistency": DT.agg_consistency_oracle(
+            R.rollup_oracle(gold, bucket_day, "bucket_ts"),
+            R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
+        ),
+        "sessionize": SES.sessionize_oracle(),
         "q1_pricing": Q.Q1_ORACLE,
         "q3_shipping": Q.Q3_ORACLE,
         "q5_supplier": Q.Q5_ORACLE,

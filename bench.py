@@ -35,6 +35,7 @@ HEADLINE = [
     "latest_metric",
     "gap_detect",
     "orphan_usage",
+    "sessionize",
     "q1_pricing",
     "q3_shipping",
     "q5_supplier",

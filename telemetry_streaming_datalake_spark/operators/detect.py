@@ -105,3 +105,50 @@ WHERE NOT EXISTS (
 GROUP BY ALL
 """
     )
+
+
+# --------------------------------------------------------------------------
+# cross-stage aggregate consistency
+# --------------------------------------------------------------------------
+
+
+def agg_consistency(day_rollup: DataFrame, month_rollup: DataFrame) -> DataFrame:
+    """Cross-stage rollup drift check.
+
+    Reference (``Detection Data Lack/Data Lack Detection for Aggregated
+    tables.scala:62-70, 167-177``): re-sum ``sumValue`` per
+    metricProviderId from the Day-aggregated table and from the
+    Month-aggregated table, label each with its ``Stage``, and union —
+    any divergence between stages means a rollup or upsert dropped or
+    double-counted data.  (The reference also pulls the serving-store
+    copies of both; here the parquet rollups ARE the serving analog.)
+
+    Scale shape: both inputs are already-aggregated tables, orders of
+    magnitude smaller than gold — each branch is one partial-agg
+    shuffle over a small frame, and the union is plan-level (no
+    exchange of its own).
+    """
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy("metric_id", "provider_id")
+            .agg(F.round(F.sum("sum_value"), 6).alias("sum_of_sum"))
+            .select(
+                F.lit(label).alias("stage"), "metric_id", "provider_id", "sum_of_sum"
+            )
+        )
+
+    return stage(day_rollup, "agg_day").unionByName(stage(month_rollup, "agg_month"))
+
+
+def agg_consistency_oracle(day_cte: str, month_cte: str) -> str:
+    return f"""
+WITH day_agg AS ({day_cte}),
+month_agg AS ({month_cte})
+SELECT 'agg_day' AS stage, metric_id, provider_id,
+       round(sum(sum_value), 6) AS sum_of_sum
+FROM day_agg GROUP BY ALL
+UNION ALL
+SELECT 'agg_month' AS stage, metric_id, provider_id,
+       round(sum(sum_value), 6) AS sum_of_sum
+FROM month_agg GROUP BY ALL
+"""
