@@ -66,6 +66,13 @@ def _streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_upsert_rollup(spark, sf_dir, work)
 
 
+def _streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_state_")
+    return SP.streaming_stateful_latest(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -148,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming surfaces (#1, #5, #16) ---
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
+        "streaming_stateful_latest": _streaming_stateful,
     }
 
 
@@ -232,6 +240,10 @@ SELECT metric || '|' || datestamp || '|' || hourstamp AS id,
 FROM bronze
 GROUP BY metric, datestamp, hourstamp
 """,
+        # stateful applyInPandasWithState latest-view == batch aggregate
+        "streaming_stateful_latest": SP.STREAMING_STATEFUL_ORACLE_TEMPLATE.format(
+            bronze=B.BRONZE_PARSE_ORACLE
+        ),
         # streaming availableNow drain over a single-file feed is
         # deterministic and equals the batch dedup
         "streaming_silver_dedup": f"""

@@ -168,3 +168,136 @@ def streaming_upsert_rollup(spark: SparkSession, sf_dir: str, work_dir: str) -> 
         "id", "metric", "datestamp", "hourstamp",
         "n_events", "sum_value", "min_value", "max_value",
     )
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+# --------------------------------------------------------------------------
+
+#: output / state schemas for the stateful latest-value operator
+STATEFUL_OUTPUT_SCHEMA = (
+    "serial string, metric string, n_events long, sum_value double, "
+    "last_ts long, last_value double"
+)
+_STATE_SCHEMA = "n_events long, sum_value double, last_ts long, last_event_id long, last_value double"
+
+
+def _latest_state_fn(key, pdfs, state):
+    """Per-(serial, metric) running state: event count, value sum, and
+    the value of the latest event (ties on unix_ts broken by event_id —
+    deterministic under any partitioning/arrival order)."""
+    import pandas as pd
+
+    if state.exists:
+        n, total, last_ts, last_id, last_val = state.get
+    else:
+        n, total, last_ts, last_id, last_val = 0, 0.0, -1, -1, None
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        # batch-local latest by (unix_ts, event_id)
+        idx = pdf.sort_values(["unix_ts", "event_id"]).index[-1]
+        ts, eid = int(pdf["unix_ts"][idx]), int(pdf["event_id"][idx])
+        if (ts, eid) > (last_ts, last_id):
+            last_ts, last_id, last_val = ts, eid, float(pdf["value"][idx])
+    state.update((n, total, last_ts, last_id, last_val))
+    yield pd.DataFrame(
+        [[key[0], key[1], n, round(total, 6), last_ts, last_val]],
+        columns=["serial", "metric", "n_events", "sum_value", "last_ts", "last_value"],
+    )
+
+
+def streaming_stateful_latest(
+    spark: SparkSession, sf_dir: str, work_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    — the engine's analog of the reference's latest-value serving
+    stream (``Metric Stream to Cosmos/Step 06.b Latest ….scala``), but
+    as explicit user state rather than a windowed aggregate: per
+    (serial, metric) the state carries (count, sum, latest ts/value)
+    across micro-batches and each batch emits the updated row
+    (update-mode upsert semantics, exactly what a Cosmos/Redis latest
+    store consumes).
+
+    Scale shape: state is hash-partitioned by the group key — the same
+    single exchange a groupBy would take — and each group's state is a
+    5-field tuple, so the state store stays O(distinct keys) no matter
+    how many events stream through.  Arrow moves each batch's rows to
+    Python in columnar form.
+
+    The parquet append sink accumulates one row per (key, batch); the
+    read-back keeps each key's final emission (max n_events — the count
+    is strictly increasing), which equals the batch aggregate over the
+    same feed: that equality is the oracle check, and with
+    ``max_files_per_trigger=1`` on a multi-file landing it also proves
+    cross-batch state carry-over (``tests/test_streaming.py``).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if max_files_per_trigger:
+        # multi-batch mode: the caller staged work_dir/landing with
+        # several feed files; the bounded trigger forces one
+        # micro-batch per file so state must carry across batches
+        path = os.path.join(work_dir, "landing")
+        schema = spark.read.parquet(path).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        raw = _events_glob(spark, sf_dir, work_dir)
+    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    bronze = parse_bronze(raw)
+    updated = bronze.groupBy("serial", "metric").applyInPandasWithState(
+        _latest_state_fn,
+        STATEFUL_OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = os.path.join(work_dir, "latest_state_out")
+    ckpt = os.path.join(work_dir, "latest_state_ckpt")
+    # the file sink rejects update mode (append-only format), so the
+    # update-mode emissions land through foreachBatch — the same edge
+    # the reference uses for its Cosmos upsert writes
+    (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(lambda batch, _id: batch.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emissions = spark.read.parquet(out)
+    final = emissions.groupBy("serial", "metric").agg(
+        F.max(
+            F.struct("n_events", "sum_value", "last_ts", "last_value")
+        ).alias("s")
+    )
+    return final.select(
+        "serial",
+        "metric",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.sum_value").alias("sum_value"),
+        F.col("s.last_ts").alias("last_ts"),
+        F.col("s.last_value").alias("last_value"),
+    )
+
+
+STREAMING_STATEFUL_ORACLE_TEMPLATE = """
+WITH bronze AS ({bronze}),
+last AS (
+    SELECT serial, metric, unix_ts AS last_ts, value AS last_value,
+           row_number() OVER (
+               PARTITION BY serial, metric ORDER BY unix_ts DESC, event_id DESC
+           ) AS rn
+    FROM bronze
+)
+SELECT b.serial, b.metric, count(*) AS n_events,
+       round(sum(b.value), 6) AS sum_value,
+       l.last_ts, l.last_value
+FROM bronze b
+JOIN last l ON b.serial = l.serial AND b.metric = l.metric AND l.rn = 1
+GROUP BY b.serial, b.metric, l.last_ts, l.last_value
+"""

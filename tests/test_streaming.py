@@ -86,3 +86,62 @@ def test_multimodal_resize_stub_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         resize_image(b"xx", 8, 8)
+
+
+def test_stateful_latest_carries_state_across_batches(spark, tmp_path):
+    """Split the feed into two files and drain with one file per
+    micro-batch: applyInPandasWithState must merge batch-2 rows into
+    batch-1 state, and each key's final emission must equal the batch
+    aggregate over the whole feed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import parse_bronze
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_stateful_latest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    cut = raw.approxQuantile("event_id", [0.5], 0.0)[0]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # two disjoint halves, one flat parquet file each in the landing
+    # dir (state for a serial present in both halves must merge across
+    # the two micro-batches)
+    import glob
+    import shutil
+
+    for i, half in enumerate(
+        [raw.filter(F.col("event_id") <= cut), raw.filter(F.col("event_id") > cut)]
+    ):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    got = streaming_stateful_latest(
+        spark, sf, str(tmp_path), max_files_per_trigger=1
+    ).cache()
+
+    bronze = parse_bronze(load_table(spark, sf, "events"))
+    want = (
+        bronze.groupBy("serial", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max(F.struct("unix_ts", "event_id", "value")).alias("s"),
+        )
+        .select(
+            "serial", "metric", "n_events", "sum_value",
+            F.col("s.unix_ts").alias("last_ts"),
+            F.col("s.value").alias("last_value"),
+        )
+    ).cache()
+    assert got.count() == want.count()
+    # emissions prove multi-batch execution: some key must have emitted twice
+    emissions = spark.read.parquet(str(tmp_path / "latest_state_out"))
+    assert emissions.count() > got.count()
+    diff = got.exceptAll(want)
+    assert diff.count() == 0
