@@ -301,3 +301,53 @@ FROM bronze b
 JOIN last l ON b.serial = l.serial AND b.metric = l.metric AND l.rn = 1
 GROUP BY b.serial, b.metric, l.last_ts, l.last_value
 """
+
+
+def streaming_silver_two_hop(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Bronze table consumed AS A STREAM by the silver hop — the
+    reference's Delta-as-stream-source pattern
+    (``Bronze-Silver/Part1 ….scala:93-96``, ``readStream.format("delta")
+    .option("ignoreChanges", "true")``), with the date-partitioned
+    parquet lake standing in for Delta.
+
+    Hop 1 drains the raw feed into the partitioned bronze lake; hop 2
+    opens that lake directory as a NEW file-source stream (each bronze
+    file appears as an append, exactly how Delta streams table commits),
+    applies the same batch ``to_silver`` transform as a stream-static
+    broadcast join against the mapping dimension, and lands silver.
+    Both hops checkpoint independently — the recovery unit is the hop,
+    as in the reference topology.
+    """
+    from telemetry_streaming_datalake_spark.datamodel import metric_mapping
+
+    bronze_dir = os.path.join(work_dir, "bronze_lake")
+    run_stream_to_parquet(
+        streaming_bronze(spark, sf_dir, work_dir),
+        bronze_dir,
+        os.path.join(work_dir, "bronze_ckpt"),
+    )
+    bronze_schema = spark.read.parquet(bronze_dir).schema
+    bronze_stream = (
+        spark.readStream.schema(bronze_schema)
+        .option("basePath", bronze_dir)
+        .parquet(os.path.join(bronze_dir, "*"))
+    )
+    # partition-column datestamp comes back as DATE; restore the
+    # engine's string form before the shared transform
+    bronze_stream = bronze_stream.withColumn(
+        "datestamp", F.col("datestamp").cast("string")
+    )
+    silver_stream = to_silver(bronze_stream, metric_mapping(spark))
+    silver_dir = os.path.join(work_dir, "silver_lake")
+    run_stream_to_parquet(
+        silver_stream, silver_dir, os.path.join(work_dir, "silver_ckpt")
+    )
+    return (
+        spark.read.parquet(silver_dir)
+        .withColumn("datestamp", F.col("datestamp").cast("string"))
+        .select(
+            "event_id", "serial", "metric", "value", "payload_k", "unix_ts",
+            "datestamp", "hourstamp", "metric_id", "provider_id",
+            "agg_type", "category_id",
+        )
+    )

@@ -145,3 +145,26 @@ def test_stateful_latest_carries_state_across_batches(spark, tmp_path):
     assert emissions.count() > got.count()
     diff = got.exceptAll(want)
     assert diff.count() == 0
+
+
+def test_two_hop_table_as_stream_matches_batch_silver(spark, tmp_path):
+    """Hop 2 consumes the bronze lake directory as a stream source
+    (Delta-as-stream analog) and must reproduce the batch silver."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.ingest.silver import to_silver
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_silver_two_hop,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_silver_two_hop(spark, sf, str(tmp_path)).cache()
+    want = to_silver(
+        B.dedup_exact(B.parse_bronze(load_table(spark, sf, "events"))),
+        dm.metric_mapping(spark),
+    ).cache()
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
