@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: the scale guarantees SURVEY §4/§6
+claims are asserted here so a refactor cannot silently reintroduce a
+cartesian product, an unbroadcast dimension join, or a lost map-side
+partial aggregate."""
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    names = [
+        "gold_enrich",
+        "custom_metric_sum",
+        "agg_hour",
+        "latest_metric",
+        "orphan_usage",
+        "sessionize",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_embedding",
+        "ann_lsh",
+        "q3_shipping",
+    ]
+    return {n: _plan(qs[n](spark, SF)) for n in names}
+
+
+def test_no_cartesian_or_nested_loop_anywhere(plans):
+    """LSH families must candidate-generate via bucket keys; the
+    medallion joins are all equi-joins — a cross product anywhere is
+    an automatic fail at 100 TB."""
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_dimension_joins_broadcast(plans):
+    """History/mapping/dim joins must be BroadcastHashJoin — the fact
+    side must never shuffle for a dimension lookup."""
+    for name in ["gold_enrich", "custom_metric_sum", "orphan_usage", "q3_shipping"]:
+        assert "BroadcastHashJoin" in plans[name], name
+        assert "SortMergeJoin" not in plans[name], name
+
+
+def test_rollups_have_partial_aggregation(plans):
+    """Map-side combine: the shuffle carries partial aggregates, not
+    raw rows."""
+    for name in ["agg_hour", "latest_metric"]:
+        assert "partial_" in plans[name], name
+
+
+def test_sessionize_single_exchange(plans):
+    """session_window = one hash exchange on the user key, then an
+    in-partition interval merge — no window-function global sort."""
+    p = plans["sessionize"]
+    assert p.count("Exchange") <= 2  # key exchange (+ AQE read)
+    assert "SessionWindow" in p or "session_window" in p
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning reaches the parquet scan: a 2-column projection
+    must not read the whole documents schema (text is the wide col)."""
+    from telemetry_streaming_datalake_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    p = _plan(docs.select("doc_id").filter(F.col("doc_id") > 10))
+    assert "text" not in p.split("ReadSchema")[-1]
