@@ -123,6 +123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **load_tables(s, d, "region", "nation", "customer", "orders", "lineitem", "supplier")
         ),
         "adhoc_gold_slice": lambda s, d: Q.adhoc_gold_slice(_gold(s, d)),
+        "q6_forecast": lambda s, d: Q.q6_forecast_revenue(load_table(s, d, "lineitem")),
+        "q10_returns": lambda s, d: Q.q10_returned_items(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "nation"),
+        ),
         # --- LLM-data-pipeline operators (SURVEY §2 #26-36) ---
         "dedup_exact": lambda s, d: DD.dedup_exact_docs(load_table(s, d, "documents")),
         "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
@@ -216,6 +223,8 @@ FROM (
         "q3_shipping": Q.Q3_ORACLE,
         "q5_supplier": Q.Q5_ORACLE,
         "adhoc_gold_slice": Q.adhoc_gold_slice_oracle(gold),
+        "q6_forecast": Q.Q6_ORACLE,
+        "q10_returns": Q.Q10_ORACLE,
         # LLM ops (minhash/simhash/lsh/ivf/features are non-SQL → rows-only)
         "dedup_exact": DD.DEDUP_EXACT_ORACLE,
         "dedup_ngram_jaccard": DD.ngram_jaccard_oracle(),

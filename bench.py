@@ -39,6 +39,8 @@ HEADLINE = [
     "q1_pricing",
     "q3_shipping",
     "q5_supplier",
+    "q6_forecast",
+    "q10_returns",
     "adhoc_gold_slice",
     "dedup_exact",
     "dedup_minhash",

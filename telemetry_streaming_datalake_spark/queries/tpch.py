@@ -157,3 +157,97 @@ WHERE provider_id = 1 AND metric_id IN (100, 101, 102)
 GROUP BY ALL
 HAVING round(sum(value_double), 6) <> 0
 """
+
+
+def q6_forecast_revenue(lineitem: DataFrame,
+                        date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+                        disc_lo: float = 0.05, disc_hi: float = 0.07,
+                        qty_max: int = 24) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue delta: pure scan-and-aggregate.
+
+    Every predicate is a scan-level pushdown (date range, discount
+    band, quantity cap) — the showcase for `PushedFilters` reaching
+    the parquet reader; the aggregate is a single global partial+final
+    sum with no shuffle of row data at all.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= date_lo)
+        & (F.col("l_shipdate") < date_hi)
+        & (F.col("l_discount") >= disc_lo)
+        & (F.col("l_discount") <= disc_hi)
+        & (F.col("l_quantity") < qty_max)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       nation: DataFrame,
+                       date_lo: str = "1996-01-01", date_hi: str = "1996-04-01",
+                       k: int = 20) -> DataFrame:
+    """TPC-H Q10-style returned-item ranking: who returned the most
+    revenue this quarter.
+
+    Fact-side filters first (quarter of orders, RETURN flag), then the
+    customer/nation dims broadcast onto the aggregated fact — the agg
+    runs BEFORE the dim attach, so the join input is one row per
+    customer, not one per lineitem.  Top-k via rounded-revenue sort
+    with custkey tiebreak (engine-stable).
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    )
+    l = lineitem.filter(F.col("l_returnflag") == "R")
+    # decimal arithmetic: the per-customer sum feeds a top-k cut, so it
+    # must be EXACT (order-independent) — a double sum can land either
+    # side of a cent boundary depending on partitioning/engine
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    per_cust = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+    ranked = (
+        per_cust.join(F.broadcast(customer), per_cust["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+    return ranked
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name, revenue
+FROM (
+    SELECT o_custkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY o_custkey
+) r
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
