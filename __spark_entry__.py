@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             R.rollup_day(_gold(s, d)), R.rollup_month(_gold(s, d))
         ),
         "sessionize": lambda s, d: SES.sessionize(load_table(s, d, "events")),
+        "online_entities": lambda s, d: DT.online_entities(_gold(s, d)),
         # --- ad-hoc query layer (#25) ---
         "q1_pricing": lambda s, d: Q.q1_pricing(load_table(s, d, "lineitem")),
         "q3_shipping": lambda s, d: Q.q3_shipping(
@@ -219,6 +220,7 @@ FROM (
             R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
         ),
         "sessionize": SES.sessionize_oracle(),
+        "online_entities": DT.online_entities_oracle(gold),
         "q1_pricing": Q.Q1_ORACLE,
         "q3_shipping": Q.Q3_ORACLE,
         "q5_supplier": Q.Q5_ORACLE,

@@ -152,3 +152,54 @@ SELECT 'agg_month' AS stage, metric_id, provider_id,
        round(sum(sum_value), 6) AS sum_of_sum
 FROM month_agg GROUP BY ALL
 """
+
+
+# --------------------------------------------------------------------------
+# online-entities dashboard rollup
+# --------------------------------------------------------------------------
+
+
+def online_entities(gold: DataFrame) -> DataFrame:
+    """Monthly distinct-active-entity counts, by entity type.
+
+    Reference (``Set Up Delta Tables/Load Spark Table for Distinct
+    Remotes & Antennas online.scala``): per (Year, Month), distinct
+    active ids split into two Type-labelled rows (Remote vs Antenna by
+    id shape) and unioned into a dashboard table.  This engine's
+    entity axes are the resolved ``remote_id`` and the raw terminal
+    ``serial``, so the split is RemoteOnline vs TerminalOnline.
+
+    Scale shape: count-distinct runs as two-phase partial aggregation
+    (distinct on (year, month, id) map-side, then count) — no row-level
+    shuffle of gold; both branches prune to three columns at the scan.
+    """
+    year = F.substring("datestamp", 1, 4).alias("year")
+    month = F.substring("datestamp", 6, 2).alias("month")
+
+    def branch(id_col: str, label: str) -> DataFrame:
+        return (
+            gold.select(year, month, F.col(id_col).cast("string").alias("id"))
+            .distinct()
+            .groupBy("year", "month")
+            .agg(F.count(F.lit(1)).alias("n_online"))
+            .select("year", "month", F.lit(label).alias("entity_type"), "n_online")
+        )
+
+    return branch("remote_id", "RemoteOnline").unionByName(
+        branch("serial", "TerminalOnline")
+    )
+
+
+def online_entities_oracle(gold_cte: str) -> str:
+    return f"""
+WITH gold AS ({gold_cte})
+SELECT substr(datestamp, 1, 4) AS year, substr(datestamp, 6, 2) AS month,
+       'RemoteOnline' AS entity_type,
+       count(DISTINCT CAST(remote_id AS VARCHAR)) AS n_online
+FROM gold GROUP BY 1, 2
+UNION ALL
+SELECT substr(datestamp, 1, 4) AS year, substr(datestamp, 6, 2) AS month,
+       'TerminalOnline' AS entity_type,
+       count(DISTINCT CAST(serial AS VARCHAR)) AS n_online
+FROM gold GROUP BY 1, 2
+"""
