@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): operators vs brute-force Python
+references on arbitrary small inputs.  These catch boundary semantics
+unit examples miss (gap ties, empty/one-element groups, duplicate
+timestamps, unicode)."""
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.operators import dedup as DD
+from telemetry_streaming_datalake_spark.operators import sessions as SES
+
+GAP = SES.SESSION_GAP_S
+
+#: (user_id, unix_ts) event streams; timestamps clustered so sessions
+#: actually merge and split around the gap boundary
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=5 * GAP),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _brute_force_sessions(rows):
+    """Reference implementation: sort each user's timestamps, split on
+    gap > GAP (session_window's inclusive merge boundary)."""
+    out = []
+    by_user = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 1
+        for ts in tss[1:]:
+            if ts - prev > GAP:
+                out.append((u, start, prev, prev - start, n))
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        out.append((u, start, prev, prev - start, n))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_events_strategy)
+def test_sessionize_matches_brute_force(spark, rows):
+    data = [
+        (i, u, datetime.datetime.fromtimestamp(ts, datetime.timezone.utc).replace(tzinfo=None))
+        for i, (u, ts) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.duration_s, r.n_events)
+        for r in SES.sessionize(df).collect()
+    )
+    assert got == _brute_force_sessions(rows)
+
+
+# ASCII-printable only: Java regex \s / trim / lower are ASCII-scoped
+# while Python's are unicode-aware, so a wider alphabet would test the
+# two *references'* unicode tables against each other, not the operator
+_texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_texts_strategy)
+def test_exact_dedup_partitions_by_normalized_text(spark, texts):
+    """Exact dedup groups exactly the docs whose normalized text is
+    equal; group sizes sum to the corpus size."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    groups = DD.dedup_exact_docs(docs).collect()
+    import re
+
+    norm = {i: re.sub(r"\s+", " ", t).strip().lower() for i, t in enumerate(texts)}
+    from collections import Counter
+
+    want_sizes = Counter(norm.values())
+    assert sorted(g.n_copies for g in groups) == sorted(want_sizes.values())
+    assert sum(g.n_copies for g in groups) == len(texts)
+    # keeper is the minimum doc_id of its group
+    for g in groups:
+        members = [i for i, n in norm.items() if n == norm[g.keep_doc_id]]
+        assert g.keep_doc_id == min(members)
+
+
+def test_sessionize_empty_frame(spark):
+    df = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
+    assert SES.sessionize(df).count() == 0
