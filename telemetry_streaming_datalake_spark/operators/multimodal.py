@@ -99,14 +99,16 @@ def extract_features(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFrame
     i.e. the stage adds no shuffle.
     """
 
+    import numpy as np
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
             for raw in pdf["payload"]:
-                counts = [0] * bins
-                for byte in raw:
-                    counts[byte % bins] += 1
-                feats.append(counts)
+                # vectorized per-payload: view bytes as uint8, bucket,
+                # bincount — no Python-level per-byte loop
+                b = np.frombuffer(raw, dtype=np.uint8) % bins
+                feats.append(np.bincount(b, minlength=bins).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
