@@ -1,0 +1,64 @@
+"""Driver-contract consistency checks (cheap, no data execution).
+
+The correctness gate compares queries() against oracle_sql() by
+column-name-sorted value hashes — so the failure modes this file
+guards are structural: an oracle key without a query, duplicate or
+mismatched column names, a query that doesn't even build its plan.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_every_oracle_key_has_a_query():
+    q, o = set(E.queries()), set(E.oracle_sql())
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
+
+
+def test_rows_only_entries_are_the_documented_ones():
+    """Entries without an oracle must be the genuinely non-SQL ops."""
+    q, o = set(E.queries()), set(E.oracle_sql())
+    assert q - o == {
+        "dedup_minhash",
+        "dedup_simhash",
+        "ann_lsh",
+        "ann_ivf",
+        "multimodal_features",
+    }
+
+
+#: streaming entries execute sinks; they're covered by test_streaming
+_PLAN_ONLY_SKIP = {"streaming_silver_dedup", "streaming_upsert", "streaming_stateful_latest"}
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    out = {}
+    for name, fn in E.queries().items():
+        if name in _PLAN_ONLY_SKIP:
+            continue
+        out[name] = fn(spark, SF)
+    return out
+
+
+def test_all_query_plans_build_and_columns_are_unique(built):
+    for name, df in built.items():
+        cols = df.columns
+        assert len(cols) == len(set(cols)), f"duplicate columns in {name}: {cols}"
+        assert all(c == c.lower() for c in cols), f"non-lowercase column in {name}"
+
+
+def test_no_query_shares_an_ambiguous_alias_with_its_oracle(built):
+    """Oracle SQL must SELECT exactly the Spark column names (the
+    driver sorts by name before hashing) — verify every Spark column
+    name appears verbatim in the oracle text."""
+    oracles = E.oracle_sql()
+    for name, df in built.items():
+        if name not in oracles:
+            continue
+        sql = oracles[name].lower()
+        for c in df.columns:
+            assert c.lower() in sql, f"{name}: column {c} not named in oracle SQL"
