@@ -255,10 +255,13 @@ def embedding_near_dups(
     the same candidate set and therefore the same result rows.
     """
     planes = _hyperplanes(dim)
-    embeddings = embeddings.repartition(
+    # fan the signature matmul out across the cluster; the pair-side
+    # re-reads below use the RAW frame so they don't inherit this
+    # exchange (they only feed small broadcast builds)
+    spread = embeddings.repartition(
         embeddings.sparkSession.sparkContext.defaultParallelism, "vec_id"
     )
-    sig = embeddings.select(
+    sig = spread.select(
         "vec_id", _sign_bits_udf(planes)(F.col("embedding")).alias("sig")
     )
     bits = [F.col("sig")[i] for i in range(LSH_PLANES)]
