@@ -351,3 +351,41 @@ def streaming_silver_two_hop(spark: SparkSession, sf_dir: str, work_dir: str) ->
             "agg_type", "category_id",
         )
     )
+
+
+def streaming_gold_three_hop(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Full reference topology as streams: feed → bronze → silver →
+    gold, each hop a readStream/writeStream pair over the lake dir of
+    the previous one (``Gold state/Step 04-04b ….scala`` reads the
+    silver Delta as a stream and joins the modem-history dimension).
+
+    The SCD2 interval join runs as a STREAM-STATIC join: stateless on
+    the stream side, the history dimension broadcast per micro-batch —
+    the same plan the batch path gets, which is why the drained result
+    must equal batch ``gold_enrich`` (asserted in tests).
+    """
+    from telemetry_streaming_datalake_spark.datamodel import remote_history
+    from telemetry_streaming_datalake_spark.operators.temporal import enrich_gold
+
+    silver_dir = os.path.join(work_dir, "silver_lake")
+    streaming_silver_two_hop(spark, sf_dir, work_dir)  # hops 1+2
+    silver_schema = spark.read.parquet(silver_dir).schema
+    silver_stream = (
+        spark.readStream.schema(silver_schema)
+        .option("basePath", silver_dir)
+        .parquet(os.path.join(silver_dir, "*"))
+        .withColumn("datestamp", F.col("datestamp").cast("string"))
+    )
+    history = remote_history(spark, load_table(spark, sf_dir, "customer"))
+    gold_stream = enrich_gold(silver_stream, history)
+    gold_dir = os.path.join(work_dir, "gold_lake")
+    run_stream_to_parquet(gold_stream, gold_dir, os.path.join(work_dir, "gold_ckpt"))
+    return (
+        spark.read.parquet(gold_dir)
+        .withColumn("datestamp", F.col("datestamp").cast("string"))
+        .select(
+            "event_id", "serial", "remote_id", "unix_ts", "datestamp", "hourstamp",
+            "metric", "metric_id", "provider_id", "category_id", "agg_type",
+            "value_double", "value_string",
+        )
+    )

@@ -168,3 +168,29 @@ def test_two_hop_table_as_stream_matches_batch_silver(spark, tmp_path):
     ).cache()
     assert got.count() == want.count()
     assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+
+def test_three_hop_streaming_gold_matches_batch(spark, tmp_path):
+    """feed → bronze → silver → gold, all hops streaming; the drained
+    gold lake must equal the batch gold_enrich output (the SCD2 join
+    runs stream-static with the history dim broadcast)."""
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.ingest.silver import to_silver
+    from telemetry_streaming_datalake_spark.operators.temporal import enrich_gold
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_gold_three_hop,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_gold_three_hop(spark, sf, str(tmp_path)).cache()
+    silver = to_silver(
+        B.dedup_exact(B.parse_bronze(load_table(spark, sf, "events"))),
+        dm.metric_mapping(spark),
+    )
+    want = enrich_gold(
+        silver, dm.remote_history(spark, load_table(spark, sf, "customer"))
+    ).cache()
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
