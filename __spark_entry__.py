@@ -155,7 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
         "multimodal_meta": lambda s, d: MM.multimodal_meta(load_table(s, d, "documents")),
-        "multimodal_features": lambda s, d: MM.extract_features(
+        "multimodal_features": lambda s, d: MM.feature_histogram(
             MM.attach_payload(load_table(s, d, "documents"))
         ),
         "frame_sample": lambda s, d: MM.frame_sample(load_table(s, d, "documents")),
@@ -227,8 +227,11 @@ FROM (
         "adhoc_gold_slice": Q.adhoc_gold_slice_oracle(gold),
         "q6_forecast": Q.Q6_ORACLE,
         "q10_returns": Q.Q10_ORACLE,
-        # LLM ops (minhash/simhash/lsh/ivf/features are non-SQL → rows-only)
+        # LLM ops (minhash/simhash are xxhash64-bound → rows-only)
         "dedup_exact": DD.DEDUP_EXACT_ORACLE,
+        "ann_lsh": SIM.ann_lsh_topk_oracle(ANN_QUERY_IDS),
+        "ann_ivf": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
+        "multimodal_features": MM.feature_histogram_oracle(),
         "dedup_ngram_jaccard": DD.ngram_jaccard_oracle(),
         "dedup_embedding": SIM.embedding_near_dups_oracle(),
         "ann_cosine_topk": SIM.cosine_topk_oracle(ANN_QUERY_IDS),

@@ -121,6 +121,59 @@ def extract_features(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFrame
     return payloads.mapInPandas(_batches, _FEATURE_SCHEMA)
 
 
+def feature_histogram(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
+    """Canonical (exploded) form of :func:`extract_features`: one row
+    per (doc, bin) with the bin's byte count — the layout a feature
+    store ingests and the layout the correctness driver can hash
+    (array columns are not canonicalizable).  ``posexplode`` of the
+    fixed-length histogram is JVM-side and keeps zero-count bins.
+    """
+    f = extract_features(payloads, bins)
+    return f.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        F.posexplode("features").alias("bin", "bin_count"),
+    )
+
+
+def feature_histogram_oracle(bins: int = FEATURE_BINS) -> str:
+    """DuckDB twin of the byte-histogram features.
+
+    DuckDB has no direct byte indexing, but ``hex(encode(text))``
+    exposes every byte as two hex chars; for ``bins=16`` the bin of a
+    byte (= byte % 16) is exactly its low nibble — the hex digit at
+    even position ``2*i``.
+    """
+    assert bins == 16, "hex-nibble oracle only expresses 16 bins"
+    return """
+WITH h AS (
+    SELECT doc_id,
+           'text/plain;fake-media'    AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           hex(encode(text))          AS hx
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           unnest([strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INTEGER), 1)) - 1
+                   for i in range(1, byte_len + 1)]) AS bin
+    FROM h
+),
+counts AS (
+    SELECT doc_id, bin, count(*) AS c FROM b GROUP BY doc_id, bin
+),
+grid AS (
+    SELECT doc_id, media_type, byte_len, unnest(range(16)) AS bin FROM h
+)
+SELECT g.doc_id, g.media_type, g.byte_len,
+       CAST(g.bin AS INTEGER) AS bin,
+       coalesce(c.c, 0)       AS bin_count
+FROM grid g
+LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin
+"""
+
+
 # --------------------------------------------------------------------------
 # frame sampling (video-analog: strided fixed-size blocks of the payload)
 # --------------------------------------------------------------------------
@@ -143,14 +196,33 @@ def frame_sample(
     Map-only: no shuffle, one scan, output rows = input rows.
     """
     n_frames = F.greatest(F.ceil(F.length("text") / F.lit(frame_size)), F.lit(1)).cast("int")
-    frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1, F.lit(stride)),
-        lambda i: F.md5(F.encode(F.col("text").substr(i * frame_size + 1, F.lit(frame_size)), "UTF-8")),
-    )
-    return documents.select(
+    # explode(sequence) → substring → md5 keeps the per-frame hashing
+    # inside whole-stage codegen (higher-order-function lambdas are
+    # CodegenFallback — interpreted per element); the ordered re-agg
+    # sorts each doc's few sampled frames locally after the partial agg
+    base = documents.select(
+        "doc_id", "text", n_frames.alias("n_frames_total")
+    ).select(
         "doc_id",
-        n_frames.alias("n_frames_total"),
-        frames.alias("frame_hashes"),
+        "n_frames_total",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames_total") - 1, F.lit(stride))
+        ).alias("i"),
+        F.col("text"),
+    )
+    hashed = base.select(
+        "doc_id",
+        "n_frames_total",
+        "i",
+        F.md5(
+            F.encode(F.col("text").substr(F.col("i") * frame_size + 1, F.lit(frame_size)), "UTF-8")
+        ).alias("frame_md5"),
+    )
+    # serialized (driver-canonicalizable) digest string, temporal order
+    return hashed.groupBy("doc_id", "n_frames_total").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("i", "frame_md5"))).frame_md5, "|"
+        ).alias("frame_hashes")
     )
 
 
@@ -159,8 +231,9 @@ def frame_sample_oracle(frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE
     return f"""
 SELECT doc_id,
        {n_frames} AS n_frames_total,
-       [md5(substr(text, CAST(i * {frame_size} + 1 AS INTEGER), {frame_size}))
-        for i in range(0, {n_frames}, {stride})] AS frame_hashes
+       array_to_string(
+         [md5(substr(text, CAST(i * {frame_size} + 1 AS INTEGER), {frame_size}))
+          for i in range(0, {n_frames}, {stride})], '|') AS frame_hashes
 FROM documents
 """
 

@@ -44,8 +44,33 @@ def _norm(a):
 
 
 def cosine(a, b):
-    """Cosine similarity between two array<numeric> columns (double)."""
+    """Cosine similarity between two array<numeric> columns (double).
+
+    NOTE: interpreted (higher-order functions are CodegenFallback) —
+    only for tests/tiny frames.  Every production scoring path below
+    uses :func:`pair_cosine` (Arrow-batched numpy) instead.
+    """
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def pair_cosine(x, y):
+    """Arrow-batched exact cosine over two array columns: one numpy
+    einsum per batch — the vectorized scoring path every top-k /
+    near-dup operator shares.  ~100× the throughput of the interpreted
+    `aggregate`/`zip_with` form on |pairs|-sized inputs.  (The udf is
+    built per call: pandas_udf return-type parsing needs an active
+    SparkSession, so it cannot be a module-level constant.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        mx = np.array(a.tolist(), dtype=np.float64)
+        my = np.array(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", mx, my)
+        den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
+        return pd.Series(num / den)
+
+    return _pair_cosine(x, y)
 
 
 def _sign_bits_udf(planes: list[list[float]]):
@@ -90,7 +115,7 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
+        F.round(pair_cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -166,35 +191,30 @@ def ann_lsh_topk(
 
     A corpus vector is a candidate if it matches the query on *any*
     signature band (multi-probe style recall).  Exact cosine + ranking
-    happen only on candidates.
+    happen only on candidates.  Band keys are plain bit-strings (no
+    hash) so the DuckDB oracle can replicate the exact candidate set;
+    candidate scoring is the shared Arrow-batched :func:`pair_cosine`.
     """
     planes = _hyperplanes(dim)
     per_band = LSH_PLANES // LSH_SIG_BANDS
     sig = embeddings.select(
         "vec_id", "embedding", _sign_bits_udf(planes)(F.col("embedding")).alias("sig")
     )
+    bits = [F.col("sig")[i] for i in range(LSH_PLANES)]
     bands = sig.select(
         "vec_id",
         "embedding",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b), *[F.col("sig")[b * per_band + r] for r in range(per_band)]
-                    )
-                    for b in range(LSH_SIG_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.explode(
+            F.array(*_band_keys(bits, LSH_SIG_BANDS, per_band))
+        ).alias("band_key"),
     )
     q = bands.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        "band_idx",
-        "band_hash",
+        "band_key",
     )
     cands = (
-        bands.join(F.broadcast(q), ["band_idx", "band_hash"])
+        bands.join(F.broadcast(q), "band_key")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "q_emb", "vec_id", "embedding")
         .dropDuplicates(["query_id", "vec_id"])
@@ -202,7 +222,7 @@ def ann_lsh_topk(
     scored = cands.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
+        F.round(pair_cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -212,6 +232,63 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _band_key_sql(bits: list[str], bands: int, rows: int) -> str:
+    """unnest-able list of '<band>:<bits>' key expressions."""
+    return ", ".join(
+        "concat('%d:', %s)" % (b, ", ".join(bits[b * rows + r] for r in range(rows)))
+        for b in range(bands)
+    )
+
+
+def ann_lsh_topk_oracle(
+    query_ids: list[int], k: int = 5, dim: int = 64, round_to: int = 4
+) -> str:
+    """DuckDB twin: identical hyperplanes → identical sign bits →
+    identical bit-string band keys → identical candidate set → exact
+    cosine + rank.  Only a sign decision at |dot| < ~1e-14 could
+    diverge (measure-zero for continuous embeddings)."""
+    planes = _hyperplanes(dim)
+    per_band = LSH_PLANES // LSH_SIG_BANDS
+    bits = [
+        f"CASE WHEN list_dot_product(emb, {_plane_sql(p)}) >= 0 THEN 1 ELSE 0 END"
+        for p in planes
+    ]
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH n AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+banded AS (
+    SELECT vec_id, emb,
+           unnest([{_band_key_sql(bits, LSH_SIG_BANDS, per_band)}]) AS band_key
+    FROM n
+),
+q AS (
+    SELECT vec_id AS query_id, emb AS q_emb, band_key FROM banded
+    WHERE vec_id IN ({ids})
+),
+cands AS (
+    SELECT DISTINCT q.query_id, b.vec_id,
+           round({_cosine_sql('q.q_emb', 'b.emb')}, {round_to}) AS cosine
+    FROM banded b JOIN q ON b.band_key = q.band_key
+    WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+    ) AS rank
+    FROM cands
+) WHERE rank <= {k}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -278,16 +355,6 @@ def embedding_near_dups(
     )
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def pair_cosine(x: pd.Series, y: pd.Series) -> pd.Series:
-        mx = np.array(x.tolist(), dtype=np.float64)
-        my = np.array(y.tolist(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", mx, my)
-        den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
-        return pd.Series(num / den)
-
     scored = (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -354,15 +421,26 @@ def ivf_assign_cells(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFra
     pandas_udf; assignment is one numpy matmul per batch — the exact
     shape a 100 TB IVF build has (no shuffle, map-only).
     """
-    from pyspark.sql.functions import pandas_udf
+    cent_norm = _centroid_matrix(embeddings, n_cells)
+    return embeddings.withColumn("cell", _nearest_cell_udf(cent_norm)(F.col("embedding")))
 
+
+def _centroid_matrix(embeddings: DataFrame, n_cells: int) -> np.ndarray:
+    """Row-normalized centroid matrix (one bounded ``collect`` of
+    ``n_cells`` rows — the only driver-side data in the IVF path)."""
     cents = (
         embeddings.filter(F.col("vec_id") < n_cells)
         .select("vec_id", "embedding")
         .collect()
     )
-    cent_mat = np.array([r.embedding for r in sorted(cents, key=lambda r: r.vec_id)], dtype=np.float64)
-    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_mat = np.array(
+        [r.embedding for r in sorted(cents, key=lambda r: r.vec_id)], dtype=np.float64
+    )
+    return cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+
+def _nearest_cell_udf(cent_norm: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def nearest_cell(emb: pd.Series) -> pd.Series:
@@ -370,7 +448,7 @@ def ivf_assign_cells(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFra
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pd.Series(np.argmax(m @ cent_norm.T, axis=1).astype("int32"))
 
-    return embeddings.withColumn("cell", nearest_cell(F.col("embedding")))
+    return nearest_cell
 
 
 def ann_ivf_topk(
@@ -387,18 +465,18 @@ def ann_ivf_topk(
     partitioned by cell, so the probe join touches ~nprobe/n_cells of
     the data — the IVF speedup — and exact cosine ranks candidates.
     """
-    assigned = ivf_assign_cells(embeddings, n_cells)
-    cents = (
-        embeddings.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
+    cent_norm = _centroid_matrix(embeddings, n_cells)
+    assigned = embeddings.withColumn(
+        "cell", _nearest_cell_udf(cent_norm)(F.col("embedding"))
     )
-    cent_mat = np.array([r.embedding for r in sorted(cents, key=lambda r: r.vec_id)], dtype=np.float64)
-    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
     q_rows = embeddings.filter(F.col("vec_id").isin(query_ids)).select("vec_id", "embedding").collect()
     probe = []
     for r in q_rows:
         v = np.array(r.embedding, dtype=np.float64)
         v = v / np.linalg.norm(v)
-        for cell in np.argsort(-(cent_norm @ v))[:nprobe]:
+        # stable sort: tied sims keep index order (lowest cell first),
+        # matching the oracle's ORDER BY sim DESC, cell
+        for cell in np.argsort(-(cent_norm @ v), kind="stable")[:nprobe]:
             probe.append((int(r.vec_id), int(cell)))
     spark = embeddings.sparkSession
     probe_df = spark.createDataFrame(probe, "query_id int, cell int")
@@ -413,7 +491,7 @@ def ann_ivf_topk(
     scored = cands.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
+        F.round(pair_cosine(F.col("q_emb"), F.col("embedding")), round_to).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -423,3 +501,56 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def ann_ivf_topk_oracle(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of the IVF probe: centroids are the ``n_cells``
+    lowest vec_ids; assignment is argmax cosine vs centroids (ties →
+    lowest cell, matching ``np.argmax``); each query probes its
+    ``nprobe`` best cells; exact cosine ranks the probed candidates."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _cosine_sql("e.emb", "c.cvec")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < {n_cells}
+),
+sims AS (
+    SELECT e.vec_id, e.emb, c.cell, {cos} AS sim
+    FROM e CROSS JOIN c
+),
+assigned AS (
+    SELECT vec_id, emb, cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cell
+        ) AS rn FROM sims
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id AS query_id, emb AS q_emb, cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cell
+        ) AS rn FROM sims WHERE vec_id IN ({ids})
+    ) WHERE rn <= {nprobe}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           round({_cosine_sql('p.q_emb', 'a.emb')}, {round_to}) AS cosine
+    FROM probe p JOIN assigned a USING (cell)
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""

@@ -24,9 +24,6 @@ def test_rows_only_entries_are_the_documented_ones():
     assert q - o == {
         "dedup_minhash",
         "dedup_simhash",
-        "ann_lsh",
-        "ann_ivf",
-        "multimodal_features",
     }
 
 
