@@ -213,31 +213,6 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFr
     )
 
 
-def jaccard_verify(documents: DataFrame, pairs: DataFrame, threshold: float = 0.7) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs only (n-gram Jaccard
-    verification step).
-
-    Shingle sets travel as distinct-long arrays (xxhash64 per shingle,
-    computed once per doc), so the two joins shuffle 8-byte elements
-    and the intersect compares longs; ``|A∪B|`` is derived from sizes
-    instead of materializing the union array.  Candidate pairs are a
-    vanishing fraction of the corpus, so at scale both joins hash-join
-    with the pair side small.
-    """
-    sh = hashed_shingle_sets(documents)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    j = (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return j.filter(F.col("jaccard") >= threshold)
-
-
 def _signatures_from_sets(k: int = MINHASH_K):
     """Arrow-batched k-permutation MinHash over a hashed-shingle-set
     column: one ``(len × k)`` numpy outer-product per row.  Used when
@@ -399,25 +374,83 @@ def simhash_near_dups(
 # --------------------------------------------------------------------------
 
 
+def _fingerprint_and_shingle_sets(
+    documents: DataFrame, window: int = 16, n: int = 5
+) -> DataFrame:
+    """Per-doc (fingerprint, hashed 5-gram set) from ONE corpus scan.
+
+    A single explode over shingle positions feeds both derivations:
+    position ``i`` emits the ``window``-gram md5 (while in range — min
+    ignores nulls) and the ``n``-gram xxhash64; one groupBy reduces to
+    ``min(md5)`` (the winnowing fingerprint, identical to
+    ``text.doc_fingerprint``) and ``collect_set(xxhash)`` (the compact
+    Jaccard set).  At 100 TB that's one scan + one doc-keyed shuffle
+    where separate fingerprint/shingle passes would cost two of each.
+    """
+    norm = normalize_text(F.col("text"))
+    spread = documents.select("doc_id", norm.alias("norm")).repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    n_short = F.greatest(F.length("norm") - (n - 1), F.lit(1))
+    n_long = F.greatest(F.length("norm") - (window - 1), F.lit(1))
+    ex = spread.select(
+        "doc_id",
+        "norm",
+        n_long.alias("n_long"),
+        F.explode(F.sequence(F.lit(1), n_short)).alias("i"),
+    )
+    both = ex.select(
+        "doc_id",
+        F.when(
+            F.col("i") <= F.col("n_long"),
+            F.md5(F.col("norm").substr(F.col("i"), F.lit(window))),
+        ).alias("mh"),
+        F.xxhash64(F.col("norm").substr(F.col("i"), F.lit(n))).alias("xx"),
+    )
+    return both.groupBy("doc_id").agg(
+        F.min("mh").alias("fingerprint"),
+        F.collect_set("xx").alias("sh"),
+    )
+
+
 def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.3) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, blocked on the document
     fingerprint.
 
     Blocking key = the winnowing fingerprint (min 16-gram hash) — a
     1-permutation MinHash band, so near-identical docs collide with
-    high probability while the expected block size stays ~1.  The
-    self-join is keyed on the fingerprint (uniform md5 strings, no
-    skew), then exact 5-gram Jaccard verifies each candidate.  Unlike
-    the MinHash path this is fully SQL-expressible, giving the family
-    an oracle-checked member.
-    """
-    from telemetry_streaming_datalake_spark.operators.text import doc_fingerprint
+    high probability while the expected block size stays ~1.  Exact
+    5-gram Jaccard verifies each candidate.  Unlike the MinHash path
+    this is fully SQL-expressible, giving the family an oracle-checked
+    member.
 
-    fp = doc_fingerprint(documents).select("doc_id", "fingerprint")
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("f"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("f"))
-    pairs = a.join(b, "f").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-    return jaccard_verify(documents, pairs, threshold)
+    Cost shape (mirrors :func:`dedup_minhash`): fingerprints and
+    shingle sets come from one persisted single-scan frame; candidates
+    route through :func:`bucket_pairs` on the fingerprint (uniform md5
+    strings, no skew, no self-join re-execution); the verify joins
+    read the same cached frame.  Exactly ONE scan of the corpus —
+    pinned by ``tests/test_plans.py``.
+    """
+    from pyspark import StorageLevel
+
+    base = _fingerprint_and_shingle_sets(documents).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = (
+        bucket_pairs(base.select("doc_id", "fingerprint"), ["fingerprint"], ["doc_id"])
+        .select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_oracle(threshold: float = 0.3, window: int = 16, n: int = 5) -> str:

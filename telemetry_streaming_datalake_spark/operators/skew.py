@@ -41,7 +41,17 @@ def salted_join(
     row lands in, so nondeterminism here is harmless (any salt joins
     against the replicated other side).  Result equality with the
     plain join is asserted property-style in ``tests/test_skew.py``.
+
+    Only ``inner``/``left`` are valid: the other side is replicated
+    once per salt bucket, so right/full would emit each unmatched
+    other-side row ``buckets`` times.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated side would duplicate unmatched rows under "
+            "right/full semantics"
+        )
     f = fact.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*on, F.monotonically_increasing_id()), F.lit(buckets)).cast("int"),

@@ -36,20 +36,6 @@ from telemetry_streaming_datalake_spark.session import load_table
 DEDUP_WATERMARK = "48 hours"
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the raw events feed (Kafka stand-in).
-
-    Schema comes from a batch peek — the file source requires one, same
-    as the reference reads its sample.json for ``from_json`` schemas.
-    """
-    schema = load_table(spark, sf_dir, "events").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .parquet(os.path.join(sf_dir))
-    )
-    return raw
-
-
 def _events_glob(spark: SparkSession, sf_dir: str, work_dir: str | None = None) -> DataFrame:
     """Stage the feed file into a landing directory and stream it —
     the file source watches directories (like a Kafka topic watches
@@ -76,10 +62,14 @@ def streaming_bronze(spark: SparkSession, sf_dir: str, work_dir: str | None = No
     raw = _events_glob(spark, sf_dir, work_dir)
     raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     bronze = parse_bronze(raw)
+    # dropDuplicatesWithinWatermark: dedup state really IS evicted once
+    # an event's time passes the watermark (plain dropDuplicates on a
+    # key subset without the event-time column keeps state forever —
+    # the reference's own pattern has that leak)
     return (
         bronze.withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
         .withWatermark("event_time", DEDUP_WATERMARK)
-        .dropDuplicates(["unique_hash_key"])
+        .dropDuplicatesWithinWatermark(["unique_hash_key"])
         .drop("event_time")
     )
 
@@ -155,7 +145,7 @@ def streaming_upsert_rollup(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     )
     store_path = os.path.join(work_dir, "rollup_store")
     ckpt = os.path.join(work_dir, "upsert_ckpt")
-    store = ParquetUpsertStore(spark, store_path, key="id")
+    store = ParquetUpsertStore(spark, store_path, key="id", partition_col="datestamp")
     (
         agg.writeStream.outputMode("complete")
         .foreachBatch(store.apply_batch)
@@ -165,8 +155,8 @@ def streaming_upsert_rollup(spark: SparkSession, sf_dir: str, work_dir: str) -> 
         .awaitTermination()
     )
     return spark.read.parquet(store_path).select(
-        "id", "metric", "datestamp", "hourstamp",
-        "n_events", "sum_value", "min_value", "max_value",
+        "id", "metric", F.col("datestamp").cast("string").alias("datestamp"),
+        "hourstamp", "n_events", "sum_value", "min_value", "max_value",
     )
 
 

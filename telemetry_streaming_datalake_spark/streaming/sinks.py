@@ -5,12 +5,18 @@ Reference semantics: every aggregate stream lands via ``foreachBatch``
 the Cosmos ``ItemOverwrite`` write strategy) — i.e. the sink is a
 keyed upsert, newest batch wins per id.
 
-Parquet-lake formulation: the store is a directory of row groups; an
-upsert micro-batch unions the incoming keys over the existing store and
-keeps the winner per key (here: the incoming row — ItemOverwrite), then
-rewrites.  On Delta this is literally ``MERGE``; the logic below keeps
-the same contract so swapping the storage layer is a one-function
-change.
+Parquet-lake formulation: the store is a *partitioned* directory; an
+upsert micro-batch touches ONLY the partitions its keys live in —
+read those partitions (partition-pruned scan), resolve the winner per
+key (incoming row wins: ItemOverwrite), and land the result through
+Spark's dynamic partition overwrite, which replaces exactly the
+partitions present in the written frame and leaves every other
+partition's files untouched on disk.  That is the parquet analog of a
+Delta ``MERGE``: cost is O(touched partitions), never O(store) — at
+100 TB serving scale a micro-batch touching one hour of one day must
+not rewrite years of history.  (``tests/test_streaming.py`` pins the
+untouched-partition bytes.)  Swapping in Delta turns ``apply_batch``
+into a literal MERGE with the same contract.
 """
 
 from __future__ import annotations
@@ -23,41 +29,93 @@ from pyspark.sql import Window
 
 
 class ParquetUpsertStore:
-    """Keyed upsert store over parquet (foreachBatch target).
+    """Keyed upsert store over partitioned parquet (foreachBatch
+    target).
 
     ``apply_batch`` is what you hand to ``foreachBatch``; it implements
-    ItemOverwrite: rows from the newer batch replace same-id rows.
+    ItemOverwrite: rows from the newer batch replace same-key rows.
+    ``partition_col`` is the pruning axis (e.g. ``datestamp``); with it
+    set, a batch rewrites only the partitions it touches.  Without it
+    the store degrades to a documented full rewrite (only acceptable
+    for tiny key-value stores).
     """
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "id") -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "id",
+        partition_col: str | None = None,
+    ) -> None:
         self.spark = spark
         self.path = path
         self.key = key
+        self.partition_col = partition_col
         self._version = 0
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(self.path):
             return None
-        return self.spark.read.parquet(self.path)
+        df = self.spark.read.parquet(self.path)
+        if self.partition_col:
+            # partition-column values come back type-inferred (e.g.
+            # DATE for 'yyyy-MM-dd'); restore the stored string form so
+            # unions against incoming batches stay schema-stable
+            df = df.withColumn(
+                self.partition_col, F.col(self.partition_col).cast("string")
+            )
+        return df
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        current = self.read()
-        incoming = batch_df.withColumn("_v", F.lit(batch_id + 1))
-        if current is None:
-            merged = incoming
-        else:
-            merged = current.withColumn("_v", F.lit(0)).unionByName(incoming)
+    def _winners(self, merged: DataFrame) -> DataFrame:
         w = Window.partitionBy(self.key).orderBy(F.col("_v").desc())
-        winner = (
+        return (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_v")
         )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df.withColumn("_v", F.lit(1))
+        current = self.read()
+        if self.partition_col and current is not None:
+            # partitions this batch touches — bounded by batch size
+            parts = [
+                r[0]
+                for r in batch_df.select(self.partition_col).distinct().collect()
+            ]
+            # partition-pruned read of ONLY those partitions;
+            # localCheckpoint materializes them and cuts the file
+            # lineage, so the dynamic overwrite below may target the
+            # same directory it was read from
+            current = (
+                current.filter(F.col(self.partition_col).isin(parts))
+                .withColumn("_v", F.lit(0))
+                .localCheckpoint()
+            )
+            merged = self._winners(current.unionByName(incoming))
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(self.partition_col)
+                .parquet(self.path)
+            )
+            return
+        if current is None:
+            writer = incoming.drop("_v").write.mode("overwrite")
+            if self.partition_col:
+                writer = writer.partitionBy(self.partition_col)
+            writer.parquet(self.path)
+            return
+        # unpartitioned fallback: full winner rewrite via a temp swap
+        merged = self._winners(
+            current.withColumn("_v", F.lit(0)).unionByName(incoming)
+        )
         tmp = f"{self.path}__v{self._version}"
         self._version += 1
-        winner.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
@@ -68,10 +126,11 @@ def stream_upsert_rollup(
     agg_stream: DataFrame,
     store_path: str,
     checkpoint_dir: str,
+    partition_col: str | None = "datestamp",
 ) -> None:
     """Stream a (complete-mode) aggregate into the upsert store via
     foreachBatch — the Step 05 pattern: update-mode agg + MERGE."""
-    store = ParquetUpsertStore(spark, store_path)
+    store = ParquetUpsertStore(spark, store_path, partition_col=partition_col)
     (
         agg_stream.writeStream.outputMode("complete")
         .foreachBatch(store.apply_batch)

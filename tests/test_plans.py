@@ -71,6 +71,23 @@ def test_sessionize_single_exchange(plans):
     assert "SessionWindow" in p or "session_window" in p
 
 
+def test_ngram_jaccard_single_corpus_scan(spark):
+    """The fingerprint-blocked Jaccard pass must scan `documents`
+    exactly once: fingerprints + shingle sets come from one persisted
+    frame, candidates from bucket_pairs (no self-join re-execution).
+    All plan references to the parquet scan must be the SAME node
+    (inside the one InMemoryRelation)."""
+    import re
+
+    import __spark_entry__ as E
+
+    df = E.queries()["dedup_ngram_jaccard"](spark, SF)
+    p = _plan(df)
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    assert len(scan_ids) == 1, f"expected one distinct documents scan node: {scan_ids}"
+    assert "InMemoryTableScan" in p
+
+
 def test_scan_prunes_columns(spark):
     """Column pruning reaches the parquet scan: a 2-column projection
     must not read the whole documents schema (text is the wide col)."""

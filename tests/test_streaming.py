@@ -38,6 +38,38 @@ def test_upsert_store_item_overwrite(spark, tmp_path):
     assert final == {"a": 1, "b": 20, "c": 3}
 
 
+def _partition_files(root: str, part: str) -> dict[str, tuple[int, int]]:
+    d = os.path.join(root, part)
+    return {
+        f: (os.path.getsize(os.path.join(d, f)), os.stat(os.path.join(d, f)).st_mtime_ns)
+        for f in sorted(os.listdir(d))
+        if not f.startswith(".") and not f.startswith("_")
+    }
+
+
+def test_upsert_store_rewrites_only_touched_partitions(spark, tmp_path):
+    """A micro-batch touching only datestamp=d2 must leave the
+    datestamp=d1 partition files byte-for-byte untouched on disk —
+    the O(batch)-not-O(store) MERGE contract."""
+    path = str(tmp_path / "store")
+    store = ParquetUpsertStore(spark, path, key="id", partition_col="datestamp")
+    schema = "id string, datestamp string, v int"
+    b0 = spark.createDataFrame(
+        [("a", "2024-01-01", 1), ("b", "2024-01-02", 2)], schema
+    )
+    store.apply_batch(b0, 0)
+    before = _partition_files(path, "datestamp=2024-01-01")
+    assert before  # d1 exists
+    b1 = spark.createDataFrame(
+        [("b", "2024-01-02", 20), ("c", "2024-01-02", 3)], schema
+    )
+    store.apply_batch(b1, 1)
+    after = _partition_files(path, "datestamp=2024-01-01")
+    assert after == before  # same files, sizes, and mtimes
+    final = {r.id: r.v for r in store.read().collect()}
+    assert final == {"a": 1, "b": 20, "c": 3}
+
+
 def test_purge_and_compact_rewrite(spark, events, tmp_path):
     bronze = B.parse_bronze(events)
     path = str(tmp_path / "lake")
