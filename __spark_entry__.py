@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from telemetry_streaming_datalake_spark.session import load_table, load_tables
 from telemetry_streaming_datalake_spark import datamodel as dm
 from telemetry_streaming_datalake_spark.ingest import bronze as B
+from telemetry_streaming_datalake_spark.ingest import feeds as FB
 from telemetry_streaming_datalake_spark.ingest import silver as S
 from telemetry_streaming_datalake_spark.operators import custom_metric as CM
 from telemetry_streaming_datalake_spark.operators import detect as DT
@@ -84,6 +85,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bronze_parse": _bronze,
         "silver_dedup": lambda s, d: B.dedup_exact(_bronze(s, d)),
         "silver_metrics": _silver,
+        "silver_explode": lambda s, d: S.to_silver_exploded(
+            B.dedup_exact(B.parse_bronze_payload(load_table(s, d, "events"))),
+            dm.metric_mapping(s),
+        ),
+        "bronze_feed_b": lambda s, d: FB.bronze_feed_b(load_table(s, d, "events")),
         "gold_enrich": _gold,
         "custom_metric_sum": lambda s, d: CM.custom_metric_sum(
             _gold(s, d), dm.custom_metric_mapping(s)
@@ -184,6 +190,8 @@ FROM (
 ) WHERE rn = 1
 """,
         "silver_metrics": silver,
+        "silver_explode": S.silver_explode_oracle(B.BRONZE_PAYLOAD_ORACLE),
+        "bronze_feed_b": FB.BRONZE_FEED_B_ORACLE,
         "gold_enrich": gold,
         "custom_metric_sum": CM.custom_metric_sum_oracle(gold),
         "custom_metric_join": CM.custom_metric_join_oracle(gold),

@@ -27,6 +27,8 @@ from telemetry_streaming_datalake_spark.session import get_spark
 #: LLM-data operators graded as first-class
 HEADLINE = [
     "silver_dedup",
+    "silver_explode",
+    "bronze_feed_b",
     "gold_enrich",
     "agg_hour",
     "agg_day",
@@ -49,11 +51,15 @@ HEADLINE = [
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh",
+    "ann_ivf",
     "token_count",
     "lang_id",
     "text_quality",
     "doc_fingerprint",
     "frame_sample",
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_thumb",
 ]
 
 

@@ -43,6 +43,10 @@ _METRIC_MAPPING_ROWS = [
     ("purchase", 102, 1, "SUM", 2, "web"),
     ("signup", 103, 2, "LATEST", 2, "crm"),
     ("error", 104, 2, "AVG", 3, "crm"),
+    # payload-derived metrics emitted by the silver name/value explode
+    # (from_json struct field and regex-extracted twin)
+    ("payload_k", 105, 3, "AVG", 4, "json"),
+    ("payload_k_re", 106, 3, "AVG", 4, "json"),
 ]
 
 _METRIC_MAPPING_SCHEMA = StructType(
@@ -63,7 +67,9 @@ metric_mapping AS (
         ('view',     101, 1, 'SUM',    1, 'web'),
         ('purchase', 102, 1, 'SUM',    2, 'web'),
         ('signup',   103, 2, 'LATEST', 2, 'crm'),
-        ('error',    104, 2, 'AVG',    3, 'crm')
+        ('error',    104, 2, 'AVG',    3, 'crm'),
+        ('payload_k',    105, 3, 'AVG', 4, 'json'),
+        ('payload_k_re', 106, 3, 'AVG', 4, 'json')
     ) AS t(raw_symbol, metric_id, provider_id, agg_type, category_id, provider_name)
 )
 """

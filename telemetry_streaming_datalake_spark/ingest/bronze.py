@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 HASH_SALT = "telemetry"
 
 
-def parse_bronze(events: DataFrame) -> DataFrame:
+def parse_bronze(events: DataFrame, extra: list | None = None) -> DataFrame:
     """JSON extraction + timestamp normalization + hash key.
 
     Input: raw ``events`` (``ts`` already TimestampType via the loader).
@@ -41,6 +41,9 @@ def parse_bronze(events: DataFrame) -> DataFrame:
     - ``datestamp``       'yyyy-MM-dd' partition key
     - ``hourstamp``       'yyyy-MM-dd HH'
     - ``unique_hash_key`` md5 over (salt, serial, metric, unix_ts)
+
+    ``extra``: additional columns appended after the standard set
+    (used by :func:`parse_bronze_payload`; default output unchanged).
     """
     return events.select(
         F.col("event_id"),
@@ -51,6 +54,7 @@ def parse_bronze(events: DataFrame) -> DataFrame:
         F.unix_timestamp("ts").alias("unix_ts"),
         F.date_format("ts", "yyyy-MM-dd").alias("datestamp"),
         F.date_format("ts", "yyyy-MM-dd HH").alias("hourstamp"),
+        *(extra or []),
     ).withColumn(
         "unique_hash_key",
         F.md5(
@@ -62,6 +66,27 @@ def parse_bronze(events: DataFrame) -> DataFrame:
                 F.col("unix_ts").cast("string"),
             )
         ),
+    )
+
+
+#: explicit schema for the props payload — the reference parses every
+#: feed with ``from_json`` + an explicit struct schema, never inference
+#: (``Bronze-Silver/Part1 ….scala:119``)
+PAYLOAD_JSON_SCHEMA = "k BIGINT"
+
+
+def parse_bronze_payload(events: DataFrame) -> DataFrame:
+    """:func:`parse_bronze` + the raw ``props`` string and its
+    ``from_json``-parsed struct retained, feeding the silver
+    name/value explode (payload fields become their own metric rows).
+    Map-only, same single codegen stage as :func:`parse_bronze`.
+    """
+    return parse_bronze(
+        events,
+        extra=[
+            F.col("props"),
+            F.from_json(F.col("props"), PAYLOAD_JSON_SCHEMA).alias("payload"),
+        ],
     )
 
 
@@ -86,8 +111,7 @@ def dedup_exact(bronze: DataFrame) -> DataFrame:
 
 
 #: Shared SELECT used by the DuckDB oracle for :func:`parse_bronze`.
-BRONZE_PARSE_ORACLE = """
-SELECT
+_BRONZE_ORACLE_BODY = """
     event_id,
     CAST(user_id AS VARCHAR)                       AS serial,
     event_type                                     AS metric,
@@ -101,3 +125,8 @@ SELECT
                                                    AS unique_hash_key
 FROM events
 """
+
+BRONZE_PARSE_ORACLE = "SELECT" + _BRONZE_ORACLE_BODY
+
+#: payload-retaining twin of :data:`BRONZE_PARSE_ORACLE`
+BRONZE_PAYLOAD_ORACLE = "SELECT\n    props," + _BRONZE_ORACLE_BODY

@@ -293,6 +293,32 @@ GROUP BY b.serial, b.metric, l.last_ts, l.last_value
 """
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Gap-based sessionization AS A STREAM — the same
+    ``operators.sessions.sessionize`` transform applied to the file
+    stream (one logical-plan API: ``session_window`` becomes the
+    stateful streaming session operator).  Complete-mode output through
+    a foreachBatch overwrite, so the availableNow drain materializes
+    every session and must equal the batch result exactly
+    (``tests/test_streaming.py``)."""
+    from telemetry_streaming_datalake_spark.operators.sessions import sessionize
+
+    raw = _events_glob(spark, sf_dir, work_dir)
+    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = sessionize(raw)
+    out = os.path.join(work_dir, "sessions_out")
+    ckpt = os.path.join(work_dir, "sessions_ckpt")
+    (
+        sess.writeStream.outputMode("complete")
+        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)
+
+
 def streaming_silver_two_hop(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     """Bronze table consumed AS A STREAM by the silver hop — the
     reference's Delta-as-stream-source pattern

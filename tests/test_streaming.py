@@ -111,6 +111,23 @@ def test_streaming_upsert_rollup_matches_batch_agg(spark, tmp_path):
     assert diff.count() == 0
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """SURVEY row 25c's streaming half: session_window as the stateful
+    streaming session operator must produce exactly the batch
+    sessions."""
+    from telemetry_streaming_datalake_spark.operators.sessions import sessionize
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_sessionize(spark, sf, str(tmp_path)).cache()
+    want = sessionize(load_table(spark, sf, "events")).cache()
+    assert got.count() == want.count()
+    assert got.select(*want.columns).exceptAll(want).count() == 0
+
+
 def test_multimodal_resize_stub_raises(spark):
     import pytest as _pytest
 
