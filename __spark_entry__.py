@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_metric": lambda s, d: L.latest_metric(_gold(s, d)),
         "serving_kv": lambda s, d: L.serving_kv(_gold(s, d)),
         "gap_detect": lambda s, d: DT.gap_detect(_silver(s, d)),
+        "serving_latest_monitor": lambda s, d: DT.serving_latest_monitor(
+            L.latest_metric(_gold(s, d))
+        ),
         "orphan_usage": lambda s, d: DT.orphan_usage(
             B.dedup_exact(_bronze(s, d)),
             dm.remote_history(s, load_table(s, d, "customer")),
@@ -201,6 +204,7 @@ FROM (
         "latest_metric": L.latest_oracle(gold),
         "serving_kv": L.serving_kv_oracle(gold),
         "gap_detect": DT.gap_detect_oracle(silver),
+        "serving_latest_monitor": DT.serving_latest_monitor_oracle(L.latest_oracle(gold)),
         "orphan_usage": DT.orphan_usage_oracle(
             f"""
 SELECT event_id, serial, metric, value, payload_k, unix_ts, datestamp,

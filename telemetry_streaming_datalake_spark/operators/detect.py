@@ -50,6 +50,54 @@ def gap_detect(silver: DataFrame, threshold_s: int = GAP_THRESHOLD_S) -> DataFra
     )
 
 
+def serving_latest_monitor(
+    latest: DataFrame, threshold_s: int = GAP_THRESHOLD_S
+) -> DataFrame:
+    """Freshness monitor over the SERVING copy (the latest-value
+    store), not the lake: per provider, the newest key update and its
+    lag vs the store's global newest.
+
+    Reference: ``Detection Data Lack/Monitor the latest timestamps
+    from Cosmos Containers DBR 8v.scala`` reads each serving container
+    and reports its latest document timestamp — catching the failure
+    mode where the lake is fresh but a serving writer died.  Input is
+    the already-key-reduced latest store, so both aggregations are
+    trivial; same deterministic global-max formulation as
+    :func:`gap_detect`.
+    """
+    per_store = latest.groupBy("provider_id").agg(
+        F.max("unix_ts").alias("latest_ts"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    global_max = latest.agg(F.max("unix_ts").alias("global_latest"))
+    return (
+        per_store.crossJoin(F.broadcast(global_max))
+        .withColumn("lag_seconds", F.col("global_latest") - F.col("latest_ts"))
+        .withColumn("is_stale", F.col("lag_seconds") > threshold_s)
+        .select(
+            "provider_id", "latest_ts", "n_keys",
+            "global_latest", "lag_seconds", "is_stale",
+        )
+    )
+
+
+def serving_latest_monitor_oracle(
+    latest_cte: str, threshold_s: int = GAP_THRESHOLD_S
+) -> str:
+    return f"""
+WITH latest AS ({latest_cte}),
+per_store AS (
+    SELECT provider_id, max(unix_ts) AS latest_ts, count(*) AS n_keys
+    FROM latest GROUP BY ALL
+),
+g AS (SELECT max(unix_ts) AS global_latest FROM latest)
+SELECT provider_id, latest_ts, n_keys, global_latest,
+       global_latest - latest_ts AS lag_seconds,
+       (global_latest - latest_ts) > {threshold_s} AS is_stale
+FROM per_store, g
+"""
+
+
 def orphan_usage(bronze: DataFrame, history: DataFrame, mapping: DataFrame) -> DataFrame:
     """Bronze records whose serial has no history interval at all.
 
