@@ -23,6 +23,7 @@ from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import scd as SCD
 from telemetry_streaming_datalake_spark.operators import sessions as SES
 from telemetry_streaming_datalake_spark.operators import temporal as T
+from telemetry_streaming_datalake_spark.operators import corpus as CP
 from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import multimodal as MM
 from telemetry_streaming_datalake_spark.operators import similarity as SIM
@@ -169,6 +170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "frame_sample": lambda s, d: MM.frame_sample(load_table(s, d, "documents")),
         "multimodal_thumb": lambda s, d: MM.thumbnail_digest(load_table(s, d, "documents")),
+        # --- corpus-preparation operators ---
+        "pii_redact": lambda s, d: CP.pii_redact(load_table(s, d, "documents")),
+        "doc_chunks": lambda s, d: CP.chunk_documents(load_table(s, d, "documents")),
+        "train_val_split": lambda s, d: CP.train_val_split(load_table(s, d, "documents")),
+        "corpus_stats": lambda s, d: CP.corpus_stats(load_table(s, d, "documents")),
+        "decontaminate": lambda s, d: CP.decontaminate(load_table(s, d, "documents")),
         # --- streaming surfaces (#1, #5, #16) ---
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
@@ -254,6 +261,11 @@ FROM (
         "multimodal_meta": MM.MULTIMODAL_META_ORACLE,
         "frame_sample": MM.frame_sample_oracle(),
         "multimodal_thumb": MM.THUMBNAIL_ORACLE,
+        "pii_redact": CP.PII_REDACT_ORACLE,
+        "doc_chunks": CP.chunk_documents_oracle(),
+        "train_val_split": CP.train_val_split_oracle(),
+        "corpus_stats": CP.corpus_stats_oracle(),
+        "decontaminate": CP.decontaminate_oracle(),
         # one-micro-batch complete-mode agg == the batch aggregate
         "streaming_upsert": f"""
 WITH bronze AS ({B.BRONZE_PARSE_ORACLE})

@@ -60,6 +60,11 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_features",
     "multimodal_thumb",
+    "pii_redact",
+    "doc_chunks",
+    "train_val_split",
+    "corpus_stats",
+    "decontaminate",
 ]
 
 

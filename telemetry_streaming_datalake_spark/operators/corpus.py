@@ -1,0 +1,271 @@
+"""Corpus-preparation operators a large-scale training-data pipeline
+needs beyond dedup/similarity: PII redaction, document chunking,
+deterministic train/val splitting, corpus accounting, and benchmark
+decontamination.
+
+Scale rules as everywhere in this engine: JVM built-ins in the row
+path (regex/slice/explode are codegen), the only shuffles are the
+aggregations that semantically require one, and the eval side of the
+decontamination join is dimension-sized and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.operators.dedup import normalize_text
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+#: patterns chosen to parse identically under Java regex (Spark) and
+#: RE2 (DuckDB): explicit classes, no lookaround
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Replace email/phone shapes with typed placeholder tokens and
+    count the redactions per doc.  Map-only regex — one codegen scan,
+    no shuffle, the same plan at any corpus size."""
+    email_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_REGEX), F.lit(0)))
+    no_email = F.regexp_replace(F.col("text"), EMAIL_REGEX, "<EMAIL>")
+    phone_hits = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_REGEX), F.lit(0)))
+    clean = F.regexp_replace(no_email, PHONE_REGEX, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        clean.alias("text_redacted"),
+        email_hits.alias("n_emails"),
+        phone_hits.alias("n_phones"),
+        (email_hits + phone_hits > 0).alias("had_pii"),
+    )
+
+
+PII_REDACT_ORACLE = f"""
+WITH s1 AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(text, '{EMAIL_REGEX}')) AS n_emails,
+           regexp_replace(text, '{EMAIL_REGEX}', '<EMAIL>', 'g') AS t1
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(t1, '{PHONE_REGEX}', '<PHONE>', 'g') AS text_redacted,
+       n_emails,
+       len(regexp_extract_all(t1, '{PHONE_REGEX}')) AS n_phones,
+       (n_emails + len(regexp_extract_all(t1, '{PHONE_REGEX}'))) > 0 AS had_pii
+FROM s1
+"""
+
+# --------------------------------------------------------------------------
+# document chunking (context-window packing prep)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each doc's whitespace tokens into fixed-size overlapping
+    chunks — the pre-tokenization packing step of an LLM data pipeline.
+
+    ``explode(sequence)`` generates chunk starts and ``slice`` +
+    ``array_join`` materializes each chunk: all codegen collection
+    expressions, map-only (rows out = chunks, no shuffle).  Short docs
+    yield exactly one chunk.
+    """
+    toks = F.split(F.trim(normalize_text(F.col("text"))), " ")
+    base = documents.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_toks"))
+    # chunk starts: 1, 1+stride, ... while start <= n_toks (1-indexed);
+    # the last chunk may be short but is never empty
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_toks") - chunk_tokens) / stride) + 1, F.lit(1)
+    ).cast("int")
+    ex = base.select(
+        "doc_id",
+        "toks",
+        "n_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride + 1
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        "n_toks",
+        F.array_join(F.slice("toks", start, chunk_tokens), " ").alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("n_toks") - F.col("chunk_idx") * stride).alias(
+            "chunk_len"
+        ),
+    )
+
+
+def chunk_documents_oracle(
+    chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split(trim({norm}), ' ') AS toks FROM documents
+),
+n AS (
+    SELECT doc_id, toks, len(toks) AS n_toks,
+           greatest(CAST(ceil((len(toks) - {chunk_tokens}) / {stride}.0) AS INTEGER) + 1, 1) AS n_chunks
+    FROM d
+),
+ex AS (
+    SELECT doc_id, toks, n_toks, unnest(range(n_chunks)) AS chunk_idx FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_toks,
+       array_to_string(toks[(chunk_idx * {stride} + 1):(chunk_idx * {stride} + {chunk_tokens})], ' ')
+           AS chunk_text,
+       least({chunk_tokens}, n_toks - chunk_idx * {stride}) AS chunk_len
+FROM ex
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val split
+# --------------------------------------------------------------------------
+
+#: md5-prefix threshold for the validation slice: 4 hex chars cover
+#: 65536 buckets; '0ccc' ≈ 5% — content-keyed, so duplicate texts land
+#: in the same split (no train/val leakage via dup docs)
+VAL_THRESHOLD_HEX = "0ccc"
+
+
+def train_val_split(documents: DataFrame, threshold_hex: str = VAL_THRESHOLD_HEX) -> DataFrame:
+    """Assign each doc to train/val by the md5 of its normalized text.
+
+    Content-keyed hashing (not doc_id) keeps byte-identical duplicates
+    in one split.  Hex-prefix comparison replicates bit-exactly in any
+    engine; map-only."""
+    h = F.md5(normalize_text(F.col("text")))
+    return documents.select(
+        "doc_id",
+        h.alias("content_hash"),
+        F.when(F.substring(h, 1, 4) < threshold_hex, "val").otherwise("train").alias("split"),
+    )
+
+
+def train_val_split_oracle(threshold_hex: str = VAL_THRESHOLD_HEX) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+SELECT doc_id,
+       md5({norm}) AS content_hash,
+       CASE WHEN substr(md5({norm}), 1, 4) < '{threshold_hex}'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus accounting
+# --------------------------------------------------------------------------
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """Token/byte budget per (lang, source) — the corpus-mixture
+    accounting every training run starts from.  One partial-agg
+    shuffle over per-doc scalars."""
+    norm = normalize_text(F.col("text"))
+    per_doc = documents.select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim(norm), " ")).alias("n_toks"),
+        F.length(F.encode(norm, "UTF-8")).alias("n_bytes"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+    )
+
+
+def corpus_stats_oracle() -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(len(string_split(trim({norm}), ' '))) AS total_tokens,
+       sum(octet_length(encode({norm}))) AS total_bytes,
+       round(avg(len(string_split(trim({norm}), ' '))), 6) AS avg_tokens
+FROM documents
+GROUP BY ALL
+"""
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+#: the held-out "benchmark" set: a fixed deterministic doc_id slice
+BENCH_DOC_IDS = tuple(range(0, 500, 50))
+#: contamination n-gram width (chars of normalized text)
+CONTAM_NGRAM = 16
+
+
+def _contam_grams(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram-hash) rows — codegen explode+substr+xxhash64.
+    Hashes stand in for the gram strings on the Spark side (8-byte
+    join keys); the oracle joins the strings themselves, equal modulo
+    xxhash collisions like the whole Jaccard family."""
+    norm = normalize_text(F.col("text"))
+    base = documents.select("doc_id", norm.alias("norm"))
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("norm") - (n - 1), F.lit(1)))
+    )
+    return base.select("doc_id", "norm", pos.alias("i")).select(
+        "doc_id", F.xxhash64(F.col("norm").substr(F.col("i"), F.lit(n))).alias("g")
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    bench_ids: tuple[int, ...] = BENCH_DOC_IDS,
+    n: int = CONTAM_NGRAM,
+) -> DataFrame:
+    """Flag training docs sharing any ``n``-gram with a held-out
+    benchmark set (the standard n-gram decontamination pass).
+
+    The benchmark side is dimension-sized: its distinct gram hashes
+    broadcast, and the training side explodes through a codegen
+    ``left_semi`` broadcast join — the corpus never shuffles; the only
+    exchange is the final distinct on contaminated doc_ids.
+    """
+    grams = _contam_grams(documents, n)
+    bench = (
+        grams.filter(F.col("doc_id").isin(list(bench_ids))).select("g").distinct()
+    )
+    train = grams.filter(~F.col("doc_id").isin(list(bench_ids)))
+    hits = train.join(F.broadcast(bench), "g", "left_semi")
+    return (
+        hits.select("doc_id").distinct().withColumn("contaminated", F.lit(True))
+    )
+
+
+def decontaminate_oracle(
+    bench_ids: tuple[int, ...] = BENCH_DOC_IDS, n: int = CONTAM_NGRAM
+) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    ids = ", ".join(str(i) for i in bench_ids)
+    return f"""
+WITH d AS (
+    SELECT doc_id, {norm} AS nrm FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest([substr(nrm, CAST(i AS INTEGER), {n})
+                   for i in range(1, greatest(length(nrm) - {n - 1}, 1) + 1)]) AS g
+    FROM d
+),
+bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id IN ({ids})
+)
+SELECT DISTINCT doc_id, true AS contaminated
+FROM grams
+WHERE doc_id NOT IN ({ids}) AND g IN (SELECT g FROM bench)
+"""

@@ -186,3 +186,70 @@ def test_frame_sample_strided_digests(spark):
     assert hashes[0] == hashlib.md5(("a" * 64).encode()).hexdigest()
     # frames 0 and 2 are both 64×'a' → identical digests, order kept
     assert hashes[1] == hashes[0]
+
+
+# --------------------------------------------------------------------------
+# corpus-preparation operators
+# --------------------------------------------------------------------------
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe@example.com or call +1 (555) 123-4567 ok"),
+            (2, "no pii here at all"),
+        ],
+    )
+    out = {r.doc_id: r for r in CP.pii_redact(docs).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1 and out[1].had_pii
+    assert "<EMAIL>" in out[1].text_redacted and "<PHONE>" in out[1].text_redacted
+    assert "example.com" not in out[1].text_redacted
+    assert out[2].n_emails == 0 and not out[2].had_pii
+    assert out[2].text_redacted == "no pii here at all"
+
+
+def test_chunking_overlap_and_coverage(spark):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    toks = [f"w{i}" for i in range(100)]
+    docs = _docs(spark, [(1, " ".join(toks)), (2, "tiny doc")])
+    rows = {(r.doc_id, r.chunk_idx): r for r in CP.chunk_documents(docs).collect()}
+    # 100 tokens, chunk 64 stride 48 → ceil((100-64)/48)+1 = 2 chunks
+    assert {k for k in rows} == {(1, 0), (1, 1), (2, 0)}
+    c0, c1 = rows[(1, 0)].chunk_text.split(" "), rows[(1, 1)].chunk_text.split(" ")
+    assert c0 == toks[0:64]
+    assert c1 == toks[48:100]
+    assert rows[(1, 1)].chunk_len == 52
+    # overlap region is shared verbatim
+    assert c0[48:] == c1[:16]
+    assert rows[(2, 0)].chunk_text == "tiny doc"
+
+
+def test_train_val_split_is_content_keyed(spark):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    docs = _docs(spark, [(1, "Some   Text"), (2, "some text"), (3, "other")])
+    out = {r.doc_id: r for r in CP.train_val_split(docs).collect()}
+    # normalized duplicates share hash and therefore split
+    assert out[1].content_hash == out[2].content_hash
+    assert out[1].split == out[2].split
+    assert all(r.split in ("train", "val") for r in out.values())
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    bench_text = "the secret benchmark passage that must never leak into training"
+    docs = _docs(
+        spark,
+        [
+            (0, bench_text),                                # benchmark doc
+            (10, "prefix " + bench_text + " suffix"),       # contaminated
+            (20, "a completely unrelated clean document"),  # clean
+        ],
+    )
+    out = {r.doc_id for r in CP.decontaminate(docs, bench_ids=(0,)).collect()}
+    assert out == {10}
