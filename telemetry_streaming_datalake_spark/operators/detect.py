@@ -38,9 +38,18 @@ def gap_detect(silver: DataFrame, threshold_s: int = GAP_THRESHOLD_S) -> DataFra
         F.max("unix_ts").alias("latest_ts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    global_max = silver.agg(F.max("unix_ts").alias("global_latest"))
+    # the global newest is the max of the per-feed maxes — an
+    # unpartitioned window over the ALREADY-AGGREGATED frame (a few
+    # rows per provider×metric), so the silver chain executes exactly
+    # once.  A separate agg branch — even one reading per_feed — would
+    # re-execute the whole upstream chain: two full scans at 100 TB
+    # for one scalar.  The single-partition window is safe because its
+    # input is dimension-sized by construction.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
     return (
-        per_feed.crossJoin(F.broadcast(global_max))
+        per_feed.withColumn("global_latest", F.max("latest_ts").over(w))
         .withColumn("lag_seconds", F.col("global_latest") - F.col("latest_ts"))
         .withColumn("is_lagging", F.col("lag_seconds") > threshold_s)
         .select(
@@ -69,9 +78,14 @@ def serving_latest_monitor(
         F.max("unix_ts").alias("latest_ts"),
         F.count(F.lit(1)).alias("n_keys"),
     )
-    global_max = latest.agg(F.max("unix_ts").alias("global_latest"))
+    # max of the per-store maxes via an unpartitioned window over the
+    # aggregated frame — one latest-chain execution (see gap_detect)
+    from pyspark.sql import Window
+
     return (
-        per_store.crossJoin(F.broadcast(global_max))
+        per_store.withColumn(
+            "global_latest", F.max("latest_ts").over(Window.partitionBy())
+        )
         .withColumn("lag_seconds", F.col("global_latest") - F.col("latest_ts"))
         .withColumn("is_stale", F.col("lag_seconds") > threshold_s)
         .select(

@@ -293,6 +293,38 @@ GROUP BY b.serial, b.metric, l.last_ts, l.last_value
 """
 
 
+def streaming_bronze_feed_b(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Provider-B ingest as a stream: the packed raw JSON documents
+    land in a text directory (one JSON string per line — exactly the
+    shape of a Kafka value column) and the SAME batch parser
+    (``feeds.parse_bronze_feed_b``) runs on the text stream: explicit
+    from_json array schema → element selection → explode → na.fill.
+    Proves the multi-provider seam holds in streaming, not just batch
+    (the reference runs one streaming notebook per provider)."""
+    from telemetry_streaming_datalake_spark.ingest.feeds import (
+        pack_feed_b,
+        parse_bronze_feed_b,
+    )
+
+    landing = os.path.join(work_dir, "feedb_landing")
+    pack_feed_b(load_table(spark, sf_dir, "events")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(landing)
+    raw = spark.readStream.text(landing).withColumnRenamed("value", "raw")
+    bronze_b = parse_bronze_feed_b(raw)
+    out = os.path.join(work_dir, "feedb_out")
+    ckpt = os.path.join(work_dir, "feedb_ckpt")
+    run_stream_to_parquet(bronze_b, out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .withColumn("datestamp", F.col("datestamp").cast("string"))
+        .select(
+            "event_id", "serial", "metric", "value", "unix_ts", "datestamp",
+            "hourstamp", "fw", "batch_start_ts", "unique_hash_key",
+        )
+    )
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     """Gap-based sessionization AS A STREAM — the same
     ``operators.sessions.sessionize`` transform applied to the file

@@ -35,6 +35,12 @@ def plans(spark):
         "dedup_embedding",
         "ann_lsh",
         "q3_shipping",
+        "silver_explode",
+        "bronze_feed_b",
+        "doc_chunks",
+        "decontaminate",
+        "gap_detect",
+        "pii_redact",
     ]
     return {n: _plan(qs[n](spark, SF)) for n in names}
 
@@ -69,6 +75,34 @@ def test_sessionize_single_exchange(plans):
     p = plans["sessionize"]
     assert p.count("Exchange") <= 2  # key exchange (+ AQE read)
     assert "SessionWindow" in p or "session_window" in p
+
+
+def test_silver_explode_broadcasts_mapping(plans):
+    p = plans["silver_explode"]
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_map_only_ops_have_no_exchange(plans):
+    """Chunking and PII redaction are pure per-row transforms — any
+    exchange in their plan is a regression."""
+    for name in ["doc_chunks", "pii_redact"]:
+        assert "Exchange" not in plans[name], name
+
+
+def test_gap_detect_single_silver_execution(plans):
+    """The global-latest scalar must come from a window over the
+    aggregated frame, not a second silver branch: exactly one events
+    scan in the plan."""
+    import re
+
+    scans = re.findall(r"Scan parquet\s+\((\d+)\)", plans["gap_detect"])
+    assert len(set(scans)) == 1, scans
+
+
+def test_decontaminate_broadcasts_benchmark_side(plans):
+    p = plans["decontaminate"]
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_ngram_jaccard_single_corpus_scan(spark):

@@ -111,6 +111,22 @@ def test_streaming_upsert_rollup_matches_batch_agg(spark, tmp_path):
     assert diff.count() == 0
 
 
+def test_streaming_feed_b_matches_batch(spark, tmp_path):
+    """Provider-B JSON documents consumed as a text-file stream (Kafka
+    value analog) must parse to exactly the batch bronze_feed_b rows."""
+    from telemetry_streaming_datalake_spark.ingest.feeds import bronze_feed_b
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_bronze_feed_b,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_bronze_feed_b(spark, sf, str(tmp_path)).cache()
+    want = bronze_feed_b(load_table(spark, sf, "events")).cache()
+    assert got.count() == want.count()
+    assert got.select(*want.columns).exceptAll(want).count() == 0
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """SURVEY row 25c's streaming half: session_window as the stateful
     streaming session operator must produce exactly the batch
