@@ -55,6 +55,60 @@ def compact(spark: SparkSession, path: str, target_file_mb: int = 128) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def zorder_value(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleave of two columns, each min-max scaled
+    to ``bits`` bits by the caller: bit i of a lands at position 2i,
+    bit i of b at 2i+1.  Pure shift/and/or arithmetic — whole-stage
+    codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftrightunsigned(col_a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftrightunsigned(col_b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """OPTIMIZE ZORDER analog: rewrite ``df`` sorted by the Morton
+    interleave of two filter columns so every output file covers a
+    narrow range of BOTH — parquet min/max footer stats then let any
+    reader skip most files for a predicate on either column (Delta's
+    ZORDER rationale, on plain parquet).
+
+    Min-max scaling bounds come from one tiny agg (4 scalars to the
+    driver); the rewrite itself is ``repartitionByRange`` on the
+    z-value — a single range shuffle, the same cost as any sort-write.
+    ``tests/test_retention.py`` measures the per-file stat ranges.
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    span = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        width = max(int(hi) - int(lo), 1)
+        return ((F.col(c).cast("long") - F.lit(int(lo))) * span / width).cast("long")
+
+    z = zorder_value(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def purge_oracle(source_cte: str, cutoff_datestamp: str) -> str:
     return f"""
 WITH src AS ({source_cte})

@@ -1,0 +1,209 @@
+"""Manifest-versioned parquet store: the Delta-log analog.
+
+The reference runs on Delta tables and leans on three Delta mechanics
+this environment cannot import: time travel (``VERSION AS OF``),
+MERGE/DELETE as copy-on-write file rewrites, and VACUUM.  This module
+re-creates the transaction-log core of those on plain parquet + JSON
+manifests, Spark-reading the file list per version:
+
+- every commit writes NEW immutable data files plus a manifest
+  ``_manifest/v{N}.json`` listing *all* files visible at that version;
+- unchanged files are carried by reference (copy-on-write: a delete
+  that touches one datestamp partition re-lists every other file
+  untouched — O(changed partitions) like the upsert sink);
+- ``read(version=K)`` reconstructs any historical snapshot;
+- ``vacuum`` drops files referenced only by expired versions.
+
+This is deliberately the same design as the public Delta/Iceberg
+transaction-log papers (a log of file-set snapshots), scoped to what a
+single writer needs.  At 100 TB the manifest is KBs per version (file
+paths, not data) and reads plan directly from the listed files — no
+directory scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifest"
+_DATA_DIR = "data"
+
+
+class VersionedParquetStore:
+    """Single-writer versioned parquet table with time travel."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+
+    # ---------------------------------------------------------------- log
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:05d}.json")
+
+    def versions(self) -> list[int]:
+        d = os.path.join(self.path, _MANIFEST_DIR)
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _commit(self, files: list[str], op: str, meta: dict | None = None) -> int:
+        prev = self.latest_version()
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "op": op,
+            "timestamp": time.time(),
+            "files": sorted(files),
+            **(meta or {}),
+        }
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path(version))  # atomic publish
+        return version
+
+    def history(self) -> list[dict]:
+        return [
+            {k: m[k] for k in ("version", "op", "timestamp")} | {"n_files": len(m["files"])}
+            for m in (self._read_manifest(v) for v in self.versions())
+        ]
+
+    # --------------------------------------------------------------- write
+
+    def _write_data(self, df: DataFrame, version: int, partition_col: str | None) -> list[str]:
+        out = os.path.join(self.path, _DATA_DIR, f"c{version:05d}")
+        writer = df.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(out)
+        files = []
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(os.path.relpath(os.path.join(root, n), self.path))
+        return files
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_col: str | None = None,
+    ) -> int:
+        """Commit ``df`` as a new version.  ``append`` carries every
+        prior file by reference; ``overwrite`` starts a fresh file set."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        next_v = 0 if self.latest_version() is None else self.latest_version() + 1
+        new_files = self._write_data(df, next_v, partition_col)
+        carried: list[str] = []
+        if mode == "append" and self.latest_version() is not None:
+            carried = self._read_manifest(self.latest_version())["files"]
+        return self._commit(carried + new_files, mode)
+
+    def delete_partitions(
+        self, partition_col: str, values: list, keep_predicate=None
+    ) -> int:
+        """Copy-on-write delete: rewrite ONLY the files under the named
+        partitions (optionally keeping rows matching
+        ``keep_predicate``); every other file is carried by reference —
+        the Delta ``DELETE WHERE partition IN (...)`` cost shape."""
+        cur = self._read_manifest(self.latest_version())
+        str_vals = {str(v) for v in values}
+
+        def is_touched(relpath: str) -> bool:
+            return any(f"{partition_col}={v}" in relpath for v in str_vals)
+
+        carried = [f for f in cur["files"] if not is_touched(f)]
+        touched = [f for f in cur["files"] if is_touched(f)]
+        next_v = self.latest_version() + 1
+        new_files: list[str] = []
+        if touched and keep_predicate is not None:
+            kept = self._read_files(touched).filter(keep_predicate)
+            new_files = self._write_data(kept, next_v, partition_col)
+        return self._commit(
+            carried + new_files,
+            "delete",
+            {"deleted_partitions": sorted(str_vals), "rewrote_files": len(touched)},
+        )
+
+    # ---------------------------------------------------------------- read
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        """Plan a read over an explicit file list.  Files are grouped
+        by their commit directory and each group reads with that
+        commit as ``basePath`` so hive-style partition columns resolve
+        (a commit dir is one partitioned write); groups union at the
+        plan level — no data movement."""
+        by_commit: dict[str, list[str]] = {}
+        for f in files:
+            commit = os.path.join(*f.split(os.sep)[:2])  # data/cNNNNN
+            by_commit.setdefault(commit, []).append(f)
+        out: DataFrame | None = None
+        for commit, group in sorted(by_commit.items()):
+            df = self.spark.read.option(
+                "basePath", os.path.join(self.path, commit)
+            ).parquet(*[os.path.join(self.path, f) for f in group])
+            out = df if out is None else out.unionByName(df)
+        assert out is not None
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read — ``version=None`` means latest (time travel
+        otherwise).  Plans directly from the manifest's file list."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions committed at {self.path}")
+        files = self._read_manifest(v)["files"]
+        if not files:
+            raise FileNotFoundError(f"version {v} is empty")
+        return self._read_files(files)
+
+    # -------------------------------------------------------------- vacuum
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Drop data files referenced ONLY by versions older than the
+        newest ``retain_last`` manifests (and the expired manifests).
+        Time travel to vacuumed versions stops working — exactly
+        Delta's VACUUM contract."""
+        vs = self.versions()
+        keep_vs = vs[-retain_last:]
+        live: set[str] = set()
+        for v in keep_vs:
+            live.update(self._read_manifest(v)["files"])
+        removed: list[str] = []
+        for v in vs:
+            if v in keep_vs:
+                continue
+            for f in self._read_manifest(v)["files"]:
+                if f not in live:
+                    full = os.path.join(self.path, f)
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed.append(f)
+            os.remove(self._manifest_path(v))
+        # sweep now-empty commit dirs
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if os.path.isdir(full) and not any(
+                n.endswith(".parquet") for _r, _d, ns in os.walk(full) for n in ns
+            ):
+                shutil.rmtree(full)
+        return sorted(removed)

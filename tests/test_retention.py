@@ -63,3 +63,44 @@ def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
     assert after == before
     assert after_files < before_files
     assert after_files == 1  # 200 rows << 128 MB target
+
+
+def test_zorder_rewrite_narrows_file_stats(spark, events, tmp_path):
+    """After a Z-order rewrite on (event_id, user_id), every parquet
+    file's min/max footer range must cover a small fraction of BOTH
+    columns' global ranges — the file-skipping property OPTIMIZE
+    ZORDER exists for.  A plain (unsorted) write has ~full-range files
+    on at least one column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from telemetry_streaming_datalake_spark.operators import retention as RT
+
+    df = events.select("event_id", "user_id", "value")
+    plain = str(tmp_path / "plain")
+    zed = str(tmp_path / "zorder")
+    df.repartition(8).write.parquet(plain)
+    RT.zorder_rewrite(spark, df, zed, "event_id", "user_id", n_files=16)
+
+    def avg_frac(path, col):
+        fracs, los, his = [], [], []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            fracs.append((f, lo, hi))
+            los.append(lo)
+            his.append(hi)
+        g_lo, g_hi = min(los), max(his)
+        width = max(g_hi - g_lo, 1)
+        return sum((hi - lo) / width for _f, lo, hi in fracs) / len(fracs)
+
+    # round-robin repartition: every file spans ~the whole event_id range
+    assert avg_frac(plain, "event_id") > 0.8
+    # z-ordered: each file covers a narrow window of BOTH columns
+    assert avg_frac(zed, "event_id") < 0.45
+    assert avg_frac(zed, "user_id") < 0.45
+    # and the rewrite lost no rows
+    assert spark.read.parquet(zed).count() == df.count()
