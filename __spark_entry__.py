@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": lambda s, d: CP.train_val_split(load_table(s, d, "documents")),
         "corpus_stats": lambda s, d: CP.corpus_stats(load_table(s, d, "documents")),
         "decontaminate": lambda s, d: CP.decontaminate(load_table(s, d, "documents")),
+        "heavy_hitters": lambda s, d: CP.heavy_hitters(load_table(s, d, "documents")),
+        "quantize_embeddings": lambda s, d: SIM.quantize_embeddings(
+            load_table(s, d, "embeddings")
+        ),
         # --- streaming surfaces (#1, #5, #16) ---
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
@@ -266,6 +270,8 @@ FROM (
         "train_val_split": CP.train_val_split_oracle(),
         "corpus_stats": CP.corpus_stats_oracle(),
         "decontaminate": CP.decontaminate_oracle(),
+        "heavy_hitters": CP.heavy_hitters_oracle(),
+        "quantize_embeddings": SIM.quantize_embeddings_oracle(),
         # one-micro-batch complete-mode agg == the batch aggregate
         "streaming_upsert": f"""
 WITH bronze AS ({B.BRONZE_PARSE_ORACLE})

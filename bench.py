@@ -65,6 +65,8 @@ HEADLINE = [
     "train_val_split",
     "corpus_stats",
     "decontaminate",
+    "heavy_hitters",
+    "quantize_embeddings",
 ]
 
 

@@ -269,3 +269,44 @@ SELECT DISTINCT doc_id, true AS contaminated
 FROM grams
 WHERE doc_id NOT IN ({ids}) AND g IN (SELECT g FROM bench)
 """
+
+
+# --------------------------------------------------------------------------
+# per-source heavy hitters
+# --------------------------------------------------------------------------
+
+HEAVY_K = 5
+
+
+def heavy_hitters(documents: DataFrame, k: int = HEAVY_K) -> DataFrame:
+    """Top-``k`` longest docs per source (token count, ties on
+    doc_id) — the per-shard outlier report a corpus curation pass
+    reads before truncation decisions.  One hash partition per source
+    with an in-partition top-k sort; no global sort."""
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col("text"))
+    per_doc = documents.select(
+        "doc_id", "source", F.size(F.split(F.trim(norm), " ")).alias("n_toks")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_toks").desc(), "doc_id")
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "doc_id", "n_toks")
+    )
+
+
+def heavy_hitters_oracle(k: int = HEAVY_K) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+SELECT source, rank, doc_id, n_toks FROM (
+    SELECT source, doc_id,
+           len(string_split(trim({norm}), ' ')) AS n_toks,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY len(string_split(trim({norm}), ' ')) DESC, doc_id
+           ) AS rank
+    FROM documents
+) WHERE rank <= {k}
+"""

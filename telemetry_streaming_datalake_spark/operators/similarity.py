@@ -554,3 +554,65 @@ SELECT query_id, vec_id, cosine, rank FROM (
     FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (ANN storage path)
+# --------------------------------------------------------------------------
+
+#: guard for zero vectors (synthetic corpus has none; keeps the
+#: formula total)
+_QUANT_EPS = 1e-12
+
+
+def quantize_embeddings(embeddings: DataFrame, round_to: int = 6) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = 127/max|v|``,
+    ``q_i = floor(v_i*scale + 0.5)`` — the 4× storage cut every
+    100 TB ANN index takes before sharding.
+
+    One Arrow-batched numpy pass (map-only, no shuffle).  The rounding
+    is written as ``floor(x+0.5)`` explicitly because numpy's
+    ``round`` is half-to-even while SQL ``round`` is half-away — this
+    formula computes identically everywhere.  Quantized codes are
+    serialized to a joined string so the driver can canonicalize.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<scale: double, q_str: string>")
+    def quant(emb: pd.Series) -> pd.DataFrame:
+        m = np.array(emb.tolist(), dtype=np.float64)
+        max_abs = np.maximum(np.abs(m).max(axis=1), _QUANT_EPS)
+        scale = 127.0 / max_abs
+        q = np.floor(m * scale[:, None] + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "scale": scale,
+                "q_str": ["|".join(str(int(x)) for x in row) for row in q],
+            }
+        )
+
+    s = embeddings.select("vec_id", quant(F.col("embedding")).alias("s"))
+    return s.select(
+        "vec_id",
+        F.round(F.col("s.scale"), round_to).alias("scale"),
+        F.col("s.q_str").alias("q_str"),
+    )
+
+
+def quantize_embeddings_oracle(round_to: int = 6) -> str:
+    return f"""
+WITH n AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+s AS (
+    SELECT vec_id, emb,
+           127.0 / greatest(list_max(list_transform(emb, x -> abs(x))), {_QUANT_EPS}) AS sc
+    FROM n
+)
+SELECT vec_id,
+       round(sc, {round_to}) AS scale,
+       array_to_string(
+           list_transform(emb, x -> CAST(CAST(floor(x * sc + 0.5) AS BIGINT) AS VARCHAR)),
+           '|') AS q_str
+FROM s
+"""

@@ -253,3 +253,34 @@ def test_decontaminate_flags_ngram_overlap(spark):
     )
     out = {r.doc_id for r in CP.decontaminate(docs, bench_ids=(0,)).collect()}
     assert out == {10}
+
+
+def test_quantization_roundtrip_error_bounded(spark, embeddings):
+    """int8 symmetric quantization must reconstruct every component
+    within half a quantization step (scale is per-vector)."""
+    import numpy as np
+
+    from telemetry_streaming_datalake_spark.operators import similarity as S2
+
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in embeddings.limit(50).collect()}
+    q = {r.vec_id: (r.scale, np.array([int(x) for x in r.q_str.split("|")]))
+         for r in S2.quantize_embeddings(embeddings.limit(50)).collect()}
+    assert set(q) == set(orig)
+    for vid, (scale, codes) in q.items():
+        assert np.abs(codes).max() <= 127
+        recon = codes / scale
+        assert np.abs(recon - orig[vid]).max() <= (0.5 / scale) + 1e-9
+
+
+def test_heavy_hitters_rank_order(spark):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s1", 1), (2, "a b", "en", "s1", 1),
+         (3, "a b c d e", "en", "s1", 1), (4, "x", "en", "s2", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = [(r.source, r.rank, r.doc_id) for r in
+           CP.heavy_hitters(docs, k=2).orderBy("source", "rank").collect()]
+    assert out == [("s1", 1, 3), ("s1", 2, 1), ("s2", 1, 4)]
