@@ -190,8 +190,8 @@ def corpus_stats_oracle() -> str:
     return f"""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(len(string_split(trim({norm}), ' '))) AS total_tokens,
-       sum(octet_length(encode({norm}))) AS total_bytes,
+       CAST(sum(len(string_split(trim({norm}), ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(octet_length(encode({norm}))) AS BIGINT) AS total_bytes,
        round(avg(len(string_split(trim({norm}), ' '))), 6) AS avg_tokens
 FROM documents
 GROUP BY ALL
