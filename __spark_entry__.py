@@ -28,7 +28,9 @@ from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import multimodal as MM
 from telemetry_streaming_datalake_spark.operators import similarity as SIM
 from telemetry_streaming_datalake_spark.operators import text as TX
+from telemetry_streaming_datalake_spark.operators import derived as DV
 from telemetry_streaming_datalake_spark.queries import tpch as Q
+from telemetry_streaming_datalake_spark.storage import stats as ST
 from telemetry_streaming_datalake_spark.streaming import pipeline as SP
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -122,6 +124,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             R.rollup_day(_gold(s, d)), R.rollup_month(_gold(s, d))
         ),
         "sessionize": lambda s, d: SES.sessionize(load_table(s, d, "events")),
+        # --- derived-signal operators (rate / rolling / anomaly / pctl / pivot) ---
+        "counter_rate": lambda s, d: DV.counter_rate(B.dedup_exact(_bronze(s, d))),
+        "rolling_avg": lambda s, d: DV.rolling_avg(B.dedup_exact(_bronze(s, d))),
+        "anomaly_zscore": lambda s, d: DV.anomaly_zscore(B.dedup_exact(_bronze(s, d))),
+        "percentile_rollup": lambda s, d: DV.percentile_rollup(
+            B.dedup_exact(_bronze(s, d))
+        ),
+        "pivot_metrics": lambda s, d: DV.pivot_metrics(B.dedup_exact(_bronze(s, d))),
+        # --- big×big temporal joins + stats index ---
+        "asof_latest_order": lambda s, d: T.asof_latest_order(
+            load_table(s, d, "events"), load_table(s, d, "orders")
+        ),
+        "order_window_activity": lambda s, d: T.order_window_activity(
+            load_table(s, d, "events"), load_table(s, d, "orders")
+        ),
+        "partition_stats": lambda s, d: ST.partition_stats(_bronze(s, d)),
         "online_entities": lambda s, d: DT.online_entities(_gold(s, d)),
         # --- ad-hoc query layer (#25) ---
         "q1_pricing": lambda s, d: Q.q1_pricing(load_table(s, d, "lineitem")),
@@ -180,11 +198,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": lambda s, d: SIM.quantize_embeddings(
             load_table(s, d, "embeddings")
         ),
+        "stratified_sample": lambda s, d: CP.stratified_sample(
+            load_table(s, d, "documents")
+        ),
+        "top_ngrams": lambda s, d: TX.top_ngrams(load_table(s, d, "documents")),
+        "label_centroids": lambda s, d: SIM.label_centroids(
+            load_table(s, d, "embeddings")
+        ),
         # --- streaming surfaces (#1, #5, #16) ---
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
     }
+
+
+#: deduped-bronze CTE body shared by every oracle that starts from the
+#: hash-key dedup (keep-lowest-event_id) stage
+DEDUP_ORACLE = f"""
+SELECT event_id, serial, metric, value, payload_k, unix_ts, datestamp,
+       hourstamp, unique_hash_key
+FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY unique_hash_key ORDER BY event_id) AS rn
+    FROM ({B.BRONZE_PARSE_ORACLE}) b
+) WHERE rn = 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -243,6 +280,17 @@ FROM (
             R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
         ),
         "sessionize": SES.sessionize_oracle(),
+        "counter_rate": DV.counter_rate_oracle(DEDUP_ORACLE),
+        "rolling_avg": DV.rolling_avg_oracle(DEDUP_ORACLE),
+        "anomaly_zscore": DV.anomaly_zscore_oracle(DEDUP_ORACLE),
+        "percentile_rollup": DV.percentile_rollup_oracle(DEDUP_ORACLE),
+        "pivot_metrics": DV.pivot_metrics_oracle(DEDUP_ORACLE),
+        "asof_latest_order": T.ASOF_LATEST_ORDER_ORACLE,
+        "order_window_activity": T.ORDER_WINDOW_ACTIVITY_ORACLE,
+        "partition_stats": ST.partition_stats_oracle(B.BRONZE_PARSE_ORACLE),
+        "stratified_sample": CP.stratified_sample_oracle(),
+        "top_ngrams": TX.top_ngrams_oracle(),
+        "label_centroids": SIM.label_centroids_oracle(),
         "online_entities": DT.online_entities_oracle(gold),
         "q1_pricing": Q.Q1_ORACLE,
         "q3_shipping": Q.Q3_ORACLE,

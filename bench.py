@@ -38,6 +38,14 @@ HEADLINE = [
     "gap_detect",
     "orphan_usage",
     "sessionize",
+    "counter_rate",
+    "rolling_avg",
+    "anomaly_zscore",
+    "percentile_rollup",
+    "pivot_metrics",
+    "asof_latest_order",
+    "order_window_activity",
+    "partition_stats",
     "q1_pricing",
     "q3_shipping",
     "q5_supplier",
@@ -67,6 +75,9 @@ HEADLINE = [
     "decontaminate",
     "heavy_hitters",
     "quantize_embeddings",
+    "stratified_sample",
+    "top_ngrams",
+    "label_centroids",
 ]
 
 
@@ -127,6 +138,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drain garbage between queries so one query's old-gen debris
+        # doesn't tax the next query's timing with a mid-run full GC
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

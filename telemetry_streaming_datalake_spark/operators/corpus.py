@@ -272,6 +272,64 @@ WHERE doc_id NOT IN ({ids}) AND g IN (SELECT g FROM bench)
 
 
 # --------------------------------------------------------------------------
+# stratified sampling
+# --------------------------------------------------------------------------
+
+#: per-language md5-prefix keep thresholds (hex, 16-bit space).  The
+#: mixture knob of corpus curation: downsample over-represented
+#: languages harder.  'ffff' ≈ keep-all for the long tail.
+STRATA_THRESHOLDS = {"en": "4000", "de": "8000"}
+STRATA_DEFAULT = "c000"
+
+
+def stratified_sample(
+    documents: DataFrame,
+    thresholds: dict[str, str] | None = None,
+    default_hex: str = STRATA_DEFAULT,
+) -> DataFrame:
+    """Deterministic per-language downsampling by content-hash prefix.
+
+    Same hash discipline as :func:`train_val_split`: the keep decision
+    is a pure function of the normalized text, so duplicate documents
+    are kept or dropped together, reruns are reproducible, and no RNG
+    state needs coordinating across executors (``F.rand`` is neither
+    rerun- nor partitioning-stable).  Map-only — a filter over a
+    codegen md5, no shuffle, trivially correct at any scale.
+    """
+    th = thresholds if thresholds is not None else STRATA_THRESHOLDS
+    h = F.md5(normalize_text(F.col("text")))
+    cut = F.lit(default_hex)
+    for lang, hexv in sorted(th.items()):
+        cut = F.when(F.col("lang") == lang, F.lit(hexv)).otherwise(cut)
+    return (
+        documents.select(
+            "doc_id", "lang", "source", h.alias("content_hash"), cut.alias("keep_below")
+        )
+        .filter(F.substring("content_hash", 1, 4) < F.col("keep_below"))
+    )
+
+
+def stratified_sample_oracle(
+    thresholds: dict[str, str] | None = None, default_hex: str = STRATA_DEFAULT
+) -> str:
+    th = thresholds if thresholds is not None else STRATA_THRESHOLDS
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{hexv}'" for lang, hexv in sorted(th.items())
+    )
+    return f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           md5({norm}) AS content_hash,
+           CASE {cases} ELSE '{default_hex}' END AS keep_below
+    FROM documents
+)
+SELECT doc_id, lang, source, content_hash, keep_below
+FROM h WHERE substr(content_hash, 1, 4) < keep_below
+"""
+
+
+# --------------------------------------------------------------------------
 # per-source heavy hitters
 # --------------------------------------------------------------------------
 

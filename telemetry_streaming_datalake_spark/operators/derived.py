@@ -1,0 +1,230 @@
+"""Derived-signal operators over the deduped bronze stream: counter→rate
+conversion, time-range rolling means, z-score anomaly flags, exact
+percentile rollups, and the wide pivoted serving table.
+
+These are the standard second-order telemetry derivations a metrics
+platform computes on top of the medallion stages (the reference derives
+its custom metrics the same way — mapping-driven arithmetic over the
+gold stream, ``Gold state/Step 04-04b ….scala:175-200``; rate/rolling/
+percentile are the time-series analogs every serving dashboard needs).
+
+Scale shapes
+------------
+- ``counter_rate`` / ``rolling_avg``: ONE hash exchange on the series
+  key (serial, metric) with an in-partition time sort — exactly the
+  state layout a streaming stateful operator would keep.  No global
+  sort, no self-join; lag/avg are computed inside the sorted window
+  frame (JVM codegen).  md5-free natural keys here are low-cardinality
+  per partition but high-cardinality overall → uniform hash spread.
+- ``anomaly_zscore``: per-metric moments are a 5-row aggregate —
+  broadcast back over the fact stream, which is never shuffled.
+- ``percentile_rollup``: exact percentiles group-shuffle the readings
+  once; at 100 TB swap ``F.percentile`` for ``F.approx_percentile``
+  (t-digest sketch, map-side combinable) — same plan shape, bounded
+  state; exact is kept here because the DuckDB oracle checks it
+  bit-for-bit.
+- ``pivot_metrics``: the metric vocabulary is fixed and supplied
+  literally, so the pivot compiles to one partial-agg shuffle over
+  conditional aggregates — no second "discover the columns" pass over
+  the data (that collect is the classic pivot scale trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed metric vocabulary of the telemetry feed (mirrors the
+#: reference's metricmappings dimension — known up front, never
+#: discovered by scanning the fact table)
+METRIC_NAMES = ("click", "error", "purchase", "signup", "view")
+
+#: rolling-mean lookback (seconds)
+ROLLING_WINDOW_SECS = 3600
+
+#: |z| threshold for the anomaly flag
+Z_THRESHOLD = 3.0
+
+
+def counter_rate(bronze_deduped: DataFrame) -> DataFrame:
+    """Per-series first difference: (Δvalue / Δt) between consecutive
+    readings of the same (serial, metric).
+
+    After hash-key dedup, (serial, metric, unix_ts) is unique, so the
+    sort key is total and Δt > 0 always — no divide-by-zero row.  The
+    first reading of each series has no predecessor and is dropped.
+    """
+    w = Window.partitionBy("serial", "metric").orderBy("unix_ts")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("unix_ts").over(w)
+    return (
+        bronze_deduped.select("serial", "metric", "unix_ts", "value")
+        .withColumn("prev_ts", prev_ts)
+        .withColumn("delta_secs", F.col("unix_ts") - prev_ts)
+        # "+ 0.0" collapses IEEE negative zero (a tiny negative delta
+        # rounds to -0.0, whose textual form differs across engines)
+        .withColumn(
+            "rate_per_sec",
+            F.round((F.col("value") - prev_v) / (F.col("unix_ts") - prev_ts), 6) + 0.0,
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .select("serial", "metric", "unix_ts", "value", "delta_secs", "rate_per_sec")
+    )
+
+
+def counter_rate_oracle(bronze_dedup_sql: str) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql})
+SELECT serial, metric, unix_ts, value, delta_secs, rate_per_sec FROM (
+    SELECT serial, metric, unix_ts, value,
+           unix_ts - lag(unix_ts) OVER w AS delta_secs,
+           round((value - lag(value) OVER w)
+                 / (unix_ts - lag(unix_ts) OVER w), 6) + 0.0 AS rate_per_sec
+    FROM deduped
+    WINDOW w AS (PARTITION BY serial, metric ORDER BY unix_ts)
+) WHERE delta_secs IS NOT NULL
+"""
+
+
+def rolling_avg(bronze_deduped: DataFrame, window_secs: int = ROLLING_WINDOW_SECS) -> DataFrame:
+    """Trailing time-range mean per series: avg of all readings in
+    ``[ts - window_secs, ts]`` of the same (serial, metric).
+
+    ``rangeBetween`` on the integer ``unix_ts`` ordering gives the
+    value-range frame (not N-rows) — irregular sampling intervals are
+    handled exactly.  Same single exchange + in-partition sort as
+    :func:`counter_rate`.
+    """
+    w = (
+        Window.partitionBy("serial", "metric")
+        .orderBy("unix_ts")
+        .rangeBetween(-window_secs, 0)
+    )
+    return bronze_deduped.select(
+        "serial",
+        "metric",
+        "unix_ts",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+def rolling_avg_oracle(bronze_dedup_sql: str, window_secs: int = ROLLING_WINDOW_SECS) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql})
+SELECT serial, metric, unix_ts, value,
+       round(avg(value) OVER w, 6) AS rolling_avg,
+       count(*) OVER w AS n_in_window
+FROM deduped
+WINDOW w AS (PARTITION BY serial, metric ORDER BY unix_ts
+             RANGE BETWEEN {window_secs} PRECEDING AND CURRENT ROW)
+"""
+
+
+def anomaly_zscore(bronze_deduped: DataFrame, z_threshold: float = Z_THRESHOLD) -> DataFrame:
+    """Flag readings whose |z| exceeds ``z_threshold`` against their
+    metric's global moments.
+
+    The moments table is metric-cardinality (a handful of rows): one
+    partial-agg shuffle produces it, then it broadcasts back onto the
+    unshuffled fact stream.  Moments are rounded to 6dp *before* the
+    z computation so the flag is bit-stable across engines and
+    summation orders.
+    """
+    moments = bronze_deduped.groupBy("metric").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+    )
+    j = bronze_deduped.select("event_id", "metric", "value").join(
+        F.broadcast(moments), "metric"
+    )
+    z = (F.col("value") - F.col("mean_value")) / F.col("std_value")
+    return j.select(
+        "event_id",
+        "metric",
+        "value",
+        "mean_value",
+        "std_value",
+        F.round(z, 4).alias("zscore"),
+        (F.abs(F.col("value") - F.col("mean_value")) > z_threshold * F.col("std_value")).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def anomaly_zscore_oracle(bronze_dedup_sql: str, z_threshold: float = Z_THRESHOLD) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+moments AS (
+    SELECT metric,
+           round(avg(value), 6) AS mean_value,
+           round(stddev_samp(value), 6) AS std_value
+    FROM deduped GROUP BY metric
+)
+SELECT d.event_id, d.metric, d.value, m.mean_value, m.std_value,
+       round((d.value - m.mean_value) / m.std_value, 4) AS zscore,
+       abs(d.value - m.mean_value) > {z_threshold} * m.std_value AS is_anomaly
+FROM deduped d JOIN moments m USING (metric)
+"""
+
+
+def percentile_rollup(bronze_deduped: DataFrame) -> DataFrame:
+    """Exact p50/p95/p99 of readings per (metric, datestamp) — the
+    latency-style distribution rollup serving dashboards read.
+
+    ``F.percentile`` (exact, linear interpolation) matches DuckDB's
+    ``quantile_cont`` definition bit-for-bit after 6dp rounding.  At
+    100 TB the drop-in replacement is ``F.approx_percentile`` with the
+    same call shape (bounded-memory sketch, map-side combinable);
+    exact is used here because the oracle verifies values.
+    """
+    return bronze_deduped.groupBy("metric", "datestamp").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
+def percentile_rollup_oracle(bronze_dedup_sql: str) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql})
+SELECT metric, datestamp,
+       count(*) AS n_points,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM deduped
+GROUP BY metric, datestamp
+"""
+
+
+def pivot_metrics(bronze_deduped: DataFrame) -> DataFrame:
+    """Wide per-(serial, datestamp) serving table: one column per
+    metric holding that day's summed readings.
+
+    The metric list is passed literally (``METRIC_NAMES``) so Catalyst
+    compiles straight to conditional aggregates in ONE partial-agg
+    shuffle; omitting it would trigger an extra distinct-scan of the
+    fact table to discover columns — the pivot anti-pattern at scale.
+    """
+    return (
+        bronze_deduped.groupBy("serial", "datestamp")
+        .pivot("metric", list(METRIC_NAMES))
+        .agg(F.round(F.sum("value"), 6))
+    )
+
+
+def pivot_metrics_oracle(bronze_dedup_sql: str) -> str:
+    cols = ",\n       ".join(
+        f"round(sum(CASE WHEN metric = '{m}' THEN value END), 6) AS {m}"
+        for m in METRIC_NAMES
+    )
+    return f"""
+WITH deduped AS ({bronze_dedup_sql})
+SELECT serial, datestamp,
+       {cols}
+FROM deduped
+GROUP BY serial, datestamp
+"""

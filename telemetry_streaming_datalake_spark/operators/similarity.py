@@ -616,3 +616,50 @@ SELECT vec_id,
            '|') AS q_str
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# per-label embedding centroids (IVF-training / cluster-profile step)
+# --------------------------------------------------------------------------
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Mean embedding per label, emitted long-form as (label, dim_idx,
+    centroid_val, n_vecs) — the k-means-style centroid update that
+    IVF cell training iterates, and the per-class profile report.
+
+    ``posexplode`` turns each vector into (label, idx, component) rows
+    — a codegen generate, no Python — and one partial-agg shuffle on
+    (label, idx) averages them.  Long-form output (not arrays) keeps
+    the result canonicalizable and the aggregate JVM-side; at 100 TB
+    the explode's ×dim row amplification is offset by the map-side
+    combine collapsing to |labels|×dim rows per task.  1-based
+    ``dim_idx`` to match SQL array indexing.
+    """
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "component")
+    )
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("dim_idx"))
+        .agg(
+            F.round(F.avg("component"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+def label_centroids_oracle() -> str:
+    return """
+WITH dims AS (
+    SELECT max(len(embedding)) AS d FROM embeddings
+),
+ex AS (
+    SELECT e.label, t.i AS dim_idx, e.embedding[t.i] AS component
+    FROM embeddings e, dims, unnest(range(1, dims.d + 1)) AS t(i)
+)
+SELECT label, dim_idx,
+       round(avg(component), 6) AS centroid_val,
+       count(*) AS n_vecs
+FROM ex
+GROUP BY label, dim_idx
+"""

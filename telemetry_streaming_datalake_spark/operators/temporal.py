@@ -18,7 +18,7 @@ because intervals per serial are disjoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,6 +71,171 @@ def enrich_gold(silver: DataFrame, history: DataFrame) -> DataFrame:
 def silver_oracle() -> str:
     """Composed DuckDB CTE chain: bronze → dedup → silver."""
     return SILVER_ORACLE_TEMPLATE.format(bronze=BRONZE_PARSE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# generic as-of join (union–sort formulation) and bounded range join
+# --------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Distributed as-of join: for every left row, attach the right row
+    with the greatest ``right_ts <= left_ts`` for the same ``key``.
+
+    The SCD2 interval join (:func:`enrich_gold`) covers the
+    dimension-sized right side by broadcasting.  This is the *big×big*
+    formulation: both inputs are unioned, hash-partitioned on the key,
+    sorted once by time, and each left row picks up the most recent
+    right attributes with ``last(..., ignorenulls)`` over the preceding
+    frame.  ONE shuffle + one in-partition sort, zero pair explosion —
+    the classic equi-join-then-filter spelling explodes to
+    |left| × |matching rights| intermediate rows, which at 100 TB is
+    the difference between a working plan and an OOM.
+
+    Right rows order *before* left rows at equal timestamps, giving the
+    inclusive ``right_ts <= left_ts`` bound.  ``right`` must be unique
+    per (key, right_ts) — pre-dedupe if not; otherwise "the" as-of row
+    is ill-defined in any engine.
+    """
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs_proj = [F.col(c).alias(f"__r_{c}") for c in right_cols]
+    rhs = right.select(
+        F.col(key).alias(key),
+        F.col(right_ts).alias(left_ts),
+        *rhs_proj,
+    ).withColumn("__side", F.lit(0))
+    for c in (c for c in lhs.columns if c not in rhs.columns):
+        rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+    for c in (f"__r_{c}" for c in right_cols):
+        lhs = lhs.withColumn(c, F.lit(None).cast(dict(rhs.dtypes)[c]))
+    u = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(left_ts, "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *[c for c in left.columns],
+        "__side",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+    )
+
+
+def asof_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of attach each telemetry event to its user's most recent
+    order at or before the event time (the "configuration active at
+    reading time" pattern, big-fact × big-fact).
+
+    Orders are first collapsed to one row per (custkey, orderdate) —
+    highest orderkey wins — so the as-of row is well-defined (DuckDB's
+    ``ASOF JOIN`` is otherwise free to pick any of the tied rows).
+    Inner semantics: events before their user's first order drop.
+    """
+    o = (
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_timestamp("o_orderdate").alias("order_ts"),
+            F.struct("o_orderkey", "o_totalprice").alias("ok"),
+        )
+        .groupBy("user_id", "order_ts")
+        .agg(F.max("ok").alias("ok"))
+        .select(
+            "user_id",
+            "order_ts",
+            F.col("ok.o_orderkey").alias("o_orderkey"),
+            F.round(F.col("ok.o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+    ev = events.select("event_id", "user_id", F.unix_timestamp("ts").alias("unix_ts"))
+    joined = asof_join(
+        ev, o, key="user_id", left_ts="unix_ts", right_ts="order_ts",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.filter(F.col("o_orderkey").isNotNull())
+
+
+ASOF_LATEST_ORDER_ORACLE = """
+WITH o AS (
+    SELECT o_custkey AS user_id,
+           (epoch_us(o_orderdate) // 1000000) AS order_ts,
+           max(o_orderkey) AS o_orderkey,
+           round(arg_max(o_totalprice, o_orderkey), 2) AS o_totalprice
+    FROM orders
+    GROUP BY 1, 2
+),
+ev AS (
+    SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS unix_ts FROM events
+)
+SELECT ev.event_id, ev.user_id, ev.unix_ts, o.o_orderkey, o.o_totalprice
+FROM ev ASOF JOIN o
+  ON ev.user_id = o.user_id AND o.order_ts <= ev.unix_ts
+"""
+
+#: activity-window length for the bounded range join (seconds)
+RANGE_WINDOW_SECS = 7 * 86400
+
+
+def order_window_activity(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per order: the customer's telemetry activity inside the week
+    following the order — an equi-key join on custkey with a bounded
+    time-range residual.
+
+    Spark-first shape: the equi key carries the shuffle (SortMergeJoin
+    or broadcast under AQE); the range predicate is a cheap residual
+    filter inside the join — NOT a cartesian.  The bounded window is
+    what keeps the multiplicity O(events-per-week) instead of
+    O(all-history).  Orders with no in-window activity survive with
+    zeros (left join + coalesce).
+    """
+    ev = events.select(
+        F.col("user_id").alias("o_custkey"),
+        F.unix_timestamp("ts").alias("ev_ts"),
+        "value",
+    )
+    o = orders.select(
+        "o_orderkey", "o_custkey", F.unix_timestamp("o_orderdate").alias("order_ts")
+    )
+    cond = (
+        (o["o_custkey"] == ev["o_custkey"])
+        & (ev["ev_ts"] >= o["order_ts"])
+        & (ev["ev_ts"] < o["order_ts"] + RANGE_WINDOW_SECS)
+    )
+    j = o.join(ev, cond, "left")
+    return j.groupBy(o["o_orderkey"]).agg(
+        F.count(ev["ev_ts"]).alias("n_events"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
+    )
+
+
+ORDER_WINDOW_ACTIVITY_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id AS o_custkey, (epoch_us(ts) // 1000000) AS ev_ts, value
+    FROM events
+),
+o AS (
+    SELECT o_orderkey, o_custkey, (epoch_us(o_orderdate) // 1000000) AS order_ts FROM orders
+)
+SELECT o.o_orderkey,
+       count(ev.ev_ts) AS n_events,
+       round(coalesce(sum(ev.value), 0.0), 6) AS sum_value
+FROM o LEFT JOIN ev
+  ON o.o_custkey = ev.o_custkey
+ AND ev.ev_ts >= o.order_ts
+ AND ev.ev_ts < o.order_ts + {RANGE_WINDOW_SECS}
+GROUP BY o.o_orderkey
+"""
 
 
 #: Gold oracle on top of the silver chain.  value_double mirrors the

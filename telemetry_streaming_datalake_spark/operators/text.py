@@ -223,3 +223,67 @@ SELECT doc_id,
        length({norm})                                             AS n_chars
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# per-language top bigrams (corpus vocabulary profile)
+# --------------------------------------------------------------------------
+
+TOP_NGRAMS_K = 5
+
+
+def top_ngrams(documents: DataFrame, k: int = TOP_NGRAMS_K) -> DataFrame:
+    """Top-``k`` word bigrams per language (count desc, bigram asc) —
+    the vocabulary profile a corpus-mixture report prints per stratum.
+
+    Bigram generation is ``explode(sequence)`` + ``element_at`` —
+    pure codegen collection expressions, no interpreted higher-order
+    functions in the per-token path (the engine-wide rule from the
+    dedup family).  Shape: map-side explode → one partial-agg count
+    shuffle on (lang, bigram) → per-lang top-k via an in-partition
+    window over the (small) distinct-bigram aggregate, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(normalize_text(F.col("text"))), " ")
+    base = documents.select("lang", toks.alias("toks"), F.size(toks).alias("n"))
+    pos = F.explode(F.sequence(F.lit(1), F.col("n") - 1))
+    grams = base.filter(F.col("n") >= 2).select(
+        "lang",
+        pos.alias("i"),
+        "toks",
+    ).select(
+        "lang",
+        F.concat_ws(" ", F.element_at("toks", F.col("i")), F.element_at("toks", F.col("i") + 1)).alias("bigram"),
+    )
+    counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.partitionBy("lang").orderBy(F.col("n_occurrences").desc(), "bigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "rank", "bigram", "n_occurrences")
+    )
+
+
+def top_ngrams_oracle(k: int = TOP_NGRAMS_K) -> str:
+    norm = _NORM_SQL
+    return f"""
+WITH d AS (
+    SELECT lang, string_split(trim({norm}), ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT lang,
+           toks[i] || ' ' || toks[i + 1] AS bigram
+    FROM d, unnest(range(1, len(toks))) AS t(i)
+    WHERE len(toks) >= 2
+),
+counts AS (
+    SELECT lang, bigram, count(*) AS n_occurrences FROM grams GROUP BY 1, 2
+)
+SELECT lang, rank, bigram, n_occurrences FROM (
+    SELECT lang, bigram, n_occurrences,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_occurrences DESC, bigram) AS rank
+    FROM counts
+) WHERE rank <= {k}
+"""

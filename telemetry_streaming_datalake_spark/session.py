@@ -60,7 +60,7 @@ def get_spark(app_name: str = "telemetry-streaming-datalake") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
     _ensure_confs(spark)
@@ -78,19 +78,36 @@ def _ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def normalize_nano_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize TIMESTAMP(NANOS)-sourced columns to plain timestamps.
+
+    Spark's reading of parquet nano timestamps is version-dependent:
+    with ``nanosAsLong`` honored they surface as LongType nanoseconds
+    (→ exact integer division to micros, no float path); newer readers
+    surface them natively as TIMESTAMP_NTZ (already micros).  Guarding
+    on the observed dtype makes every caller — batch loader and
+    streaming sources alike — agree bit-for-bit either way.
+    """
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        if col not in dtypes:
+            continue
+        if dtypes[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtypes[col].startswith("timestamp_ntz"):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table, normalizing nano-timestamp columns.
 
-    Nano columns come back as LongType nanoseconds; we derive a real
-    TimestampType column (micros, exact integer division) under the
+    Nano columns are converted to proper TimestampType under the
     original name so downstream code sees conventional types.
     """
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return normalize_nano_ts(df, *_NANO_TS_COLUMNS.get(name, ()))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.ingest.bronze import parse_bronze
 from telemetry_streaming_datalake_spark.ingest.silver import to_silver
-from telemetry_streaming_datalake_spark.session import load_table
+from telemetry_streaming_datalake_spark.session import load_table, normalize_nano_ts
 
 #: watermark delay for dedup state (reference uses 48 h)
 DEDUP_WATERMARK = "48 hours"
@@ -60,7 +60,7 @@ def streaming_bronze(spark: SparkSession, sf_dir: str, work_dir: str | None = No
     batch loader so batch and stream agree bit-for-bit.
     """
     raw = _events_glob(spark, sf_dir, work_dir)
-    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_nano_ts(raw, "ts")
     bronze = parse_bronze(raw)
     # dropDuplicatesWithinWatermark: dedup state really IS evicted once
     # an event's time passes the watermark (plain dropDuplicates on a
@@ -131,7 +131,7 @@ def streaming_upsert_rollup(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     from telemetry_streaming_datalake_spark.streaming.sinks import ParquetUpsertStore
 
     raw = _events_glob(spark, sf_dir, work_dir)
-    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_nano_ts(raw, "ts")
     bronze = parse_bronze(raw)
     agg = bronze.groupBy("metric", "datestamp", "hourstamp").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -237,7 +237,7 @@ def streaming_stateful_latest(
         )
     else:
         raw = _events_glob(spark, sf_dir, work_dir)
-    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_nano_ts(raw, "ts")
     bronze = parse_bronze(raw)
     updated = bronze.groupBy("serial", "metric").applyInPandasWithState(
         _latest_state_fn,
@@ -336,7 +336,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str, work_dir: str) -> Dat
     from telemetry_streaming_datalake_spark.operators.sessions import sessionize
 
     raw = _events_glob(spark, sf_dir, work_dir)
-    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_nano_ts(raw, "ts")
     sess = sessionize(raw)
     out = os.path.join(work_dir, "sessions_out")
     ckpt = os.path.join(work_dir, "sessions_ckpt")

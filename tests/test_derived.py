@@ -1,0 +1,143 @@
+"""Derived-signal operators: rate, rolling mean, z-score, percentiles,
+pivot; plus the as-of / range joins and the partition-stats index."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.ingest import bronze as B
+from telemetry_streaming_datalake_spark.operators import derived as DV
+from telemetry_streaming_datalake_spark.operators import temporal as T
+from telemetry_streaming_datalake_spark.session import load_table
+from telemetry_streaming_datalake_spark.storage import stats as ST
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def deduped(spark, events):
+    return B.dedup_exact(B.parse_bronze(events)).cache()
+
+
+def test_counter_rate_literal(spark):
+    df = spark.createDataFrame(
+        [
+            Row(serial="a", metric="m", unix_ts=0, value=10.0),
+            Row(serial="a", metric="m", unix_ts=10, value=15.0),
+            Row(serial="a", metric="m", unix_ts=30, value=14.0),
+            Row(serial="b", metric="m", unix_ts=5, value=1.0),
+        ]
+    )
+    rows = {(r.serial, r.unix_ts): r for r in DV.counter_rate(df).collect()}
+    # first reading of each series is dropped
+    assert ("a", 0) not in rows and ("b", 5) not in rows
+    assert rows[("a", 10)].rate_per_sec == pytest.approx(0.5)
+    assert rows[("a", 10)].delta_secs == 10
+    assert rows[("a", 30)].rate_per_sec == pytest.approx(-0.05)
+
+
+def test_rolling_avg_range_frame(spark):
+    df = spark.createDataFrame(
+        [
+            Row(serial="a", metric="m", unix_ts=0, value=2.0),
+            Row(serial="a", metric="m", unix_ts=3000, value=4.0),
+            # 7000 is outside [3400, 7000]'s... window is [ts-3600, ts]
+            Row(serial="a", metric="m", unix_ts=7000, value=6.0),
+        ]
+    )
+    rows = {r.unix_ts: r for r in DV.rolling_avg(df).collect()}
+    assert rows[0].rolling_avg == pytest.approx(2.0)
+    assert rows[3000].rolling_avg == pytest.approx(3.0)  # 0 and 3000 in range
+    assert rows[7000].rolling_avg == pytest.approx(6.0)  # 3000 aged out (Δ=4000s)
+    assert rows[7000].n_in_window == 1
+
+
+def test_anomaly_zscore_flags_outlier(spark):
+    base = [Row(event_id=i, metric="m", value=1.0 + (i % 2) * 0.1) for i in range(20)]
+    out = [Row(event_id=99, metric="m", value=50.0)]
+    df = spark.createDataFrame(base + out)
+    res = {r.event_id: r for r in DV.anomaly_zscore(df).collect()}
+    assert res[99].is_anomaly
+    assert not res[0].is_anomaly
+    assert res[99].zscore > 3
+
+
+def test_percentile_rollup_exact(spark):
+    df = spark.createDataFrame(
+        [Row(metric="m", datestamp="d", value=float(v)) for v in range(1, 101)]
+    )
+    row = DV.percentile_rollup(df).collect()[0]
+    assert row.n_points == 100
+    assert row.p50 == pytest.approx(50.5)
+    assert row.p95 == pytest.approx(95.05)
+
+
+def test_pivot_metrics_columns(deduped):
+    wide = DV.pivot_metrics(deduped)
+    assert wide.columns == ["serial", "datestamp", *DV.METRIC_NAMES]
+    # sum of a metric column equals the filtered sum from the long table
+    total_click = wide.agg(F.sum("click")).first()[0]
+    expect = (
+        deduped.filter(F.col("metric") == "click").agg(F.round(F.sum("value"), 2)).first()[0]
+    )
+    assert total_click == pytest.approx(expect, abs=0.1)
+
+
+def test_asof_join_picks_latest_prior(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, t=10), Row(k=1, t=25), Row(k=1, t=4), Row(k=2, t=10)]
+    ).select(F.col("k").alias("key"), F.col("t").alias("ts"))
+    right = spark.createDataFrame(
+        [Row(k=1, t=5, v="a"), Row(k=1, t=20, v="b"), Row(k=3, t=1, v="z")]
+    ).select(F.col("k").alias("key"), F.col("t").alias("rts"), "v")
+    res = T.asof_join(left, right, key="key", left_ts="ts", right_ts="rts", right_cols=["v"])
+    got = {(r.key, r.ts): r.v for r in res.collect()}
+    assert got[(1, 10)] == "a"   # 5 <= 10 < 20
+    assert got[(1, 25)] == "b"   # latest prior is 20
+    assert got[(1, 4)] is None   # before first right row
+    assert got[(2, 10)] is None  # key never on right side
+
+
+def test_asof_join_inclusive_bound(spark):
+    left = spark.createDataFrame([Row(key=1, ts=10)])
+    right = spark.createDataFrame([Row(key=1, rts=10, v="same")])
+    res = T.asof_join(left, right, key="key", left_ts="ts", right_ts="rts", right_cols=["v"])
+    assert res.collect()[0].v == "same"  # rts <= ts is inclusive
+
+
+def test_asof_latest_order_sf(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    orders = load_table(spark, SF_DIR, "orders")
+    res = T.asof_latest_order(ev, orders)
+    assert res.count() > 0
+    # spot-check one event against a driver-side computation
+    sample = res.limit(1).collect()[0]
+    o = [
+        r
+        for r in orders.select(
+            "o_custkey", "o_orderkey", F.unix_timestamp("o_orderdate").alias("ots")
+        ).collect()
+        if r.o_custkey == int(sample.user_id) and r.ots <= sample.unix_ts
+    ]
+    best_ts = max(r.ots for r in o)
+    best_key = max(r.o_orderkey for r in o if r.ots == best_ts)
+    assert sample.o_orderkey == best_key
+
+
+def test_order_window_activity_zero_rows_survive(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    orders = load_table(spark, SF_DIR, "orders")
+    res = T.order_window_activity(ev, orders)
+    assert res.count() == orders.count()  # left join: every order present
+    assert res.filter(F.col("n_events") == 0).count() > 0
+
+
+def test_partition_stats_and_pruning(deduped):
+    st = ST.partition_stats(deduped).cache()
+    assert st.count() == deduped.select("datestamp").distinct().count()
+    total = st.agg(F.sum("n_rows")).first()[0]
+    assert total == deduped.count()
+    lo = st.agg(F.min("min_unix_ts")).first()[0]
+    keep = ST.prune_by_ts(st, lo, lo + 1)
+    # a 1-second probe interval must prune to at most a few partitions
+    assert 1 <= keep.count() < st.count()
