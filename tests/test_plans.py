@@ -41,6 +41,14 @@ def plans(spark):
         "decontaminate",
         "gap_detect",
         "pii_redact",
+        "asof_latest_order",
+        "order_window_activity",
+        "anomaly_zscore",
+        "pivot_metrics",
+        "counter_rate",
+        "top_ngrams",
+        "label_centroids",
+        "stratified_sample",
     ]
     return {n: _plan(qs[n](spark, SF)) for n in names}
 
@@ -131,3 +139,39 @@ def test_scan_prunes_columns(spark):
     docs = load_table(spark, SF, "documents")
     p = _plan(docs.select("doc_id").filter(F.col("doc_id") > 10))
     assert "text" not in p.split("ReadSchema")[-1]
+
+
+def test_asof_join_has_no_join_operator(plans):
+    """The union–sort as-of formulation must compile to window
+    carry-forward, never a join — a join spelling explodes to
+    |left|x|matching rights| rows at scale."""
+    p = plans["asof_latest_order"]
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_anomaly_zscore_moments_broadcast(plans):
+    """The 5-row moments aggregate broadcasts back; the fact stream
+    must not shuffle for it."""
+    assert "BroadcastHashJoin" in plans["anomaly_zscore"]
+    assert "SortMergeJoin" not in plans["anomaly_zscore"]
+
+
+def test_range_join_is_equi_keyed(plans):
+    """The week-window activity join must carry the custkey equi-key
+    (hash or sort-merge) with the time range as residual — never a
+    nested-loop over the cross space."""
+    p = plans["order_window_activity"]
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+
+
+def test_new_aggregates_are_partial(plans):
+    """pivot / top_ngrams / label_centroids must show map-side partial
+    aggregation before their exchange."""
+    for name in ["pivot_metrics", "top_ngrams", "label_centroids"]:
+        assert "partial" in plans[name].lower(), name
+
+
+def test_stratified_sample_map_only(plans):
+    """Hash-threshold sampling is a filter — zero exchanges."""
+    assert "Exchange" not in plans["stratified_sample"]
