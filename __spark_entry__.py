@@ -30,6 +30,7 @@ from telemetry_streaming_datalake_spark.operators import similarity as SIM
 from telemetry_streaming_datalake_spark.operators import text as TX
 from telemetry_streaming_datalake_spark.operators import derived as DV
 from telemetry_streaming_datalake_spark.queries import tpch as Q
+from telemetry_streaming_datalake_spark.sources import textfeeds as TF
 from telemetry_streaming_datalake_spark.storage import stats as ST
 from telemetry_streaming_datalake_spark.streaming import pipeline as SP
 
@@ -93,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dm.metric_mapping(s),
         ),
         "bronze_feed_b": lambda s, d: FB.bronze_feed_b(load_table(s, d, "events")),
+        "bronze_jsonl": TF.bronze_from_jsonl,
+        "bronze_csv": TF.bronze_from_csv,
         "gold_enrich": _gold,
         "custom_metric_sum": lambda s, d: CM.custom_metric_sum(
             _gold(s, d), dm.custom_metric_mapping(s)
@@ -243,6 +246,9 @@ FROM (
         "silver_metrics": silver,
         "silver_explode": S.silver_explode_oracle(B.BRONZE_PAYLOAD_ORACLE),
         "bronze_feed_b": FB.BRONZE_FEED_B_ORACLE,
+        # text connectors must land byte-identical bronze to the parquet path
+        "bronze_jsonl": B.BRONZE_PARSE_ORACLE,
+        "bronze_csv": B.BRONZE_PARSE_ORACLE,
         "gold_enrich": gold,
         "custom_metric_sum": CM.custom_metric_sum_oracle(gold),
         "custom_metric_join": CM.custom_metric_join_oracle(gold),

@@ -29,6 +29,7 @@ HEADLINE = [
     "silver_dedup",
     "silver_explode",
     "bronze_feed_b",
+    "bronze_jsonl",
     "gold_enrich",
     "agg_hour",
     "agg_day",
