@@ -78,6 +78,13 @@ def _streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_stateful_latest(spark, sf_dir, work)
 
 
+def _streaming_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_rate_")
+    return SP.streaming_counter_rate(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -212,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
+        "streaming_counter_rate": _streaming_rate,
     }
 
 
@@ -342,6 +350,8 @@ GROUP BY metric, datestamp, hourstamp
         "streaming_stateful_latest": SP.STREAMING_STATEFUL_ORACLE_TEMPLATE.format(
             bronze=B.BRONZE_PARSE_ORACLE
         ),
+        # stateful rate over a drained availableNow feed == batch rate
+        "streaming_counter_rate": DV.counter_rate_oracle(DEDUP_ORACLE),
         # streaming availableNow drain over a single-file feed is
         # deterministic and equals the batch dedup
         "streaming_silver_dedup": f"""

@@ -104,6 +104,8 @@ def _warmup(spark, sf_dir: str) -> None:
 
     @pandas_udf("double")
     def _identity(x: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F401 — pay the worker-side import here
+
         return x * 1.0
 
     (
@@ -139,9 +141,6 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        # drain garbage between queries so one query's old-gen debris
-        # doesn't tax the next query's timing with a mid-run full GC
-        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

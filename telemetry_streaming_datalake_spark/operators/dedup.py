@@ -227,11 +227,43 @@ def _signatures_from_sets(k: int = MINHASH_K):
 
     @pandas_udf("array<bigint>")
     def sig(sh: pd.Series) -> pd.Series:
-        out = []
-        for arr in sh:
-            h = np.mod(np.array(arr, dtype=np.int64), MINHASH_PRIME)
-            m = np.mod(np.outer(h, A) + B, MINHASH_PRIME)
-            out.append(np.min(m, axis=0).tolist())
+        out: list = []
+        # Segment-vectorized: concatenate a chunk of rows' hash sets,
+        # compute the (sum_len × k) permutation matrix once, and take
+        # per-row minima with minimum.reduceat — one numpy dispatch per
+        # chunk instead of per document (a per-row outer() loop spends
+        # more time in allocator churn than arithmetic).  Chunks bound
+        # the scratch matrix to ~64 MB whatever the batch shape.
+        rows = [np.asarray(a, dtype=np.int64) for a in sh]
+        chunk: list = []
+        chunk_len = 0
+        max_elems = 64 * 1024 * 1024 // (8 * k)
+
+        def flush() -> None:
+            nonlocal chunk, chunk_len
+            if not chunk:
+                return
+            h = np.mod(np.concatenate(chunk), MINHASH_PRIME)
+            m = np.mod(h[:, None] * A + B, MINHASH_PRIME)
+            lens = np.array([len(c) for c in chunk])
+            offs = np.zeros(len(chunk), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            mins = np.minimum.reduceat(m, offs, axis=0)
+            out.extend(row.tolist() for row in mins)
+            chunk, chunk_len = [], 0
+
+        for arr in rows:
+            if arr.size == 0:
+                # reduceat cannot express empty segments; emit the
+                # identity signature (max-prime) directly
+                flush()
+                out.append([int(MINHASH_PRIME)] * k)
+                continue
+            chunk.append(arr)
+            chunk_len += arr.size
+            if chunk_len >= max_elems:
+                flush()
+        flush()
         return pd.Series(out)
 
     return sig

@@ -197,6 +197,97 @@ def _latest_state_fn(key, pdfs, state):
     )
 
 
+#: output / state schemas for the stateful rate operator
+RATE_OUTPUT_SCHEMA = (
+    "serial string, metric string, unix_ts long, value double, "
+    "delta_secs long, rate_per_sec double"
+)
+_RATE_STATE_SCHEMA = "last_ts long, last_event_id long, last_value double"
+
+
+def _rate_state_fn(key, pdfs, state):
+    """Per-(serial, metric) rate derivation with the previous reading
+    carried as state: each batch emits (Δvalue/Δt) rows for readings
+    newer than the carried one.  In-batch duplicate timestamps keep the
+    lowest event_id (the batch dedup rule); readings at or before the
+    carried timestamp are dropped — the same rows the batch operator
+    drops (it sees a globally sorted series).
+    """
+    import pandas as pd
+
+    if state.exists:
+        last_ts, last_id, last_val = state.get
+    else:
+        last_ts, last_id, last_val = None, -1, None
+    out = []
+    for pdf in pdfs:
+        pdf = (
+            pdf.sort_values(["unix_ts", "event_id"])
+            .drop_duplicates("unix_ts", keep="first")
+        )
+        for r in pdf.itertuples(index=False):
+            ts, val = int(r.unix_ts), float(r.value)
+            if last_ts is not None and ts <= last_ts:
+                continue
+            if last_ts is not None:
+                dt = ts - last_ts
+                rate = round((val - last_val) / dt, 6) + 0.0
+                out.append([key[0], key[1], ts, val, dt, rate])
+            last_ts, last_id, last_val = ts, int(r.event_id), val
+    state.update((last_ts if last_ts is not None else -1, last_id, last_val))
+    cols = ["serial", "metric", "unix_ts", "value", "delta_secs", "rate_per_sec"]
+    yield pd.DataFrame(out, columns=cols)
+
+
+def streaming_counter_rate(
+    spark: SparkSession, sf_dir: str, work_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``operators.derived.counter_rate``: the
+    previous (ts, value) per series rides in ``applyInPandasWithState``
+    state, so rates flow incrementally as readings arrive — state is
+    O(distinct series) regardless of stream length, hash-partitioned by
+    the series key (the one exchange the batch window also takes).
+
+    Append-mode emissions land in a parquet sink; over a fully drained
+    ``availableNow`` feed the result equals the batch operator row for
+    row (the SQL oracle), and with ``maxFilesPerTrigger=1`` the
+    cross-batch state carry is exercised (``tests/test_streaming.py``).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if max_files_per_trigger:
+        path = os.path.join(work_dir, "landing")
+        schema = spark.read.parquet(path).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        raw = _events_glob(spark, sf_dir, work_dir)
+    raw = normalize_nano_ts(raw, "ts")
+    bronze = parse_bronze(raw)
+    rates = bronze.groupBy("serial", "metric").applyInPandasWithState(
+        _rate_state_fn,
+        RATE_OUTPUT_SCHEMA,
+        _RATE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = os.path.join(work_dir, "rate_out")
+    ckpt = os.path.join(work_dir, "rate_ckpt")
+    (
+        rates.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)
+
+
 def streaming_stateful_latest(
     spark: SparkSession, sf_dir: str, work_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

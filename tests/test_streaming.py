@@ -259,3 +259,47 @@ def test_three_hop_streaming_gold_matches_batch(spark, tmp_path):
     ).cache()
     assert got.count() == want.count()
     assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+
+def test_streaming_counter_rate_carries_state_across_batches(spark, tmp_path):
+    """Time-split the feed into two files drained one per micro-batch:
+    the rate of the first batch-2 reading must be computed against the
+    LAST batch-1 reading (state carry), and the union of emissions must
+    equal the batch counter_rate exactly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.derived import counter_rate
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_counter_rate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    # split by TIME so batch 2 is strictly later than batch 1 for every
+    # series (the operator's documented in-order contract)
+    ts_cut = raw.select(F.unix_timestamp("ts").alias("u")).approxQuantile("u", [0.5], 0.0)[0]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    halves = [
+        raw.filter(F.unix_timestamp("ts") <= ts_cut),
+        raw.filter(F.unix_timestamp("ts") > ts_cut),
+    ]
+    for i, half in enumerate(halves):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    got = streaming_counter_rate(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    want = counter_rate(dedup_exact(parse_bronze(raw)))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
