@@ -18,6 +18,7 @@ from telemetry_streaming_datalake_spark.ingest import silver as S
 from telemetry_streaming_datalake_spark.operators import custom_metric as CM
 from telemetry_streaming_datalake_spark.operators import detect as DT
 from telemetry_streaming_datalake_spark.operators import latest as L
+from telemetry_streaming_datalake_spark.operators import merge as M
 from telemetry_streaming_datalake_spark.operators import retention as RT
 from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import scd as SCD
@@ -40,6 +41,8 @@ SF_SMOKE = "/root/testdata/sf0.001"
 ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
 
 PURGE_CUTOFF = "2024-01-15"
+#: unix seconds of PURGE_CUTOFF — the MERGE demo's target/source split
+MERGE_CUTOFF_UNIX = 1705276800
 
 
 # ---------------------------------------------------------------- pipeline
@@ -150,6 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), load_table(s, d, "orders")
         ),
         "partition_stats": lambda s, d: ST.partition_stats(_bronze(s, d)),
+        "merge_upsert_latest": lambda s, d: M.merge_upsert_latest(
+            _gold(s, d), MERGE_CUTOFF_UNIX
+        ),
+        "dup_clusters": lambda s, d: M.dup_clusters(
+            DD.ngram_jaccard_dedup(load_table(s, d, "documents"))
+        ),
         "online_entities": lambda s, d: DT.online_entities(_gold(s, d)),
         # --- ad-hoc query layer (#25) ---
         "q1_pricing": lambda s, d: Q.q1_pricing(load_table(s, d, "lineitem")),
@@ -212,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "top_ngrams": lambda s, d: TX.top_ngrams(load_table(s, d, "documents")),
+        "tfidf_top_terms": lambda s, d: TX.tfidf_top_terms(load_table(s, d, "documents")),
         "label_centroids": lambda s, d: SIM.label_centroids(
             load_table(s, d, "embeddings")
         ),
@@ -303,7 +313,10 @@ FROM (
         "order_window_activity": T.ORDER_WINDOW_ACTIVITY_ORACLE,
         "partition_stats": ST.partition_stats_oracle(B.BRONZE_PARSE_ORACLE),
         "stratified_sample": CP.stratified_sample_oracle(),
+        "merge_upsert_latest": M.merge_upsert_latest_oracle(gold, MERGE_CUTOFF_UNIX),
+        "dup_clusters": M.dup_clusters_oracle(DD.ngram_jaccard_oracle()),
         "top_ngrams": TX.top_ngrams_oracle(),
+        "tfidf_top_terms": TX.tfidf_top_terms_oracle(),
         "label_centroids": SIM.label_centroids_oracle(),
         "online_entities": DT.online_entities_oracle(gold),
         "q1_pricing": Q.Q1_ORACLE,

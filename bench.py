@@ -47,6 +47,7 @@ HEADLINE = [
     "asof_latest_order",
     "order_window_activity",
     "partition_stats",
+    "merge_upsert_latest",
     "q1_pricing",
     "q3_shipping",
     "q5_supplier",
@@ -78,7 +79,9 @@ HEADLINE = [
     "quantize_embeddings",
     "stratified_sample",
     "top_ngrams",
+    "tfidf_top_terms",
     "label_centroids",
+    "dup_clusters",
 ]
 
 

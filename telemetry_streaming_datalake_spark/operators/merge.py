@@ -1,0 +1,204 @@
+"""Batch MERGE INTO analog and connected-components dup clustering.
+
+``merge_into`` re-expresses Delta's three-clause MERGE — the statement
+at the center of the reference's serving-store maintenance (``Set Up
+Delta Tables/Set up Delta tables for Slowly changing Data.scala``, and
+every ``foreachBatch`` upsert in ``Gold Aggregation/Step 05 ….scala:
+108-121``) — as a pure DataFrame computation: matched rows take the
+source's values, unmatched target rows pass through, unmatched source
+rows insert.
+
+``dup_clusters`` turns near-duplicate PAIRS (any detector's output)
+into duplicate GROUPS — the form a curation pipeline actually consumes
+(keep one representative per cluster).  Pair lists are not enough when
+dups are transitive (A≈B, B≈C ⇒ {A,B,C} one cluster): that is
+connected components, computed here with the iterative min-label
+propagation at the heart of the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+Scale shapes
+------------
+- ``merge_into``: one full-outer equi-join on the merge key — the same
+  single shuffle Delta's own MERGE performs for its matched/unmatched
+  classification.  With a partitioned target the practical deployment
+  is the partition-pruned form already implemented by the streaming
+  upsert sink (``streaming/sinks.py``): prune to touched partitions,
+  merge, dynamic-overwrite only those.
+- ``dup_clusters``: each iteration is one groupBy-min over the edge
+  list (label flows across edges) — O(diameter) rounds, and near-dup
+  graphs are overwhelmingly tiny cliques (diameter ≤ 2-3).  Labels
+  persist between rounds; convergence is detected with a 1-row
+  aggregate, not a collect of the labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame, source: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Three-clause MERGE: WHEN MATCHED update to source values, WHEN
+    NOT MATCHED insert source row, else keep target row.  ``cols`` are
+    the value columns (same names both sides)."""
+    t = target.select(key, *[F.col(c).alias(f"t_{c}") for c in cols])
+    s = source.select(
+        key, F.lit(True).alias("__from_source"), *[F.col(c).alias(f"s_{c}") for c in cols]
+    )
+    j = t.join(s, key, "full_outer")
+    # presence marker, not per-column null checks: a legitimately NULL
+    # source value must still overwrite the matched target value
+    picked = [
+        F.when(F.col("__from_source"), F.col(f"s_{c}")).otherwise(F.col(f"t_{c}")).alias(c)
+        for c in cols
+    ]
+    return j.select(key, *picked)
+
+
+def merge_upsert_latest(gold: DataFrame, cutoff_unix: int) -> DataFrame:
+    """MERGE instantiation on the serving 'latest' store: the store as
+    of ``cutoff_unix`` is the target; later readings form the source
+    batch; the merge must land exactly the all-data latest view.
+
+    This replays the reference's serving upsert as one deterministic
+    batch computation (oracle-checkable), exercising all three MERGE
+    clauses: keys only before the cutoff (keep), keys only after
+    (insert), keys spanning it (update).
+    """
+    eligible = gold.filter(F.col("value_double").isNotNull())
+    key = F.concat_ws(
+        "|", "remote_id", "metric_id", "provider_id", "category_id"
+    ).alias("id")
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                key,
+                F.struct("unix_ts", "event_id", "value_double").alias("s"),
+            )
+            .groupBy("id")
+            .agg(F.max("s").alias("s"))
+            .select(
+                "id",
+                F.col("s.unix_ts").alias("last_ts"),
+                F.col("s.value_double").alias("last_value"),
+            )
+        )
+
+    target = latest(eligible.filter(F.col("unix_ts") < cutoff_unix))
+    source = latest(eligible.filter(F.col("unix_ts") >= cutoff_unix))
+    return merge_into(target, source, "id", ["last_ts", "last_value"])
+
+
+def merge_upsert_latest_oracle(gold_cte: str, cutoff_unix: int) -> str:
+    """The merged store must equal... exactly what MERGE guarantees:
+    per key, the later of (pre-cutoff latest, post-cutoff latest)."""
+    return f"""
+WITH gold AS ({gold_cte}),
+eligible AS (
+    SELECT remote_id || '|' || metric_id || '|' || provider_id || '|' || category_id AS id,
+           unix_ts, event_id, value_double
+    FROM gold WHERE value_double IS NOT NULL
+),
+tgt AS (
+    SELECT id, unix_ts AS last_ts, value_double AS last_value
+    FROM eligible WHERE unix_ts < {cutoff_unix}
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY unix_ts DESC, event_id DESC) = 1
+),
+src AS (
+    SELECT id, unix_ts AS last_ts, value_double AS last_value
+    FROM eligible WHERE unix_ts >= {cutoff_unix}
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY unix_ts DESC, event_id DESC) = 1
+)
+SELECT coalesce(t.id, s.id) AS id,
+       CASE WHEN s.id IS NOT NULL THEN s.last_ts ELSE t.last_ts END AS last_ts,
+       CASE WHEN s.id IS NOT NULL THEN s.last_value ELSE t.last_value END AS last_value
+FROM tgt t FULL OUTER JOIN src s ON t.id = s.id
+"""
+
+
+# --------------------------------------------------------------------------
+# connected components over near-dup pairs
+# --------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Duplicate clusters from a pair list: every doc appearing in any
+    pair is labelled with the minimum doc_id reachable from it
+    (``cluster_id``) — min-label propagation to fixpoint.
+
+    Each round: every node offers its current label to its neighbors
+    (explode both edge directions), labels take the min of (own,
+    offered), and a single count of changed labels decides convergence
+    — no driver-side label collection.  Rounds are O(component
+    diameter); near-dup components are tiny cliques so 2-3 rounds
+    close virtually any real corpus, with ``CC_MAX_ITERS`` as the
+    safety bound.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        offered = (
+            edges.join(labels, edges["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("offer"))
+        )
+        # localCheckpoint truncates the lineage each round — without
+        # it the plan deepens by three operators per iteration and
+        # planning time, not data movement, dominates long chains (on
+        # a cluster use checkpoint() with a reliable dir instead)
+        new_labels = (
+            labels.join(offered, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("offer", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.join(new_labels.withColumnRenamed("label", "nl"), "node")
+            .filter(F.col("label") != F.col("nl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters_oracle(pairs_sql: str) -> str:
+    """DuckDB twin: recursive min-label propagation over the same pair
+    list (WITH RECURSIVE reaches the same fixpoint; UNION dedups rows
+    so iteration terminates)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(node, label) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, w.label
+    FROM walk w JOIN edges e ON w.node = e.u
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM walk GROUP BY node
+"""

@@ -287,3 +287,84 @@ SELECT lang, rank, bigram, n_occurrences FROM (
     FROM counts
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Top-``k`` characteristic terms per doc by smoothed TF-IDF
+    (``tf * ln((N+1)/(df+1))``) — the keyword profile a corpus browser
+    or near-dup explainer shows next to each document.
+
+    One explode feeds BOTH frequency tables: tf = the (doc, term)
+    count aggregate, df = a second aggregate OVER THAT RESULT (term
+    document-frequency — never a second corpus scan).  The corpus size
+    N joins in as a broadcast 1-row aggregate (a single-row
+    nested-loop broadcast is the correct scale shape for attaching a
+    global scalar — the alternative, a global window, serializes on
+    one partition).  Final per-doc top-k is a window over the compact
+    (doc, term, score) frame, hash-partitioned by doc_id.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(normalize_text(F.col("text"))), " ")
+    terms = documents.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+def tfidf_top_terms_oracle(k: int = TFIDF_K) -> str:
+    norm = _NORM_SQL
+    return f"""
+WITH terms AS (
+    SELECT doc_id, t.term
+    FROM (SELECT doc_id, string_split(trim({norm}), ' ') AS toks FROM documents),
+         unnest(toks) AS t(term)
+    WHERE length(t.term) > 0
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+),
+df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, score FROM (
+    SELECT doc_id, term, tf, df, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""

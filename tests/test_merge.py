@@ -1,0 +1,73 @@
+"""MERGE INTO analog + connected-components dup clustering."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.operators import merge as M
+
+
+def test_merge_into_three_clauses(spark):
+    target = spark.createDataFrame(
+        [Row(id="keep", v=1, w="t1"), Row(id="upd", v=2, w="t2")]
+    )
+    source = spark.createDataFrame(
+        [Row(id="upd", v=20, w="s2"), Row(id="ins", v=30, w="s3")]
+    )
+    got = {r.id: r for r in M.merge_into(target, source, "id", ["v", "w"]).collect()}
+    assert len(got) == 3
+    assert (got["keep"].v, got["keep"].w) == (1, "t1")   # unmatched target kept
+    assert (got["upd"].v, got["upd"].w) == (20, "s2")     # matched → source wins
+    assert (got["ins"].v, got["ins"].w) == (30, "s3")     # unmatched source inserted
+
+
+def test_merge_into_null_source_value_overwrites(spark):
+    """A matched source row with a NULL value column must still
+    overwrite (MERGE semantics), not fall back to the target value."""
+    target = spark.createDataFrame([Row(id="a", v=1)])
+    source = spark.createDataFrame([("a", None)], "id string, v bigint")
+    got = M.merge_into(target, source, "id", ["v"]).collect()[0]
+    assert got.v is None
+
+
+def test_dup_clusters_transitive(spark):
+    """A≈B and B≈C must land in ONE cluster labelled min(doc_id)."""
+    pairs = spark.createDataFrame(
+        [Row(doc_a=2, doc_b=1), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
+    )
+    got = {r.doc_id: r.cluster_id for r in M.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_chain_diameter(spark):
+    """A long path graph exercises multi-round label propagation."""
+    pairs = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(1, 9)])
+    got = {r.doc_id: r.cluster_id for r in M.dup_clusters(pairs).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 9
+
+
+def test_merge_upsert_latest_equals_global_latest(spark, events, customer):
+    """Merging the pre-cutoff store with the post-cutoff batch must
+    reproduce the latest view computed over ALL data in one pass."""
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.ingest import silver as S
+    from telemetry_streaming_datalake_spark.operators import temporal as T
+
+    silver = S.to_silver(B.dedup_exact(B.parse_bronze(events)), dm.metric_mapping(spark))
+    gold = T.enrich_gold(silver, dm.remote_history(spark, customer)).cache()
+    cutoff = int(
+        gold.agg(F.expr("percentile(unix_ts, 0.5)")).first()[0]
+    )
+    merged = M.merge_upsert_latest(gold, cutoff)
+    # global latest without any cutoff split
+    eligible = gold.filter(F.col("value_double").isNotNull())
+    key = F.concat_ws("|", "remote_id", "metric_id", "provider_id", "category_id")
+    want = (
+        eligible.select(key.alias("id"), F.struct("unix_ts", "event_id", "value_double").alias("s"))
+        .groupBy("id")
+        .agg(F.max("s").alias("s"))
+        .select("id", F.col("s.unix_ts").alias("last_ts"), F.col("s.value_double").alias("last_value"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
