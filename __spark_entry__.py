@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             B.dedup_exact(_bronze(s, d))
         ),
         "pivot_metrics": lambda s, d: DV.pivot_metrics(B.dedup_exact(_bronze(s, d))),
+        "gapfill_hourly": lambda s, d: DV.gapfill_hourly(B.dedup_exact(_bronze(s, d))),
         # --- big×big temporal joins + stats index ---
         "asof_latest_order": lambda s, d: T.asof_latest_order(
             load_table(s, d, "events"), load_table(s, d, "orders")
@@ -177,6 +178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders"),
             load_table(s, d, "lineitem"),
             load_table(s, d, "nation"),
+        ),
+        "q12_priority": lambda s, d: Q.q12_priority_shipping(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")
+        ),
+        "q14_promo": lambda s, d: Q.q14_promo_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
         ),
         # --- LLM-data-pipeline operators (SURVEY §2 #26-36) ---
         "dedup_exact": lambda s, d: DD.dedup_exact_docs(load_table(s, d, "documents")),
@@ -309,6 +316,7 @@ FROM (
         "anomaly_zscore": DV.anomaly_zscore_oracle(DEDUP_ORACLE),
         "percentile_rollup": DV.percentile_rollup_oracle(DEDUP_ORACLE),
         "pivot_metrics": DV.pivot_metrics_oracle(DEDUP_ORACLE),
+        "gapfill_hourly": DV.gapfill_hourly_oracle(DEDUP_ORACLE),
         "asof_latest_order": T.ASOF_LATEST_ORDER_ORACLE,
         "order_window_activity": T.ORDER_WINDOW_ACTIVITY_ORACLE,
         "partition_stats": ST.partition_stats_oracle(B.BRONZE_PARSE_ORACLE),
@@ -325,6 +333,8 @@ FROM (
         "adhoc_gold_slice": Q.adhoc_gold_slice_oracle(gold),
         "q6_forecast": Q.Q6_ORACLE,
         "q10_returns": Q.Q10_ORACLE,
+        "q12_priority": Q.Q12_ORACLE,
+        "q14_promo": Q.Q14_ORACLE,
         # LLM ops (minhash/simhash are xxhash64-bound → rows-only)
         "dedup_exact": DD.DEDUP_EXACT_ORACLE,
         "ann_lsh": SIM.ann_lsh_topk_oracle(ANN_QUERY_IDS),

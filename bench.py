@@ -41,6 +41,7 @@ HEADLINE = [
     "sessionize",
     "counter_rate",
     "rolling_avg",
+    "gapfill_hourly",
     "anomaly_zscore",
     "percentile_rollup",
     "pivot_metrics",
@@ -53,6 +54,8 @@ HEADLINE = [
     "q5_supplier",
     "q6_forecast",
     "q10_returns",
+    "q12_priority",
+    "q14_promo",
     "adhoc_gold_slice",
     "dedup_exact",
     "dedup_minhash",

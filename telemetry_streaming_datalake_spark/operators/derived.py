@@ -228,3 +228,98 @@ SELECT serial, datestamp,
 FROM deduped
 GROUP BY serial, datestamp
 """
+
+
+# --------------------------------------------------------------------------
+# gap-filled time buckets (hypertable gapfill + LOCF analog)
+# --------------------------------------------------------------------------
+
+GAPFILL_BUCKET_SECS = 3600
+
+
+def gapfill_hourly(bronze_deduped: DataFrame, bucket_secs: int = GAPFILL_BUCKET_SECS) -> DataFrame:
+    """Dense hourly series per (serial, metric): every bucket between a
+    series' first and last reading exists in the output, empty buckets
+    carry the last observed value forward (LOCF) — the
+    `time_bucket_gapfill` + `locf` shape time-series stores provide,
+    built from primitives:
+
+    1. one partial-agg shuffle → per-bucket aggregates AND the series'
+       [min, max] bucket bounds (same pass, window over the bucketed
+       frame);
+    2. `sequence` + `explode` generates the dense bucket spine — rows
+       amplify AFTER aggregation (spine size = hours spanned, not
+       readings), so the explode is over the small frame;
+    3. LOCF = `last(value, ignorenulls)` over the bucket order within
+       the series partition — one more in-partition pass, no extra
+       exchange (same hash key as step 1's window).
+
+    Output marks filled rows (`is_filled`) so downstream consumers can
+    distinguish observation from carry-forward.
+    """
+    b = (F.col("unix_ts") - F.col("unix_ts") % bucket_secs).alias("bucket_ts")
+    per_bucket = (
+        bronze_deduped.select("serial", "metric", b, "value")
+        .groupBy("serial", "metric", "bucket_ts")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    wseries = Window.partitionBy("serial", "metric")
+    bounds = per_bucket.withColumn("min_b", F.min("bucket_ts").over(wseries)).withColumn(
+        "max_b", F.max("bucket_ts").over(wseries)
+    )
+    spine = (
+        bounds.select("serial", "metric", "min_b", "max_b")
+        .distinct()
+        .select(
+            "serial",
+            "metric",
+            F.explode(
+                F.sequence(F.col("min_b"), F.col("max_b"), F.lit(bucket_secs))
+            ).alias("bucket_ts"),
+        )
+    )
+    dense = spine.join(per_bucket, ["serial", "metric", "bucket_ts"], "left")
+    worder = wseries.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
+    return dense.select(
+        "serial",
+        "metric",
+        "bucket_ts",
+        F.last("avg_value", ignorenulls=True).over(worder).alias("value_locf"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("avg_value").isNull().alias("is_filled"),
+    )
+
+
+def gapfill_hourly_oracle(bronze_dedup_sql: str, bucket_secs: int = GAPFILL_BUCKET_SECS) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+per_bucket AS (
+    SELECT serial, metric, unix_ts - unix_ts % {bucket_secs} AS bucket_ts,
+           round(avg(value), 6) AS avg_value, count(*) AS n_obs
+    FROM deduped GROUP BY 1, 2, 3
+),
+bounds AS (
+    SELECT serial, metric, min(bucket_ts) AS min_b, max(bucket_ts) AS max_b
+    FROM per_bucket GROUP BY 1, 2
+),
+spine AS (
+    SELECT serial, metric, t.bucket_ts
+    FROM bounds, unnest(range(min_b, max_b + {bucket_secs}, {bucket_secs})) AS t(bucket_ts)
+),
+dense AS (
+    SELECT s.serial, s.metric, s.bucket_ts, p.avg_value, p.n_obs
+    FROM spine s LEFT JOIN per_bucket p
+      ON s.serial = p.serial AND s.metric = p.metric AND s.bucket_ts = p.bucket_ts
+)
+SELECT serial, metric, bucket_ts,
+       last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY serial, metric ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_locf,
+       coalesce(n_obs, 0) AS n_obs,
+       avg_value IS NULL AS is_filled
+FROM dense
+"""

@@ -251,3 +251,80 @@ JOIN nation   ON c_nationkey = n_nationkey
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+def q12_priority_shipping(orders: DataFrame, lineitem: DataFrame,
+                          date_lo: str = "1996-01-01", date_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q12-style shipping-priority audit (adapted to this
+    schema's columns): per ship-month, how many shipped lineitems
+    belong to high-priority orders vs low.
+
+    Ship-window filter pushes to the lineitem scan; the orders side
+    projects (orderkey, priority flag) only; the join is orderkey-equi
+    (at this dim ratio AQE broadcasts the filtered fact-side build);
+    one partial-agg shuffle on the month key.
+    """
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+    ).select("l_orderkey", F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame,
+                      date_lo: str = "1996-03-01", date_hi: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q14 promotion-revenue share: % of the month's revenue from
+    PROMO parts.  One month of lineitem (scan-pushed filter) joins the
+    part dim broadcast; exact decimal sums feed the ratio so the
+    percentage is partitioning-independent; single-row output.
+    """
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    j = l.join(F.broadcast(part), l["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        F.round(
+            (F.lit(100.0) * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev))
+             / F.sum(rev)).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_ORACLE = """
+SELECT round(CAST(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4))) END)
+       / sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+    AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""

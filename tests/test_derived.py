@@ -141,3 +141,20 @@ def test_partition_stats_and_pruning(deduped):
     keep = ST.prune_by_ts(st, lo, lo + 1)
     # a 1-second probe interval must prune to at most a few partitions
     assert 1 <= keep.count() < st.count()
+
+
+def test_gapfill_hourly_locf(spark):
+    from telemetry_streaming_datalake_spark.operators.derived import gapfill_hourly
+
+    df = spark.createDataFrame(
+        [
+            Row(serial="a", metric="m", unix_ts=0, value=1.0),
+            Row(serial="a", metric="m", unix_ts=3600 * 3, value=4.0),
+        ]
+    )
+    rows = {r.bucket_ts: r for r in gapfill_hourly(df).collect()}
+    # dense spine: 4 buckets 0..3h, the middle two filled with LOCF
+    assert sorted(rows) == [0, 3600, 7200, 10800]
+    assert rows[3600].value_locf == 1.0 and rows[3600].is_filled
+    assert rows[7200].value_locf == 1.0 and rows[7200].n_obs == 0
+    assert rows[10800].value_locf == 4.0 and not rows[10800].is_filled

@@ -33,3 +33,23 @@ def test_props_json_survives_escaping(spark):
     assert back.filter(F.col("props").isNull()).count() == 0
     k = back.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
     assert k.filter(F.col("k").isNull()).count() == 0
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """A feed that grows a column mid-stream: batch 2 adds `extra`.
+    mergeSchema=true unions the file schemas; batch-1 rows surface
+    NULL for the new column (the lakehouse schema-evolution contract
+    the reference gets from Delta's mergeSchema on its bronze appends)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "lake")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v")).write.parquet(p)
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("v"), F.lit(1.5).alias("extra")
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "extra"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[0].extra is None and rows[4].extra == 1.5
+    # and the widened schema is stable for downstream parses
+    assert df.filter(F.col("extra").isNull()).count() == 3
