@@ -241,21 +241,16 @@ def gapfill_hourly(bronze_deduped: DataFrame, bucket_secs: int = GAPFILL_BUCKET_
     """Dense hourly series per (serial, metric): every bucket between a
     series' first and last reading exists in the output, empty buckets
     carry the last observed value forward (LOCF) — the
-    `time_bucket_gapfill` + `locf` shape time-series stores provide,
-    built from primitives:
+    `time_bucket_gapfill` + `locf` shape time-series stores provide.
 
-    1. one partial-agg shuffle → per-bucket aggregates AND the series'
-       [min, max] bucket bounds (same pass, window over the bucketed
-       frame);
-    2. `sequence` + `explode` generates the dense bucket spine — rows
-       amplify AFTER aggregation (spine size = hours spanned, not
-       readings), so the explode is over the small frame;
-    3. LOCF = `last(value, ignorenulls)` over the bucket order within
-       the series partition — one more in-partition pass, no extra
-       exchange (same hash key as step 1's window).
-
-    Output marks filled rows (`is_filled`) so downstream consumers can
-    distinguish observation from carry-forward.
+    ONE exchange total: after the per-bucket aggregate (hash-partition
+    on the series key), each observed bucket looks at the NEXT observed
+    bucket (`lead` in the same sorted partition) and directly emits
+    itself plus its carry-forward rows via `sequence`+`posexplode` —
+    the fill rows are generated from the observation that owns them, so
+    there is no dense-spine build, no spine×observations join, and no
+    second window pass.  Row amplification (hours spanned) happens
+    AFTER aggregation, map-side.
     """
     b = (F.col("unix_ts") - F.col("unix_ts") % bucket_secs).alias("bucket_ts")
     per_bucket = (
@@ -266,30 +261,28 @@ def gapfill_hourly(bronze_deduped: DataFrame, bucket_secs: int = GAPFILL_BUCKET_
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
-    wseries = Window.partitionBy("serial", "metric")
-    bounds = per_bucket.withColumn("min_b", F.min("bucket_ts").over(wseries)).withColumn(
-        "max_b", F.max("bucket_ts").over(wseries)
+    w = Window.partitionBy("serial", "metric").orderBy("bucket_ts")
+    with_next = per_bucket.withColumn("next_b", F.lead("bucket_ts").over(w))
+    # each observation owns the buckets [bucket_ts, next_b): itself plus
+    # the empty buckets it fills; the series' last observation owns
+    # exactly itself
+    fill_end = F.coalesce(F.col("next_b") - bucket_secs, F.col("bucket_ts"))
+    ex = with_next.select(
+        "serial",
+        "metric",
+        "avg_value",
+        "n_obs",
+        F.posexplode(
+            F.sequence(F.col("bucket_ts"), fill_end, F.lit(bucket_secs))
+        ).alias("offset", "bucket_ts"),
     )
-    spine = (
-        bounds.select("serial", "metric", "min_b", "max_b")
-        .distinct()
-        .select(
-            "serial",
-            "metric",
-            F.explode(
-                F.sequence(F.col("min_b"), F.col("max_b"), F.lit(bucket_secs))
-            ).alias("bucket_ts"),
-        )
-    )
-    dense = spine.join(per_bucket, ["serial", "metric", "bucket_ts"], "left")
-    worder = wseries.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
-    return dense.select(
+    return ex.select(
         "serial",
         "metric",
         "bucket_ts",
-        F.last("avg_value", ignorenulls=True).over(worder).alias("value_locf"),
-        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
-        F.col("avg_value").isNull().alias("is_filled"),
+        F.col("avg_value").alias("value_locf"),
+        F.when(F.col("offset") == 0, F.col("n_obs")).otherwise(F.lit(0)).alias("n_obs"),
+        (F.col("offset") > 0).alias("is_filled"),
     )
 
 
