@@ -88,6 +88,13 @@ def _streaming_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_counter_rate(spark, sf_dir, work)
 
 
+def _streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_slide_")
+    return SP.streaming_sliding_counts(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -237,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
         "streaming_counter_rate": _streaming_rate,
+        "streaming_sliding_counts": _streaming_sliding,
     }
 
 
@@ -375,6 +383,10 @@ GROUP BY metric, datestamp, hourstamp
         ),
         # stateful rate over a drained availableNow feed == batch rate
         "streaming_counter_rate": DV.counter_rate_oracle(DEDUP_ORACLE),
+        # fully drained sliding windows == batch double-bucket aggregate
+        "streaming_sliding_counts": SP.STREAMING_SLIDING_ORACLE_TEMPLATE.format(
+            bronze=B.BRONZE_PARSE_ORACLE
+        ),
         # streaming availableNow drain over a single-file feed is
         # deterministic and equals the batch dedup
         "streaming_silver_dedup": f"""

@@ -528,3 +528,83 @@ def streaming_gold_three_hop(spark: SparkSession, sf_dir: str, work_dir: str) ->
             "value_double", "value_string",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# watermarked sliding-window aggregate
+# --------------------------------------------------------------------------
+
+#: sliding window geometry: 2 h windows advancing every 1 h — every
+#: event lands in exactly two overlapping windows
+SLIDE_WINDOW = "2 hours"
+SLIDE_STEP = "1 hour"
+#: watermark bounding window state (late data beyond this is dropped)
+SLIDE_WATERMARK = "48 hours"
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Watermarked sliding-window aggregate — THE canonical Structured
+    Streaming stateful op (`F.window` + `withWatermark`): per metric,
+    per 2-hour window sliding hourly, count/sum of readings.
+
+    Scale shape: each event expands to window-count/slide-ratio (=2)
+    keyed rows map-side, then ONE partial-agg shuffle on (metric,
+    window) — identical to a batch groupBy; the watermark bounds the
+    state store to the late-data horizon regardless of stream length.
+    Over a fully drained availableNow feed every window closes, so the
+    result equals the batch double-bucket aggregate — the SQL oracle
+    (each event contributes to the windows starting at ``h`` and
+    ``h-1`` hours).
+    """
+    raw = _events_glob(spark, sf_dir, work_dir)
+    raw = normalize_nano_ts(raw, "ts")
+    bronze = parse_bronze(raw)
+    windowed = (
+        bronze.withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
+        .withWatermark("event_time", SLIDE_WATERMARK)
+        .groupBy(F.window("event_time", SLIDE_WINDOW, SLIDE_STEP), "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    out = os.path.join(work_dir, "slide_out")
+    ckpt = os.path.join(work_dir, "slide_ckpt")
+    # complete-mode foreachBatch overwrite: append mode only flushes a
+    # window once the watermark passes its END, so an availableNow
+    # drain would hold back every window inside the late-data horizon
+    # — complete mode emits the full aggregate each trigger (in
+    # production the sink runs append and those windows flush as the
+    # stream advances; the semantics checked here are identical)
+    (
+        windowed.writeStream.outputMode("complete")
+        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    res = spark.read.parquet(out)
+    return res.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "metric",
+        "n_events",
+        "sum_value",
+    )
+
+
+#: batch twin: every event lands in the window starting at its hour and
+#: the one starting an hour earlier
+STREAMING_SLIDING_ORACLE_TEMPLATE = """
+WITH bronze AS ({bronze}),
+expanded AS (
+    SELECT metric, value, unix_ts - unix_ts % 3600 AS window_start FROM bronze
+    UNION ALL
+    SELECT metric, value, (unix_ts - unix_ts % 3600) - 3600 AS window_start FROM bronze
+)
+SELECT window_start, metric,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+"""
