@@ -175,3 +175,13 @@ def test_new_aggregates_are_partial(plans):
 def test_stratified_sample_map_only(plans):
     """Hash-threshold sampling is a filter — zero exchanges."""
     assert "Exchange" not in plans["stratified_sample"]
+
+
+def test_gapfill_generates_without_join(spark):
+    """Gapfill emits fill rows from the owning observation — the plan
+    must contain Generate (sequence explode) and zero joins."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["gapfill_hourly"](spark, SF))
+    assert "Join" not in p
+    assert "Generate" in p
