@@ -95,6 +95,13 @@ def _streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_sliding_counts(spark, sf_dir, work)
 
 
+def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_ssj_")
+    return SP.streaming_interval_join(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -245,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_latest": _streaming_stateful,
         "streaming_counter_rate": _streaming_rate,
         "streaming_sliding_counts": _streaming_sliding,
+        "streaming_interval_join": _streaming_interval_join,
     }
 
 
@@ -387,6 +395,8 @@ GROUP BY metric, datestamp, hourstamp
         "streaming_sliding_counts": SP.STREAMING_SLIDING_ORACLE_TEMPLATE.format(
             bronze=B.BRONZE_PARSE_ORACLE
         ),
+        # drained stream-stream interval join == batch inner range join
+        "streaming_interval_join": SP.STREAMING_INTERVAL_JOIN_ORACLE,
         # streaming availableNow drain over a single-file feed is
         # deterministic and equals the batch dedup
         "streaming_silver_dedup": f"""

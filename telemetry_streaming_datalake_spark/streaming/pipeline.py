@@ -608,3 +608,97 @@ SELECT window_start, metric,
 FROM expanded
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# stream-stream interval join
+# --------------------------------------------------------------------------
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join — the canonical
+    Structured Streaming join: two live streams joined on an equi-key
+    plus an event-time range condition, each side buffering state only
+    until the other side's watermark passes the interval bound
+    (state O(window), not O(stream)).
+
+    Instantiation: error events correlated to the same user's click
+    within the preceding hour — the "did an error follow this click"
+    triage join a telemetry platform runs between its interaction and
+    error feeds.  Both feeds stream from the landing dir as separate
+    readStreams.  Drained with availableNow, the pairs equal the batch
+    inner interval join — the SQL oracle.
+    """
+    import shutil
+
+    land = os.path.join(work_dir, "ssj_landing")
+    os.makedirs(land, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(land, "events.parquet"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def feed() -> DataFrame:
+        return normalize_nano_ts(spark.readStream.schema(schema).parquet(land), "ts")
+
+    clicks = (
+        feed()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("ts").alias("click_time"),
+        )
+        .withWatermark("click_time", "48 hours")
+    )
+    errors = (
+        feed()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_time"),
+            F.col("value").alias("error_value"),
+        )
+        .withWatermark("error_time", "48 hours")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("error_time") >= F.col("click_time"))
+        & (F.col("error_time") < F.col("click_time") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_event_id",
+        "user_id",
+        F.unix_timestamp("click_time").alias("click_ts"),
+        F.unix_timestamp("error_time").alias("error_ts"),
+        "error_value",
+    )
+    out = os.path.join(work_dir, "ssj_out")
+    ckpt = os.path.join(work_dir, "ssj_ckpt")
+    (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)
+
+
+#: batch twin of the drained click→error interval join
+STREAMING_INTERVAL_JOIN_ORACLE = """
+WITH c AS (
+    SELECT event_id AS click_event_id, user_id,
+           (epoch_us(ts) // 1000000) AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+e AS (
+    SELECT user_id, (epoch_us(ts) // 1000000) AS error_ts, value AS error_value
+    FROM events WHERE event_type = 'error'
+)
+SELECT c.click_event_id, c.user_id, c.click_ts, e.error_ts, e.error_value
+FROM c JOIN e
+  ON c.user_id = e.user_id
+ AND e.error_ts >= c.click_ts
+ AND e.error_ts < c.click_ts + 3600
+"""
