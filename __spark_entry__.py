@@ -243,6 +243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "top_ngrams": lambda s, d: TX.top_ngrams(load_table(s, d, "documents")),
         "tfidf_top_terms": lambda s, d: TX.tfidf_top_terms(load_table(s, d, "documents")),
+        "repetition_stats": lambda s, d: TX.repetition_stats(load_table(s, d, "documents")),
+        "char_entropy": lambda s, d: TX.char_entropy(load_table(s, d, "documents")),
+        "centroid_confusion": lambda s, d: SIM.centroid_confusion(
+            load_table(s, d, "embeddings")
+        ),
         "label_centroids": lambda s, d: SIM.label_centroids(
             load_table(s, d, "embeddings")
         ),
@@ -341,6 +346,9 @@ FROM (
         "dup_clusters": M.dup_clusters_oracle(DD.ngram_jaccard_oracle()),
         "top_ngrams": TX.top_ngrams_oracle(),
         "tfidf_top_terms": TX.tfidf_top_terms_oracle(),
+        "repetition_stats": TX.repetition_stats_oracle(),
+        "char_entropy": TX.char_entropy_oracle(),
+        "centroid_confusion": SIM.centroid_confusion_oracle(),
         "label_centroids": SIM.label_centroids_oracle(),
         "online_entities": DT.online_entities_oracle(gold),
         "q1_pricing": Q.Q1_ORACLE,

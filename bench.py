@@ -83,8 +83,11 @@ HEADLINE = [
     "stratified_sample",
     "top_ngrams",
     "tfidf_top_terms",
+    "repetition_stats",
+    "char_entropy",
     "label_centroids",
     "dup_clusters",
+    "centroid_confusion",
 ]
 
 

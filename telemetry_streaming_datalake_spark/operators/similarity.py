@@ -663,3 +663,95 @@ SELECT label, dim_idx,
 FROM ex
 GROUP BY label, dim_idx
 """
+
+
+def centroid_confusion(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid classification audit: assign every vector to
+    the closest label centroid (dot product over L2-normalized means)
+    and count the (true label × assigned label) confusion cells — the
+    embedding-space quality report of a labeled corpus.
+
+    Two passes, both scale-safe: (1) the centroid build is
+    :func:`label_centroids`' partial-agg shuffle, collapsed to a
+    |labels|×dim literal and broadcast inside an Arrow pandas_udf
+    (bounded: 10×64 floats); (2) assignment is one map-only matmul per
+    batch — the corpus never shuffles; the confusion aggregate is
+    |labels|² rows.  Ties break to the lowest label id (argmax on the
+    reversed-negated score matrix — deterministic, oracle-replicable).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = (
+        label_centroids(embeddings)
+        .select("label", "dim_idx", "centroid_val")
+        .collect()
+    )
+    labels = sorted({r.label for r in cent_rows})
+    dim = max(r.dim_idx for r in cent_rows)
+    C = np.zeros((len(labels), dim))
+    lab_pos = {l: i for i, l in enumerate(labels)}
+    for r in cent_rows:
+        C[lab_pos[r.label], r.dim_idx - 1] = r.centroid_val
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    lab_arr = np.array(labels)
+
+    @pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        # float64 to match the oracle's double arithmetic exactly
+        X = np.vstack(embs.to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        scores = np.round(Xn @ Cn.T, 6)  # 6dp so ties are reproducible
+        # lowest label wins ties: argmax scans left-to-right on ties
+        best = np.argmax(scores, axis=1)
+        return pd.Series(lab_arr[best])
+
+    assigned = embeddings.select(
+        "vec_id", "label", assign(F.col("embedding")).alias("assigned_label")
+    )
+    return (
+        assigned.groupBy("label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def centroid_confusion_oracle() -> str:
+    """DuckDB twin: same centroids (unnest+avg), same normalized dot
+    product rounded to 6dp, same lowest-label tie-break (arg_max over
+    (score, -label))."""
+    return """
+WITH dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
+ex AS (
+    SELECT e.label, t.i AS dim_idx, e.embedding[t.i] AS component
+    FROM embeddings e, dims, unnest(range(1, dims.d + 1)) AS t(i)
+),
+cent AS (
+    SELECT label, dim_idx, round(avg(component), 6) AS c
+    FROM ex GROUP BY 1, 2
+),
+cent_norm AS (
+    SELECT label, dim_idx,
+           c / sqrt(sum(c * c) OVER (PARTITION BY label)) AS cn
+    FROM cent
+),
+vec_norm AS (
+    SELECT e.vec_id, e.label, t.i AS dim_idx,
+           e.embedding[t.i] / greatest(
+               sqrt(sum(e.embedding[t.i] * e.embedding[t.i])
+                    OVER (PARTITION BY e.vec_id)), 1e-12) AS vn
+    FROM embeddings e, dims, unnest(range(1, dims.d + 1)) AS t(i)
+),
+scores AS (
+    SELECT v.vec_id, v.label, c.label AS cand,
+           round(sum(v.vn * c.cn), 6) AS score
+    FROM vec_norm v JOIN cent_norm c USING (dim_idx)
+    GROUP BY 1, 2, 3
+),
+assigned AS (
+    SELECT vec_id, label, cand AS assigned_label
+    FROM scores
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, cand ASC) = 1
+)
+SELECT label, assigned_label, count(*) AS n_vecs
+FROM assigned GROUP BY 1, 2
+"""

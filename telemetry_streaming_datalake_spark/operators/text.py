@@ -368,3 +368,117 @@ SELECT doc_id, rank, term, tf, df, score FROM (
     FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# intra-document repetition (Gopher-style dup-line quality signal)
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Duplicate-line fraction per doc — the repetition quality filter
+    of large-corpus curation (docs dominated by repeated lines/menus/
+    boilerplate score high and get dropped).
+
+    Lines are split JVM-side, exploded, counted per (doc, line); the
+    per-doc aggregate computes total vs distinct to yield the repeated
+    fraction.  Two partial-agg shuffles over compact (doc_id, hash)
+    rows; token-level and char-level variants would be the same shape.
+    Empty docs yield dup_line_frac 0.0.
+    """
+    lines = documents.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\n")).alias("line"),
+    ).select("doc_id", F.trim(F.lower(F.col("line"))).alias("line"))
+    lines = lines.filter(F.length("line") > 0)
+    per_line = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_line.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_distinct_lines"),
+            F.sum(F.col("n") - 1).alias("n_repeated_lines"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_distinct_lines",
+            F.round(
+                F.col("n_repeated_lines") / F.col("n_lines"), 6
+            ).alias("dup_line_frac"),
+        )
+    )
+
+
+def repetition_stats_oracle() -> str:
+    return r"""
+WITH lines AS (
+    SELECT doc_id, trim(lower(l.line)) AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         unnest(ls) AS l(line)
+),
+nonempty AS (SELECT * FROM lines WHERE length(line) > 0),
+per_line AS (
+    SELECT doc_id, line, count(*) AS n FROM nonempty GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_lines,
+       count(*) AS n_distinct_lines,
+       round(CAST(sum(n - 1) AS DOUBLE) / sum(n), 6) AS dup_line_frac
+FROM per_line GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# character-entropy score (perplexity proxy)
+# --------------------------------------------------------------------------
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of each doc's character distribution (bits) — a
+    cheap perplexity proxy: gibberish/low-diversity docs sit at the
+    extremes and get filtered.
+
+    Chars explode JVM-side (``split`` on the empty-match regex) into
+    (doc, char) counts, then one aggregate computes
+    ``log2(N) - sum(n·log2(n))/N`` — the algebraic form that needs
+    only per-char counts, no per-char probabilities (keeps the
+    arithmetic associative for the partial agg).
+    """
+    chars = documents.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_chars"),
+            F.sum(F.col("n") * F.log2("n")).alias("sum_nlogn"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.log2("n_chars") - F.col("sum_nlogn") / F.col("n_chars"), 6
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def char_entropy_oracle() -> str:
+    return """
+WITH chars AS (
+    SELECT doc_id, c.ch
+    FROM (SELECT doc_id, string_split_regex(text, '') AS cs FROM documents),
+         unnest(cs) AS c(ch)
+    WHERE length(c.ch) > 0
+),
+per_char AS (
+    SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
+FROM per_char GROUP BY doc_id
+"""
