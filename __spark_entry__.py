@@ -102,6 +102,13 @@ def _streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_interval_join(spark, sf_dir, work)
 
 
+def _streaming_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_pub_")
+    return SP.streaming_publish_jsonl(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -258,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counter_rate": _streaming_rate,
         "streaming_sliding_counts": _streaming_sliding,
         "streaming_interval_join": _streaming_interval_join,
+        "streaming_publish_jsonl": _streaming_publish,
     }
 
 
@@ -405,6 +413,16 @@ GROUP BY metric, datestamp, hourstamp
         ),
         # drained stream-stream interval join == batch inner range join
         "streaming_interval_join": SP.STREAMING_INTERVAL_JOIN_ORACLE,
+        # published JSONL round-trips losslessly == batch dedup
+        "streaming_publish_jsonl": f"""
+WITH bronze AS ({B.BRONZE_PARSE_ORACLE})
+SELECT event_id, serial, metric, value, payload_k, unix_ts, datestamp,
+       hourstamp, unique_hash_key
+FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY unique_hash_key ORDER BY event_id) AS rn
+    FROM bronze b
+) WHERE rn = 1
+""",
         # streaming availableNow drain over a single-file feed is
         # deterministic and equals the batch dedup
         "streaming_silver_dedup": f"""

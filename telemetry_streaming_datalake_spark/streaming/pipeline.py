@@ -702,3 +702,52 @@ FROM c JOIN e
  AND e.error_ts >= c.click_ts
  AND e.error_ts < c.click_ts + 3600
 """
+
+
+# --------------------------------------------------------------------------
+# streaming publish sink (Kafka-producer analog)
+# --------------------------------------------------------------------------
+
+#: explicit wire schema of a published bronze record
+PUBLISH_WIRE_SCHEMA = (
+    "event_id BIGINT, serial STRING, metric STRING, value DOUBLE, "
+    "payload_k BIGINT, unix_ts BIGINT, datestamp STRING, hourstamp STRING, "
+    "unique_hash_key STRING"
+)
+
+
+def streaming_publish_jsonl(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Publish the deduped bronze stream as JSON strings to a text sink
+    — the Kafka-producer analog (the reference's EVO silver1 step
+    publishes key-value records back into a Kafka topic; a text dir
+    plays the topic exactly as it plays the source).  Each record
+    serializes with ``to_json(struct(...))`` into the sink's single
+    ``value`` column.
+
+    Returns the round trip: the published lines re-read and parsed
+    with ``from_json`` + the explicit wire schema — proving the
+    published feed is a lossless, schema'd contract (== batch dedup,
+    the SQL oracle).
+    """
+    out = os.path.join(work_dir, "publish_out")
+    ckpt = os.path.join(work_dir, "publish_ckpt")
+    bronze = streaming_bronze(spark, sf_dir, work_dir)
+    wire = bronze.select(
+        F.to_json(
+            F.struct(
+                "event_id", "serial", "metric", "value", "payload_k",
+                "unix_ts", "datestamp", "hourstamp", "unique_hash_key",
+            )
+        ).alias("value")
+    )
+    (
+        wire.writeStream.format("text")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    lines = spark.read.text(out)
+    return lines.select(F.from_json("value", PUBLISH_WIRE_SCHEMA).alias("r")).select("r.*")
