@@ -284,3 +284,52 @@ def test_heavy_hitters_rank_order(spark):
     out = [(r.source, r.rank, r.doc_id) for r in
            CP.heavy_hitters(docs, k=2).orderBy("source", "rank").collect()]
     assert out == [("s1", 1, 3), ("s1", 2, 1), ("s2", 1, 4)]
+
+
+def test_repetition_stats_literal(spark):
+    from pyspark.sql import Row
+
+    from telemetry_streaming_datalake_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a\nb\na\nA "),   # 'a' ×3 after trim/lower
+            Row(doc_id=2, text="x\ny"),
+        ]
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_lines == 4 and rows[1].n_distinct_lines == 2
+    assert rows[1].dup_line_frac == 0.5
+    assert rows[2].dup_line_frac == 0.0
+
+
+def test_char_entropy_extremes(spark):
+    from pyspark.sql import Row
+
+    from telemetry_streaming_datalake_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaaa"), Row(doc_id=2, text="abcd")]
+    )
+    rows = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert rows[1].entropy_bits == 0.0          # single symbol: zero entropy
+    assert rows[2].entropy_bits == 2.0          # 4 equiprobable symbols: 2 bits
+
+
+def test_centroid_confusion_total(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.operators.similarity import (
+        centroid_confusion,
+    )
+
+    conf = centroid_confusion(embeddings).cache()
+    assert conf.agg(F.sum("n_vecs")).first()[0] == embeddings.count()
+    # centroids are class means: diagonal mass must clearly beat the
+    # uniform-random 1/n_labels floor (the synthetic embeddings are
+    # only weakly clustered, so exact accuracy is data-dependent)
+    n_labels = conf.select("label").distinct().count()
+    diag = conf.filter(F.col("label") == F.col("assigned_label")).agg(
+        F.sum("n_vecs")
+    ).first()[0]
+    assert diag > 2 * embeddings.count() / n_labels
