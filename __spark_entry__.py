@@ -43,6 +43,8 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
 PURGE_CUTOFF = "2024-01-15"
 #: unix seconds of PURGE_CUTOFF — the MERGE demo's target/source split
 MERGE_CUTOFF_UNIX = 1705276800
+#: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
+INCR_CUTOFF_UNIX = 1705278600
 
 
 # ---------------------------------------------------------------- pipeline
@@ -178,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_latest": lambda s, d: M.merge_upsert_latest(
             _gold(s, d), MERGE_CUTOFF_UNIX
         ),
+        "incremental_rollup": lambda s, d: R.incremental_rollup_hour(
+            _gold(s, d), INCR_CUTOFF_UNIX
+        ),
         "dup_clusters": lambda s, d: M.dup_clusters(
             DD.ngram_jaccard_dedup(load_table(s, d, "documents"))
         ),
@@ -307,6 +312,8 @@ FROM (
         "custom_metric_sum": CM.custom_metric_sum_oracle(gold),
         "custom_metric_join": CM.custom_metric_join_oracle(gold),
         "agg_hour": R.rollup_oracle(gold, bucket_hour, "bucket_ts"),
+        # incremental partial-merge must equal the from-scratch rollup
+        "incremental_rollup": R.rollup_oracle(gold, bucket_hour, "bucket_ts"),
         "agg_day": R.rollup_oracle(gold, bucket_day, "bucket_ts"),
         "agg_month": R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
         "latest_metric": L.latest_oracle(gold),

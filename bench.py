@@ -49,6 +49,7 @@ HEADLINE = [
     "order_window_activity",
     "partition_stats",
     "merge_upsert_latest",
+    "incremental_rollup",
     "q1_pricing",
     "q3_shipping",
     "q5_supplier",

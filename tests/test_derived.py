@@ -158,3 +158,26 @@ def test_gapfill_hourly_locf(spark):
     assert rows[3600].value_locf == 1.0 and rows[3600].is_filled
     assert rows[7200].value_locf == 1.0 and rows[7200].n_obs == 0
     assert rows[10800].value_locf == 4.0 and not rows[10800].is_filled
+
+
+def test_incremental_rollup_boundary_bucket_merges(spark, events, customer):
+    """The cutoff is mid-hour, so the boundary hour bucket must take
+    rows from BOTH the stored partials and the delta — and still equal
+    the from-scratch rollup exactly."""
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import silver as S
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+    from telemetry_streaming_datalake_spark.operators import temporal as TT
+
+    silver = S.to_silver(B.dedup_exact(B.parse_bronze(events)), dm.metric_mapping(spark))
+    gold = TT.enrich_gold(silver, dm.remote_history(spark, customer)).cache()
+    mid = int(gold.agg(F.expr("percentile(unix_ts, 0.5)")).first()[0])
+    cutoff = (mid - mid % 3600) + 1800  # mid-hour
+    inc = R.incremental_rollup_hour(gold, cutoff)
+    full = R.rollup_hour(gold)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    # the boundary bucket exists on both sides of the cutoff
+    b = cutoff - cutoff % 3600
+    pre = gold.filter((F.col("unix_ts") >= b) & (F.col("unix_ts") < cutoff)).count()
+    post = gold.filter((F.col("unix_ts") >= cutoff) & (F.col("unix_ts") < b + 3600)).count()
+    assert pre > 0 and post > 0
