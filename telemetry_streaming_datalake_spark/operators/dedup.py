@@ -283,8 +283,29 @@ def dedup_minhash(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    sets = hashed_shingle_sets(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = sets.select("doc_id", _signatures_from_sets()(F.col("sh")).alias("signature"))
+    # sets AND signatures come out of ONE groupBy over the exploded
+    # shingles: collect_set rides with the 128 codegen min-aggregates,
+    # so the corpus is scanned once, shuffled once, and no Python
+    # worker is involved anywhere in this operator (the pandas
+    # signature path `_signatures_from_sets` remains for callers that
+    # already hold materialized sets)
+    params = _perm_params(MINHASH_K)
+    h = F.pmod(F.xxhash64("s"), F.lit(MINHASH_PRIME))
+    mins = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    fused = (
+        exploded_shingles(documents)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("s")).alias("sh"), *mins)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sets = fused.select("doc_id", "sh")
+    sigs = fused.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("signature"),
+    )
     cands = lsh_candidate_pairs(sigs)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -333,3 +333,25 @@ def test_centroid_confusion_total(spark, embeddings):
         F.sum("n_vecs")
     ).first()[0]
     assert diag > 2 * embeddings.count() / n_labels
+
+
+def test_minhash_signature_paths_agree(spark, documents):
+    """The Arrow/numpy signature path (from materialized sets) and the
+    codegen pmod-aggregate path (from exploded shingles) must produce
+    byte-identical signatures — pins the int64 wrap/pmod equivalence
+    the two implementations rely on."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    sets = DD.hashed_shingle_sets(documents)
+    via_pandas = {
+        r.doc_id: r.signature
+        for r in sets.select(
+            "doc_id", DD._signatures_from_sets()(F.col("sh")).alias("signature")
+        ).collect()
+    }
+    via_jvm = {
+        r.doc_id: r.signature for r in DD.minhash_signatures(documents).collect()
+    }
+    assert via_pandas == via_jvm
