@@ -211,6 +211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo": lambda s, d: Q.q14_promo_revenue(
             load_table(s, d, "lineitem"), load_table(s, d, "part")
         ),
+        "q7_nation_volume": lambda s, d: Q.q7_nation_volume(
+            **load_tables(s, d, "customer", "orders", "lineitem", "supplier", "nation")
+        ),
+        "q18_large_orders": lambda s, d: Q.q18_large_orders(
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
         # --- LLM-data-pipeline operators (SURVEY §2 #26-36) ---
         "dedup_exact": lambda s, d: DD.dedup_exact_docs(load_table(s, d, "documents")),
         "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
@@ -374,6 +382,8 @@ FROM (
         "q10_returns": Q.Q10_ORACLE,
         "q12_priority": Q.Q12_ORACLE,
         "q14_promo": Q.Q14_ORACLE,
+        "q7_nation_volume": Q.Q7_ORACLE,
+        "q18_large_orders": Q.q18_oracle(),
         # LLM ops (minhash/simhash are xxhash64-bound → rows-only)
         "dedup_exact": DD.DEDUP_EXACT_ORACLE,
         "ann_lsh": SIM.ann_lsh_topk_oracle(ANN_QUERY_IDS),

@@ -57,6 +57,8 @@ HEADLINE = [
     "q10_returns",
     "q12_priority",
     "q14_promo",
+    "q7_nation_volume",
+    "q18_large_orders",
     "adhoc_gold_slice",
     "dedup_exact",
     "dedup_minhash",

@@ -328,3 +328,103 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
 """
+
+
+def q7_nation_volume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     supplier: DataFrame, nation: DataFrame,
+                     nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: revenue shipped between
+    two nations per ship-year, both directions.
+
+    The nation pair filter lands on the broadcast dim side, pruning
+    the fact stream inside the join; revenue sums in exact decimal;
+    one partial-agg shuffle on (supp_nation, cust_nation, year).
+    """
+    n = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    s = supplier.join(F.broadcast(n), supplier["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    c = customer.join(F.broadcast(n), customer["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    j = (
+        lineitem.join(F.broadcast(s), lineitem["l_suppkey"] == s["s_suppkey"])
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(c), orders["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+           AS revenue
+FROM (
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           l_extendedprice, l_discount
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+      AND nc.n_name IN ('NATION_1', 'NATION_2')
+      AND ns.n_name <> nc.n_name
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def q18_large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     qty_threshold: int = 250) -> DataFrame:
+    """TPC-H Q18-style large-volume-order audit: orders whose total
+    lineitem quantity exceeds the threshold, with customer attribution.
+
+    The quantity HAVING aggregate runs on the fact FIRST (one
+    partial-agg shuffle on orderkey); only the few surviving orders
+    join the dims — broadcast — so the heavy side never re-shuffles.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > qty_threshold)
+    )
+    j = (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_unix"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "total_qty",
+    )
+
+
+def q18_oracle(qty_threshold: int = 250) -> str:
+    return f"""
+SELECT c_custkey, c_name, o_orderkey,
+       (epoch_us(o_orderdate) // 1000000) AS order_unix,
+       round(o_totalprice, 2) AS o_totalprice,
+       total_qty
+FROM (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > {qty_threshold}
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
