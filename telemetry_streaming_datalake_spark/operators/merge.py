@@ -150,6 +150,7 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(CC_MAX_ITERS):
         offered = (
             edges.join(labels, edges["u"] == labels["node"])
@@ -179,6 +180,14 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a component with diameter > CC_MAX_ITERS would otherwise return
+        # split cluster_ids as if correct — fail loudly instead
+        raise RuntimeError(
+            f"dup_clusters did not converge in {CC_MAX_ITERS} rounds "
+            f"({changed} labels still changing); raise CC_MAX_ITERS for "
+            "long-chain components"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -692,7 +692,9 @@ def centroid_confusion(embeddings: DataFrame) -> DataFrame:
     lab_pos = {l: i for i, l in enumerate(labels)}
     for r in cent_rows:
         C[lab_pos[r.label], r.dim_idx - 1] = r.centroid_val
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # same 1e-12 floor as the vector side: an all-zero centroid (possible
+    # after 6dp rounding) must score 0 everywhere, not NaN-argmax
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     lab_arr = np.array(labels)
 
     @pandas_udf("int")
@@ -730,7 +732,7 @@ cent AS (
 ),
 cent_norm AS (
     SELECT label, dim_idx,
-           c / sqrt(sum(c * c) OVER (PARTITION BY label)) AS cn
+           c / greatest(sqrt(sum(c * c) OVER (PARTITION BY label)), 1e-12) AS cn
     FROM cent
 ),
 vec_norm AS (

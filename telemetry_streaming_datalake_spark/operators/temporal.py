@@ -105,16 +105,18 @@ def asof_join(
     is ill-defined in any engine.
     """
     lhs = left.withColumn("__side", F.lit(1))
-    rhs_proj = [F.col(c).alias(f"__r_{c}") for c in right_cols]
+    # all right attributes ride in ONE struct so the window carries the
+    # single most recent right ROW — carrying each column independently
+    # would let a legitimately-NULL column fall back to an older
+    # observation while its siblings take the newest (not as-of semantics)
     rhs = right.select(
         F.col(key).alias(key),
         F.col(right_ts).alias(left_ts),
-        *rhs_proj,
+        F.struct(*right_cols).alias("__r"),
     ).withColumn("__side", F.lit(0))
     for c in (c for c in lhs.columns if c not in rhs.columns):
         rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
-    for c in (f"__r_{c}" for c in right_cols):
-        lhs = lhs.withColumn(c, F.lit(None).cast(dict(rhs.dtypes)[c]))
+    lhs = lhs.withColumn("__r", F.lit(None).cast(dict(rhs.dtypes)["__r"]))
     u = lhs.unionByName(rhs)
     w = (
         Window.partitionBy(key)
@@ -124,12 +126,12 @@ def asof_join(
     filled = u.select(
         *[c for c in left.columns],
         "__side",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     out = filled.filter(F.col("__side") == 1).drop("__side")
     return out.select(
         *[c for c in left.columns],
-        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        *[F.col(f"__r.{c}").alias(c) for c in right_cols],
     )
 
 

@@ -220,12 +220,19 @@ def _rate_state_fn(key, pdfs, state):
     else:
         last_ts, last_id, last_val = None, -1, None
     out = []
-    for pdf in pdfs:
-        pdf = (
-            pdf.sort_values(["unix_ts", "event_id"])
+    # applyInPandasWithState delivers a group's rows across multiple Arrow
+    # chunks in arbitrary shuffle order — sorting/deduping per chunk would
+    # silently drop out-of-order readings once a group spans chunks, so
+    # materialize the whole group before the single sorted pass.  The
+    # `ts <= last_ts` guard below is cross-BATCH only (state carry).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["unix_ts", "event_id"])
             .drop_duplicates("unix_ts", keep="first")
         )
-        for r in pdf.itertuples(index=False):
+        for r in whole.itertuples(index=False):
             ts, val = int(r.unix_ts), float(r.value)
             if last_ts is not None and ts <= last_ts:
                 continue

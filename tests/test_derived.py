@@ -98,6 +98,22 @@ def test_asof_join_picks_latest_prior(spark):
     assert got[(2, 10)] is None  # key never on right side
 
 
+def test_asof_join_null_right_column_same_row(spark):
+    """All attached attributes must come from the SINGLE as-of row —
+    a legitimately-NULL column must not fall back to an older right row
+    while its siblings take the newest."""
+    left = spark.createDataFrame([Row(key=1, ts=25)])
+    right = spark.createDataFrame(
+        [Row(key=1, rts=5, v="old", w="x"), Row(key=1, rts=20, v=None, w="y")]
+    )
+    res = T.asof_join(
+        left, right, key="key", left_ts="ts", right_ts="rts", right_cols=["v", "w"]
+    )
+    row = res.collect()[0]
+    assert row.w == "y"
+    assert row.v is None  # NOT "old" — ASOF returns the row including its NULLs
+
+
 def test_asof_join_inclusive_bound(spark):
     left = spark.createDataFrame([Row(key=1, ts=10)])
     right = spark.createDataFrame([Row(key=1, rts=10, v="same")])

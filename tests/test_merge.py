@@ -47,6 +47,15 @@ def test_dup_clusters_chain_diameter(spark):
     assert len(got) == 9
 
 
+def test_dup_clusters_nonconvergence_raises(spark, monkeypatch):
+    """A component whose diameter exceeds the round bound must fail
+    loudly instead of returning split cluster_ids as if correct."""
+    monkeypatch.setattr(M, "CC_MAX_ITERS", 3)
+    pairs = spark.createDataFrame([Row(doc_a=i, doc_b=i + 1) for i in range(1, 9)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        M.dup_clusters(pairs).collect()
+
+
 def test_merge_upsert_latest_equals_global_latest(spark, events, customer):
     """Merging the pre-cutoff store with the post-cutoff batch must
     reproduce the latest view computed over ALL data in one pass."""

@@ -261,6 +261,41 @@ def test_three_hop_streaming_gold_matches_batch(spark, tmp_path):
     assert got.exceptAll(want.select(*got.columns)).count() == 0
 
 
+def test_rate_state_fn_group_spanning_chunks():
+    """applyInPandasWithState delivers a group's rows across multiple
+    Arrow chunks in arbitrary order — the rate function must see the
+    whole group sorted, not sort/dedup each chunk independently (an
+    out-of-order reading in a later chunk would be silently dropped)."""
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.stored = v
+
+    def run(chunks):
+        state = FakeState()
+        frames = list(
+            SP._rate_state_fn(("s1", "m1"), iter(chunks), state)
+        )
+        return pd.concat(frames, ignore_index=True), state.stored
+
+    cols = ["unix_ts", "event_id", "value"]
+    # chunk 2 holds a reading EARLIER than chunk 1's — shuffle order
+    chunk1 = pd.DataFrame([[100, 1, 10.0], [300, 3, 30.0]], columns=cols)
+    chunk2 = pd.DataFrame([[200, 2, 20.0]], columns=cols)
+    out, stored = run([chunk1, chunk2])
+    want, want_state = run(
+        [pd.DataFrame([[100, 1, 10.0], [200, 2, 20.0], [300, 3, 30.0]], columns=cols)]
+    )
+    assert out.values.tolist() == want.values.tolist()
+    assert stored == want_state
+    assert list(out["unix_ts"]) == [200, 300]  # both rates emitted
+    assert list(out["delta_secs"]) == [100, 100]
+
+
 def test_streaming_counter_rate_carries_state_across_batches(spark, tmp_path):
     """Time-split the feed into two files drained one per micro-batch:
     the rate of the first batch-2 reading must be computed against the
