@@ -126,22 +126,50 @@ def hashed_shingle_sets(documents: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
-def bucket_pairs(banded: DataFrame, key_cols: list[str], payload: list[str]) -> DataFrame:
-    """Unordered within-bucket pairs: groupBy(bucket) → collect_list →
-    double explode, filtered to ``first payload col: a < b``.
+#: per-bucket membership cap for pair expansion.  A mass-duplicated
+#: boilerplate doc shares ALL its bands, so without a cap one hot bucket
+#: concentrates |bucket|²/2 pairs in a single task and the collect_list
+#: array can exceed Spark's 2 GB single-value limit.  256 members still
+#: yields 32k pairs per bucket — far beyond any banding-design bucket —
+#: while bounding task memory.  Identical docs should be removed by
+#: exact dedup upstream (dedup_exact_docs); the cap is the backstop.
+BUCKET_CAP = 256
+
+
+def bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    payload: list[str],
+    cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Unordered within-bucket pairs: cap → groupBy(bucket) →
+    collect_list → double explode, filtered to ``first payload col:
+    a < b``.
 
     Why not a self-join on the bucket key: both join branches would
     re-execute the whole upstream plan (signature computations — Spark
     does not reuse exchanges across pandas-udf/generate subtrees), and
     the bucket contents would shuffle twice.  This shape evaluates the
     signatures ONCE, shuffles each row once, and expands pairs locally
-    per bucket.  Bucket sizes are bounded by the banding design, so the
-    per-bucket quadratic expansion stays small; pathological buckets
-    are a banding-width problem, not a join-strategy one.
+    per bucket.
+
+    Hot-bucket bound: members beyond ``cap`` per bucket (deterministic
+    ``row_number`` order on the first payload col) do not enter pair
+    expansion, so the collected array is ≤ cap structs regardless of
+    corpus pathology (10k identical docs land in ONE bucket otherwise).
+    The row_number window itself is safe — WindowExec spills its
+    partition buffer to disk, unlike a collect_list value.  Use
+    :func:`bucket_truncation` to monitor how much a corpus clips.
     Output columns: ``a_<col>`` / ``b_<col>`` for each payload col.
     """
+    w = Window.partitionBy(*key_cols).orderBy(payload[0])
+    capped = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
     st = F.struct(*[F.col(c) for c in payload])
-    g = banded.groupBy(*key_cols).agg(F.collect_list(st).alias("items"))
+    g = capped.groupBy(*key_cols).agg(F.collect_list(st).alias("items"))
     p1 = g.select("items", F.explode("items").alias("x"))
     p2 = p1.select("x", F.explode("items").alias("y"))
     out = p2.filter(F.col(f"x.{payload[0]}") < F.col(f"y.{payload[0]}")).select(
@@ -149,6 +177,24 @@ def bucket_pairs(banded: DataFrame, key_cols: list[str], payload: list[str]) -> 
         *[F.col(f"y.{c}").alias(f"b_{c}") for c in payload],
     )
     return out
+
+
+def bucket_truncation(
+    banded: DataFrame, key_cols: list[str], cap: int = BUCKET_CAP
+) -> DataFrame:
+    """Truncation metric for :func:`bucket_pairs`: one row with the
+    number of over-cap buckets and the members clipped from pairing.
+    Evaluate alongside the dedup job (it is a cheap keyed count, the
+    same shuffle key as the pair expansion) and alert when
+    ``clipped_members`` is non-zero — it means near-dup recall is being
+    traded for bounded task memory on a pathological corpus."""
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias("hot_buckets"),
+        F.sum(
+            F.when(F.col("n") > cap, F.col("n") - cap).otherwise(0)
+        ).alias("clipped_members"),
+    )
 
 
 #: modulus for the permutation family (Mersenne prime 2^31-1); keeps

@@ -52,6 +52,38 @@ def test_simhash_hamming_small_for_near_dups(spark):
     assert ham <= 12  # near-identical token sets → close fingerprints
 
 
+def test_bucket_pairs_hot_bucket_bounded(spark):
+    """10k identical docs share every band — without the cap this is
+    ONE bucket whose collect_list array and quadratic explode run in a
+    single task (the 100 TB boilerplate pathology).  The cap must bound
+    pair output to C(cap, 2) and the truncation metric must report the
+    clipped mass."""
+    n, cap = 10_000, DD.BUCKET_CAP
+    banded = spark.range(n).select(
+        F.lit(0).alias("band_idx"),
+        F.lit(12345).alias("chunk"),
+        F.col("id").alias("doc_id"),
+    )
+    pairs = DD.bucket_pairs(banded, ["band_idx", "chunk"], ["doc_id"])
+    assert pairs.count() == cap * (cap - 1) // 2  # not n*(n-1)/2 ≈ 50M
+    trunc = DD.bucket_truncation(banded, ["band_idx", "chunk"]).collect()[0]
+    assert trunc.hot_buckets == 1
+    assert trunc.clipped_members == n - cap
+
+
+def test_minhash_identical_corpus_bounded(spark):
+    """dedup_minhash over a mass-duplicated corpus completes with
+    bounded pair output (every emitted pair is jaccard 1.0)."""
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate paragraph repeated everywhere").alias("text"),
+    )
+    out = DD.dedup_minhash(docs)
+    cnt = out.count()
+    assert 0 < cnt <= DD.BUCKET_CAP * (DD.BUCKET_CAP - 1) // 2
+    assert out.filter(F.col("jaccard") < 1.0).count() == 0
+
+
 def test_cosine_topk_exact_neighbors(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
