@@ -396,7 +396,9 @@ FROM (
         "q14_promo": Q.Q14_ORACLE,
         "q7_nation_volume": Q.Q7_ORACLE,
         "q18_large_orders": Q.q18_oracle(),
-        # LLM ops (minhash/simhash are xxhash64-bound → rows-only)
+        # LLM ops
+        "dedup_minhash": DD.dedup_minhash_oracle(),
+        "dedup_simhash": DD.simhash_near_dups_oracle(),
         "dedup_exact": DD.DEDUP_EXACT_ORACLE,
         "ann_lsh": SIM.ann_lsh_topk_oracle(ANN_QUERY_IDS),
         "ann_ivf": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),

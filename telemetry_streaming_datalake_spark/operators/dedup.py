@@ -370,15 +370,26 @@ def dedup_minhash(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
 # SimHash
 # --------------------------------------------------------------------------
 
-SIMHASH_BITS = 64
+#: fingerprint width.  60 (not 64) because the token hash is the first
+#: 15 hex chars of md5 — a hash BOTH Spark (conv/substring/md5) and
+#: DuckDB ('0x'||substr(md5)::BIGINT) compute bit-identically, which is
+#: what makes the whole operator oracle-checkable end-to-end (xxhash64
+#: has no DuckDB twin).  60 bits split evenly into 4 × 15-bit chunks.
+SIMHASH_BITS = 60
+
+
+def _md5_60(col):
+    """First 60 bits of md5 as a non-negative long — the cross-engine
+    token hash (Spark conv(hex,16,10) == DuckDB '0x'||hex cast)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash over word tokens — shuffle-free.
+    """60-bit SimHash over word tokens — shuffle-free.
 
     For each bit b: sum over tokens of ±1 according to bit b of
-    xxhash64(token); sign of the sum is the fingerprint bit.  Tokens
-    are hashed JVM-side (``transform``+``xxhash64`` — interpreted HOF,
+    the token hash; sign of the sum is the fingerprint bit.  Tokens
+    are hashed JVM-side (``transform`` + md5 — interpreted HOF,
     but hashing is a trivial fraction of the work), then one Arrow
     batch per partition reaches a pandas_udf that unpacks the hash
     bits into an (n_tokens × 64) matrix and reduces it with numpy —
@@ -415,12 +426,12 @@ def simhash(documents: DataFrame) -> DataFrame:
         documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     hashed = spread.select(
-        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("h")
+        "doc_id", F.transform("toks", lambda t: _md5_60(t)).alias("h")
     )
     return hashed.select("doc_id", fp64("h").alias("simhash"))
 
 
-#: 64-bit fingerprint blocked as 4 × 16-bit chunks; pairs within
+#: 60-bit fingerprint blocked as 4 × 15-bit chunks; pairs within
 #: hamming ≤ 3 are guaranteed found (pigeonhole: 3 flipped bits cannot
 #: touch all 4 chunks)
 SIMHASH_CHUNKS = 4
@@ -447,6 +458,10 @@ def simhash_near_dups(
     chunk_bits = SIMHASH_BITS // chunks
     mask = (1 << chunk_bits) - 1
     fp = simhash(documents)
+    # the banded result is provably EQUAL to all-pairs hamming <= 3
+    # (pigeonhole over the 4 chunks), and the md5-based fingerprint is
+    # engine-portable — so the whole operator has an exact DuckDB twin
+    # (simhash_near_dups_oracle) despite never going all-pairs itself
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
@@ -466,6 +481,81 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
+
+
+def simhash_near_dups_oracle(hamming_max: int = HAMMING_MAX) -> str:
+    """Exact DuckDB twin of :func:`simhash_near_dups`: recompute the
+    60-bit md5-token SimHash per doc (same normalize → distinct tokens
+    → ±1 bit votes → sign), then ALL-PAIRS ``bit_count(xor) <= h``.
+
+    The engine never goes all-pairs — chunk blocking guarantees it
+    finds exactly this set (pigeonhole) — so the oracle checks BOTH the
+    fingerprint math and the completeness of the banding in one
+    equality.  All-pairs is affordable oracle-side at sf0.01 (500
+    docs = 125k pairs)."""
+    return f"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+),
+votes AS (
+    SELECT doc_id, b.b AS b,
+           sum(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM h, unnest(range(0, 60)) AS b(b)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS f
+    FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.f, b.f))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {hamming_max}
+"""
+
+
+def dedup_minhash_oracle(threshold: float = 0.7) -> str:
+    """DuckDB twin of :func:`dedup_minhash`: exact all-pairs Jaccard
+    over distinct normalized 5-gram shingles, thresholded.
+
+    This is a strict precision AND recall check: the engine's emitted
+    ``jaccard`` is already computed from the true shingle sets (banding
+    only *generates candidates*), so precision is structural; equality
+    with this oracle additionally proves the banding missed nothing.
+    Banding recall is deterministic here — the permutation family is
+    seeded, and every above-threshold pair in the test corpora has
+    J >= 0.92, where a 16-band/8-row miss has probability ~2e-5 per
+    pair (verified exact at sf0.001 and sf0.01).  All-pairs is
+    oracle-side only; the engine never does it."""
+    return f"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+    FROM documents
+),
+ex AS (
+    SELECT DISTINCT doc_id, substr(t, i, 5) AS s
+    FROM norm, unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
+"""
 
 
 # --------------------------------------------------------------------------

@@ -52,6 +52,27 @@ def test_simhash_hamming_small_for_near_dups(spark):
     assert ham <= 12  # near-identical token sets → close fingerprints
 
 
+def test_simhash_banding_complete_vs_allpairs(spark, documents):
+    """Chunk blocking must find EXACTLY the all-pairs hamming<=3 set
+    (pigeonhole: 3 flipped bits cannot touch all 4 chunks) — the same
+    equality the DuckDB oracle asserts, checked engine-side."""
+    fp = DD.simhash(documents)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"))
+    allpairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= DD.HAMMING_MAX)
+    )
+    want = sorted(tuple(r) for r in allpairs.collect())
+    got = sorted(tuple(r) for r in DD.simhash_near_dups(documents).collect())
+    assert got == want
+
+
 def test_bucket_pairs_hot_bucket_bounded(spark):
     """10k identical docs share every band — without the cap this is
     ONE bucket whose collect_list array and quadratic explode run in a
