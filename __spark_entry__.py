@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- block D: new/upgraded round-5 keys ---
         "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: DD.simhash_near_dups(load_table(s, d, "documents")),
+        "stage_delay_report": lambda s, d: DT.stage_delay_report(
+            _bronze(s, d), _silver(s, d), _gold(s, d), dm.metric_mapping(s)
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -339,6 +342,9 @@ FROM (
         "latest_metric": L.latest_oracle(gold),
         "serving_kv": L.serving_kv_oracle(gold),
         "gap_detect": DT.gap_detect_oracle(silver),
+        "stage_delay_report": DT.stage_delay_report_oracle(
+            B.BRONZE_PARSE_ORACLE, silver, gold
+        ),
         "serving_latest_monitor": DT.serving_latest_monitor_oracle(L.latest_oracle(gold)),
         "orphan_usage": DT.orphan_usage_oracle(
             f"""

@@ -170,6 +170,127 @@ GROUP BY ALL
 
 
 # --------------------------------------------------------------------------
+# cross-stage time-through-system report
+# --------------------------------------------------------------------------
+
+#: pipeline stage order for the delay report
+STAGE_IDX = {"BRONZE": 0, "SILVER": 1, "GOLD": 2}
+
+
+def stage_delay_report(
+    bronze: DataFrame, silver: DataFrame, gold: DataFrame, mapping: DataFrame
+) -> DataFrame:
+    """Time-through-system report: latest timestamp per provider at
+    EACH medallion stage, with the stage-to-stage relative delays.
+
+    Reference: ``Detection Data Lack/Bronze to Gold - Report the time
+    through system and capture relative delays.scala:60-150`` (per-
+    provider bronze/gold/serving delay aggregates merged into one
+    monitoring table) and ``Data Lack Detection for
+    d-pipeline.scala:32-80`` (per-stage ``max(timestamp)`` unioned
+    under a ``Stage`` label).  This is the reference's main operational
+    dashboard: a provider whose GOLD latest trails its BRONZE latest
+    has rows stuck between stages.
+
+    Output: one row per (stage, provider) with ``latest_ts``,
+    ``n_rows``, the provider's bronze high-water mark, ``delay_vs_
+    bronze`` (how far this stage trails ingest) and ``delay_vs_prev``
+    (the delay introduced by this stage alone; NULL on BRONZE rows).
+
+    Scale shape: each stage contributes ONE partial-agg shuffle over
+    its (materialized) table, reduced to provider-count rows before
+    the union; the windows and the provider-name join run on a frame
+    of ~3 × n_providers rows.  Deterministic (no wall-clock): delays
+    are relative between stages, not vs now.
+    """
+    from pyspark.sql import Window
+
+    providers = mapping.select("provider_id", "provider_name").distinct()
+    b = bronze.join(
+        F.broadcast(mapping.select("raw_symbol", "provider_id")),
+        bronze["metric"] == F.col("raw_symbol"),
+    )
+
+    def stage_agg(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy("provider_id")
+            .agg(F.max("unix_ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(label).alias("stage"),
+                F.lit(STAGE_IDX[label]).alias("__idx"),
+                "provider_id",
+                "latest_ts",
+                "n_rows",
+            )
+        )
+
+    staged = (
+        stage_agg(b, "BRONZE")
+        .unionByName(stage_agg(silver, "SILVER"))
+        .unionByName(stage_agg(gold, "GOLD"))
+    )
+    per_provider = Window.partitionBy("provider_id")
+    by_stage = Window.partitionBy("provider_id").orderBy("__idx")
+    return (
+        staged.withColumn(
+            "bronze_latest",
+            F.max(F.when(F.col("stage") == "BRONZE", F.col("latest_ts"))).over(
+                per_provider
+            ),
+        )
+        .withColumn("delay_vs_bronze", F.col("bronze_latest") - F.col("latest_ts"))
+        .withColumn(
+            "delay_vs_prev", F.lag("latest_ts").over(by_stage) - F.col("latest_ts")
+        )
+        .join(F.broadcast(providers), "provider_id")
+        .select(
+            "stage",
+            "provider_id",
+            "provider_name",
+            "latest_ts",
+            "n_rows",
+            "bronze_latest",
+            "delay_vs_bronze",
+            "delay_vs_prev",
+        )
+    )
+
+
+def stage_delay_report_oracle(bronze_cte: str, silver_cte: str, gold_cte: str) -> str:
+    return (
+        f"WITH bronze AS ({bronze_cte}), silver AS ({silver_cte}), "
+        f"gold AS ({gold_cte}), "
+        + METRIC_MAPPING_CTE.strip()
+        + """,
+b AS (
+    SELECT m.provider_id, max(unix_ts) AS latest_ts, count(*) AS n_rows
+    FROM bronze JOIN metric_mapping m ON bronze.metric = m.raw_symbol
+    GROUP BY 1
+),
+staged AS (
+    SELECT 'BRONZE' AS stage, 0 AS idx, provider_id, latest_ts, n_rows FROM b
+    UNION ALL
+    SELECT 'SILVER', 1, provider_id, max(unix_ts), count(*) FROM silver GROUP BY 3
+    UNION ALL
+    SELECT 'GOLD', 2, provider_id, max(unix_ts), count(*) FROM gold GROUP BY 3
+),
+providers AS (SELECT DISTINCT provider_id, provider_name FROM metric_mapping),
+rep AS (
+    SELECT stage, idx, provider_id, latest_ts, n_rows,
+           max(CASE WHEN stage = 'BRONZE' THEN latest_ts END)
+               OVER (PARTITION BY provider_id) AS bronze_latest,
+           lag(latest_ts) OVER (PARTITION BY provider_id ORDER BY idx)
+               - latest_ts AS delay_vs_prev
+    FROM staged
+)
+SELECT stage, r.provider_id, provider_name, latest_ts, n_rows, bronze_latest,
+       bronze_latest - latest_ts AS delay_vs_bronze, delay_vs_prev
+FROM rep r JOIN providers USING (provider_id)
+"""
+    )
+
+
+# --------------------------------------------------------------------------
 # cross-stage aggregate consistency
 # --------------------------------------------------------------------------
 

@@ -69,3 +69,24 @@ def test_agg_consistency_stages_agree_on_total(spark, events, customer):
     assert day.keys() == month.keys()
     for k in day:
         assert abs(day[k] - month[k]) < 1e-5, k
+
+
+def test_stage_delay_report_invariants(spark, events, customer):
+    """BRONZE rows anchor the report: delay_vs_bronze == 0 and no
+    previous stage; later stages only ever trail ingest (silver/gold
+    are row subsets of bronze), so delays are non-negative."""
+    bronze = B.parse_bronze(events)
+    silver = S.to_silver(B.dedup_exact(bronze), dm.metric_mapping(spark))
+    gold = T.enrich_gold(silver, dm.remote_history(spark, customer))
+    rep = DT.stage_delay_report(bronze, silver, gold, dm.metric_mapping(spark)).collect()
+    stages = {(r.stage, r.provider_id) for r in rep}
+    providers = {p for _, p in stages}
+    assert {s for s, _ in stages} == {"BRONZE", "SILVER", "GOLD"}
+    for r in rep:
+        if r.stage == "BRONZE":
+            assert r.delay_vs_bronze == 0 and r.delay_vs_prev is None
+        else:
+            assert r.delay_vs_bronze >= 0 and r.delay_vs_prev >= 0
+        assert r.bronze_latest >= r.latest_ts
+    # every provider reports every stage on this corpus
+    assert len(stages) == 3 * len(providers)
