@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stage_delay_report": lambda s, d: DT.stage_delay_report(
             _bronze(s, d), _silver(s, d), _gold(s, d), dm.metric_mapping(s)
         ),
+        "bronze_feed_c": lambda s, d: FB.bronze_feed_c(load_table(s, d, "events")),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -328,6 +329,7 @@ FROM (
         "silver_metrics": silver,
         "silver_explode": S.silver_explode_oracle(B.BRONZE_PAYLOAD_ORACLE),
         "bronze_feed_b": FB.BRONZE_FEED_B_ORACLE,
+        "bronze_feed_c": FB.BRONZE_FEED_C_ORACLE,
         # text connectors must land byte-identical bronze to the parquet path
         "bronze_jsonl": B.BRONZE_PARSE_ORACLE,
         "bronze_csv": B.BRONZE_PARSE_ORACLE,

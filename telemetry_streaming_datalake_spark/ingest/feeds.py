@@ -149,3 +149,197 @@ SELECT
                                       AS unique_hash_key
 FROM events
 """
+
+
+# --------------------------------------------------------------------------
+# provider C: ONE topic, MIXED record schemas, type-dispatched parse
+# --------------------------------------------------------------------------
+
+#: unified explicit schema for the mixed-type provider-C topic: every
+#: record carries ``type``; the remaining fields are populated per
+#: type (absent fields parse as NULL and the dispatch ignores them)
+FEED_C_SCHEMA = (
+    "type STRING, sn STRING, m STRING, "
+    "eid BIGINT, ts BIGINT, val DOUBLE, code STRING, "
+    "eid_arr ARRAY<BIGINT>, ts_arr ARRAY<BIGINT>, val_arr ARRAY<DOUBLE>"
+)
+
+FEED_C_SALT = "feedc"
+
+
+def _status_ladder(code):
+    """The hubstatus-style discrete remap (reference:
+    ``Bronze-Silver/Part2 ….scala:498`` remaps raw status codes with a
+    nested ``when`` ladder: 1→1, 6→3, 2..5→0, else 2)."""
+    return (
+        F.when(code == "1", F.lit(1.0))
+        .when(code == "6", F.lit(3.0))
+        .when(code.isin("2", "3", "4", "5"), F.lit(0.0))
+        .otherwise(F.lit(2.0))
+    )
+
+
+def pack_feed_c(events: DataFrame) -> DataFrame:
+    """Deterministically pack ``events`` into the mixed provider-C
+    topic: ``event_id % 3`` routes each event to one of three record
+    shapes sharing a single stream —
+
+    - ``reading``: flat single-reading record (Peplink-style),
+    - ``batch``: per (device, metric, day) record with zip-aligned
+      ``ts/val/eid`` arrays (hubstats-style),
+    - ``status``: flat record whose value is a discrete STRING code
+      (hubstatus-style) the parser must remap.
+    """
+    base = events.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("sn"),
+        F.col("event_type").alias("m"),
+        F.col("value").alias("val"),
+        F.unix_timestamp("ts").alias("t"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    reading = base.filter(F.col("event_id") % 3 == 0).select(
+        F.to_json(
+            F.struct(
+                F.lit("reading").alias("type"),
+                "sn",
+                "m",
+                F.col("event_id").alias("eid"),
+                F.col("t").alias("ts"),
+                "val",
+            )
+        ).alias("raw")
+    )
+    batch = (
+        base.filter(F.col("event_id") % 3 == 1)
+        .select(
+            "sn", "m", "d",
+            F.struct(F.col("event_id").alias("eid"), "t", "val").alias("r"),
+        )
+        .groupBy("sn", "m", "d")
+        .agg(F.array_sort(F.collect_list("r")).alias("rs"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("batch").alias("type"),
+                    "sn",
+                    "m",
+                    F.transform("rs", lambda r: r["eid"]).alias("eid_arr"),
+                    F.transform("rs", lambda r: r["t"]).alias("ts_arr"),
+                    F.transform("rs", lambda r: r["val"]).alias("val_arr"),
+                )
+            ).alias("raw")
+        )
+    )
+    status = base.filter(F.col("event_id") % 3 == 2).select(
+        F.to_json(
+            F.struct(
+                F.lit("status").alias("type"),
+                "sn",
+                "m",
+                F.col("event_id").alias("eid"),
+                F.col("t").alias("ts"),
+                (F.col("event_id") % 7).cast("string").alias("code"),
+            )
+        ).alias("raw")
+    )
+    return reading.unionByName(batch).unionByName(status)
+
+
+def parse_bronze_feed_c(feed: DataFrame) -> DataFrame:
+    """Type-dispatched bronze parser for the mixed provider-C topic.
+
+    ONE ``from_json`` with the unified schema, then a ``when`` ladder
+    routes each record to its parse path (reference: ``Bronze-Silver/
+    Part2/Part3 ….scala`` parse hubstats/hubstatus/hubusage records —
+    different payload schemas — into one silver contract, including
+    the Part2:498 status-code remap).  The two flat shapes become a
+    1-element array, the batch shape zips its parallel arrays; a
+    single ``explode`` then serves all three, so the whole parse is
+    one map-only codegen stage regardless of mix — no per-type scan,
+    no union of three subplans reading the topic three times.
+    """
+    rec = F.from_json(F.col("raw"), FEED_C_SCHEMA)
+    item = lambda e, t, v: F.struct(  # noqa: E731 — shared shape
+        e.alias("eid"), t.alias("ts"), v.alias("val")
+    )
+    items = (
+        F.when(
+            rec["type"] == "batch",
+            F.zip_with(
+                F.arrays_zip(rec["eid_arr"], rec["ts_arr"]),
+                rec["val_arr"],
+                lambda et, v: item(et["eid_arr"], et["ts_arr"], v),
+            ),
+        )
+        .when(
+            rec["type"] == "status",
+            F.array(item(rec["eid"], rec["ts"], _status_ladder(rec["code"]))),
+        )
+        .otherwise(F.array(item(rec["eid"], rec["ts"], rec["val"])))
+    )
+    base = feed.select(
+        rec["type"].alias("record_type"),
+        rec["sn"].alias("serial"),
+        rec["m"].alias("metric"),
+        F.explode(items).alias("r"),
+    )
+    return base.select(
+        F.col("r.eid").alias("event_id"),
+        "serial",
+        "metric",
+        F.col("r.val").alias("value"),
+        F.col("r.ts").alias("unix_ts"),
+        F.from_unixtime("r.ts", "yyyy-MM-dd").alias("datestamp"),
+        F.from_unixtime("r.ts", "yyyy-MM-dd HH").alias("hourstamp"),
+        "record_type",
+    ).withColumn(
+        "unique_hash_key",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(FEED_C_SALT),
+                F.col("record_type"),
+                F.col("serial"),
+                F.col("metric"),
+                F.col("unix_ts").cast("string"),
+            )
+        ),
+    )
+
+
+def bronze_feed_c(events: DataFrame) -> DataFrame:
+    """Pack + parse: the provider-C mixed-schema ingest chain."""
+    return parse_bronze_feed_c(pack_feed_c(events))
+
+
+BRONZE_FEED_C_ORACLE = f"""
+SELECT
+    event_id,
+    CAST(user_id AS VARCHAR)    AS serial,
+    event_type                  AS metric,
+    CASE
+        WHEN event_id % 3 = 2 THEN
+            CASE CAST(event_id % 7 AS VARCHAR)
+                WHEN '1' THEN 1.0
+                WHEN '6' THEN 3.0
+                WHEN '2' THEN 0.0 WHEN '3' THEN 0.0
+                WHEN '4' THEN 0.0 WHEN '5' THEN 0.0
+                ELSE 2.0
+            END
+        ELSE value
+    END                         AS value,
+    (epoch_us(ts) // 1000000)   AS unix_ts,
+    strftime(ts, '%Y-%m-%d')    AS datestamp,
+    strftime(ts, '%Y-%m-%d %H') AS hourstamp,
+    CASE event_id % 3
+        WHEN 0 THEN 'reading' WHEN 1 THEN 'batch' ELSE 'status'
+    END                         AS record_type,
+    md5('{FEED_C_SALT}' || '|'
+        || CASE event_id % 3
+               WHEN 0 THEN 'reading' WHEN 1 THEN 'batch' ELSE 'status' END
+        || '|' || CAST(user_id AS VARCHAR) || '|' || event_type
+        || '|' || CAST((epoch_us(ts) // 1000000) AS VARCHAR))
+                                AS unique_hash_key
+FROM events
+"""
