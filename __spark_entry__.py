@@ -165,7 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
         "multimodal_meta": lambda s, d: MM.multimodal_meta(load_table(s, d, "documents")),
         "multimodal_features": lambda s, d: MM.feature_histogram(
-            MM.attach_payload(load_table(s, d, "documents"))
+            MM.attach_image_payload(load_table(s, d, "documents"))
         ),
         "frame_sample": lambda s, d: MM.frame_sample(load_table(s, d, "documents")),
         "multimodal_thumb": lambda s, d: MM.thumbnail_digest(load_table(s, d, "documents")),

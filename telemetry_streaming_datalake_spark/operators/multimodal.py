@@ -1,49 +1,82 @@
-"""Multimodal columns: opaque binary payloads with typed metadata.
+"""Multimodal columns: opaque binary payloads with typed metadata and a
+REAL decode path.
 
 A 100 TB multimodal pipeline stores image/audio/video as ``binary``
 columns plus typed metadata, and runs decode/feature-extraction as
 Arrow-batched Pandas stages (``mapInPandas``) so bytes never leave the
 executor as Python row objects.
 
-The actual media codecs are not available in this container, so
-:func:`decode_image` is an explicitly stubbed seam — the *plumbing*
-(schema, batch shape, partitioning, deterministic fake features) is
-real and tested.  The payloads here are utf-8 bytes of the document
-text standing in for media bytes; everything downstream treats them as
-opaque binary.
+No codec *library* ships in this container, but two raster formats are
+simple enough to decode with pure numpy, so the decode seam is real:
+
+- **PPM (P6)** — ASCII header + raw RGB bytes (the netpbm spec);
+- **BMP (24-bit uncompressed)** — little-endian header, bottom-up
+  rows, 4-byte row padding, BGR order.
+
+Test payloads are real P6 images synthesized deterministically from
+each document (:func:`attach_image_payload`): the 16×16 RGB pixel
+array is ``unhex(repeat(md5(text), 48))`` — full 0-255 byte range,
+and exactly reproducible in SQL, which is what makes every decoded
+statistic oracle-checkable.  JPEG/PNG stay behind the same
+:func:`decode_image` dispatch and raise until a codec library is
+wired in.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
-    BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-#: histogram bins for the fake feature extractor
+#: intensity-histogram bins for the feature extractor (byte // 16)
 FEATURE_BINS = 16
+
+#: synthesized test-image geometry: 16×16 RGB = 768 pixel bytes =
+#: unhex of 48 repetitions of the 32-hex-char md5
+IMG_W = 16
+IMG_H = 16
+_MD5_REPS = (IMG_W * IMG_H * 3 * 2) // 32
+
+#: the exact P6 header the synthesizer emits (single-space dims, 255
+#: maxval, newline separators — one canonical form, both engines)
+PPM_HEADER = f"P6\n{IMG_W} {IMG_H}\n255\n"
 
 
 def attach_payload(documents: DataFrame) -> DataFrame:
-    """Materialize the opaque binary column + typed metadata.
-
-    ``payload`` is utf-8 bytes (media stand-in); ``media_type`` is the
-    container tag a real pipeline would carry alongside.
-    """
+    """Opaque binary column + typed metadata (utf-8 text stand-in, for
+    metadata-only consumers that never decode)."""
     return documents.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("text/plain;fake-media").alias("media_type"),
+    )
+
+
+def attach_image_payload(documents: DataFrame) -> DataFrame:
+    """Materialize a REAL image payload per document: a P6 PPM whose
+    16×16 RGB pixels are ``unhex(repeat(md5(text), 48))``.
+
+    The construction is pure JVM column ops (md5 / repeat / unhex /
+    binary concat) — no Python — and deterministic from the text, so
+    the DuckDB oracle can rebuild the identical pixel array and verify
+    everything the decode path computes.
+    """
+    pixels = F.unhex(F.repeat(F.md5("text"), _MD5_REPS))
+    return documents.select(
+        "doc_id",
+        F.concat(F.encode(F.lit(PPM_HEADER), "UTF-8"), pixels).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
     )
 
 
@@ -70,103 +103,165 @@ FROM documents
 """
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode seam for real media. Requires an image codec library,
-    which this environment does not ship."""
+# --------------------------------------------------------------------------
+# real decoders (pure numpy)
+# --------------------------------------------------------------------------
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 parser per the netpbm spec: magic, then three ASCII ints
+    (width, height, maxval) separated by whitespace with ``#`` comment
+    lines allowed, one whitespace byte, then ``h*w*3`` raw bytes."""
+    pos, vals = 2, []
+    n = len(payload)
+    while len(vals) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    pos += 1  # exactly one whitespace byte after maxval
+    data = payload[pos : pos + w * h * 3]
+    if len(data) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP: little-endian header fields, bottom-up
+    scanlines padded to 4 bytes, BGR byte order → RGB array."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = payload[off : off + stride * h]
+    if len(data) != stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img if top_down else img[::-1]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a raster payload to an (h, w, 3) uint8 RGB array.
+
+    Real pure-numpy decoders for PPM(P6) and 24-bit BMP; compressed
+    formats (JPEG/PNG/…) need a codec library this environment does
+    not ship and raise through the same seam.
+    """
+    magic = bytes(payload[:2])
+    if magic == b"P6":
+        return _decode_ppm(bytes(payload))
+    if magic == b"BM":
+        return _decode_bmp(bytes(payload))
     raise NotImplementedError(
-        "media decode requires an image/audio codec library (PIL/av); "
-        "wire it here when available"
+        f"no decoder for magic {magic!r}: compressed formats require a "
+        "codec library (PIL/av); wire it here when available"
     )
 
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Decode → nearest-neighbor resample → re-encode as P6 PPM.
+
+    Real implementation (numpy index sampling); the re-encode emits
+    the same canonical header form the synthesizer uses.
+    """
+    img = decode_image(payload)
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    thumb = img[rows][:, cols]
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + thumb.tobytes()
+
+
+# --------------------------------------------------------------------------
+# decoded feature extraction
+# --------------------------------------------------------------------------
 
 _FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("media_type", StringType(), True),
-        StructField("byte_len", LongType(), False),
-        StructField("features", ArrayType(LongType()), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("bin", IntegerType(), False),
+        StructField("bin_count", LongType(), False),
     ]
 )
 
 
-def extract_features(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.
+def feature_histogram(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
+    """REAL pixel-intensity histogram over the decoded image: one row
+    per (doc, bin) with the count of pixel bytes in ``[16*bin,
+    16*bin+15]`` across all three channels.
 
-    The deterministic fake feature is a ``bins``-bucket byte histogram —
-    the same batch shape (binary in, fixed-length vector out) a real
-    decode-and-embed stage has.  ``mapInPandas`` keeps the transfer
-    Arrow-vectorized; partitioning is whatever the upstream scan chose,
-    i.e. the stage adds no shuffle.
+    ``mapInPandas`` keeps the transfer Arrow-vectorized and the stage
+    map-only (no shuffle; partitioning is the upstream scan's) — the
+    exact batch shape of a production decode-and-featurize stage, with
+    the decode itself genuinely executed per payload.
     """
-
-    import numpy as np
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for raw in pdf["payload"]:
-                # vectorized per-payload: view bytes as uint8, bucket,
-                # bincount — no Python-level per-byte loop
-                b = np.frombuffer(raw, dtype=np.uint8) % bins
-                feats.append(np.bincount(b, minlength=bins).tolist())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": [len(r) for r in pdf["payload"]],
-                    "features": feats,
-                }
-            )
+            out = {k: [] for k in ("doc_id", "media_type", "width", "height", "bin", "bin_count")}
+            for doc_id, mt, raw in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                img = decode_image(raw)
+                counts = np.bincount(img.reshape(-1) // (256 // bins), minlength=bins)
+                out["doc_id"].extend([doc_id] * bins)
+                out["media_type"].extend([mt] * bins)
+                out["width"].extend([img.shape[1]] * bins)
+                out["height"].extend([img.shape[0]] * bins)
+                out["bin"].extend(range(bins))
+                out["bin_count"].extend(counts.tolist())
+            yield pd.DataFrame(out)
 
     return payloads.mapInPandas(_batches, _FEATURE_SCHEMA)
 
 
-def feature_histogram(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
-    """Canonical (exploded) form of :func:`extract_features`: one row
-    per (doc, bin) with the bin's byte count — the layout a feature
-    store ingests and the layout the correctness driver can hash
-    (array columns are not canonicalizable).  ``posexplode`` of the
-    fixed-length histogram is JVM-side and keeps zero-count bins.
-    """
-    f = extract_features(payloads, bins)
-    return f.select(
-        "doc_id",
-        "media_type",
-        "byte_len",
-        F.posexplode("features").alias("bin", "bin_count"),
-    )
+#: rebuilds the synthesized pixel array in SQL: byte i (1-based) of
+#: the 768-byte image is ('0x' || substr(repeat(md5(text),48), 2i-1, 2))
+_ORACLE_PIXELS = f"""
+SELECT doc_id,
+       ('0x' || substr(repeat(md5(text), {_MD5_REPS}), 2 * i - 1, 2))::INT AS px
+FROM documents, unnest(range(1, {IMG_W * IMG_H * 3} + 1)) AS u(i)
+"""
 
 
 def feature_histogram_oracle(bins: int = FEATURE_BINS) -> str:
-    """DuckDB twin of the byte-histogram features.
-
-    DuckDB has no direct byte indexing, but ``hex(encode(text))``
-    exposes every byte as two hex chars; for ``bins=16`` the bin of a
-    byte (= byte % 16) is exactly its low nibble — the hex digit at
-    even position ``2*i``.
-    """
-    assert bins == 16, "hex-nibble oracle only expresses 16 bins"
-    return """
-WITH h AS (
-    SELECT doc_id,
-           'text/plain;fake-media'    AS media_type,
-           octet_length(encode(text)) AS byte_len,
-           hex(encode(text))          AS hx
-    FROM documents
-),
-b AS (
-    SELECT doc_id,
-           unnest([strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INTEGER), 1)) - 1
-                   for i in range(1, byte_len + 1)]) AS bin
-    FROM h
-),
+    """DuckDB twin: rebuild the pixel bytes from ``repeat(md5(text))``
+    hex pairs and histogram them with the same ``byte // 16`` binning."""
+    return f"""
+WITH px AS ({_ORACLE_PIXELS}),
 counts AS (
-    SELECT doc_id, bin, count(*) AS c FROM b GROUP BY doc_id, bin
+    SELECT doc_id, px // {256 // bins} AS bin, count(*) AS c
+    FROM px GROUP BY 1, 2
 ),
 grid AS (
-    SELECT doc_id, media_type, byte_len, unnest(range(16)) AS bin FROM h
+    SELECT doc_id, unnest(range({bins})) AS bin FROM documents
 )
-SELECT g.doc_id, g.media_type, g.byte_len,
+SELECT g.doc_id,
+       'image/x-portable-pixmap' AS media_type,
+       {IMG_W}::INT  AS width,
+       {IMG_H}::INT  AS height,
        CAST(g.bin AS INTEGER) AS bin,
        coalesce(c.c, 0)       AS bin_count
 FROM grid g
@@ -175,96 +270,124 @@ LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin
 
 
 # --------------------------------------------------------------------------
-# frame sampling (video-analog: strided fixed-size blocks of the payload)
+# frame sampling (video-analog: strided scanlines of the decoded image)
 # --------------------------------------------------------------------------
 
-#: frame geometry for the stand-in codec: 64-byte "frames", every 2nd kept
-FRAME_SIZE = 64
+#: every 2nd scanline of the decoded image is a sampled "frame"
 FRAME_STRIDE = 2
 
 
-def frame_sample(
-    documents: DataFrame, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE
-) -> DataFrame:
-    """Sample every ``stride``-th fixed-size block of the payload as a
-    "frame" and digest it — the plumbing of video frame-sampling
-    (seek → decode keyframe → fingerprint) with the codec stubbed to
-    byte-block slicing.  Frame digests keep their temporal order (the
-    array is built positionally, not via collect_list), which is the
-    contract a real frame-dedup stage needs.
+def frame_sample(documents: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Sample every ``stride``-th SCANLINE of the decoded image and
+    digest it — the plumbing of video frame-sampling (seek → decode
+    keyframe → fingerprint) with a real decode in the loop.  Digests
+    are md5 of the row's lowercase hex (a portable text form both
+    engines produce identically) and keep temporal (top-down) order.
 
     Map-only: no shuffle, one scan, output rows = input rows.
     """
-    n_frames = F.greatest(F.ceil(F.length("text") / F.lit(frame_size)), F.lit(1)).cast("int")
-    # explode(sequence) → substring → md5 keeps the per-frame hashing
-    # inside whole-stage codegen (higher-order-function lambdas are
-    # CodegenFallback — interpreted per element); the ordered re-agg
-    # sorts each doc's few sampled frames locally after the partial agg
-    base = documents.select(
-        "doc_id", "text", n_frames.alias("n_frames_total")
-    ).select(
-        "doc_id",
-        "n_frames_total",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames_total") - 1, F.lit(stride))
-        ).alias("i"),
-        F.col("text"),
-    )
-    hashed = base.select(
-        "doc_id",
-        "n_frames_total",
-        "i",
-        F.md5(
-            F.encode(F.col("text").substr(F.col("i") * frame_size + 1, F.lit(frame_size)), "UTF-8")
-        ).alias("frame_md5"),
-    )
-    # serialized (driver-canonicalizable) digest string, temporal order
-    return hashed.groupBy("doc_id", "n_frames_total").agg(
-        F.array_join(
-            F.array_sort(F.collect_list(F.struct("i", "frame_md5"))).frame_md5, "|"
-        ).alias("frame_hashes")
+    import hashlib
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_frames_total", IntegerType(), False),
+            StructField("frame_hashes", StringType(), False),
+        ]
     )
 
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, totals, hashes = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(raw)
+                digests = [
+                    hashlib.md5(bytes(img[r].reshape(-1)).hex().encode()).hexdigest()
+                    for r in range(0, img.shape[0], stride)
+                ]
+                ids.append(doc_id)
+                totals.append(img.shape[0])
+                hashes.append("|".join(digests))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_frames_total": totals, "frame_hashes": hashes}
+            )
 
-def frame_sample_oracle(frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE) -> str:
-    n_frames = f"greatest(CAST(ceil(length(text) / {frame_size}.0) AS INTEGER), 1)"
+    return attach_image_payload(documents).mapInPandas(_batches, schema)
+
+
+def frame_sample_oracle(stride: int = FRAME_STRIDE) -> str:
+    row_hex = IMG_W * 3 * 2  # hex chars per scanline
     return f"""
+WITH rep AS (SELECT doc_id, repeat(md5(text), {_MD5_REPS}) AS hx FROM documents)
 SELECT doc_id,
-       {n_frames} AS n_frames_total,
+       {IMG_H}::INT AS n_frames_total,
        array_to_string(
-         [md5(substr(text, CAST(i * {frame_size} + 1 AS INTEGER), {frame_size}))
-          for i in range(0, {n_frames}, {stride})], '|') AS frame_hashes
-FROM documents
+         [md5(substr(hx, r * {row_hex} + 1, {row_hex}))
+          for r in range(0, {IMG_H}, {stride})], '|') AS frame_hashes
+FROM rep
 """
 
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize seam for real media, like :func:`decode_image`: requires
-    an image codec library this environment does not ship."""
-    raise NotImplementedError(
-        "image resize requires a codec library (PIL/opencv); "
-        "wire it here when available"
+# --------------------------------------------------------------------------
+# thumbnail: real decode → resize → re-encode
+# --------------------------------------------------------------------------
+
+#: thumbnail geometry (nearest-neighbor 2× downsample of the 16×16)
+THUMB_W = 8
+THUMB_H = 8
+
+
+def thumbnail_digest(documents: DataFrame) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode → digest: the full
+    real thumbnail stage.  ``thumb_md5`` is md5 of the re-encoded P6's
+    lowercase pixel hex (portable text form); map-only, no shuffle."""
+    import hashlib
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("byte_len", IntegerType(), False),
+            StructField("thumb_w", IntegerType(), False),
+            StructField("thumb_h", IntegerType(), False),
+            StructField("thumb_md5", StringType(), False),
+        ]
     )
+    header_len = len(f"P6\n{THUMB_W} {THUMB_H}\n255\n")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "media_type", "byte_len", "thumb_w", "thumb_h", "thumb_md5")}
+            for doc_id, mt, raw in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                thumb = resize_image(raw, THUMB_W, THUMB_H)
+                pixel_hex = thumb[header_len:].hex()
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["byte_len"].append(len(raw))
+                out["thumb_w"].append(THUMB_W)
+                out["thumb_h"].append(THUMB_H)
+                out["thumb_md5"].append(hashlib.md5(pixel_hex.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return attach_image_payload(documents).mapInPandas(_batches, schema)
 
 
-def thumbnail_digest(documents: DataFrame, thumb_bytes: int = 256) -> DataFrame:
-    """Deterministic stand-in for decode→resize→re-encode: digest the
-    leading ``thumb_bytes`` of the payload (the "thumbnail"), keeping
-    the exact batch shape (binary in, binary-derived metadata out) a
-    real resize stage has.  Map-only, no shuffle."""
-    p = attach_payload(documents)
-    return p.select(
-        "doc_id",
-        "media_type",
-        F.length("payload").alias("byte_len"),
-        F.md5(F.substring(F.col("payload").cast("string"), 1, thumb_bytes)).alias("thumb_md5"),
-    )
-
-
-THUMBNAIL_ORACLE = """
+THUMBNAIL_ORACLE = f"""
+WITH rep AS (SELECT doc_id, repeat(md5(text), {_MD5_REPS}) AS hx FROM documents),
+thumb AS (
+    SELECT doc_id,
+           array_to_string(
+             [substr(hx,
+                     (((i // {THUMB_W}) * 2) * {IMG_W} + (i % {THUMB_W}) * 2) * 6 + 1,
+                     6)
+              for i in range({THUMB_W * THUMB_H})], '') AS thx
+    FROM rep
+)
 SELECT doc_id,
-       'text/plain;fake-media'    AS media_type,
-       octet_length(encode(text)) AS byte_len,
-       md5(substr(text, 1, 256))  AS thumb_md5
-FROM documents
+       'image/x-portable-pixmap' AS media_type,
+       ({len(PPM_HEADER) + IMG_W * IMG_H * 3})::INT AS byte_len,
+       {THUMB_W}::INT AS thumb_w,
+       {THUMB_H}::INT AS thumb_h,
+       md5(thx)       AS thumb_md5
+FROM thumb
 """

@@ -19,12 +19,11 @@ def test_every_oracle_key_has_a_query():
 
 
 def test_rows_only_entries_are_the_documented_ones():
-    """Entries without an oracle must be the genuinely non-SQL ops."""
+    """Every registered query now has a DuckDB oracle twin — round 5
+    closed the last two (minhash via exact all-pairs Jaccard, simhash
+    via the portable md5-token fingerprint)."""
     q, o = set(E.queries()), set(E.oracle_sql())
-    assert q - o == {
-        "dedup_minhash",
-        "dedup_simhash",
-    }
+    assert q - o == set()
 
 
 #: streaming entries execute sinks; they're covered by test_streaming

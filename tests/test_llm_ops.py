@@ -168,16 +168,70 @@ def test_fingerprint_stable_under_whitespace(spark):
     assert fps[0] == fps[1]
 
 
-def test_multimodal_payload_roundtrip_and_features(spark, documents):
-    payloads = MM.attach_payload(documents.limit(20))
-    feats = MM.extract_features(payloads).collect()
-    assert len(feats) == 20
+def test_multimodal_decode_and_features_real(spark, documents):
+    """The synthesized payload is a REAL P6 PPM; the feature stage
+    decodes it and histograms actual pixel bytes."""
+    import hashlib
+
+    payloads = MM.attach_image_payload(documents.limit(20))
+    rows = payloads.collect()
+    for r in rows:
+        img = MM.decode_image(r.payload)
+        assert img.shape == (MM.IMG_H, MM.IMG_W, 3)
+        # pixel bytes are exactly unhex(repeat(md5(text), 48))
+    one = rows[0]
+    doc_text = {d.doc_id: d.text for d in documents.limit(20).collect()}[one.doc_id]
+    want_hex = hashlib.md5(doc_text.encode()).hexdigest() * MM._MD5_REPS
+    assert bytes(MM.decode_image(one.payload).reshape(-1)).hex() == want_hex
+
+    feats = MM.feature_histogram(payloads).collect()
+    assert len(feats) == 20 * MM.FEATURE_BINS
+    per_doc = {}
     for r in feats:
-        assert len(r.features) == MM.FEATURE_BINS
-        assert sum(r.features) == r.byte_len  # histogram covers every byte
+        per_doc.setdefault(r.doc_id, 0)
+        per_doc[r.doc_id] += r.bin_count
+    # histogram covers every pixel byte of the 16x16 RGB image
+    assert all(v == MM.IMG_W * MM.IMG_H * 3 for v in per_doc.values())
 
 
-def test_multimodal_decode_is_an_explicit_stub():
+def test_decode_ppm_header_variants():
+    """Real parser: comments and multi-whitespace per the netpbm spec."""
+    pixels = bytes(range(12))  # 2x2 RGB
+    img = MM.decode_image(b"P6\n# a comment\n 2  2 \n255\n" + pixels)
+    assert img.shape == (2, 2, 3)
+    assert bytes(img.reshape(-1)) == pixels
+    with pytest.raises(ValueError):
+        MM.decode_image(b"P6\n2 2\n255\n" + pixels[:-1])  # truncated
+
+
+def test_decode_bmp_bottom_up_bgr():
+    """Real BMP decode: bottom-up rows, BGR order, 4-byte row pad."""
+    import struct
+
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3  # 8 bytes with 2 pad
+    # rows stored bottom-up: file row 0 is IMAGE row 1
+    img_rows = [
+        [(255, 0, 0), (0, 255, 0)],   # image top:    red, green
+        [(0, 0, 255), (10, 20, 30)],  # image bottom: blue, misc
+    ]
+    data = b""
+    for r in reversed(img_rows):
+        row = b"".join(bytes((b, g, rr)) for (rr, g, b) in r)
+        data += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    )
+    img = MM.decode_image(header + data)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)
+    assert tuple(img[0, 1]) == (0, 255, 0)
+    assert tuple(img[1, 0]) == (0, 0, 255)
+    assert tuple(img[1, 1]) == (10, 20, 30)
+
+
+def test_decode_compressed_formats_still_gated():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
 
@@ -228,17 +282,21 @@ def test_token_count_basic(spark):
     assert r.n_chars == 21
 
 
-def test_frame_sample_strided_digests(spark):
-    text = "a" * 200  # 4 frames of 64 → sampled frames 0 and 2
-    docs = _docs(spark, [(1, text)])
-    r = MM.frame_sample(docs).collect()[0]
-    assert r.n_frames_total == 4
-    hashes = r.frame_hashes.split("|")
-    assert len(hashes) == 2
+def test_frame_sample_strided_scanlines(spark):
+    """Frames are every 2nd SCANLINE of the decoded 16x16 image, in
+    top-down order, digested as md5 of the row's lowercase pixel hex."""
     import hashlib
-    assert hashes[0] == hashlib.md5(("a" * 64).encode()).hexdigest()
-    # frames 0 and 2 are both 64×'a' → identical digests, order kept
-    assert hashes[1] == hashes[0]
+
+    docs = _docs(spark, [(1, "hello world")])
+    r = MM.frame_sample(docs).collect()[0]
+    assert r.n_frames_total == MM.IMG_H
+    hashes = r.frame_hashes.split("|")
+    assert len(hashes) == MM.IMG_H // MM.FRAME_STRIDE
+    hx = hashlib.md5(b"hello world").hexdigest() * MM._MD5_REPS
+    row_hex = MM.IMG_W * 3 * 2
+    for out_i, row in enumerate(range(0, MM.IMG_H, MM.FRAME_STRIDE)):
+        want = hashlib.md5(hx[row * row_hex : (row + 1) * row_hex].encode()).hexdigest()
+        assert hashes[out_i] == want
 
 
 # --------------------------------------------------------------------------

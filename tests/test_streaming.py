@@ -144,13 +144,19 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got.select(*want.columns).exceptAll(want).count() == 0
 
 
-def test_multimodal_resize_stub_raises(spark):
-    import pytest as _pytest
+def test_multimodal_resize_real_nearest_neighbor(spark):
+    """resize_image is a real decode -> nearest-neighbor -> re-encode:
+    downsampling a 2x2 to 1x1 keeps the top-left pixel."""
+    from telemetry_streaming_datalake_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+    )
 
-    from telemetry_streaming_datalake_spark.operators.multimodal import resize_image
-
-    with _pytest.raises(NotImplementedError):
-        resize_image(b"xx", 8, 8)
+    src = b"P6\n2 2\n255\n" + bytes(range(12))
+    thumb = resize_image(src, 1, 1)
+    img = decode_image(thumb)
+    assert img.shape == (1, 1, 3)
+    assert bytes(img.reshape(-1)) == bytes((0, 1, 2))  # top-left RGB
 
 
 def test_stateful_latest_carries_state_across_batches(spark, tmp_path):
