@@ -29,6 +29,7 @@ HEADLINE = [
     "silver_dedup",
     "silver_explode",
     "bronze_feed_b",
+    "bronze_feed_c",
     "bronze_jsonl",
     "gold_enrich",
     "agg_hour",
@@ -37,6 +38,7 @@ HEADLINE = [
     "custom_metric_sum",
     "latest_metric",
     "gap_detect",
+    "stage_delay_report",
     "orphan_usage",
     "sessionize",
     "counter_rate",

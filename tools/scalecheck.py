@@ -1,0 +1,156 @@
+"""Scaling evidence: time the heavy-hitter queries at sf0.1 and at a
+synthesized 10x corpus ("sf1-equivalent") and report the ratio.
+
+The 10x data is generated deterministically from sf0.1 (no new
+distributions to argue about):
+
+- ``events``  x10: replica k shifts event_id by k*10^8 and ts by k
+  seconds; everything else copies, so rates/rollups keep their shape.
+- ``documents`` x10: replica 0 is the original corpus; replicas k>0
+  remap every word to a same-length md5-derived token (genuinely
+  different text, same length distribution) so the near-dup pair
+  structure does NOT inflate quadratically the way verbatim copies
+  would.
+- ``customer`` copies unchanged (dimension).
+
+Usage: python tools/scalecheck.py [out_dir]       (default /tmp/tsdl_scale)
+Prints one JSON line: {"sf0.1": {q: sec}, "sf1x": {q: sec},
+"ratio": {q: r}}; a ratio near the 10x data growth (or below, where
+fixed per-job cost dominated at sf0.1) is linear scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.session import get_spark, load_table
+from telemetry_streaming_datalake_spark import datamodel as dm
+from telemetry_streaming_datalake_spark.ingest import bronze as B
+from telemetry_streaming_datalake_spark.ingest import silver as S
+from telemetry_streaming_datalake_spark.operators import dedup as DD
+from telemetry_streaming_datalake_spark.operators import derived as DV
+from telemetry_streaming_datalake_spark.operators import merge as M
+from telemetry_streaming_datalake_spark.operators import rollup as R
+from telemetry_streaming_datalake_spark.operators import temporal as T
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+
+def generate(spark, out_dir: str) -> None:
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    ev = load_table(spark, SRC, "events")
+    parts = []
+    for k in range(REPLICAS):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + k * 100_000_000).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k} SECOND")).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    big_ev = parts[0]
+    for p in parts[1:]:
+        big_ev = big_ev.unionByName(p)
+    big_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+    docs = load_table(spark, SRC, "documents")
+    dparts = [docs]
+    for k in range(1, REPLICAS):
+        remap = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.substring(
+                    F.md5(F.concat(w, F.lit(str(k)))), 1, F.length(w)
+                ),
+            ),
+            " ",
+        )
+        dparts.append(
+            docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                remap.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    big_docs = dparts[0]
+    for p in dparts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    load_table(spark, SRC, "customer").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet")
+    )
+    open(os.path.join(out_dir, "_DONE"), "w").close()
+
+
+def queries():
+    def _gold(s, d):
+        silver = S.to_silver(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events"))),
+            dm.metric_mapping(s),
+        )
+        history = dm.remote_history(s, load_table(s, d, "customer"))
+        return T.enrich_gold(silver, history)
+
+    return {
+        "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
+        "dup_clusters": lambda s, d: M.dup_clusters(
+            DD.ngram_jaccard_dedup(load_table(s, d, "documents"))
+        ),
+        "gapfill_hourly": lambda s, d: DV.gapfill_hourly(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "silver_explode": lambda s, d: S.to_silver_exploded(
+            B.dedup_exact(B.parse_bronze_payload(load_table(s, d, "events"))),
+            dm.metric_mapping(s),
+        ),
+        "agg_hour": lambda s, d: R.rollup_hour(_gold(s, d)),
+    }
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name, fn in queries().items():
+        best = float("inf")
+        for _ in range(2):  # best-of-2, same convention as bench.py
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tsdl_scale"
+    spark = get_spark("scalecheck")
+    generate(spark, out_dir)
+    # warm up scan/codegen/worker-pool like bench.py, then measure
+    load_table(spark, SRC, "events").count()
+    small = time_queries(spark, SRC)
+    big = time_queries(spark, out_dir)
+    ratio = {k: round(big[k] / small[k], 2) for k in small}
+    print(json.dumps({"sf0.1": small, "sf1x": big, "ratio": ratio}))
+
+
+if __name__ == "__main__":
+    main()
