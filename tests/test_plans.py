@@ -49,6 +49,8 @@ def plans(spark):
         "top_ngrams",
         "label_centroids",
         "stratified_sample",
+        "stage_delay_report",
+        "bronze_feed_c",
     ]
     return {n: _plan(qs[n](spark, SF)) for n in names}
 
@@ -185,3 +187,24 @@ def test_gapfill_generates_without_join(spark):
     p = _plan(E.queries()["gapfill_hourly"](spark, SF))
     assert "Join" not in p
     assert "Generate" in p
+
+
+def test_stage_delay_report_broadcasts_and_aggregates_partial(plans):
+    """Each stage contributes a partial-agg shuffle; the provider-name
+    attach is a broadcast join over the tiny aggregated frame."""
+    p = plans["stage_delay_report"]
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "partial_max" in p or "partial" in p.lower()
+
+
+def test_feed_c_parse_is_map_only(spark):
+    """The type-dispatched parse (from_json -> when ladder -> one
+    explode) must add no exchange of its own: parsing a raw feed is a
+    single map-only codegen stage regardless of the schema mix."""
+    from telemetry_streaming_datalake_spark.ingest import feeds as FB
+
+    raw = spark.createDataFrame(
+        [('{"type":"reading","sn":"1","m":"x","eid":1,"ts":0,"val":1.0}',)],
+        "raw string",
+    )
+    assert "Exchange" not in _plan(FB.parse_bronze_feed_c(raw))
