@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _bronze(s, d), _silver(s, d), _gold(s, d), dm.metric_mapping(s)
         ),
         "bronze_feed_c": lambda s, d: FB.bronze_feed_c(load_table(s, d, "events")),
+        "dedup_simhash_weighted": lambda s, d: DD.simhash_weighted_near_dups(
+            load_table(s, d, "documents")
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -407,6 +410,7 @@ FROM (
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),
+        "dedup_simhash_weighted": DD.simhash_weighted_oracle(),
         "dedup_exact": DD.DEDUP_EXACT_ORACLE,
         "ann_lsh": SIM.ann_lsh_topk_oracle(ANN_QUERY_IDS),
         "ann_ivf": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),

@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_simhash_weighted",
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "ann_cosine_topk",

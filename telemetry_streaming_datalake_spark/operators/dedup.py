@@ -455,13 +455,21 @@ def simhash_near_dups(
     filtered before any further shuffle, and AQE skew-join splitting
     handles the oversized buckets.
     """
-    chunk_bits = SIMHASH_BITS // chunks
-    mask = (1 << chunk_bits) - 1
-    fp = simhash(documents)
     # the banded result is provably EQUAL to all-pairs hamming <= 3
     # (pigeonhole over the 4 chunks), and the md5-based fingerprint is
     # engine-portable — so the whole operator has an exact DuckDB twin
     # (simhash_near_dups_oracle) despite never going all-pairs itself
+    return _hamming_block_pairs(simhash(documents), chunks, hamming_max)
+
+
+def _hamming_block_pairs(
+    fp: DataFrame, chunks: int = SIMHASH_CHUNKS, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """Chunk-block a (doc_id, simhash) frame and return all pairs with
+    full-fingerprint hamming <= ``hamming_max`` — shared by the
+    unweighted and idf-weighted SimHash variants."""
+    chunk_bits = SIMHASH_BITS // chunks
+    mask = (1 << chunk_bits) - 1
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
@@ -481,6 +489,126 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
+
+
+#: idf weights are quantized to integers (round(ln(N/df)*1000)) so the
+#: per-bit vote sums are exact integer arithmetic — order-independent
+#: and bit-identical across engines (double sums are neither)
+IDF_SCALE = 1000
+
+
+def simhash_weighted(documents: DataFrame) -> DataFrame:
+    """Idf-weighted 60-bit SimHash — the production decorrelation of
+    the unweighted variant's known skew (common tokens dominate every
+    same-language doc, correlating fingerprint bits and fattening
+    chunk buckets; Manku et al. weight by significance for this
+    reason).
+
+    Each distinct token votes ±idf_w on every bit instead of ±1, where
+    ``idf_w = round(ln(n_docs/df) * 1000)`` — integer-quantized so the
+    vote sums are exact (no float-order nondeterminism) and the DuckDB
+    twin matches bit-for-bit.  A token in every doc gets weight 0:
+    stopwords vanish from the fingerprint entirely.
+
+    Scale shape: one corpus scan feeds the token explode; df is a
+    token-keyed partial-agg shuffle; the weight attach is a token-keyed
+    equi-join (AQE reuses the df partitioning); the 60 bit-vote sums
+    ride ONE doc-keyed partial-agg shuffle.  The ln() ulp caveat: a
+    weight flips only if 1000*ln(N/df) lands within an ulp of x.5,
+    ~1e-12 probability per distinct token — negligible, and flagged
+    here rather than hidden.
+    """
+    from functools import reduce
+    from operator import add
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+        ).alias("tok"),
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    wdf = df.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("n_docs") / F.col("df")) * IDF_SCALE)
+        .cast("long")
+        .alias("w"),
+    )
+    voted = toks.join(wdf, "tok").select(
+        "doc_id", _md5_60(F.col("tok")).alias("th"), "w"
+    )
+    bits = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("th", b).bitwiseAND(F.lit(1)) == 1, F.col("w")
+            ).otherwise(-F.col("w"))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = voted.groupBy("doc_id").agg(*bits)
+    fp = reduce(
+        add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_weighted_near_dups(
+    documents: DataFrame,
+    chunks: int = SIMHASH_CHUNKS,
+    hamming_max: int = HAMMING_MAX,
+) -> DataFrame:
+    """Near-dup pairs over the idf-weighted fingerprint — same chunk
+    blocking and exact-equality contract as :func:`simhash_near_dups`
+    (the oracle recomputes weighted fingerprints and goes all-pairs)."""
+    return _hamming_block_pairs(simhash_weighted(documents), chunks, hamming_max)
+
+
+def simhash_weighted_oracle(hamming_max: int = HAMMING_MAX) -> str:
+    """DuckDB twin of :func:`simhash_weighted_near_dups`: identical
+    integer idf weights, identical vote sums, all-pairs hamming."""
+    return f"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+    FROM documents
+),
+toks AS (
+    SELECT DISTINCT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tok
+    FROM norm
+),
+df AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+w AS (
+    SELECT tok,
+           CAST(round(ln(nd::DOUBLE / c) * {IDF_SCALE}) AS BIGINT) AS w
+    FROM df, n
+),
+v AS (
+    SELECT t.doc_id,
+           ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS th,
+           w.w
+    FROM toks t JOIN w USING (tok)
+),
+votes AS (
+    SELECT doc_id, b.b AS b,
+           sum(CASE WHEN (th >> b.b) & 1 = 1 THEN w ELSE -w END) AS s
+    FROM v, unnest(range(0, {SIMHASH_BITS})) AS b(b)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS f
+    FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.f, b.f))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {hamming_max}
+"""
 
 
 def simhash_near_dups_oracle(hamming_max: int = HAMMING_MAX) -> str:

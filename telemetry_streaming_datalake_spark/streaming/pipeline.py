@@ -423,6 +423,38 @@ def streaming_bronze_feed_b(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     )
 
 
+def streaming_bronze_feed_c(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Provider-C mixed-schema ingest as a stream: the packed topic
+    (flat readings + zipped batches + status records interleaved in
+    ONE text dir) is consumed as a line stream and the SAME batch
+    type-dispatch parser (``feeds.parse_bronze_feed_c``) runs on it —
+    proving the `when`-routed multi-schema parse holds under
+    micro-batch execution exactly like the per-provider notebooks the
+    reference runs as streams."""
+    from telemetry_streaming_datalake_spark.ingest.feeds import (
+        pack_feed_c,
+        parse_bronze_feed_c,
+    )
+
+    landing = os.path.join(work_dir, "feedc_landing")
+    pack_feed_c(load_table(spark, sf_dir, "events")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(landing)
+    raw = spark.readStream.text(landing).withColumnRenamed("value", "raw")
+    bronze_c = parse_bronze_feed_c(raw)
+    out = os.path.join(work_dir, "feedc_out")
+    ckpt = os.path.join(work_dir, "feedc_ckpt")
+    run_stream_to_parquet(bronze_c, out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .withColumn("datestamp", F.col("datestamp").cast("string"))
+        .select(
+            "event_id", "serial", "metric", "value", "unix_ts", "datestamp",
+            "hourstamp", "record_type", "unique_hash_key",
+        )
+    )
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     """Gap-based sessionization AS A STREAM — the same
     ``operators.sessions.sessionize`` transform applied to the file

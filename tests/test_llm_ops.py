@@ -73,6 +73,27 @@ def test_simhash_banding_complete_vs_allpairs(spark, documents):
     assert got == want
 
 
+def test_weighted_simhash_decorrelates_stopword_skeleton(spark):
+    """Docs sharing a large common-token skeleton but with distinct
+    content tokens: unweighted SimHash false-positives them (common
+    tokens dominate every bit vote), idf weighting zeroes the
+    ubiquitous tokens so the distinct content drives the fingerprint."""
+    stop = " ".join(f"common{j}" for j in range(40))
+    rows = [(i, stop + f" rare{i}a rare{i}b") for i in range(12)]
+    docs = _docs(spark, rows)
+    assert DD.simhash_near_dups(docs).count() > 0       # correlated FPs
+    assert DD.simhash_weighted_near_dups(docs).count() == 0
+
+
+def test_weighted_simhash_still_pairs_true_dups(spark):
+    """Near-identical docs must still pair under weighting."""
+    base = " ".join(f"word{j}" for j in range(60))
+    docs = _docs(spark, [(1, base), (2, base + " tail"), (3, "entirely different content here")])
+    got = {(r.doc_a, r.doc_b) for r in DD.simhash_weighted_near_dups(docs).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
 def test_bucket_pairs_hot_bucket_bounded(spark):
     """10k identical docs share every band — without the cap this is
     ONE bucket whose collect_list array and quadratic explode run in a

@@ -127,6 +127,23 @@ def test_streaming_feed_b_matches_batch(spark, tmp_path):
     assert got.select(*want.columns).exceptAll(want).count() == 0
 
 
+def test_streaming_feed_c_matches_batch(spark, tmp_path):
+    """The mixed-schema provider-C topic consumed as a text stream
+    must parse to exactly the batch bronze_feed_c rows (type dispatch
+    under micro-batch execution)."""
+    from telemetry_streaming_datalake_spark.ingest.feeds import bronze_feed_c
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_bronze_feed_c,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_bronze_feed_c(spark, sf, str(tmp_path)).cache()
+    want = bronze_feed_c(load_table(spark, sf, "events")).cache()
+    assert got.count() == want.count()
+    assert got.select(*want.columns).exceptAll(want).count() == 0
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """SURVEY row 25c's streaming half: session_window as the stateful
     streaming session operator must produce exactly the batch
