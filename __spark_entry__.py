@@ -188,6 +188,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_weighted": lambda s, d: DD.simhash_weighted_near_dups(
             load_table(s, d, "documents")
         ),
+        "q4_priority_check": lambda s, d: Q.q4_priority_check(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")
+        ),
+        "q13_order_distribution": lambda s, d: Q.q13_order_distribution(
+            load_table(s, d, "customer"), load_table(s, d, "orders")
+        ),
+        "q16_supplier_variety": lambda s, d: Q.q16_supplier_variety(
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "part"),
+            load_table(s, d, "supplier"),
+        ),
+        "q19_disjunctive_revenue": lambda s, d: Q.q19_disjunctive_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
+        ),
+        "q22_dormant_value": lambda s, d: Q.q22_dormant_value(
+            load_table(s, d, "customer"), load_table(s, d, "orders")
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -407,6 +424,11 @@ FROM (
         "q14_promo": Q.Q14_ORACLE,
         "q7_nation_volume": Q.Q7_ORACLE,
         "q18_large_orders": Q.q18_oracle(),
+        "q4_priority_check": Q.Q4_ORACLE,
+        "q13_order_distribution": Q.Q13_ORACLE,
+        "q16_supplier_variety": Q.Q16_ORACLE,
+        "q19_disjunctive_revenue": Q.Q19_ORACLE,
+        "q22_dormant_value": Q.Q22_ORACLE,
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -428,3 +428,186 @@ FROM (
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
+
+
+def q4_priority_check(orders: DataFrame, lineitem: DataFrame,
+                      date_lo: str = "1996-01-01", date_hi: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q4-style order-priority check (EXISTS semi-join, adapted
+    to this schema: orders in the quarter that had at least one
+    returned lineitem).
+
+    The EXISTS spells as `left_semi` — the probe side streams the
+    quarter's orders and the build side carries only the distinct
+    orderkeys of returned lineitems; no row multiplication, no
+    distinct-aggregate needed (semi-join stops at first match).
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q13_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly N non-urgent orders (zero included).
+
+    LEFT OUTER join keeps order-less customers; the filter on the
+    orders side lives in the join condition (NOT the WHERE — a WHERE
+    would silently turn the outer join inner).  Two partial-agg
+    shuffles over single-bigint keys; the second input is one row per
+    customer.
+    """
+    o = orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q16_supplier_variety(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                         excl_brand: str = "Brand#45", sizes: tuple = (1, 14, 23, 45)) -> DataFrame:
+    """TPC-H Q16-style supplier-variety count (partsupp stands in as
+    the observed lineitem part×supplier pairs): distinct suppliers per
+    (brand, type, size) slice, excluding flagged suppliers.
+
+    The NOT IN subquery spells as `left_anti` against the (tiny,
+    broadcast) flagged-supplier list; the part dim broadcasts into the
+    fact scan; count(DISTINCT) runs as Spark's two-phase expand-agg —
+    partial per (grp, suppkey), final count — never a global sort.
+    """
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != excl_brand) & F.col("p_size").isin(*sizes)
+    )
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(flagged), lineitem["l_suppkey"] == flagged["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: three OR-combined
+    (brand, size-band, quantity-band) clauses over the part join.
+
+    The OR-of-ANDs stays one predicate on the joined row — Catalyst
+    extracts the common `p_partkey` equi-key so the join is still hash
+    (never nested-loop), broadcasts the part dim, and pushes the
+    derivable quantity bound to the lineitem scan.  Single-row exact
+    decimal aggregate.
+    """
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    j = lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_dormant_value(customer: DataFrame, orders: DataFrame,
+                      recent: str = "1999-01-01") -> DataFrame:
+    """TPC-H Q22-style dormant-high-value audit: customers with an
+    above-average positive balance and no order since the cutoff,
+    counted per market segment.
+
+    The global average is a 1-row aggregate broadcast back via
+    crossJoin (scalar-subquery shape — the fact never re-shuffles for
+    it); NOT EXISTS spells as `left_anti` on custkey.  The anti-join
+    build side projects a single bigint column, pre-filtered by the
+    scan-pushed date bound.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        orders.filter(F.col("o_orderdate") >= recent).select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+Q22_ORACLE = """
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
