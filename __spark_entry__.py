@@ -205,6 +205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_value": lambda s, d: Q.q22_dormant_value(
             load_table(s, d, "customer"), load_table(s, d, "orders")
         ),
+        "boilerplate_ngrams": lambda s, d: CP.boilerplate_ngrams(
+            load_table(s, d, "documents")
+        ),
+        "semantic_dedup": lambda s, d: SIM.semantic_dedup(
+            load_table(s, d, "embeddings")
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -429,6 +435,8 @@ FROM (
         "q16_supplier_variety": Q.Q16_ORACLE,
         "q19_disjunctive_revenue": Q.Q19_ORACLE,
         "q22_dormant_value": Q.Q22_ORACLE,
+        "boilerplate_ngrams": CP.boilerplate_ngrams_oracle(),
+        "semantic_dedup": SIM.semantic_dedup_oracle(),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

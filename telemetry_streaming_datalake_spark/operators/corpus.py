@@ -368,3 +368,90 @@ SELECT source, rank, doc_id, n_toks FROM (
     FROM documents
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# cross-document boilerplate n-grams (MassiveText/C4-style dup-span signal)
+# --------------------------------------------------------------------------
+
+#: word-window width for the cross-doc duplicate-span check
+BOILER_NGRAM_WORDS = 8
+#: a gram present in at least this many distinct docs is boilerplate
+BOILER_MIN_DOCS = 2
+
+
+def boilerplate_ngrams(
+    documents: DataFrame,
+    n_words: int = BOILER_NGRAM_WORDS,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Per-doc fraction of word ``n``-grams that also occur in other
+    docs — the cross-document duplicate-span quality signal corpus
+    curation uses to strip shared boilerplate (nav menus, license
+    headers, templated spans) that per-doc dedup cannot see.
+
+    Shape: the gram list is built AND deduped map-side
+    (``array_distinct`` over a codegen ``transform``/``slice``
+    expression — one row per doc until the explode), so the document
+    frequency of a gram is a plain partition count.  Two shuffles
+    total, both on compact keys: an 8-byte ``xxhash64`` gram key for
+    the frequency window, then doc_id for the per-doc aggregate.  No
+    join-back, no second corpus scan.  Docs shorter than ``n`` words
+    contribute their whole text as one gram (same convention as the
+    decontamination pass).
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col("text"))
+    base = documents.select("doc_id", F.split(norm, " ").alias("toks"))
+    grams_arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(toks) - {n_words - 1}, 1)), "
+            f"i -> array_join(slice(toks, i, {n_words}), ' '))"
+        )
+    )
+    grams = base.select("doc_id", F.explode(grams_arr).alias("ngram"))
+    w = Window.partitionBy(F.xxhash64("ngram"))
+    flagged = grams.select(
+        "doc_id", (F.count(F.lit(1)).over(w) >= min_docs).alias("is_boiler")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_ngrams"), 6).alias("boiler_frac"),
+        )
+    )
+
+
+def boilerplate_ngrams_oracle(
+    n_words: int = BOILER_NGRAM_WORDS, min_docs: int = BOILER_MIN_DOCS
+) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               [array_to_string(t[i:i + {n_words - 1}], ' ')
+                for i in range(1, greatest(len(t) - {n_words - 1}, 1) + 1)]
+           )) AS g
+    FROM d
+),
+freq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+SELECT doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN df >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(CAST(sum(CASE WHEN df >= {min_docs} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS boiler_frac
+FROM grams JOIN freq USING (g)
+GROUP BY doc_id
+"""

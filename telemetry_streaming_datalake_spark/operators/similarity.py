@@ -757,3 +757,88 @@ assigned AS (
 SELECT label, assigned_label, count(*) AS n_vecs
 FROM assigned GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster-blocked in-cell cosine pairs)
+# --------------------------------------------------------------------------
+
+#: in-cell cosine at or above this marks a semantic duplicate pair.
+#: Production corpora use ~0.95+; the synthetic test embeddings are
+#: near-orthogonal (max pair ≈ 0.51), so the demo threshold sits where
+#: the operator has observable output at test scale.
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = IVF_CELLS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    round_to: int = 4,
+) -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023, public): assign
+    every vector to a centroid cell, then mark cosine-near pairs WITHIN
+    each cell — keep the lowest vec_id of a pair, drop the other.
+
+    This is the scale recipe for semantic (not lexical) duplication:
+    clustering bounds the candidate set to in-cell pairs, so the
+    quadratic term is (corpus/n_cells)² per cell instead of corpus² —
+    with production cell counts (~100k) each cell is a few thousand
+    vectors and the in-cell scoring is an Arrow numpy batch.  The
+    cell assignment is the same map-only broadcast-centroid matmul the
+    IVF index uses (`ivf_assign_cells`); the pair join shuffles both
+    sides once on the cell key; cosine is scored inside the join
+    projection (Arrow-batched), and the threshold filter runs before
+    anything aggregates.  Differs from `embedding_near_dups` (LSH
+    sign-bit blocking — lexical-strength recall on near-identical
+    vectors) by recalling *semantically close but not near-identical*
+    pairs that hash into different LSH buckets.
+    """
+    assigned = ivf_assign_cells(embeddings, n_cells).select("cell", "vec_id", "embedding")
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("keep_id"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("drop_id"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(b, "cell").filter(F.col("keep_id") < F.col("drop_id"))
+    scored = pairs.select(
+        "cell",
+        "keep_id",
+        "drop_id",
+        F.round(pair_cosine(F.col("emb_a"), F.col("emb_b")), round_to).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup_oracle(
+    n_cells: int = IVF_CELLS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin: same first-`n_cells` centroids, same argmax-cosine
+    assignment (ties → lowest cell, matching ``np.argmax``), exact
+    in-cell pair cosine."""
+    cos = _cosine_sql("e.emb", "c.cvec")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < {n_cells}
+),
+assigned AS (
+    SELECT vec_id, emb, cell FROM (
+        SELECT e.vec_id, e.emb, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cell
+               ) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+)
+SELECT a.cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
+       round({_cosine_sql('a.emb', 'b.emb')}, {round_to}) AS cosine
+FROM assigned a JOIN assigned b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round({_cosine_sql('a.emb', 'b.emb')}, {round_to}) >= {threshold}
+"""

@@ -487,3 +487,65 @@ def test_minhash_signature_paths_agree(spark, documents):
         r.doc_id: r.signature for r in DD.minhash_signatures(documents).collect()
     }
     assert via_pandas == via_jvm
+
+
+# --------------------------------------------------------------------------
+# cross-doc boilerplate n-grams + semantic dedup (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_boilerplate_ngrams_flags_shared_spans_only(spark):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    shared = "one two three four five six seven eight"          # exactly 8 words
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " unique tail alpha beta gamma delta epsilon zeta"),
+            (2, shared + " other ending words here now then soon later"),
+            (3, "totally different text with no overlap at all whatsoever kept"),
+        ],
+    )
+    out = {r.doc_id: r for r in CP.boilerplate_ngrams(docs).collect()}
+    # docs 1 and 2 share exactly the leading 8-word gram; doc 3 shares none
+    assert out[1].n_boiler == 1 and out[2].n_boiler == 1
+    assert out[3].n_boiler == 0 and out[3].boiler_frac == 0.0
+    assert 0 < out[1].boiler_frac < 1
+
+
+def test_boilerplate_ngrams_short_doc_whole_text_gram(spark):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    docs = _docs(spark, [(1, "tiny doc"), (2, "tiny doc"), (3, "lone short")])
+    out = {r.doc_id: r for r in CP.boilerplate_ngrams(docs).collect()}
+    # <8-word docs collapse to a single whole-text gram; identical short
+    # docs therefore flag each other, a lone one doesn't
+    assert out[1].n_ngrams == 1 and out[1].n_boiler == 1
+    assert out[2].n_boiler == 1
+    assert out[3].n_boiler == 0
+
+
+def test_semantic_dedup_pairs_in_same_cell_only(spark, embeddings):
+    pairs = SIM.semantic_dedup(embeddings).collect()
+    assigned = {
+        r.vec_id: r.cell for r in SIM.ivf_assign_cells(embeddings).collect()
+    }
+    for r in pairs:
+        assert r.keep_id < r.drop_id
+        assert assigned[r.keep_id] == r.cell == assigned[r.drop_id]
+        assert r.cosine >= SIM.SEMDEDUP_THRESHOLD
+
+
+def test_semantic_dedup_finds_planted_duplicate(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype(float)
+    vecs = [(i, [float(x) for x in base[i]], 0) for i in range(20)]
+    # plant a near-copy of vector 5 (tiny perturbation, cosine ≈ 1)
+    vecs.append((20, [float(x) for x in base[5] * 1.01 + 0.001], 0))
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    pairs = {(r.keep_id, r.drop_id) for r in SIM.semantic_dedup(df, n_cells=4).collect()}
+    assert (5, 20) in pairs
