@@ -61,6 +61,11 @@ HEADLINE = [
     "q14_promo",
     "q7_nation_volume",
     "q18_large_orders",
+    "q4_priority_check",
+    "q13_order_distribution",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_dormant_value",
     "adhoc_gold_slice",
     "dedup_exact",
     "dedup_minhash",
@@ -94,6 +99,8 @@ HEADLINE = [
     "label_centroids",
     "dup_clusters",
     "centroid_confusion",
+    "boilerplate_ngrams",
+    "semantic_dedup",
 ]
 
 
