@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": lambda s, d: SIM.semantic_dedup(
             load_table(s, d, "embeddings")
         ),
+        "pack_sequences": lambda s, d: CP.pack_sequences(load_table(s, d, "documents")),
+        "mixture_weights": lambda s, d: CP.mixture_weights(load_table(s, d, "documents")),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -439,6 +441,8 @@ FROM (
         "q22_dormant_value": Q.Q22_ORACLE,
         "boilerplate_ngrams": CP.boilerplate_ngrams_oracle(),
         "semantic_dedup": SIM.semantic_dedup_oracle(),
+        "pack_sequences": CP.pack_sequences_oracle(),
+        "mixture_weights": CP.mixture_weights_oracle(),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -101,6 +101,8 @@ HEADLINE = [
     "centroid_confusion",
     "boilerplate_ngrams",
     "semantic_dedup",
+    "pack_sequences",
+    "mixture_weights",
 ]
 
 

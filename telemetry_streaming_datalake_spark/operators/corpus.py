@@ -455,3 +455,140 @@ SELECT doc_id,
 FROM grams JOIN freq USING (g)
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk into fixed context windows)
+# --------------------------------------------------------------------------
+
+#: tokens per packed training sequence (context-window budget)
+PACK_BUDGET = 512
+#: shard fan-out — one hex char of md5(doc_id) = 16 deterministic shards
+PACK_SHARDS_HEXCHARS = 1
+
+
+def pack_sequences(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Assign every doc its position in packed fixed-size training
+    sequences — the concat-and-chunk step that turns a curated corpus
+    into context-window-sized training rows.
+
+    Docs are deterministically sharded by an md5 character of doc_id
+    (so packing is reproducible AND the ordering window never sees one
+    giant partition — per-(lang, shard) state is 1/16th of a language,
+    and the shard count is the scale knob), then laid head-to-tail in
+    doc_id order within the shard; each doc's start offset in that
+    token stream places it in bin ``start // budget``.  A doc whose
+    span crosses a bin boundary is flagged (`spans_bins`) — those are
+    the sequences a loader splits.  One shuffle (the per-shard
+    ordering window); token counts are codegen whitespace splits.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col("text"))
+    per_doc = documents.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, PACK_SHARDS_HEXCHARS).alias("shard"),
+        F.size(F.split(F.trim(norm), " ")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        per_doc.withColumn("start_offset", cum - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / budget).alias("bin_id"),
+            (
+                F.floor(F.col("start_offset") / budget)
+                != F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+            ).alias("spans_bins"),
+        )
+    )
+
+
+def pack_sequences_oracle(budget: int = PACK_BUDGET) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH per_doc AS (
+    SELECT doc_id, lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, {PACK_SHARDS_HEXCHARS}) AS shard,
+           len(string_split(trim({norm}), ' ')) AS n_tokens
+    FROM documents
+),
+placed AS (
+    SELECT doc_id, lang, shard, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS start_offset
+    FROM per_doc
+)
+SELECT doc_id, lang, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset / {budget}) AS BIGINT) AS bin_id,
+       floor(start_offset / {budget})
+           <> floor((start_offset + n_tokens - 1) / {budget}) AS spans_bins
+FROM placed
+"""
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled source mixture weights
+# --------------------------------------------------------------------------
+
+#: mixture temperature — alpha < 1 upsamples the tail (the multilingual
+#: sampling exponent of large-corpus training recipes)
+MIXTURE_ALPHA = 0.7
+
+
+def mixture_weights(documents: DataFrame, alpha: float = MIXTURE_ALPHA) -> DataFrame:
+    """Per-source sampling weights for corpus mixing: raw token share
+    and the temperature-scaled share ∝ tokens^alpha (alpha < 1 flattens
+    the source distribution so low-resource sources are upsampled).
+
+    One partial-agg shuffle to per-source totals (the only pass over
+    the corpus), then the normalizing sums are window totals over the
+    handful of source rows — driver never sees data, and the corpus is
+    scanned exactly once.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col("text"))
+    per_source = (
+        documents.select(
+            "source", F.size(F.split(F.trim(norm), " ")).alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    raw_share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    temp = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    temp_share = temp / F.sum(temp).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+    )
+
+
+def mixture_weights_oracle(alpha: float = MIXTURE_ALPHA) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH per_source AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split(trim({norm}), ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS raw_share,
+       round(pow(n_tokens, {alpha}) / sum(pow(n_tokens, {alpha})) OVER (), 6)
+           AS temp_share
+FROM per_source
+"""

@@ -549,3 +549,39 @@ def test_semantic_dedup_finds_planted_duplicate(spark):
     )
     pairs = {(r.keep_id, r.drop_id) for r in SIM.semantic_dedup(df, n_cells=4).collect()}
     assert (5, 20) in pairs
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark, documents):
+    from collections import defaultdict
+
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    rows = CP.pack_sequences(documents).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[(r.lang, r.shard)].append(r)
+    assert len(by_shard) > 1
+    for group in by_shard.values():
+        group.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in group:
+            assert r.start_offset == expect
+            assert r.bin_id == r.start_offset // CP.PACK_BUDGET
+            assert r.spans_bins == (
+                r.start_offset // CP.PACK_BUDGET
+                != (r.start_offset + r.n_tokens - 1) // CP.PACK_BUDGET
+            )
+            expect = r.start_offset + r.n_tokens
+
+
+def test_mixture_weights_temperature_flattens_shares(spark, documents):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    rows = CP.mixture_weights(documents).collect()
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    biggest = max(rows, key=lambda r: r.n_tokens)
+    # alpha < 1 upsamples the tail and downsamples the head
+    assert smallest.temp_share > smallest.raw_share
+    assert biggest.temp_share < biggest.raw_share
