@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pack_sequences": lambda s, d: CP.pack_sequences(load_table(s, d, "documents")),
         "mixture_weights": lambda s, d: CP.mixture_weights(load_table(s, d, "documents")),
+        "bronze_quarantine": lambda s, d: B.bronze_quarantine(
+            load_table(s, d, "events"), dm.metric_mapping(s)
+        ),
+        "kmeans_refine": lambda s, d: SIM.kmeans_refine(load_table(s, d, "embeddings")),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -443,6 +447,8 @@ FROM (
         "semantic_dedup": SIM.semantic_dedup_oracle(),
         "pack_sequences": CP.pack_sequences_oracle(),
         "mixture_weights": CP.mixture_weights_oracle(),
+        "bronze_quarantine": B.bronze_quarantine_oracle(),
+        "kmeans_refine": SIM.kmeans_refine_oracle(),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

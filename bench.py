@@ -103,6 +103,8 @@ HEADLINE = [
     "semantic_dedup",
     "pack_sequences",
     "mixture_weights",
+    "bronze_quarantine",
+    "kmeans_refine",
 ]
 
 

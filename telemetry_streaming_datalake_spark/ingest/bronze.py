@@ -130,3 +130,99 @@ BRONZE_PARSE_ORACLE = "SELECT" + _BRONZE_ORACLE_BODY
 
 #: payload-retaining twin of :data:`BRONZE_PARSE_ORACLE`
 BRONZE_PAYLOAD_ORACLE = "SELECT\n    props," + _BRONZE_ORACLE_BODY
+
+
+# --------------------------------------------------------------------------
+# ingest validation gate (dead-letter / quarantine router)
+# --------------------------------------------------------------------------
+
+#: records older than this are stale — the fixed-cutoff analog of the
+#: reference's rolling ingest window (`Part2 ….scala:52` filters
+#: `timestamp > unix_timestamp() - 172800`; a deterministic engine
+#: pins the boundary instead of calling now())
+QUARANTINE_STALE_BEFORE = "2024-01-05"
+#: plausibility bounds for the measurement value
+QUARANTINE_VALUE_MAX = 450.0
+#: the provider this ingest leg serves — only its symbols are valid
+#: here (the reference scopes each parser to one provider's mappings,
+#: `Part2 ….scala:309`)
+QUARANTINE_PROVIDER_ID = 1
+
+
+def bronze_quarantine(events: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Route every raw record to ``bronze`` or ``quarantine`` with a
+    reason — the auditable version of the reference's silent ingest
+    filters (stale-window drop `Part2 ….scala:52`, shape drop
+    `Part3 ….scala:38`, provider-scoped mapping `Part2 ….scala:309`).
+
+    First matching rule wins: malformed payload, stale timestamp,
+    symbol unknown to this leg's provider, value out of plausible
+    range; survivors route to bronze.  The mapping vocabulary is a
+    broadcast left join (null provider ⇒ unmapped); everything else is
+    a codegen `when` ladder — map-only, zero shuffles, the same plan
+    at any ingest rate.
+    """
+    vocab = mapping.filter(
+        F.col("provider_id") == QUARANTINE_PROVIDER_ID
+    ).select(F.col("raw_symbol"), F.lit(True).alias("mapped"))
+    parsed = events.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("serial"),
+        F.col("event_type").alias("metric"),
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("payload_k"),
+        F.unix_timestamp("ts").alias("unix_ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("datestamp"),
+    )
+    joined = parsed.join(
+        F.broadcast(vocab), parsed["metric"] == vocab["raw_symbol"], "left_outer"
+    ).drop("raw_symbol")
+    reason = (
+        F.when(F.col("payload_k").isNull(), "bad_payload")
+        .when(F.col("datestamp") < QUARANTINE_STALE_BEFORE, "stale_ts")
+        .when(F.col("mapped").isNull(), "unmapped_metric")
+        .when(
+            (F.col("value") <= 0) | (F.col("value") > QUARANTINE_VALUE_MAX),
+            "out_of_range",
+        )
+        .otherwise("ok")
+    )
+    return joined.select(
+        "event_id",
+        "serial",
+        "metric",
+        "value",
+        "unix_ts",
+        "datestamp",
+        reason.alias("reason"),
+        F.when(reason == "ok", "bronze").otherwise("quarantine").alias("route"),
+    )
+
+
+def bronze_quarantine_oracle() -> str:
+    return f"""
+WITH parsed AS (
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS serial,
+           event_type AS metric,
+           value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k,
+           (epoch_us(ts) // 1000000) AS unix_ts,
+           strftime(ts, '%Y-%m-%d') AS datestamp
+    FROM events
+),
+reasoned AS (
+    SELECT p.*,
+           CASE
+               WHEN payload_k IS NULL THEN 'bad_payload'
+               WHEN datestamp < '{QUARANTINE_STALE_BEFORE}' THEN 'stale_ts'
+               WHEN metric NOT IN ('click', 'view', 'purchase') THEN 'unmapped_metric'
+               WHEN value <= 0 OR value > {QUARANTINE_VALUE_MAX} THEN 'out_of_range'
+               ELSE 'ok'
+           END AS reason
+    FROM parsed p
+)
+SELECT event_id, serial, metric, value, unix_ts, datestamp, reason,
+       CASE WHEN reason = 'ok' THEN 'bronze' ELSE 'quarantine' END AS route
+FROM reasoned
+"""

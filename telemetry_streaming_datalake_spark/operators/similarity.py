@@ -842,3 +842,67 @@ FROM assigned a JOIN assigned b
   ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE round({_cosine_sql('a.emb', 'b.emb')}, {round_to}) >= {threshold}
 """
+
+
+# --------------------------------------------------------------------------
+# k-means refinement step (Lloyd iteration over the IVF cells)
+# --------------------------------------------------------------------------
+
+
+def kmeans_refine(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFrame:
+    """One Lloyd's iteration over the IVF cell structure: assign every
+    vector to its nearest seed centroid (the same map-only
+    broadcast-centroid matmul the index uses), then recompute each
+    cell's centroid as the member mean — the update step an IVF /
+    k-means build iterates until assignment stabilizes.
+
+    Output is long-form (cell, dim_idx, centroid_val, n_members).
+    Shape: assignment adds no shuffle; the update is one
+    ``posexplode`` + (cell, dim) partial-agg shuffle — identical cost
+    profile per iteration at any scale, which is why the driver-side
+    loop in a full build stays O(iterations) with no growing state
+    (each pass reads the corpus once; lineage is cut by writing the
+    new centroids, which are dimension-sized).
+    """
+    assigned = ivf_assign_cells(embeddings, n_cells)
+    ex = assigned.select("cell", F.posexplode("embedding").alias("pos", "component"))
+    return (
+        ex.groupBy("cell", (F.col("pos") + 1).alias("dim_idx"))
+        .agg(
+            F.round(F.avg("component"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def kmeans_refine_oracle(n_cells: int = IVF_CELLS) -> str:
+    """DuckDB twin: same first-`n_cells` seed centroids, same
+    argmax-cosine assignment (ties → lowest cell), unnest means."""
+    cos = _cosine_sql("e.emb", "c.cvec")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < {n_cells}
+),
+assigned AS (
+    SELECT vec_id, emb, cell FROM (
+        SELECT e.vec_id, e.emb, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cell
+               ) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+),
+dims AS (SELECT max(len(emb)) AS d FROM e),
+ex AS (
+    SELECT a.cell, t.i AS dim_idx, a.emb[t.i] AS component
+    FROM assigned a, dims, unnest(range(1, dims.d + 1)) AS t(i)
+)
+SELECT cell, dim_idx,
+       round(avg(component), 6) AS centroid_val,
+       count(*) AS n_members
+FROM ex
+GROUP BY cell, dim_idx
+"""

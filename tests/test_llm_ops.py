@@ -585,3 +585,18 @@ def test_mixture_weights_temperature_flattens_shares(spark, documents):
     # alpha < 1 upsamples the tail and downsamples the head
     assert smallest.temp_share > smallest.raw_share
     assert biggest.temp_share < biggest.raw_share
+
+
+def test_kmeans_refine_moves_centroid_to_member_mean(spark):
+    # two obvious clusters; seeds = vec_ids 0 and 1 (one in each)
+    vecs = [
+        (0, [0.0, 1.0], 0), (2, [0.1, 0.9], 0), (3, [-0.1, 1.1], 0),
+        (1, [1.0, 0.0], 0), (4, [0.9, 0.1], 0), (5, [1.1, -0.1], 0),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    out = {(r.cell, r.dim_idx): r for r in SIM.kmeans_refine(df, n_cells=2).collect()}
+    assert out[(0, 1)].n_members == 3 and out[(1, 1)].n_members == 3
+    assert abs(out[(0, 1)].centroid_val - 0.0) < 0.1   # mean of 0, .1, -.1
+    assert abs(out[(0, 2)].centroid_val - 1.0) < 0.1
+    assert abs(out[(1, 1)].centroid_val - 1.0) < 0.1
+    assert abs(out[(1, 2)].centroid_val - 0.0) < 0.1

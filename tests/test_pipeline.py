@@ -122,3 +122,31 @@ def test_custom_metric_sum_combines_constituents(spark):
     assert len(out) == 1
     assert out[0].metric_id == 200
     assert out[0].value_double == 3.0
+
+
+def test_bronze_quarantine_routes_with_first_match_reason(spark):
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    import datetime
+
+    rows = [
+        # event_id, ts, user_id, event_type, value, props
+        (1, datetime.datetime(2024, 1, 10), 1, "click", 5.0, '{"k": 1}'),      # ok
+        (2, datetime.datetime(2024, 1, 10), 1, "click", 5.0, '{"nope": 1}'),   # bad_payload
+        (3, datetime.datetime(2024, 1, 2), 1, "click", 5.0, '{"k": 1}'),       # stale_ts
+        (4, datetime.datetime(2024, 1, 10), 1, "signup", 5.0, '{"k": 1}'),     # unmapped (provider 2)
+        (5, datetime.datetime(2024, 1, 10), 1, "view", 9999.0, '{"k": 1}'),    # out_of_range
+        # stale AND unmapped: first rule in ladder order wins
+        (6, datetime.datetime(2024, 1, 2), 1, "error", -1.0, '{"nope": 1}'),   # bad_payload
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.event_id: r for r in B.bronze_quarantine(events, dm.metric_mapping(spark)).collect()}
+    assert out[1].route == "bronze" and out[1].reason == "ok"
+    assert out[2].reason == "bad_payload"
+    assert out[3].reason == "stale_ts"
+    assert out[4].reason == "unmapped_metric"
+    assert out[5].reason == "out_of_range"
+    assert out[6].reason == "bad_payload"
+    assert all(out[i].route == "quarantine" for i in (2, 3, 4, 5, 6))
