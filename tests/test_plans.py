@@ -208,3 +208,62 @@ def test_feed_c_parse_is_map_only(spark):
         "raw string",
     )
     assert "Exchange" not in _plan(FB.parse_bronze_feed_c(raw))
+
+
+def test_quarantine_router_is_map_only_with_broadcast_vocab(spark):
+    """The dead-letter router must add no exchange: a when ladder over
+    the scan plus a broadcast vocabulary join — same plan at any
+    ingest rate."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["bronze_quarantine"](spark, SF))
+    assert "hashpartitioning" not in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_boilerplate_ngrams_two_compact_key_shuffles(spark):
+    """Gram dedup happens map-side (array_distinct before the explode);
+    the only exchanges are the gram-hash window and the doc aggregate —
+    and there is no self-join back onto the corpus."""
+    import __spark_entry__ as E
+
+    import re
+
+    p = _plan(E.queries()["boilerplate_ngrams"](spark, SF))
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Window" in p
+
+
+def test_pack_sequences_single_ordering_window(spark):
+    """Packing is one per-(lang, shard) ordering window over per-doc
+    token counts — one hash exchange, no join, no global sort."""
+    import __spark_entry__ as E
+
+    import re
+
+    p = _plan(E.queries()["pack_sequences"](spark, SF))
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "rangepartitioning" not in p
+
+
+def test_semantic_dedup_joins_on_cell_key_only(spark):
+    """In-cell pairing must be an equi-join on the cell key — never a
+    cartesian pair explosion."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmeans_refine_partial_aggregates(spark):
+    """The centroid update must carry partial means through the
+    (cell, dim) shuffle — map-side combine collapses the posexplode
+    amplification before any exchange."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["kmeans_refine"](spark, SF))
+    assert "partial_" in p
+    assert "Join" not in p
