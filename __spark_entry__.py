@@ -111,6 +111,13 @@ def _streaming_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_publish_jsonl(spark, sf_dir, work)
 
 
+def _streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_dlq_")
+    return SP.streaming_quarantine_split(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -219,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), dm.metric_mapping(s)
         ),
         "kmeans_refine": lambda s, d: SIM.kmeans_refine(load_table(s, d, "embeddings")),
+        "streaming_quarantine_split": _streaming_quarantine,
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -449,6 +457,8 @@ FROM (
         "mixture_weights": CP.mixture_weights_oracle(),
         "bronze_quarantine": B.bronze_quarantine_oracle(),
         "kmeans_refine": SIM.kmeans_refine_oracle(),
+        # two-sink streaming split unioned back == the batch router
+        "streaming_quarantine_split": B.bronze_quarantine_oracle(),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -790,3 +790,59 @@ def streaming_publish_jsonl(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     )
     lines = spark.read.text(out)
     return lines.select(F.from_json("value", PUBLISH_WIRE_SCHEMA).alias("r")).select("r.*")
+
+
+def streaming_quarantine_split(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Streaming dead-letter split: route each micro-batch of the raw
+    feed through the same `bronze_quarantine` validation gate the
+    batch path uses, landing survivors and rejects in SEPARATE sinks
+    (rejects partitioned by reason — the replayable dead-letter queue
+    of a production ingest).
+
+    One `foreachBatch` performs both writes so a batch commits to the
+    two sinks under a single checkpointed epoch (the two-sink analog
+    of the reference's per-provider ingest filters, which simply drop
+    these records on the floor — `Part2 ….scala:52`).  Batch==stream
+    code: the router is the identical function.
+
+    Returns both sinks read back and unioned — the driver oracle is
+    the batch `bronze_quarantine` SQL, proving the split is lossless
+    and the routing deterministic.
+    """
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest.bronze import bronze_quarantine
+
+    ok_dir = os.path.join(work_dir, "bronze_ok")
+    dlq_dir = os.path.join(work_dir, "dead_letter")
+    ckpt = os.path.join(work_dir, "quarantine_ckpt")
+    mapping = dm.metric_mapping(spark)
+    raw = normalize_nano_ts(_events_glob(spark, sf_dir, work_dir), "ts")
+
+    def split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = bronze_quarantine(batch_df, mapping).persist()
+        try:
+            (
+                routed.filter(F.col("route") == "bronze")
+                .write.mode("append")
+                .parquet(ok_dir)
+            )
+            (
+                routed.filter(F.col("route") == "quarantine")
+                .write.partitionBy("reason")
+                .mode("append")
+                .parquet(dlq_dir)
+            )
+        finally:
+            routed.unpersist()
+
+    (
+        raw.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    cols = ["event_id", "serial", "metric", "value", "unix_ts", "datestamp", "reason", "route"]
+    ok = spark.read.parquet(ok_dir).select(*cols)
+    dlq = spark.read.parquet(dlq_dir).select(*cols)
+    return ok.unionByName(dlq)

@@ -361,3 +361,22 @@ def test_streaming_counter_rate_carries_state_across_batches(spark, tmp_path):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
+
+
+def test_streaming_quarantine_split_matches_batch_router(spark, tmp_path):
+    import os
+
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming import pipeline as SP
+
+    sf = "/root/testdata/sf0.001"
+    out = SP.streaming_quarantine_split(spark, sf, str(tmp_path))
+    batch = B.bronze_quarantine(load_table(spark, sf, "events"), dm.metric_mapping(spark))
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0 and batch.exceptAll(out).count() == 0
+    # the dead-letter sink is reason-partitioned (replayable by cause)
+    dlq = os.path.join(str(tmp_path), "dead_letter")
+    reasons = {d.split("=", 1)[1] for d in os.listdir(dlq) if d.startswith("reason=")}
+    assert reasons and reasons <= {"bad_payload", "stale_ts", "unmapped_metric", "out_of_range"}
