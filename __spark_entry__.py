@@ -130,10 +130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green CORRECTNESS row come first, so no key's green row is ever
     more than ~2 rounds old.  Round-5 window: the 11 never-checked keys,
     then the r2-stale streaming trio, then the 18 r3-only LLM keys, then
-    the 12 new round-5 keys (feed C, stage delays, weighted simhash, five
-    ad-hoc relational shapes, boilerplate n-grams, semantic dedup); the
-    r4-green medallion/tpch keys sit at the tail and rotate back in
-    round 6.
+    the new round-5 keys (feed C, stage delays, weighted simhash, five
+    ad-hoc relational shapes, boilerplate n-grams, semantic dedup,
+    sequence packing, mixture weights, the quarantine router batch +
+    streaming, k-means refine); the r4-green medallion/tpch keys sit at
+    the tail and rotate back in round 6.
     """
     return {
         # --- block A: never driver-checked before round 5 (11 keys) ---

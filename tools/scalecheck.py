@@ -34,6 +34,7 @@ from telemetry_streaming_datalake_spark.session import get_spark, load_table
 from telemetry_streaming_datalake_spark import datamodel as dm
 from telemetry_streaming_datalake_spark.ingest import bronze as B
 from telemetry_streaming_datalake_spark.ingest import silver as S
+from telemetry_streaming_datalake_spark.operators import corpus as CP
 from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import derived as DV
 from telemetry_streaming_datalake_spark.operators import merge as M
@@ -124,6 +125,9 @@ def queries():
             dm.metric_mapping(s),
         ),
         "agg_hour": lambda s, d: R.rollup_hour(_gold(s, d)),
+        "boilerplate_ngrams": lambda s, d: CP.boilerplate_ngrams(
+            load_table(s, d, "documents")
+        ),
     }
 
 
