@@ -433,6 +433,10 @@ def _centroid_matrix(embeddings: DataFrame, n_cells: int) -> np.ndarray:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not cents:
+        # empty corpus ⇒ no seed vectors; downstream assignment UDFs
+        # never execute (no rows), so the shape only needs to exist
+        return np.zeros((0, 1), dtype=np.float64)
     cent_mat = np.array(
         [r.embedding for r in sorted(cents, key=lambda r: r.vec_id)], dtype=np.float64
     )
@@ -687,7 +691,12 @@ def centroid_confusion(embeddings: DataFrame) -> DataFrame:
         .collect()
     )
     labels = sorted({r.label for r in cent_rows})
-    dim = max(r.dim_idx for r in cent_rows)
+    # empty corpus ⇒ no centroids and no rows to assign; keep the
+    # output schema by running the (never-executed) plan with a
+    # 1-label placeholder matrix
+    dim = max((r.dim_idx for r in cent_rows), default=1)
+    if not labels:
+        labels = [0]
     C = np.zeros((len(labels), dim))
     lab_pos = {l: i for i, l in enumerate(labels)}
     for r in cent_rows:

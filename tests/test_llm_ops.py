@@ -600,3 +600,34 @@ def test_kmeans_refine_moves_centroid_to_member_mean(spark):
     assert abs(out[(0, 2)].centroid_val - 1.0) < 0.1
     assert abs(out[(1, 1)].centroid_val - 1.0) < 0.1
     assert abs(out[(1, 2)].centroid_val - 0.0) < 0.1
+
+
+def test_operators_survive_empty_inputs(spark):
+    """A filtered-to-empty corpus (common in per-partition reruns and
+    backfills) must yield empty results, not driver-side crashes in
+    the centroid collects."""
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+    from telemetry_streaming_datalake_spark.operators import merge as M
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    empties = [
+        DD.dedup_minhash(docs),
+        DD.ngram_jaccard_dedup(docs),
+        M.dup_clusters(DD.ngram_jaccard_dedup(docs)),
+        CP.boilerplate_ngrams(docs),
+        CP.pack_sequences(docs),
+        CP.mixture_weights(docs),
+        TX.tfidf_top_terms(docs),
+        SIM.semantic_dedup(emb),
+        SIM.kmeans_refine(emb),
+        SIM.ann_ivf_topk(emb, [0]),
+        SIM.ann_lsh_topk(emb, [0]),
+        SIM.cosine_topk(emb, [0]),
+        SIM.centroid_confusion(emb),
+        SIM.embedding_near_dups(emb),
+    ]
+    for df in empties:
+        assert df.count() == 0
