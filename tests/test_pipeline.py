@@ -150,3 +150,35 @@ def test_bronze_quarantine_routes_with_first_match_reason(spark):
     assert out[5].reason == "out_of_range"
     assert out[6].reason == "bad_payload"
     assert all(out[i].route == "quarantine" for i in (2, 3, 4, 5, 6))
+
+
+def test_medallion_operators_survive_empty_feed(spark):
+    """An empty micro-batch / filtered-to-empty backfill window must
+    flow through the whole medallion graph and produce empty outputs."""
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.ingest import silver as S
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+    from telemetry_streaming_datalake_spark.operators import temporal as T
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    cust = spark.createDataFrame(
+        [(1, "c", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    bronze = B.parse_bronze(ev)
+    silver = S.to_silver(B.dedup_exact(bronze), dm.metric_mapping(spark))
+    gold = T.enrich_gold(silver, dm.remote_history(spark, cust))
+    for df in [
+        gold,
+        R.rollup_hour(gold),
+        R.incremental_rollup_hour(gold, 100),
+        DT.stage_delay_report(bronze, silver, gold, dm.metric_mapping(spark)),
+        DV.gapfill_hourly(B.dedup_exact(bronze)),
+        B.bronze_quarantine(ev, dm.metric_mapping(spark)),
+    ]:
+        assert df.count() == 0
