@@ -105,6 +105,7 @@ HEADLINE = [
     "mixture_weights",
     "bronze_quarantine",
     "kmeans_refine",
+    "table_profile",
 ]
 
 

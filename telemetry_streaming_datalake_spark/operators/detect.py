@@ -386,3 +386,74 @@ SELECT substr(datestamp, 1, 4) AS year, substr(datestamp, 6, 2) AS month,
        count(DISTINCT CAST(serial AS VARCHAR)) AS n_online
 FROM gold GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# data-quality table profile (ANALYZE/summarize-style audit)
+# --------------------------------------------------------------------------
+
+#: bronze columns the profile audits (name, is_numeric)
+PROFILE_COLS = [
+    ("serial", False),
+    ("metric", False),
+    ("value", True),
+    ("unix_ts", True),
+    ("datestamp", False),
+]
+
+
+def table_profile(bronze: DataFrame) -> DataFrame:
+    """Per-column quality profile of a lake table: row count, null
+    count, distinct count, lexical min/max — the `summarize` / dbt-test
+    audit an operator runs before trusting a backfill.
+
+    One aggregation pass computes every column's metrics together
+    (Spark expands the multi-`count_distinct` internally — the
+    documented 100 TB swap-in is `approx_count_distinct`, same shape,
+    one expand less); the wide 1-row aggregate then unpivots to
+    long-form (column, metric rows) with a map-only `stack` — no
+    second scan, no per-column job.  Min/max stringify so one schema
+    carries all column types.
+    """
+    aggs = []
+    for c, _num in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            # min/max in the column's NATIVE order, stringified after —
+            # stringify-then-compare would rank '99.93' above '490.02'
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = bronze.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+        )
+    ).select(
+        "column_name",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
+def table_profile_oracle(bronze_cte: str) -> str:
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM bronze"""
+        for c, _ in PROFILE_COLS
+    )
+    return f"WITH bronze AS ({bronze_cte})\n{branches}"

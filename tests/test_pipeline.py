@@ -182,3 +182,26 @@ def test_medallion_operators_survive_empty_feed(spark):
         B.bronze_quarantine(ev, dm.metric_mapping(spark)),
     ]:
         assert df.count() == 0
+
+
+def test_table_profile_counts_nulls_and_distincts(spark):
+    import datetime
+
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 10), 1, "click", 5.0, '{"k": 1}'),
+        (2, datetime.datetime(2024, 1, 10), 2, "click", 7.0, '{"k": 2}'),
+        (3, datetime.datetime(2024, 1, 11), 1, "view", None, '{"k": 3}'),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    prof = {r.column_name: r for r in DT.table_profile(B.parse_bronze(events)).collect()}
+    assert prof["serial"].n_rows == 3 and prof["serial"].n_distinct == 2
+    assert prof["metric"].n_distinct == 2
+    assert prof["value"].n_nulls == 1 and prof["value"].n_distinct == 2
+    # native numeric order, stringified after
+    assert prof["value"].min_str == "5.0" and prof["value"].max_str == "7.0"
+    assert prof["datestamp"].min_str == "2024-01-10"
