@@ -101,3 +101,15 @@ def test_exact_dedup_partitions_by_normalized_text(spark, texts):
 def test_sessionize_empty_frame(spark):
     df = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
     assert SES.sessionize(df).count() == 0
+
+
+def test_round5_ops_are_partitioning_invariant(spark, documents):
+    """Window- and aggregation-based operators must return identical
+    results regardless of input partitioning — the rerun-stability a
+    cluster recompute (different task layout) depends on."""
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    for fn in (CP.boilerplate_ngrams, CP.pack_sequences, CP.mixture_weights):
+        a = fn(documents)
+        b = fn(documents.repartition(7))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, fn.__name__
