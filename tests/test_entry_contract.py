@@ -58,3 +58,11 @@ def test_no_query_shares_an_ambiguous_alias_with_its_oracle(built):
         sql = oracles[name].lower()
         for c in df.columns:
             assert c.lower() in sql, f"{name}: column {c} not named in oracle SQL"
+
+
+def test_bench_headline_keys_are_all_registered():
+    import bench
+
+    qs = set(E.queries())
+    missing = [k for k in bench.HEADLINE if k not in qs]
+    assert not missing, missing
