@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_refine": lambda s, d: SIM.kmeans_refine(load_table(s, d, "embeddings")),
         "streaming_quarantine_split": _streaming_quarantine,
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
+        # --- block E: outside the round-5 window (driver row comes with
+        # the round-6 rotation; locally crosscheck-green + pytest now) ---
+        "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -462,6 +465,7 @@ FROM (
         # two-sink streaming split unioned back == the batch router
         "streaming_quarantine_split": B.bronze_quarantine_oracle(),
         "table_profile": DT.table_profile_oracle(B.BRONZE_PARSE_ORACLE),
+        "length_trim": CP.length_trim_oracle(),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -106,6 +106,7 @@ HEADLINE = [
     "bronze_quarantine",
     "kmeans_refine",
     "table_profile",
+    "length_trim",
 ]
 
 

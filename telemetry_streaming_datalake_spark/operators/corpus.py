@@ -592,3 +592,68 @@ SELECT source, n_docs, n_tokens,
            AS temp_share
 FROM per_source
 """
+
+
+# --------------------------------------------------------------------------
+# percentile length trim (winsorized corpus-length filter)
+# --------------------------------------------------------------------------
+
+#: docs outside [p_lo, p_hi] of the token-length distribution are trimmed
+TRIM_LO = 0.01
+TRIM_HI = 0.99
+
+
+def length_trim(
+    documents: DataFrame, p_lo: float = TRIM_LO, p_hi: float = TRIM_HI
+) -> DataFrame:
+    """Flag docs whose token length falls outside the corpus's
+    [p_lo, p_hi] percentile band — the winsorized length filter that
+    strips truncated fragments and runaway concatenations before
+    training.
+
+    The two exact percentiles are ONE 1-row global aggregate broadcast
+    back over the corpus (scalar-subquery crossJoin shape — the fact
+    never re-shuffles); the per-doc token count is a codegen split.
+    At 100 TB the stated swap-in is `approx_percentile` on the same
+    aggregate — identical plan, sketch-merge instead of exact sort.
+    """
+    norm = normalize_text(F.col("text"))
+    per_doc = documents.select(
+        "doc_id", F.size(F.split(F.trim(norm), " ")).alias("n_tokens")
+    )
+    bounds = per_doc.agg(
+        F.percentile("n_tokens", F.lit(p_lo)).alias("lo"),
+        F.percentile("n_tokens", F.lit(p_hi)).alias("hi"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("lo", 6).alias("p_lo_tokens"),
+            F.round("hi", 6).alias("p_hi_tokens"),
+            ((F.col("n_tokens") < F.col("lo")) | (F.col("n_tokens") > F.col("hi"))).alias(
+                "trimmed"
+            ),
+        )
+    )
+
+
+def length_trim_oracle(p_lo: float = TRIM_LO, p_hi: float = TRIM_HI) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH per_doc AS (
+    SELECT doc_id, len(string_split(trim({norm}), ' ')) AS n_tokens
+    FROM documents
+),
+bounds AS (
+    SELECT quantile_cont(n_tokens, {p_lo}) AS lo,
+           quantile_cont(n_tokens, {p_hi}) AS hi
+    FROM per_doc
+)
+SELECT doc_id, n_tokens,
+       round(lo, 6) AS p_lo_tokens,
+       round(hi, 6) AS p_hi_tokens,
+       (n_tokens < lo OR n_tokens > hi) AS trimmed
+FROM per_doc, bounds
+"""

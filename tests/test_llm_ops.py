@@ -631,3 +631,16 @@ def test_operators_survive_empty_inputs(spark):
     ]
     for df in empties:
         assert df.count() == 0
+
+
+def test_length_trim_flags_only_tail_docs(spark, documents):
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    rows = CP.length_trim(documents).collect()
+    trimmed = [r for r in rows if r.trimmed]
+    kept = [r for r in rows if not r.trimmed]
+    # p01..p99 band keeps the bulk and every kept doc sits inside it
+    assert len(trimmed) <= 0.05 * len(rows)
+    lo, hi = rows[0].p_lo_tokens, rows[0].p_hi_tokens
+    assert all(lo <= r.n_tokens <= hi for r in kept)
+    assert all(r.n_tokens < lo or r.n_tokens > hi for r in trimmed)
