@@ -107,6 +107,7 @@ HEADLINE = [
     "kmeans_refine",
     "table_profile",
     "length_trim",
+    "anomaly_mad",
 ]
 
 

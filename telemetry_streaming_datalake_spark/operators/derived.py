@@ -316,3 +316,81 @@ SELECT serial, metric, bucket_ts,
        avg_value IS NULL AS is_filled
 FROM dense
 """
+
+
+# --------------------------------------------------------------------------
+# robust (median/MAD) anomaly flags
+# --------------------------------------------------------------------------
+
+#: modified z-score threshold (Iglewicz–Hoaglin recommend 3.5)
+MAD_THRESHOLD = 3.5
+#: consistency constant making MAD comparable to a stddev under normality
+MAD_K = 0.6745
+
+
+def anomaly_mad(bronze_deduped: DataFrame, threshold: float = MAD_THRESHOLD) -> DataFrame:
+    """Outlier-robust twin of :func:`anomaly_zscore`: flag readings by
+    modified z-score ``0.6745·(x − median)/MAD`` — unlike mean/stddev,
+    the median and MAD do not move when the outliers themselves grow,
+    so a burst of bad readings cannot mask itself.
+
+    Shape: two metric-cardinality aggregates (median, then median of
+    absolute deviations — the second pass is inherent to MAD), each
+    broadcast back onto the unshuffled fact stream; flags are computed
+    map-side.  Exact `F.percentile` matches `quantile_cont`; at 100 TB
+    the documented swap-in is `approx_percentile`, same call shape.
+    Stats round to 6dp before the score so flags are bit-stable
+    across engines and summation orders; MAD floors at 1e-9 so a
+    constant-valued metric flags nothing instead of dividing by zero.
+    """
+    b = bronze_deduped.select("event_id", "metric", "value")
+    med = b.groupBy("metric").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med_value")
+    )
+    mad = (
+        b.join(F.broadcast(med), "metric")
+        .groupBy("metric")
+        .agg(
+            F.min("med_value").alias("med_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med_value")), F.lit(0.5)), 6
+            ).alias("mad_value"),
+        )
+    )
+    j = b.join(F.broadcast(mad), "metric")
+    score = (
+        F.lit(MAD_K)
+        * (F.col("value") - F.col("med_value"))
+        / F.greatest(F.col("mad_value"), F.lit(1e-9))
+    )
+    return j.select(
+        "event_id",
+        "metric",
+        "value",
+        "med_value",
+        "mad_value",
+        F.round(score, 4).alias("robust_z"),
+        (F.abs(F.round(score, 4)) > threshold).alias("is_anomaly"),
+    )
+
+
+def anomaly_mad_oracle(bronze_dedup_sql: str, threshold: float = MAD_THRESHOLD) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+med AS (
+    SELECT metric, round(quantile_cont(value, 0.5), 6) AS med_value
+    FROM deduped GROUP BY metric
+),
+mad AS (
+    SELECT d.metric, min(m.med_value) AS med_value,
+           round(quantile_cont(abs(d.value - m.med_value), 0.5), 6) AS mad_value
+    FROM deduped d JOIN med m USING (metric)
+    GROUP BY d.metric
+)
+SELECT d.event_id, d.metric, d.value, s.med_value, s.mad_value,
+       round({MAD_K} * (d.value - s.med_value)
+             / greatest(s.mad_value, 1e-9), 4) AS robust_z,
+       abs(round({MAD_K} * (d.value - s.med_value)
+                 / greatest(s.mad_value, 1e-9), 4)) > {threshold} AS is_anomaly
+FROM deduped d JOIN mad s USING (metric)
+"""

@@ -197,3 +197,23 @@ def test_incremental_rollup_boundary_bucket_merges(spark, events, customer):
     pre = gold.filter((F.col("unix_ts") >= b) & (F.col("unix_ts") < cutoff)).count()
     post = gold.filter((F.col("unix_ts") >= cutoff) & (F.col("unix_ts") < b + 3600)).count()
     assert pre > 0 and post > 0
+
+
+def test_anomaly_mad_is_robust_to_the_outlier_itself(spark):
+    """The property that motivates MAD over mean/stddev: one huge
+    outlier must not drag the center/scale enough to mask itself."""
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+    import datetime
+
+    rows = [(i, datetime.datetime(2024, 1, 10, 0, i), 1, "click", 10.0 + (i % 5) * 0.1, '{"k":1}')
+            for i in range(20)]
+    rows.append((99, datetime.datetime(2024, 1, 10, 1, 0), 1, "click", 10000.0, '{"k":1}'))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.event_id: r for r in DV.anomaly_mad(B.dedup_exact(B.parse_bronze(events))).collect()}
+    assert out[99].is_anomaly
+    assert not any(out[i].is_anomaly for i in range(20))
+    # median/MAD sit in the bulk, unmoved by the outlier
+    assert 9.9 <= out[99].med_value <= 10.5
