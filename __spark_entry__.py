@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
+        "latest_state_diff": lambda s, d: M.latest_state_diff(
+            _gold(s, d), MERGE_CUTOFF_UNIX
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -468,6 +471,9 @@ FROM (
         "table_profile": DT.table_profile_oracle(B.BRONZE_PARSE_ORACLE),
         "length_trim": CP.length_trim_oracle(),
         "anomaly_mad": DV.anomaly_mad_oracle(DEDUP_ORACLE),
+        "latest_state_diff": M.latest_state_diff_oracle(
+            T.GOLD_ORACLE, MERGE_CUTOFF_UNIX
+        ),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -108,6 +108,7 @@ HEADLINE = [
     "table_profile",
     "length_trim",
     "anomaly_mad",
+    "latest_state_diff",
 ]
 
 

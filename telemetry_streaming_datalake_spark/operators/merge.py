@@ -211,3 +211,107 @@ walk(node, label) AS (
 SELECT node AS doc_id, min(label) AS cluster_id
 FROM walk GROUP BY node
 """
+
+
+# --------------------------------------------------------------------------
+# CDC table diff (change feed between two table states)
+# --------------------------------------------------------------------------
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Change-data-capture diff between two states of a keyed table:
+    one row per changed key, classified ``inserted`` / ``updated`` /
+    ``deleted`` (unchanged keys are dropped) with both sides' values —
+    the change feed a downstream consumer replays (the read twin of
+    the MERGE writer, Delta CDF-style).
+
+    One co-partitioned full-outer equi-join on the key; presence
+    markers (not null-checks on data columns) drive the
+    classification, so legitimately-NULL values diff correctly.
+    Null-safe comparison (`eqNullSafe`) detects updates.
+    """
+    o = old.select(
+        F.col(key), F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key), F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("__in_old").isNull(), "inserted")
+        .when(F.col("__in_new").isNull(), "deleted")
+        .when(same, "unchanged")
+        .otherwise("updated")
+    )
+    out_cols = [key, status.alias("change")] + [
+        F.col(f"old_{c}") for c in compare_cols
+    ] + [F.col(f"new_{c}") for c in compare_cols]
+    return j.select(*out_cols).filter(F.col("change") != "unchanged")
+
+
+def latest_state_diff(gold: DataFrame, cutoff_unix: int) -> DataFrame:
+    """CDC instantiation on the serving 'latest' store: the change feed
+    between the store as of ``cutoff_unix`` and the all-data store —
+    exactly the rows the :func:`merge_upsert_latest` writer would have
+    touched, now exposed as a readable feed."""
+    eligible = gold.filter(F.col("value_double").isNotNull())
+    key = F.concat_ws(
+        "|", "remote_id", "metric_id", "provider_id", "category_id"
+    ).alias("id")
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.select(key, F.struct("unix_ts", "event_id", "value_double").alias("s"))
+            .groupBy("id")
+            .agg(F.max("s").alias("s"))
+            .select(
+                "id",
+                F.col("s.unix_ts").alias("last_ts"),
+                F.col("s.value_double").alias("last_value"),
+            )
+        )
+
+    old = latest(eligible.filter(F.col("unix_ts") < cutoff_unix))
+    new = latest(eligible)
+    return table_diff(old, new, "id", ["last_ts", "last_value"])
+
+
+def latest_state_diff_oracle(gold_cte: str, cutoff_unix: int) -> str:
+    return f"""
+WITH gold AS ({gold_cte}),
+eligible AS (
+    SELECT remote_id || '|' || metric_id || '|' || provider_id || '|' || category_id AS id,
+           unix_ts, event_id, value_double
+    FROM gold WHERE value_double IS NOT NULL
+),
+old AS (
+    SELECT id, unix_ts AS last_ts, value_double AS last_value
+    FROM eligible WHERE unix_ts < {cutoff_unix}
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY unix_ts DESC, event_id DESC) = 1
+),
+new AS (
+    SELECT id, unix_ts AS last_ts, value_double AS last_value
+    FROM eligible
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY unix_ts DESC, event_id DESC) = 1
+),
+j AS (
+    SELECT coalesce(o.id, n.id) AS id,
+           CASE WHEN o.id IS NULL THEN 'inserted'
+                WHEN n.id IS NULL THEN 'deleted'
+                WHEN o.last_ts IS NOT DISTINCT FROM n.last_ts
+                     AND o.last_value IS NOT DISTINCT FROM n.last_value THEN 'unchanged'
+                ELSE 'updated' END AS change,
+           o.last_ts AS old_last_ts, o.last_value AS old_last_value,
+           n.last_ts AS new_last_ts, n.last_value AS new_last_value
+    FROM old o FULL OUTER JOIN new n ON o.id = n.id
+)
+SELECT * FROM j WHERE change <> 'unchanged'
+"""

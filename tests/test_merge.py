@@ -80,3 +80,19 @@ def test_merge_upsert_latest_equals_global_latest(spark, events, customer):
         .select("id", F.col("s.unix_ts").alias("last_ts"), F.col("s.value_double").alias("last_value"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_table_diff_classifies_all_three_changes(spark):
+    from telemetry_streaming_datalake_spark.operators import merge as M
+
+    old = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, None), ("c", 3, 30.0)], "id string, ts long, v double"
+    )
+    new = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 5, 20.0), ("d", 7, 70.0)], "id string, ts long, v double"
+    )
+    out = {r.id: r for r in M.table_diff(old, new, "id", ["ts", "v"]).collect()}
+    assert set(out) == {"b", "c", "d"}         # 'a' unchanged → dropped
+    assert out["b"].change == "updated"        # NULL old value diffs null-safely
+    assert out["c"].change == "deleted" and out["c"].new_ts is None
+    assert out["d"].change == "inserted" and out["d"].old_ts is None
