@@ -236,6 +236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_state_diff": lambda s, d: M.latest_state_diff(
             _gold(s, d), MERGE_CUTOFF_UNIX
         ),
+        "q15_top_supplier": lambda s, d: Q.q15_top_supplier(
+            load_table(s, d, "lineitem"), load_table(s, d, "supplier")
+        ),
+        "q17_small_quantity": lambda s, d: Q.q17_small_quantity_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -474,6 +480,8 @@ FROM (
         "latest_state_diff": M.latest_state_diff_oracle(
             T.GOLD_ORACLE, MERGE_CUTOFF_UNIX
         ),
+        "q15_top_supplier": Q.Q15_ORACLE,
+        "q17_small_quantity": Q.Q17_ORACLE,
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -109,6 +109,8 @@ HEADLINE = [
     "length_trim",
     "anomaly_mad",
     "latest_state_diff",
+    "q15_top_supplier",
+    "q17_small_quantity",
 ]
 
 

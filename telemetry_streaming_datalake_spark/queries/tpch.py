@@ -611,3 +611,94 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
                     AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY c_mktsegment
 """
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame,
+                     date_lo: str = "1996-01-01", date_hi: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) whose quarter
+    revenue equals the maximum over all suppliers.
+
+    The revenue view aggregates once (partial-agg shuffle on suppkey);
+    the scalar max is a 1-row aggregate OF THAT VIEW broadcast back
+    onto it — the view is never recomputed (the classic Q15 pitfall of
+    evaluating the view twice), and exact decimal sums make the
+    equality well-defined.
+    """
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    revenue_view = (
+        l.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue_exact"))
+    )
+    top = revenue_view.agg(F.max("total_revenue_exact").alias("max_revenue"))
+    return (
+        revenue_view.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue_exact") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue_exact"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_ORACLE = """
+WITH revenue_view AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue_exact
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(round(total_revenue_exact, 2) AS DOUBLE) AS total_revenue
+FROM revenue_view
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_exact = (SELECT max(total_revenue_exact) FROM revenue_view)
+"""
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                               brand: str = "Brand#23") -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: yearly revenue lost if
+    orders below 20% of a part's average quantity were not filled.
+
+    The correlated scalar subquery (per-part avg) spells as a per-part
+    aggregate joined back to the fact — the aggregate is
+    part-cardinality and broadcasts; the fact never shuffles.  The
+    brand filter prunes BOTH the aggregate build and the probe.
+    """
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey"))
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    small = li.join(F.broadcast(avg_qty), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return small.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7, 2)
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q17_ORACLE = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7, 2) AS DOUBLE)
+           AS avg_yearly,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l_quantity) FROM lineitem i
+      WHERE i.l_partkey = l.l_partkey
+  )
+"""
