@@ -108,6 +108,7 @@ def cosine_topk(
     Cosine is rounded before ranking so ordering (and therefore the
     result set) is engine-stable; ties break on vec_id.
     """
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -195,6 +196,7 @@ def ann_lsh_topk(
     hash) so the DuckDB oracle can replicate the exact candidate set;
     candidate scoring is the shared Arrow-batched :func:`pair_cosine`.
     """
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     planes = _hyperplanes(dim)
     per_band = LSH_PLANES // LSH_SIG_BANDS
     sig = embeddings.select(
@@ -331,6 +333,7 @@ def embedding_near_dups(
     sign-deterministic, which is what lets the oracle SQL reproduce
     the same candidate set and therefore the same result rows.
     """
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     planes = _hyperplanes(dim)
     # fan the signature matmul out across the cluster; the pair-side
     # re-reads below use the RAW frame so they don't inherit this
@@ -421,6 +424,7 @@ def ivf_assign_cells(embeddings: DataFrame, n_cells: int = IVF_CELLS) -> DataFra
     pandas_udf; assignment is one numpy matmul per batch — the exact
     shape a 100 TB IVF build has (no shuffle, map-only).
     """
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     cent_norm = _centroid_matrix(embeddings, n_cells)
     return embeddings.withColumn("cell", _nearest_cell_udf(cent_norm)(F.col("embedding")))
 
@@ -469,6 +473,7 @@ def ann_ivf_topk(
     partitioned by cell, so the probe join touches ~nprobe/n_cells of
     the data — the IVF speedup — and exact cosine ranks candidates.
     """
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     cent_norm = _centroid_matrix(embeddings, n_cells)
     assigned = embeddings.withColumn(
         "cell", _nearest_cell_udf(cent_norm)(F.col("embedding"))
@@ -685,6 +690,7 @@ def centroid_confusion(embeddings: DataFrame) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
     cent_rows = (
         label_centroids(embeddings)
         .select("label", "dim_idx", "centroid_val")

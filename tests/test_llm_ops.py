@@ -644,3 +644,23 @@ def test_length_trim_flags_only_tail_docs(spark, documents):
     lo, hi = rows[0].p_lo_tokens, rows[0].p_hi_tokens
     assert all(lo <= r.n_tokens <= hi for r in kept)
     assert all(r.n_tokens < lo or r.n_tokens > hi for r in trimmed)
+
+
+def test_similarity_operators_skip_null_vectors(spark):
+    """NULL embedding rows (inevitable at corpus scale) are excluded at
+    operator entry — SQL-aggregate NULL semantics, not worker crashes."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1), (2, None, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    assert SIM.cosine_topk(emb, [0]).count() == 1          # null row not a neighbour
+    assert SIM.kmeans_refine(emb, n_cells=2).count() == 4  # 2 cells × 2 dims
+    conf = {r.label: r for r in SIM.centroid_confusion(emb).collect()}
+    assert sum(r.n_vecs for r in conf.values()) == 2       # null row not classified
+    for df in [
+        SIM.semantic_dedup(emb, n_cells=2),
+        SIM.ann_lsh_topk(emb, [0], dim=2),
+        SIM.ann_ivf_topk(emb, [0], n_cells=2, nprobe=1),
+        SIM.embedding_near_dups(emb, dim=2),
+    ]:
+        df.count()  # must not raise
