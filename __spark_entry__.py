@@ -242,6 +242,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": lambda s, d: Q.q17_small_quantity_revenue(
             load_table(s, d, "lineitem"), load_table(s, d, "part")
         ),
+        "q2_min_cost_supplier": lambda s, d: Q.q2_min_cost_supplier(
+            load_table(s, d, "part"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "region"),
+            load_table(s, d, "lineitem"),
+        ),
+        "q8_market_share": lambda s, d: Q.q8_market_share(
+            load_table(s, d, "part"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "region"),
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
+        "q9_product_profit": lambda s, d: Q.q9_product_profit(
+            load_table(s, d, "part"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"),
+        ),
+        "q11_important_stock": lambda s, d: Q.q11_important_stock(
+            load_table(s, d, "supplier"), load_table(s, d, "nation"),
+            load_table(s, d, "lineitem"),
+        ),
+        "q20_excess_shippers": lambda s, d: Q.q20_excess_shippers(
+            load_table(s, d, "supplier"), load_table(s, d, "nation"),
+            load_table(s, d, "part"), load_table(s, d, "lineitem"),
+        ),
+        "q21_waiting_supplier": lambda s, d: Q.q21_waiting_supplier(
+            load_table(s, d, "supplier"), load_table(s, d, "nation"),
+            load_table(s, d, "orders"), load_table(s, d, "lineitem"),
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -482,6 +510,12 @@ FROM (
         ),
         "q15_top_supplier": Q.Q15_ORACLE,
         "q17_small_quantity": Q.Q17_ORACLE,
+        "q2_min_cost_supplier": Q.Q2_ORACLE,
+        "q8_market_share": Q.Q8_ORACLE,
+        "q9_product_profit": Q.Q9_ORACLE,
+        "q11_important_stock": Q.Q11_ORACLE,
+        "q20_excess_shippers": Q.Q20_ORACLE,
+        "q21_waiting_supplier": Q.Q21_ORACLE,
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -702,3 +702,390 @@ WHERE p_brand = 'Brand#23'
       WHERE i.l_partkey = l.l_partkey
   )
 """
+
+
+def q2_min_cost_supplier(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                         region: DataFrame, lineitem: DataFrame,
+                         region_name: str = "EUROPE", size: int = 15) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (analog: the lake has no
+    partsupp table, so the part↔supplier supply cost is derived from
+    shipped lineitems — ``min(l_extendedprice)`` per (part, supplier),
+    exact parquet doubles so the per-part min-equality is well-defined).
+
+    Shape: one partial-agg shuffle builds the (part, supplier) cost
+    relation; the correlated ``cost = (SELECT min ...)`` spells as a
+    per-part re-aggregate broadcast back onto it; supplier/nation/
+    region dims broadcast.  The fact table is scanned once.
+    """
+    r = region.filter(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        F.broadcast(n), supplier["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    p = part.filter(F.col("p_size") == size).select("p_partkey", "p_type")
+    cost = (
+        lineitem.join(F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(s), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    min_cost = cost.groupBy("p_partkey").agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        cost.join(F.broadcast(min_cost), "p_partkey")
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey", "p_type", "s_suppkey", "s_name", "n_name",
+            F.col("s_acctbal"),
+            F.col("supply_cost"),
+        )
+    )
+
+
+Q2_ORACLE = """
+WITH cost AS (
+    SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name,
+           min(l_extendedprice) AS supply_cost
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+    GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT p_partkey, p_type, s_suppkey, s_name, n_name, s_acctbal, supply_cost
+FROM cost c
+WHERE supply_cost = (
+    SELECT min(supply_cost) FROM cost i WHERE i.p_partkey = c.p_partkey
+)
+"""
+
+
+def q8_market_share(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                    region: DataFrame, customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame,
+                    share_nation: str = "NATION_3", region_name: str = "AMERICA",
+                    p_type: str = "ECONOMY",
+                    date_lo: str = "1995-01-01", date_hi: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q8-style national market share: of all order volume for a
+    part type sold to customers in a region, the fraction supplied by
+    one nation, per year.
+
+    Shape: star join with every dim broadcast (part filter prunes the
+    probe), ONE partial-agg shuffle on year with the share as a
+    conditional-sum ratio — no second pass over the fact.
+    """
+    r = region.filter(F.col("r_name") == region_name)
+    cust_n = nation.join(F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"])
+    c = customer.join(
+        F.broadcast(cust_n.select("n_nationkey")),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    p = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    o = orders.filter(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey"))
+        .join(o, lineitem["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == F.col("c_custkey"))
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(supp_n), supplier["s_nationkey"] == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == share_nation, volume).otherwise(F.lit(0.0)))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(volume), 2).alias("total_volume"),
+        )
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q9_product_profit(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame,
+                      name_word: str = "widget") -> DataFrame:
+    """TPC-H Q9-style product-type profit by nation and year (analog:
+    no partsupp → supply cost proxied as ``0.4 * p_retailprice *
+    l_quantity``, a deterministic function of broadcast part columns).
+
+    Shape: part filter broadcast-prunes the fact scan, supplier/nation
+    dims broadcast, one partial-agg shuffle on (nation, year).
+    Decimal amounts keep both engines' sums exact.
+    """
+    p = part.filter(F.col("p_name").contains(name_word)).select(
+        "p_partkey", "p_retailprice"
+    )
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        - F.lit(0.4).cast("decimal(18,4)")
+        * F.col("p_retailprice").cast("decimal(18,4)")
+        * F.col("l_quantity").cast("decimal(18,4)")
+    )
+    return (
+        lineitem.join(F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey"))
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                      - CAST(0.4 AS DECIMAL(18,4))
+                        * CAST(p_retailprice AS DECIMAL(18,4))
+                        * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_stock(supplier: DataFrame, nation: DataFrame, lineitem: DataFrame,
+                        nation_name: str = "NATION_7",
+                        fraction: float = 0.001) -> DataFrame:
+    """TPC-H Q11-style important stock (analog: part value held by one
+    nation's suppliers = decimal sum of ``l_extendedprice * l_quantity``
+    over that nation's shipments, no partsupp table).  Keeps parts whose
+    value exceeds ``fraction`` of the nation's total — the classic
+    HAVING-versus-global-scalar shape.
+
+    Shape: one partial-agg shuffle on partkey; the global threshold is
+    a 1-row re-aggregate OF the per-part relation broadcast back — the
+    fact is scanned once and the value relation is never recomputed.
+    Exact decimal sums make the threshold comparison well-defined.
+    """
+    s = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,4)")
+    per_part = (
+        lineitem.join(F.broadcast(s), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("part_value_exact"))
+    )
+    threshold = per_part.agg(
+        (F.sum("part_value_exact") * F.lit(fraction).cast("decimal(18,10)")).alias(
+            "cut"
+        )
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value_exact") > F.col("cut"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("part_value_exact"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+Q11_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_quantity AS DECIMAL(18,4))) AS part_value_exact
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY 1
+)
+SELECT l_partkey AS p_partkey,
+       CAST(round(part_value_exact, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE part_value_exact > (
+    SELECT sum(part_value_exact) * CAST(0.001 AS DECIMAL(18,10)) FROM per_part
+)
+"""
+
+
+def q20_excess_shippers(supplier: DataFrame, nation: DataFrame, part: DataFrame,
+                        lineitem: DataFrame,
+                        nation_name: str = "NATION_6", name_word: str = "bolt",
+                        date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+                        share: float = 0.5) -> DataFrame:
+    """TPC-H Q20-style dominant shippers (analog: with no partsupp
+    availability column, "excess" is a supplier shipping MORE than
+    ``share`` of a part's total year volume — same nested semi-join
+    chain: parts by name → per-(part,supplier) aggregate vs per-part
+    scalar → DISTINCT suppliers → nation filter).
+
+    Shape: fact scanned once into a (part, supplier) partial agg; the
+    per-part total is a re-aggregate broadcast back; the supplier list
+    is a distinct semi-join — suppliers never fan out.
+    """
+    p = part.filter(F.col("p_name").contains(name_word)).select("p_partkey")
+    li = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+        )
+        .join(F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey"))
+    )
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).alias("supp_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        per_ps.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("supp_qty") > F.lit(share).cast("decimal(18,4)") * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    )
+    return (
+        s.join(F.broadcast(dominant), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_ORACLE = """
+WITH per_ps AS (
+    SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS supp_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%bolt%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_6'
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM per_ps a
+      WHERE supp_qty > CAST(0.5 AS DECIMAL(18,4)) * (
+          SELECT sum(supp_qty) FROM per_ps b WHERE b.l_partkey = a.l_partkey
+      )
+  )
+"""
+
+
+def q21_waiting_supplier(supplier: DataFrame, nation: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame,
+                         nation_name: str = "NATION_5",
+                         late_days: int = 60) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting (analog: the
+    lake has no receipt/commit dates, so "late" = shipped more than
+    ``late_days`` after the order date).  A supplier is counted for an
+    order when it was late on a finished multi-supplier order AND no
+    other supplier on that order was late — the classic
+    EXISTS / NOT-EXISTS double correlation.
+
+    Shape: the two correlated EXISTS spell as ONE per-order conditional
+    aggregate (distinct suppliers, distinct late suppliers) joined back
+    to the late lineitems — the fact is scanned twice (once per side),
+    each with partial aggregation, and no per-row subquery loops.
+    """
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.join(fin, lineitem["l_orderkey"] == fin["o_orderkey"]).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    s = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    late_lines = (
+        li.filter(F.col("is_late"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select("l_orderkey", "s_suppkey", "s_name")
+        .distinct()
+    )
+    return (
+        late_lines.join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+    FROM li GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM (
+    SELECT DISTINCT l_orderkey, s_suppkey, s_name
+    FROM li
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE is_late AND n_name = 'NATION_5'
+) late_lines
+JOIN per_order USING (l_orderkey)
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY 1, 2
+"""
