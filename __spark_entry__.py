@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "supplier"), load_table(s, d, "nation"),
             load_table(s, d, "orders"), load_table(s, d, "lineitem"),
         ),
+        "rollup_grouping_sets": lambda s, d: R.rollup_grouping_sets(_gold(s, d)),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -516,6 +517,7 @@ FROM (
         "q11_important_stock": Q.Q11_ORACLE,
         "q20_excess_shippers": Q.Q20_ORACLE,
         "q21_waiting_supplier": Q.Q21_ORACLE,
+        "rollup_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -111,6 +111,13 @@ HEADLINE = [
     "latest_state_diff",
     "q15_top_supplier",
     "q17_small_quantity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "rollup_grouping_sets",
 ]
 
 

@@ -167,3 +167,133 @@ def incremental_rollup_hour(gold: DataFrame, cutoff_unix: int) -> DataFrame:
             F.col("category_id").cast("string"),
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# one-pass multi-granularity rollup (GROUPING SETS)
+# --------------------------------------------------------------------------
+
+
+def rollup_grouping_sets(gold: DataFrame) -> DataFrame:
+    """Hour + Day + Month rollups in ONE pass over gold via GROUPING
+    SETS — the serving refresh that materializes all three reference
+    grains (``Gold Aggregation/Step 05 - Metric aggregates by Day,
+    Month. Hour ….scala:91-205``) without re-scanning gold per grain.
+
+    Spark-first shape: Catalyst compiles grouping sets to a single
+    scan + ``Expand`` (3 rows out per input row, one per grain) +
+    ONE partial-agg shuffle.  At 100 TB that replaces three full
+    scans/shuffles of gold with one scan and a 3× expanded shuffle
+    whose partial aggregation collapses each grain to bucket
+    cardinality map-side — scan-bound wins, and the expansion never
+    hits disk unaggregated.  ``grain`` is derived from ``grouping()``
+    flags, never from bucket NULL-ness (a NULL datestamp can't
+    masquerade as a different grain).
+
+    Output: one row per (grain, bucket, keys); ``bucket`` is the
+    grain's native key rendered as string (hour/day = unix seconds,
+    month = 'YYYY-MM'); composite ``id`` is grain-prefixed so the
+    three grains share the serving store without key collisions.
+    """
+    eligible = gold.filter(
+        F.col("agg_type").isin("SUM", "AVG") & (F.col("value_double") != 0)
+    )
+    v = F.col("value_double").cast("double")
+    pre = (
+        eligible.withColumn("hour_ts", F.col("unix_ts") - F.col("unix_ts") % 3600)
+        .withColumn("day_ts", F.col("unix_ts") - F.col("unix_ts") % 86400)
+        .withColumn("month_key", F.substring("datestamp", 1, 7))
+    )
+    grouped = pre.groupingSets(
+        [["hour_ts", *_GROUP], ["day_ts", *_GROUP], ["month_key", *_GROUP]],
+        "hour_ts", "day_ts", "month_key", *_GROUP,
+    ).agg(
+        F.round(F.sum(v), 6).alias("sum_value"),
+        F.round(F.avg(v), 6).alias("avg_value"),
+        F.round(F.min(v), 6).alias("min_value"),
+        F.round(F.max(v), 6).alias("max_value"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.grouping("hour_ts").alias("_g_hour"),
+        F.grouping("day_ts").alias("_g_day"),
+    )
+    grain = (
+        F.when(F.col("_g_hour") == 0, F.lit("HOUR"))
+        .when(F.col("_g_day") == 0, F.lit("DAY"))
+        .otherwise(F.lit("MONTH"))
+    )
+    bucket = F.coalesce(
+        F.when(F.col("_g_hour") == 0, F.col("hour_ts").cast("string")),
+        F.when(F.col("_g_day") == 0, F.col("day_ts").cast("string")),
+        F.col("month_key"),
+    )
+    return (
+        grouped.withColumn("grain", grain)
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "id",
+            F.concat_ws(
+                "|",
+                F.col("grain"),
+                F.col("remote_id").cast("string"),
+                F.col("bucket"),
+                F.col("metric_id").cast("string"),
+                F.col("provider_id").cast("string"),
+                F.col("category_id").cast("string"),
+            ),
+        )
+        .select(
+            "grain", "bucket", *_GROUP,
+            "sum_value", "avg_value", "min_value", "max_value", "n_points", "id",
+        )
+    )
+
+
+def rollup_grouping_sets_oracle(gold_cte: str) -> str:
+    """DuckDB twin: the same three grains spelled as GROUPING SETS over
+    one derived relation (UNION-ALL-equivalent, engine-portable)."""
+    return f"""
+WITH gold AS ({gold_cte}),
+pre AS (
+    SELECT unix_ts - unix_ts % 3600  AS hour_ts,
+           unix_ts - unix_ts % 86400 AS day_ts,
+           substring(datestamp, 1, 7) AS month_key,
+           remote_id, metric_id, provider_id, category_id,
+           CAST(value_double AS DOUBLE) AS v
+    FROM gold
+    WHERE agg_type IN ('SUM','AVG') AND value_double <> 0
+),
+g AS (
+    SELECT hour_ts, day_ts, month_key,
+           remote_id, metric_id, provider_id, category_id,
+           round(sum(v), 6) AS sum_value,
+           round(avg(v), 6) AS avg_value,
+           round(min(v), 6) AS min_value,
+           round(max(v), 6) AS max_value,
+           count(*)         AS n_points,
+           GROUPING(hour_ts) AS g_hour,
+           GROUPING(day_ts)  AS g_day
+    FROM pre
+    GROUP BY GROUPING SETS (
+        (hour_ts,   remote_id, metric_id, provider_id, category_id),
+        (day_ts,    remote_id, metric_id, provider_id, category_id),
+        (month_key, remote_id, metric_id, provider_id, category_id))
+)
+SELECT CASE WHEN g_hour = 0 THEN 'HOUR'
+            WHEN g_day  = 0 THEN 'DAY'
+            ELSE 'MONTH' END AS grain,
+       CASE WHEN g_hour = 0 THEN CAST(hour_ts AS VARCHAR)
+            WHEN g_day  = 0 THEN CAST(day_ts AS VARCHAR)
+            ELSE month_key END AS bucket,
+       remote_id, metric_id, provider_id, category_id,
+       sum_value, avg_value, min_value, max_value, n_points,
+       (CASE WHEN g_hour = 0 THEN 'HOUR' WHEN g_day = 0 THEN 'DAY'
+             ELSE 'MONTH' END)
+       || '|' || CAST(remote_id AS VARCHAR)
+       || '|' || (CASE WHEN g_hour = 0 THEN CAST(hour_ts AS VARCHAR)
+                       WHEN g_day  = 0 THEN CAST(day_ts AS VARCHAR)
+                       ELSE month_key END)
+       || '|' || CAST(metric_id AS VARCHAR)
+       || '|' || CAST(provider_id AS VARCHAR)
+       || '|' || CAST(category_id AS VARCHAR) AS id
+FROM g
+"""

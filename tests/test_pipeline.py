@@ -205,3 +205,49 @@ def test_table_profile_counts_nulls_and_distincts(spark):
     # native numeric order, stringified after
     assert prof["value"].min_str == "5.0" and prof["value"].max_str == "7.0"
     assert prof["datestamp"].min_str == "2024-01-10"
+
+
+def test_grouping_sets_rollup_equals_three_single_grain_rollups(spark):
+    """The one-pass GROUPING SETS rollup must reproduce each single-
+    grain rollup row-for-row (modulo the grain-prefixed id)."""
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.ingest import silver as S
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+    from telemetry_streaming_datalake_spark.operators import temporal as T
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    silver = S.to_silver(
+        B.dedup_exact(B.parse_bronze(load_table(spark, sf, "events"))),
+        dm.metric_mapping(spark),
+    )
+    gold = T.enrich_gold(
+        silver, dm.remote_history(spark, load_table(spark, sf, "customer"))
+    ).cache()
+    gs = R.rollup_grouping_sets(gold).cache()
+    try:
+        cmp_cols = [
+            "remote_id", "metric_id", "provider_id", "category_id",
+            "sum_value", "avg_value", "min_value", "max_value", "n_points",
+        ]
+
+        def canon(df, bucket_col):
+            return sorted(
+                (str(r[bucket_col]), *(r[c] for c in cmp_cols))
+                for r in df.collect()
+            )
+
+        for grain, single, bucket_col in [
+            ("HOUR", R.rollup_hour(gold), "bucket_ts"),
+            ("DAY", R.rollup_day(gold), "bucket_ts"),
+            ("MONTH", R.rollup_month(gold), "bucket_month"),
+        ]:
+            got = canon(gs.filter(gs["grain"] == grain), "bucket")
+            want = canon(single, bucket_col)
+            assert got == want, grain
+        n = gs.count()
+        assert n == gs.select("id").distinct().count()
+    finally:
+        gs.unpersist()
+        gold.unpersist()

@@ -267,3 +267,18 @@ def test_kmeans_refine_partial_aggregates(spark):
     p = _plan(E.queries()["kmeans_refine"](spark, SF))
     assert "partial_" in p
     assert "Join" not in p
+
+
+def test_grouping_sets_rollup_single_expand_single_agg_exchange(spark):
+    """The three grains must come from ONE scan: exactly one Expand
+    (3 rows per gold row, one per grain) feeding a partial-aggregated
+    shuffle — never three separate scans of gold."""
+    import re
+
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["rollup_grouping_sets"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1
+    assert "partial_" in p
+    # gold's parquet source (events) is scanned once, not per-grain
+    assert len(re.findall(r"events\.parquet", p)) == 1
