@@ -24,6 +24,7 @@ from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import scd as SCD
 from telemetry_streaming_datalake_spark.operators import sessions as SES
 from telemetry_streaming_datalake_spark.operators import temporal as T
+from telemetry_streaming_datalake_spark.operators import cohort as CO
 from telemetry_streaming_datalake_spark.operators import corpus as CP
 from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import multimodal as MM
@@ -271,6 +272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders"), load_table(s, d, "lineitem"),
         ),
         "rollup_grouping_sets": lambda s, d: R.rollup_grouping_sets(_gold(s, d)),
+        "cohort_retention": lambda s, d: CO.cohort_retention(
+            load_table(s, d, "events")
+        ),
+        "funnel_conversion": lambda s, d: CO.funnel_conversion(
+            load_table(s, d, "events")
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -518,6 +525,8 @@ FROM (
         "q20_excess_shippers": Q.Q20_ORACLE,
         "q21_waiting_supplier": Q.Q21_ORACLE,
         "rollup_grouping_sets": R.rollup_grouping_sets_oracle(gold),
+        "cohort_retention": CO.cohort_retention_oracle(),
+        "funnel_conversion": CO.funnel_conversion_oracle(),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -118,6 +118,8 @@ HEADLINE = [
     "q20_excess_shippers",
     "q21_waiting_supplier",
     "rollup_grouping_sets",
+    "cohort_retention",
+    "funnel_conversion",
 ]
 
 

@@ -282,3 +282,26 @@ def test_grouping_sets_rollup_single_expand_single_agg_exchange(spark):
     assert "partial_" in p
     # gold's parquet source (events) is scanned once, not per-grain
     assert len(re.findall(r"events\.parquet", p)) == 1
+
+
+def test_cohort_retention_single_fact_shuffle(spark):
+    """The retention matrix must shuffle the events fact ONCE (on
+    user_id); the day² matrix stages run on user-/day-cardinality
+    frames.  No join against the fact, no second scan."""
+    import re
+
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["cohort_retention"](spark, SF))
+    assert len(re.findall(r"events\.parquet", p)) == 1
+    assert "partial_" in p
+
+
+def test_funnel_joins_user_cardinality_sides(spark):
+    """Funnel conversion joins the user-cardinality entered relation to
+    the step-b slice on user_id — equi-join only, no cartesian."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["funnel_conversion"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
