@@ -278,6 +278,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": lambda s, d: CO.funnel_conversion(
             load_table(s, d, "events")
         ),
+        "importance_sample": lambda s, d: CP.importance_sample(
+            load_table(s, d, "documents")
+        ),
+        "source_reputation": lambda s, d: CP.source_reputation(
+            load_table(s, d, "documents")
+        ),
+        "metric_rank_report": lambda s, d: DV.metric_rank_report(
+            B.dedup_exact(_bronze(s, d))
+        ),
+        "approx_distinct_rollup": lambda s, d: R.approx_distinct_rollup(
+            B.dedup_exact(_bronze(s, d))
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -527,6 +539,9 @@ FROM (
         "rollup_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cohort_retention": CO.cohort_retention_oracle(),
         "funnel_conversion": CO.funnel_conversion_oracle(),
+        "importance_sample": CP.importance_sample_oracle(),
+        "source_reputation": CP.source_reputation_oracle(),
+        "metric_rank_report": DV.metric_rank_report_oracle(DEDUP_ORACLE),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -120,6 +120,10 @@ HEADLINE = [
     "rollup_grouping_sets",
     "cohort_retention",
     "funnel_conversion",
+    "importance_sample",
+    "source_reputation",
+    "metric_rank_report",
+    "approx_distinct_rollup",
 ]
 
 

@@ -657,3 +657,109 @@ SELECT doc_id, n_tokens,
        (n_tokens < lo OR n_tokens > hi) AS trimmed
 FROM per_doc, bounds
 """
+
+
+# --------------------------------------------------------------------------
+# weighted importance sampling
+# --------------------------------------------------------------------------
+
+IMPORTANCE_BASE_RATE = 0.5
+IMPORTANCE_PIVOT_CHARS = 1000
+
+
+def importance_sample(
+    documents: DataFrame,
+    base_rate: float = IMPORTANCE_BASE_RATE,
+    pivot_chars: int = IMPORTANCE_PIVOT_CHARS,
+) -> DataFrame:
+    """Length-weighted importance sampling: keep each doc with
+    probability ``base_rate * min(1, n_chars/pivot_chars)`` — the
+    token-weighted downsampling a training-mix builder uses so that
+    sampling by documents does not under-represent long documents.
+
+    Determinism discipline (same as :func:`stratified_sample` /
+    :func:`train_val_split`): the per-doc uniform is the first 8 hex
+    digits of ``md5(normalized text)`` scaled to [0,1) — a pure
+    function of content, so duplicates sample together, reruns are
+    stable under any partitioning, and no RNG state exists.  Map-only:
+    a filter over codegen expressions, zero exchanges at any scale.
+    """
+    u = (
+        F.conv(F.substring(F.md5(normalize_text(F.col("text"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(float(pivot_chars)))
+    p = F.lit(base_rate) * w
+    return (
+        documents.select(
+            "doc_id", "lang", "source", "n_chars",
+            u.alias("sample_u"), p.alias("keep_prob"),
+        )
+        .filter(F.col("sample_u") < F.col("keep_prob"))
+    )
+
+
+def importance_sample_oracle(
+    base_rate: float = IMPORTANCE_BASE_RATE,
+    pivot_chars: int = IMPORTANCE_PIVOT_CHARS,
+) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH h AS (
+    SELECT doc_id, lang, source, n_chars,
+           CAST(CAST('0x' || substr(md5({norm}), 1, 8) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS sample_u,
+           {base_rate} * least(1.0, n_chars / {float(pivot_chars)}) AS keep_prob
+    FROM documents
+)
+SELECT doc_id, lang, source, n_chars, sample_u, keep_prob
+FROM h WHERE sample_u < keep_prob
+"""
+
+
+# --------------------------------------------------------------------------
+# per-source reputation dashboard
+# --------------------------------------------------------------------------
+
+
+def source_reputation(documents: DataFrame) -> DataFrame:
+    """Per-source curation dashboard: volume, length profile, language
+    spread, and exact-duplicate rate — the table a corpus owner reads
+    to decide which shards to re-crawl, cap, or drop.
+
+    Shape: ONE aggregation keyed on ``source`` (low cardinality but
+    the multi-DISTINCT expands map-side and combines partially; at
+    100 TB the two exact DISTINCTs swap for ``approx_count_distinct``
+    without changing the output contract shape).
+    """
+    h = F.md5(normalize_text(F.col("text")))
+    return (
+        documents.select("source", "lang", "n_chars", h.alias("content_hash"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct(F.col("content_hash")).alias("n_unique"),
+            F.round(
+                1.0 - F.count_distinct(F.col("content_hash")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def source_reputation_oracle() -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+SELECT source,
+       count(*)                           AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)       AS total_chars,
+       round(avg(n_chars), 6)             AS avg_chars,
+       count(DISTINCT lang)               AS n_langs,
+       count(DISTINCT md5({norm}))        AS n_unique,
+       round(1.0 - count(DISTINCT md5({norm})) * 1.0 / count(*), 6) AS dup_rate
+FROM documents
+GROUP BY 1
+"""

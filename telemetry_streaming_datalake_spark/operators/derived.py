@@ -394,3 +394,59 @@ SELECT d.event_id, d.metric, d.value, s.med_value, s.mad_value,
                  / greatest(s.mad_value, 1e-9), 4)) > {threshold} AS is_anomaly
 FROM deduped d JOIN mad s USING (metric)
 """
+
+
+# --------------------------------------------------------------------------
+# per-metric terminal league table (window-rank report)
+# --------------------------------------------------------------------------
+
+RANK_NTILES = 4
+
+
+def metric_rank_report(bronze_deduped: DataFrame, n_tiles: int = RANK_NTILES) -> DataFrame:
+    """League table: every terminal ranked within its metric by total
+    reading volume — dense rank, percentile position, and quartile
+    bucket.  The per-entity-standings view an operations dashboard
+    reads next to the :func:`latest` serving table.
+
+    Shape: one partial-agg shuffle (metric, serial) reduces the fact
+    to entity cardinality; the three window functions then share ONE
+    metric-keyed sort over that reduced frame (all use the same window
+    spec, so Catalyst plans a single exchange + sort).  The ordering
+    ties on serial after total_value, making every rank column fully
+    deterministic across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    per_entity = bronze_deduped.groupBy("metric", "serial").agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.count(F.lit(1)).alias("n_readings"),
+    )
+    w = Window.partitionBy("metric").orderBy(F.col("total_value").desc(), "serial")
+    return per_entity.select(
+        "metric",
+        "serial",
+        "total_value",
+        "n_readings",
+        F.dense_rank().over(w).cast("long").alias("rank_in_metric"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(n_tiles).over(w).cast("long").alias("quartile"),
+    )
+
+
+def metric_rank_report_oracle(bronze_dedup_sql: str, n_tiles: int = RANK_NTILES) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+per_entity AS (
+    SELECT metric, serial,
+           round(sum(value), 6) AS total_value,
+           count(*) AS n_readings
+    FROM deduped GROUP BY 1, 2
+)
+SELECT metric, serial, total_value, n_readings,
+       CAST(dense_rank() OVER w AS BIGINT) AS rank_in_metric,
+       round(percent_rank() OVER w, 6)     AS pct_rank,
+       CAST(ntile({n_tiles}) OVER w AS BIGINT) AS quartile
+FROM per_entity
+WINDOW w AS (PARTITION BY metric ORDER BY total_value DESC, serial)
+"""

@@ -19,11 +19,13 @@ def test_every_oracle_key_has_a_query():
 
 
 def test_rows_only_entries_are_the_documented_ones():
-    """Every registered query now has a DuckDB oracle twin — round 5
-    closed the last two (minhash via exact all-pairs Jaccard, simhash
-    via the portable md5-token fingerprint)."""
+    """Every registered query has a DuckDB oracle twin except the HLL
+    sketch rollup (estimates are engine-specific by design; its
+    accuracy and merge-consistency contracts are pinned in
+    tests/test_sketches.py and the driver records a rows-only check —
+    the row count is the deterministic group count)."""
     q, o = set(E.queries()), set(E.oracle_sql())
-    assert q - o == set()
+    assert q - o == {"approx_distinct_rollup"}
 
 
 #: streaming entries execute sinks; they're covered by test_streaming

@@ -1,0 +1,70 @@
+"""Accuracy + mergeability contracts for the HLL approx-distinct rollup.
+
+The operator has no SQL oracle (estimates are engine-specific), so its
+correctness contract lives here: every estimate within tolerance of the
+exact distinct count, and the month grain — built by UNIONING the day
+sketches, never re-touching raw rows — consistent with a direct
+month-level sketch (DataSketches HLL union at one lgConfigK is
+lossless).
+"""
+
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.ingest import bronze as B
+from telemetry_streaming_datalake_spark.operators import rollup as R
+from telemetry_streaming_datalake_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+TOL = 0.03
+
+
+def _deduped(spark):
+    return B.dedup_exact(B.parse_bronze(load_table(spark, SF, "events")))
+
+
+def test_estimates_within_tolerance_of_exact(spark):
+    ded = _deduped(spark).cache()
+    try:
+        approx = {
+            (r.grain, r.metric, r.bucket): r.n_serials_approx
+            for r in R.approx_distinct_rollup(ded).collect()
+        }
+        exact_day = {
+            ("DAY", r.metric, r.datestamp): r.n
+            for r in ded.groupBy("metric", "datestamp")
+            .agg(F.count_distinct("serial").alias("n"))
+            .collect()
+        }
+        exact_month = {
+            ("MONTH", r.metric, r.bucket): r.n
+            for r in ded.withColumn("bucket", F.substring("datestamp", 1, 7))
+            .groupBy("metric", "bucket")
+            .agg(F.count_distinct("serial").alias("n"))
+            .collect()
+        }
+        exact = {**exact_day, **exact_month}
+        assert set(approx) == set(exact)
+        for k, est in approx.items():
+            assert abs(est - exact[k]) <= max(1, TOL * exact[k]), (k, est, exact[k])
+    finally:
+        ded.unpersist()
+
+
+def test_month_from_merged_day_sketches_equals_direct_sketch(spark):
+    ded = _deduped(spark)
+    merged = {
+        (r.metric, r.bucket): r.n_serials_approx
+        for r in R.approx_distinct_rollup(ded).filter(F.col("grain") == "MONTH").collect()
+    }
+    direct = {
+        (r.metric, r.bucket): r.est
+        for r in ded.withColumn("bucket", F.substring("datestamp", 1, 7))
+        .groupBy("metric", "bucket")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("serial", F.lit(R.HLL_LG_K))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert merged == direct
