@@ -34,6 +34,7 @@ from telemetry_streaming_datalake_spark.operators import derived as DV
 from telemetry_streaming_datalake_spark.queries import tpch as Q
 from telemetry_streaming_datalake_spark.sources import textfeeds as TF
 from telemetry_streaming_datalake_spark.storage import stats as ST
+from telemetry_streaming_datalake_spark.storage import versioned as VS
 from telemetry_streaming_datalake_spark.streaming import pipeline as SP
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -117,6 +118,16 @@ def _streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tsdl_dlq_")
     return SP.streaming_quarantine_split(spark, sf_dir, work)
+
+
+def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_tt_")
+    return VS.time_travel_demo(
+        spark, B.dedup_exact(_bronze(spark, sf_dir)), work,
+        MERGE_CUTOFF_UNIX, PURGE_CUTOFF,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -290,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_rollup": lambda s, d: R.approx_distinct_rollup(
             B.dedup_exact(_bronze(s, d))
         ),
+        "time_travel_read": _time_travel,
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -542,6 +554,9 @@ FROM (
         "importance_sample": CP.importance_sample_oracle(),
         "source_reputation": CP.source_reputation_oracle(),
         "metric_rank_report": DV.metric_rank_report_oracle(DEDUP_ORACLE),
+        "time_travel_read": VS.time_travel_demo_oracle(
+            DEDUP_ORACLE, MERGE_CUTOFF_UNIX, PURGE_CUTOFF
+        ),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -207,3 +207,61 @@ class VersionedParquetStore:
             ):
                 shutil.rmtree(full)
         return sorted(removed)
+
+
+# --------------------------------------------------------------------------
+# driver-checkable time-travel demonstration
+# --------------------------------------------------------------------------
+
+
+def time_travel_demo(
+    spark: SparkSession,
+    deduped_bronze: DataFrame,
+    work_dir: str,
+    cutoff_unix: int,
+    purge_datestamp: str,
+) -> DataFrame:
+    """Exercise the versioned store end-to-end and return every
+    version's snapshot, version-tagged — the ``VERSION AS OF`` read
+    path as ONE deterministic relation an oracle can replay:
+
+    - v0: append the pre-cutoff slice (the history load);
+    - v1: append the post-cutoff delta (the incremental batch — v0's
+      files carried by reference, never rewritten);
+    - v2: copy-on-write delete of one datestamp partition (only that
+      partition's files rewritten, everything else carried).
+
+    Output: all three snapshots unioned under a ``version`` column,
+    so the oracle (plain SQL over the same source slices) pins that
+    time travel reconstructs each historical state exactly.
+    """
+    store = VersionedParquetStore(spark, work_dir)
+    pre = deduped_bronze.filter(F.col("unix_ts") < cutoff_unix)
+    post = deduped_bronze.filter(F.col("unix_ts") >= cutoff_unix)
+    store.write(pre, mode="append", partition_col="datestamp")
+    store.write(post, mode="append", partition_col="datestamp")
+    store.delete_partitions("datestamp", [purge_datestamp])
+    out = None
+    for v in store.versions():
+        snap = (
+            store.read(version=v)
+            # partition-directory round-trip infers datestamp as DATE;
+            # restore the lake's string contract
+            .withColumn("datestamp", F.col("datestamp").cast("string"))
+            .withColumn("version", F.lit(v).cast("long"))
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+def time_travel_demo_oracle(
+    bronze_dedup_sql: str, cutoff_unix: int, purge_datestamp: str
+) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql})
+SELECT CAST(0 AS BIGINT) AS version, * FROM deduped WHERE unix_ts < {cutoff_unix}
+UNION ALL
+SELECT CAST(1 AS BIGINT), * FROM deduped
+UNION ALL
+SELECT CAST(2 AS BIGINT), * FROM deduped WHERE datestamp <> '{purge_datestamp}'
+"""
