@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             B.dedup_exact(_bronze(s, d))
         ),
         "time_travel_read": _time_travel,
+        "compaction_plan": lambda s, d: RT.compaction_plan(
+            B.dedup_exact(_bronze(s, d))
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -557,6 +560,7 @@ FROM (
         "time_travel_read": VS.time_travel_demo_oracle(
             DEDUP_ORACLE, MERGE_CUTOFF_UNIX, PURGE_CUTOFF
         ),
+        "compaction_plan": RT.compaction_plan_oracle(DEDUP_ORACLE),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

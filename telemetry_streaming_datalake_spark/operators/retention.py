@@ -114,3 +114,90 @@ def purge_oracle(source_cte: str, cutoff_datestamp: str) -> str:
 WITH src AS ({source_cte})
 SELECT * FROM src WHERE datestamp >= '{cutoff_datestamp}'
 """
+
+
+# --------------------------------------------------------------------------
+# OPTIMIZE bin-packing planner
+# --------------------------------------------------------------------------
+
+COMPACTION_TARGET_BYTES = 4096
+COMPACTION_ROW_BYTES = 64
+
+
+def compaction_plan(
+    bronze: DataFrame,
+    target_bytes: int = COMPACTION_TARGET_BYTES,
+    row_bytes: int = COMPACTION_ROW_BYTES,
+) -> DataFrame:
+    """OPTIMIZE planning layer: which small files merge into which
+    target-sized bin, per partition — the decision Delta's bin-packing
+    OPTIMIZE makes before any rewrite I/O (``Gold Aggregation/Auto
+    Optimization.scala`` delegates this to Databricks; :func:`compact`
+    is this repo's rewrite executor, this operator is the plan it
+    would execute per-partition).
+
+    File model: each (datestamp, hourstamp) micro-batch slice is one
+    append-sink file with ``n_rows * row_bytes`` estimated bytes (the
+    hourly batch cadence of the reference's trigger).  Packing is
+    deterministic first-fit in hourstamp order: a file's bin is
+    ``floor(cum_bytes_before / target_bytes)`` — pure window-cumsum
+    arithmetic, no driver loop, engine-portable.
+
+    Shape: one partial-agg shuffle to file-cardinality, then a
+    per-partition window over file-cardinality rows, then one more
+    tiny aggregate to bins.  Output: one row per (datestamp, bin) with
+    file count, byte total, and the hourstamp span the rewrite would
+    read — ``needs_compaction`` marks multi-file bins.
+    """
+    from pyspark.sql import Window
+
+    files = (
+        bronze.groupBy("datestamp", "hourstamp")
+        .agg((F.count(F.lit(1)) * row_bytes).alias("est_bytes"))
+    )
+    w = (
+        Window.partitionBy("datestamp")
+        .orderBy("hourstamp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("est_bytes").over(w), F.lit(0)) / target_bytes),
+    )
+    return binned.groupBy("datestamp", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("est_bytes").alias("bin_bytes"),
+        F.min("hourstamp").alias("first_hour"),
+        F.max("hourstamp").alias("last_hour"),
+        (F.count(F.lit(1)) > 1).alias("needs_compaction"),
+    )
+
+
+def compaction_plan_oracle(
+    bronze_sql: str,
+    target_bytes: int = COMPACTION_TARGET_BYTES,
+    row_bytes: int = COMPACTION_ROW_BYTES,
+) -> str:
+    return f"""
+WITH bronze AS ({bronze_sql}),
+files AS (
+    SELECT datestamp, hourstamp, count(*) * {row_bytes} AS est_bytes
+    FROM bronze GROUP BY 1, 2
+),
+binned AS (
+    SELECT datestamp, hourstamp, est_bytes,
+           CAST(floor(coalesce(sum(est_bytes) OVER (
+               PARTITION BY datestamp ORDER BY hourstamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {target_bytes}) AS BIGINT) AS bin
+    FROM files
+)
+SELECT datestamp, bin,
+       count(*) AS n_files,
+       CAST(sum(est_bytes) AS BIGINT) AS bin_bytes,
+       min(hourstamp) AS first_hour,
+       max(hourstamp) AS last_hour,
+       count(*) > 1 AS needs_compaction
+FROM binned
+GROUP BY 1, 2
+"""
