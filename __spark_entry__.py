@@ -305,6 +305,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": lambda s, d: RT.compaction_plan(
             B.dedup_exact(_bronze(s, d))
         ),
+        "value_histogram": lambda s, d: DV.value_histogram(
+            B.dedup_exact(_bronze(s, d))
+        ),
+        "rolling_active_users": lambda s, d: CO.rolling_active_users(
+            load_table(s, d, "events")
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -561,6 +567,8 @@ FROM (
             DEDUP_ORACLE, MERGE_CUTOFF_UNIX, PURGE_CUTOFF
         ),
         "compaction_plan": RT.compaction_plan_oracle(DEDUP_ORACLE),
+        "value_histogram": DV.value_histogram_oracle(DEDUP_ORACLE),
+        "rolling_active_users": CO.rolling_active_users_oracle(),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

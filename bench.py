@@ -124,6 +124,9 @@ HEADLINE = [
     "source_reputation",
     "metric_rank_report",
     "approx_distinct_rollup",
+    "value_histogram",
+    "rolling_active_users",
+    "compaction_plan",
 ]
 
 

@@ -190,3 +190,76 @@ SELECT CAST(entry_date AS VARCHAR) AS entry_date,
 FROM entered LEFT JOIN converted USING (user_id)
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# sliding-window distinct actives
+# --------------------------------------------------------------------------
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(
+    events: DataFrame, window_days: int = ROLLING_WINDOW_DAYS
+) -> DataFrame:
+    """Trailing N-day distinct active users per day (the WAU/MAU
+    family).  Distinct counts don't merge across windows, so the
+    scalable spelling is CONTRIBUTION EXPLODE: dedup activity to
+    (user, day) — event-volume collapses to user×day cardinality in
+    one partial-agg shuffle — then each activity day contributes
+    itself to the ≤N report days it falls in (a ``sequence`` explode,
+    ×N on the already-tiny frame), and the report is a distinct count
+    per report day.  No per-day re-scan of the fact, no
+    O(days × events) self-join; swap the final exact distinct for an
+    HLL union (cf. ``approx_distinct_rollup``) at extreme user
+    cardinality.
+
+    Report days are restricted to days with ≥1 event (the observed
+    spine), keeping the output deterministic without a calendar dim.
+    """
+    from pyspark import StorageLevel
+
+    # the event-volume → user×day reduction feeds BOTH the
+    # contribution explode and the observed-day spine; persist so the
+    # expensive distinct shuffle runs once (same discipline as the
+    # dedup family's shared shingle frame)
+    activity = (
+        events.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    contributions = activity.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("report_day"),
+    )
+    observed = activity.select(F.col("d").alias("report_day")).distinct()
+    return (
+        contributions.join(observed, "report_day")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            F.col("report_day").cast("string").alias("report_day"),
+            "active_users",
+        )
+    )
+
+
+def rolling_active_users_oracle(window_days: int = ROLLING_WINDOW_DAYS) -> str:
+    return f"""
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+contributions AS (
+    SELECT a.user_id, a.d + CAST(x.i AS INTEGER) AS report_day
+    FROM activity a, (SELECT unnest(range({window_days})) AS i) x
+),
+observed AS (SELECT DISTINCT d AS report_day FROM activity)
+SELECT CAST(report_day AS VARCHAR) AS report_day,
+       count(DISTINCT user_id) AS active_users
+FROM contributions JOIN observed USING (report_day)
+GROUP BY 1
+"""

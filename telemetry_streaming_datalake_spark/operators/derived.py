@@ -450,3 +450,61 @@ SELECT metric, serial, total_value, n_readings,
 FROM per_entity
 WINDOW w AS (PARTITION BY metric ORDER BY total_value DESC, serial)
 """
+
+
+# --------------------------------------------------------------------------
+# per-metric value-distribution histogram
+# --------------------------------------------------------------------------
+
+HIST_BUCKETS = 10
+
+
+def value_histogram(bronze_deduped: DataFrame, n_buckets: int = HIST_BUCKETS) -> DataFrame:
+    """Equal-width value histogram per metric — the distribution
+    profile a dashboard renders next to :func:`percentile_rollup`.
+
+    Bucket edges come from each metric's [min, max] (a metric-
+    cardinality aggregate broadcast back, same pattern as
+    :func:`anomaly_zscore`); bucket index is pure arithmetic
+    ``floor((v - min) / width)`` clamped so v == max lands in the top
+    bucket.  Degenerate metrics (min == max) collapse to bucket 0.
+    One partial-agg shuffle per pass; the fact never sorts.
+    """
+    bounds = bronze_deduped.groupBy("metric").agg(
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+    j = bronze_deduped.select("metric", "value").join(F.broadcast(bounds), "metric")
+    width = (F.col("hi") - F.col("lo")) / n_buckets
+    raw_idx = F.floor((F.col("value") - F.col("lo")) / width)
+    idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(raw_idx, F.lit(n_buckets - 1))
+    )
+    return (
+        j.withColumn("bucket", idx.cast("long"))
+        .groupBy("metric", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.min("value"), 6).alias("bucket_min"),
+            F.round(F.max("value"), 6).alias("bucket_max"),
+        )
+    )
+
+
+def value_histogram_oracle(bronze_dedup_sql: str, n_buckets: int = HIST_BUCKETS) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+bounds AS (
+    SELECT metric, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM deduped GROUP BY 1
+)
+SELECT d.metric,
+       CAST(CASE WHEN b.hi = b.lo THEN 0
+            ELSE least(floor((d.value - b.lo) / ((b.hi - b.lo) / {n_buckets})),
+                       {n_buckets - 1}) END AS BIGINT) AS bucket,
+       count(*) AS n_points,
+       round(min(d.value), 6) AS bucket_min,
+       round(max(d.value), 6) AS bucket_max
+FROM deduped d JOIN bounds b USING (metric)
+GROUP BY 1, 2
+"""

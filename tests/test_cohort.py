@@ -74,3 +74,43 @@ def test_funnel_uses_earliest_qualifying_purchase(spark):
     ]
     [r] = CO.funnel_conversion(spark.createDataFrame(rows, SCHEMA)).collect()
     assert r.avg_seconds_to_convert == 600.0
+
+
+def test_rolling_active_users_window_semantics(spark):
+    # u1 active day 1; u2 active day 3; window=3 days
+    rows = [
+        _ev(1, 1, 0, 1, "click"),
+        _ev(2, 3, 0, 2, "view"),
+        _ev(3, 3, 1, 2, "view"),  # same user/day dedups
+    ]
+    from telemetry_streaming_datalake_spark.operators import cohort as CO
+
+    out = {
+        r.report_day: r.active_users
+        for r in CO.rolling_active_users(
+            spark.createDataFrame(rows, SCHEMA), window_days=3
+        ).collect()
+    }
+    # report days restricted to observed days {1, 3}
+    assert out == {"2024-01-01": 1, "2024-01-03": 2}
+
+
+def test_value_histogram_buckets(spark):
+    import datetime
+
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, i), 1, "m", float(v), "{}")
+        for i, v in enumerate([0.0, 5.0, 10.0])
+    ]
+    ded = B.dedup_exact(B.parse_bronze(spark.createDataFrame(rows, SCHEMA)))
+    out = {
+        r.bucket: r for r in DV.value_histogram(ded, n_buckets=10).collect()
+    }
+    assert out[0].n_points == 1 and out[0].bucket_min == 0.0
+    assert out[5].n_points == 1
+    # v == max clamps into the top bucket
+    assert out[9].n_points == 1 and out[9].bucket_max == 10.0
+    assert set(out) == {0, 5, 9}

@@ -305,3 +305,26 @@ def test_funnel_joins_user_cardinality_sides(spark):
     p = _plan(E.queries()["funnel_conversion"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_value_histogram_bounds_broadcast(spark):
+    """The metric-cardinality [min,max] bounds must broadcast back —
+    the fact stream never shuffles for the bucket assignment."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["value_histogram"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rolling_actives_single_activity_reduction(spark):
+    """The user×day distinct reduction is persisted and shared by the
+    contribution explode and the observed-day spine — the plan reads
+    the InMemoryRelation, and the events scan appears in one node."""
+    import re
+
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["rolling_active_users"](spark, SF))
+    assert "InMemoryTableScan" in p
+    assert len(set(re.findall(r"events\.parquet", p))) <= 1
