@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": lambda s, d: CO.rolling_active_users(
             load_table(s, d, "events")
         ),
+        "zorder_layout": lambda s, d: RT.zorder_layout(
+            B.dedup_exact(_bronze(s, d))
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -569,6 +572,7 @@ FROM (
         "compaction_plan": RT.compaction_plan_oracle(DEDUP_ORACLE),
         "value_histogram": DV.value_histogram_oracle(DEDUP_ORACLE),
         "rolling_active_users": CO.rolling_active_users_oracle(),
+        "zorder_layout": RT.zorder_layout_oracle(DEDUP_ORACLE),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

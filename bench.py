@@ -127,6 +127,7 @@ HEADLINE = [
     "value_histogram",
     "rolling_active_users",
     "compaction_plan",
+    "zorder_layout",
 ]
 
 

@@ -201,3 +201,101 @@ SELECT datestamp, bin,
 FROM binned
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# ZORDER layout audit (driver-checkable twin of zorder_rewrite)
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_FILES = 16
+
+
+def zorder_layout(
+    bronze: DataFrame, n_files: int = ZORDER_FILES, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """The ZORDER file layout as a relation: every row Morton-keyed on
+    (unix_ts, quantized value), assigned to an equal-width z-range file
+    bucket, summarized to per-file footer stats — the min/max ranges a
+    reader's skipping decision would use (what ``zorder_rewrite``
+    materializes physically; ``tests/test_retention.py`` proves the
+    physical variant skips).
+
+    Engine-portable arithmetic end to end: min-max scaling is exact
+    integer ``(x - lo) * span div width`` (both operands non-negative,
+    so Spark ``div`` == DuckDB ``//``), the interleave is pure
+    shift/and bit math (disjoint bits, so OR == sum — the oracle uses
+    +), and the file bucket is an equal-width z-range.  All map-side
+    after one 4-scalar bounds aggregate broadcasts back; the per-file
+    summary is one partial-agg shuffle to ``n_files`` rows.  No global
+    sort anywhere (the physical rewrite uses ``repartitionByRange``,
+    never a window).
+    """
+    vq = F.floor(F.col("value") * 1000).cast("long")
+    bounds = bronze.agg(
+        F.min("unix_ts").alias("lo_a"), F.max("unix_ts").alias("hi_a"),
+        F.min(vq).alias("lo_b"), F.max(vq).alias("hi_b"),
+    )
+    span = (1 << bits) - 1
+    j = bronze.select("unix_ts", vq.alias("vq")).crossJoin(F.broadcast(bounds))
+    a = F.expr(
+        f"((unix_ts - lo_a) * {span}) div greatest(hi_a - lo_a, 1L)"
+    ).cast("long")
+    b = F.expr(f"((vq - lo_b) * {span}) div greatest(hi_b - lo_b, 1L)").cast("long")
+    z = zorder_value(a, b, bits)
+    z_cells = 1 << (2 * bits)
+    file_id = F.least(
+        F.lit(n_files - 1), F.floor(z * n_files / z_cells)
+    ).cast("long")
+    return (
+        j.withColumn("file_id", file_id)
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("unix_ts").alias("min_ts"),
+            F.max("unix_ts").alias("max_ts"),
+            F.min("vq").alias("min_vq"),
+            F.max("vq").alias("max_vq"),
+        )
+    )
+
+
+def zorder_layout_oracle(
+    bronze_sql: str, n_files: int = ZORDER_FILES, bits: int = ZORDER_BITS
+) -> str:
+    span = (1 << bits) - 1
+    z_cells = 1 << (2 * bits)
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((a >> {i}) & 1) << {2 * i}))")
+        terms.append(f"((((b >> {i}) & 1) << {2 * i + 1}))")
+    morton = " + ".join(terms)
+    return f"""
+WITH bronze AS ({bronze_sql}),
+q AS (
+    SELECT unix_ts, CAST(floor(value * 1000) AS BIGINT) AS vq FROM bronze
+),
+bounds AS (
+    SELECT min(unix_ts) AS lo_a, max(unix_ts) AS hi_a,
+           min(vq) AS lo_b, max(vq) AS hi_b
+    FROM q
+),
+scaled AS (
+    SELECT ((unix_ts - lo_a) * {span}) // greatest(hi_a - lo_a, 1) AS a,
+           ((vq - lo_b) * {span}) // greatest(hi_b - lo_b, 1) AS b,
+           unix_ts, vq
+    FROM q, bounds
+),
+keyed AS (
+    SELECT unix_ts, vq,
+           least({n_files - 1},
+                 CAST(floor(({morton}) * {n_files} / {z_cells}.0) AS BIGINT))
+               AS file_id
+    FROM scaled
+)
+SELECT file_id, count(*) AS n_rows,
+       min(unix_ts) AS min_ts, max(unix_ts) AS max_ts,
+       min(vq) AS min_vq, max(vq) AS max_vq
+FROM keyed
+GROUP BY 1
+"""
