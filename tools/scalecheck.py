@@ -34,6 +34,7 @@ from telemetry_streaming_datalake_spark.session import get_spark, load_table
 from telemetry_streaming_datalake_spark import datamodel as dm
 from telemetry_streaming_datalake_spark.ingest import bronze as B
 from telemetry_streaming_datalake_spark.ingest import silver as S
+from telemetry_streaming_datalake_spark.operators import cohort as CO
 from telemetry_streaming_datalake_spark.operators import corpus as CP
 from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import derived as DV
@@ -127,6 +128,13 @@ def queries():
         "agg_hour": lambda s, d: R.rollup_hour(_gold(s, d)),
         "boilerplate_ngrams": lambda s, d: CP.boilerplate_ngrams(
             load_table(s, d, "documents")
+        ),
+        "rollup_grouping_sets": lambda s, d: R.rollup_grouping_sets(_gold(s, d)),
+        "cohort_retention": lambda s, d: CO.cohort_retention(
+            load_table(s, d, "events")
+        ),
+        "rolling_active_users": lambda s, d: CO.rolling_active_users(
+            load_table(s, d, "events")
         ),
     }
 
