@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": lambda s, d: RT.zorder_layout(
             B.dedup_exact(_bronze(s, d))
         ),
+        "event_transitions": lambda s, d: CO.event_transitions(
+            load_table(s, d, "events")
+        ),
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -573,6 +576,7 @@ FROM (
         "value_histogram": DV.value_histogram_oracle(DEDUP_ORACLE),
         "rolling_active_users": CO.rolling_active_users_oracle(),
         "zorder_layout": RT.zorder_layout_oracle(DEDUP_ORACLE),
+        "event_transitions": CO.event_transitions_oracle(),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

@@ -128,6 +128,7 @@ HEADLINE = [
     "rolling_active_users",
     "compaction_plan",
     "zorder_layout",
+    "event_transitions",
 ]
 
 

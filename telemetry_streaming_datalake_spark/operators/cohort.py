@@ -263,3 +263,74 @@ SELECT CAST(report_day AS VARCHAR) AS report_day,
 FROM contributions JOIN observed USING (report_day)
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# event-transition matrix
+# --------------------------------------------------------------------------
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order transition matrix over each user's event sequence:
+    for every consecutive pair (A → B) in per-user time order, the
+    count and the share of all transitions leaving A — the path-
+    analysis companion to :func:`funnel_conversion` (which checks ONE
+    step; this surveys all of them).
+
+    Shape: one user-partitioned window (hash shuffle on user_id +
+    in-partition sort — the same cost class as sessionize) computes
+    the successor; the matrix aggregate is event-type² cardinality.
+    Ordering ties break on event_id, making the successor — and the
+    whole matrix — deterministic across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    e = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("unix_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("unix_ts", "event_id")
+    pairs = (
+        e.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    from_w = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(from_w), 6
+        ).alias("share_from"),
+    )
+
+
+def event_transitions_oracle() -> str:
+    return """
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY unix_ts, event_id
+           ) AS to_type
+    FROM e
+),
+matrix AS (
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions * 1.0 /
+             sum(n_transitions) OVER (PARTITION BY from_type), 6)
+           AS share_from
+FROM matrix
+"""

@@ -114,3 +114,24 @@ def test_value_histogram_buckets(spark):
     # v == max clamps into the top bucket
     assert out[9].n_points == 1 and out[9].bucket_max == 10.0
     assert set(out) == {0, 5, 9}
+
+
+def test_event_transitions_matrix(spark):
+    rows = [
+        _ev(1, 1, 1, 1, "click"),
+        _ev(2, 1, 2, 1, "view"),
+        _ev(3, 1, 3, 1, "click"),
+        _ev(4, 1, 4, 1, "view"),
+        _ev(5, 1, 1, 2, "click"),
+        _ev(6, 1, 2, 2, "purchase"),
+    ]
+    out = {
+        (r.from_type, r.to_type): r
+        for r in CO.event_transitions(spark.createDataFrame(rows, SCHEMA)).collect()
+    }
+    # u1: click→view, view→click, click→view; u2: click→purchase
+    assert out[("click", "view")].n_transitions == 2
+    assert out[("view", "click")].n_transitions == 1
+    assert out[("click", "purchase")].n_transitions == 1
+    assert out[("click", "view")].share_from == round(2 / 3, 6)
+    assert len(out) == 3
