@@ -130,6 +130,13 @@ def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_gs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_gs_")
+    return SP.streaming_grouping_sets(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -317,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": lambda s, d: CO.event_transitions(
             load_table(s, d, "events")
         ),
+        "streaming_grouping_sets": _streaming_gs,
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -577,6 +585,8 @@ FROM (
         "rolling_active_users": CO.rolling_active_users_oracle(),
         "zorder_layout": RT.zorder_layout_oracle(DEDUP_ORACLE),
         "event_transitions": CO.event_transitions_oracle(),
+        # incrementally-maintained partials store == the batch rollup
+        "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),

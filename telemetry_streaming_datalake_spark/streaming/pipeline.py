@@ -846,3 +846,144 @@ def streaming_quarantine_split(spark: SparkSession, sf_dir: str, work_dir: str) 
     ok = spark.read.parquet(ok_dir).select(*cols)
     dlq = spark.read.parquet(dlq_dir).select(*cols)
     return ok.unionByName(dlq)
+
+
+# --------------------------------------------------------------------------
+# incremental multi-grain rollup maintenance (streaming GROUPING SETS)
+# --------------------------------------------------------------------------
+
+_GS_KEYS = ["grain", "bucket", "remote_id", "metric_id", "provider_id", "category_id"]
+
+
+def streaming_grouping_sets(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The one-pass hour+day+month rollup maintained INCREMENTALLY
+    under a stream — the production cadence of ``Gold Aggregation/
+    Step 05``'s three serving tables, collapsed to one store:
+
+    - each micro-batch runs the medallion chain (bronze parse →
+      dedup → silver → gold) and reduces its delta to UNROUNDED
+      per-grain partials via the same GROUPING SETS expansion the
+      batch operator uses (one scan of the delta, Expand ×3, one
+      partial-agg shuffle);
+    - the partials are associative (sum/min/max/count — avg derives at
+      the read edge), so the store merge is a key-grouped re-aggregate
+      of O(delta + touched keys), never a rescan of history;
+    - the drained store equals batch
+      :func:`~..operators.rollup.rollup_grouping_sets` row-for-row
+      (pytest-pinned; the driver checks against the same SQL oracle).
+
+    Store swap here is whole-file (tmp + rename — simplest correct
+    single-writer move at test scale); the partition-pruned variant is
+    :class:`~.sinks.ParquetUpsertStore`, already proven by
+    ``streaming_upsert``.
+    """
+    import shutil
+
+    from telemetry_streaming_datalake_spark.datamodel import (
+        metric_mapping,
+        remote_history,
+    )
+    from telemetry_streaming_datalake_spark.ingest.bronze import dedup_exact
+    from telemetry_streaming_datalake_spark.operators.temporal import enrich_gold
+
+    if max_files_per_trigger:
+        # pre-staged landing dir (tests split the feed for multi-batch
+        # merge coverage — same contract as streaming_counter_rate)
+        path = os.path.join(work_dir, "landing")
+        schema = spark.read.parquet(path).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        raw = _events_glob(spark, sf_dir, work_dir)
+    raw = normalize_nano_ts(raw, "ts")
+    mapping = metric_mapping(spark)
+    history = remote_history(spark, load_table(spark, sf_dir, "customer"))
+    store_path = os.path.join(work_dir, "gs_store")
+    ckpt = os.path.join(work_dir, "gs_ckpt")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gold = enrich_gold(to_silver(dedup_exact(parse_bronze(batch_df)), mapping), history)
+        eligible = gold.filter(
+            F.col("agg_type").isin("SUM", "AVG") & (F.col("value_double") != 0)
+        )
+        v = F.col("value_double").cast("double")
+        pre = (
+            eligible.withColumn("hour_ts", F.col("unix_ts") - F.col("unix_ts") % 3600)
+            .withColumn("day_ts", F.col("unix_ts") - F.col("unix_ts") % 86400)
+            .withColumn("month_key", F.substring("datestamp", 1, 7))
+        )
+        grouped = pre.groupingSets(
+            [["hour_ts", "remote_id", "metric_id", "provider_id", "category_id"],
+             ["day_ts", "remote_id", "metric_id", "provider_id", "category_id"],
+             ["month_key", "remote_id", "metric_id", "provider_id", "category_id"]],
+            "hour_ts", "day_ts", "month_key",
+            "remote_id", "metric_id", "provider_id", "category_id",
+        ).agg(
+            F.sum(v).alias("p_sum"),
+            F.min(v).alias("p_min"),
+            F.max(v).alias("p_max"),
+            F.count(F.lit(1)).alias("p_n"),
+            F.grouping("hour_ts").alias("_g_hour"),
+            F.grouping("day_ts").alias("_g_day"),
+        )
+        delta = grouped.select(
+            F.when(F.col("_g_hour") == 0, F.lit("HOUR"))
+            .when(F.col("_g_day") == 0, F.lit("DAY"))
+            .otherwise(F.lit("MONTH"))
+            .alias("grain"),
+            F.coalesce(
+                F.when(F.col("_g_hour") == 0, F.col("hour_ts").cast("string")),
+                F.when(F.col("_g_day") == 0, F.col("day_ts").cast("string")),
+                F.col("month_key"),
+            ).alias("bucket"),
+            "remote_id", "metric_id", "provider_id", "category_id",
+            "p_sum", "p_min", "p_max", "p_n",
+        )
+        spark_l = batch_df.sparkSession
+        if os.path.exists(store_path):
+            merged = spark_l.read.parquet(store_path).unionByName(delta)
+        else:
+            merged = delta
+        merged = merged.groupBy(*_GS_KEYS).agg(
+            F.sum("p_sum").alias("p_sum"),
+            F.min("p_min").alias("p_min"),
+            F.max("p_max").alias("p_max"),
+            F.sum("p_n").alias("p_n"),
+        )
+        tmp = store_path + f"__tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(store_path):
+            shutil.rmtree(store_path)
+        os.rename(tmp, store_path)
+
+    (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    st = spark.read.parquet(store_path)
+    return st.select(
+        "grain", "bucket", "remote_id", "metric_id", "provider_id", "category_id",
+        F.round(F.col("p_sum"), 6).alias("sum_value"),
+        F.round(F.col("p_sum") / F.col("p_n"), 6).alias("avg_value"),
+        F.round(F.col("p_min"), 6).alias("min_value"),
+        F.round(F.col("p_max"), 6).alias("max_value"),
+        F.col("p_n").alias("n_points"),
+        F.concat_ws(
+            "|", "grain",
+            F.col("remote_id").cast("string"), "bucket",
+            F.col("metric_id").cast("string"),
+            F.col("provider_id").cast("string"),
+            F.col("category_id").cast("string"),
+        ).alias("id"),
+    )

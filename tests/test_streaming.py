@@ -380,3 +380,83 @@ def test_streaming_quarantine_split_matches_batch_router(spark, tmp_path):
     dlq = os.path.join(str(tmp_path), "dead_letter")
     reasons = {d.split("=", 1)[1] for d in os.listdir(dlq) if d.startswith("reason=")}
     assert reasons and reasons <= {"bad_payload", "stale_ts", "unmapped_metric", "out_of_range"}
+
+
+def test_streaming_grouping_sets_matches_batch(spark, tmp_path):
+    """Single-drain equality: the incrementally-maintained multi-grain
+    store equals the batch GROUPING SETS rollup row-for-row."""
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest.bronze import dedup_exact, parse_bronze
+    from telemetry_streaming_datalake_spark.ingest.silver import to_silver
+    from telemetry_streaming_datalake_spark.operators.rollup import rollup_grouping_sets
+    from telemetry_streaming_datalake_spark.operators.temporal import enrich_gold
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_grouping_sets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = streaming_grouping_sets(spark, sf, str(tmp_path))
+    gold = enrich_gold(
+        to_silver(
+            dedup_exact(parse_bronze(load_table(spark, sf, "events"))),
+            dm.metric_mapping(spark),
+        ),
+        dm.remote_history(spark, load_table(spark, sf, "customer")),
+    )
+    want = rollup_grouping_sets(gold)
+    g = sorted(tuple(r) for r in got.select(*want.columns).collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+
+
+def test_streaming_grouping_sets_merges_across_batches(spark, tmp_path):
+    """Two micro-batches split mid-hour: boundary buckets receive
+    partials from BOTH batches and the additive merge must still equal
+    the from-scratch batch rollup (associativity of the partials)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest.bronze import dedup_exact, parse_bronze
+    from telemetry_streaming_datalake_spark.ingest.silver import to_silver
+    from telemetry_streaming_datalake_spark.operators.rollup import rollup_grouping_sets
+    from telemetry_streaming_datalake_spark.operators.temporal import enrich_gold
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_grouping_sets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    ts_cut = raw.select(F.unix_timestamp("ts").alias("u")).approxQuantile(
+        "u", [0.5], 0.0
+    )[0]
+    # mid-hour split: NOT on an hour boundary, so hour/day/month buckets
+    # straddle the two batches
+    ts_cut += 1800 - (int(ts_cut) % 3600 or 1800) % 1800
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    halves = [
+        raw.filter(F.unix_timestamp("ts") <= ts_cut),
+        raw.filter(F.unix_timestamp("ts") > ts_cut),
+    ]
+    for i, half in enumerate(halves):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    got = streaming_grouping_sets(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    gold = enrich_gold(
+        to_silver(
+            dedup_exact(parse_bronze(raw)), dm.metric_mapping(spark)
+        ),
+        dm.remote_history(spark, load_table(spark, sf, "customer")),
+    )
+    want = rollup_grouping_sets(gold)
+    g = sorted(tuple(r) for r in got.select(*want.columns).collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
