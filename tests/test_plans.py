@@ -51,6 +51,14 @@ def plans(spark):
         "stratified_sample",
         "stage_delay_report",
         "bronze_feed_c",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q20_excess_shippers",
+        "q21_waiting_supplier",
+        "metric_rank_report",
+        "compaction_plan",
+        "event_transitions",
     ]
     return {n: _plan(qs[n](spark, SF)) for n in names}
 
@@ -328,3 +336,21 @@ def test_rolling_actives_single_activity_reduction(spark):
     p = _plan(E.queries()["rolling_active_users"](spark, SF))
     assert "InMemoryTableScan" in p
     assert len(set(re.findall(r"events\.parquet", p))) <= 1
+
+
+def test_new_tpch_dims_broadcast(plans):
+    """part/supplier/nation/region sides of the final TPC-H analogs
+    must broadcast; a dim-side SortMergeJoin would shuffle the fact.
+    (q21's two SMJs are the CORRECT big-big lineitem⋈orders and
+    late-lines⋈per-order joins — only the dim joins are pinned.)"""
+    for name in ["q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+                 "q20_excess_shippers"]:
+        assert "BroadcastHashJoin" in plans[name], name
+        assert "SortMergeJoin" not in plans[name], name
+
+
+def test_rank_report_and_transitions_no_joins(plans):
+    """League table and transition matrix are window+agg shapes —
+    zero join operators at any scale."""
+    for name in ["metric_rank_report", "event_transitions", "compaction_plan"]:
+        assert "Join" not in plans[name], name
