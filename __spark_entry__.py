@@ -130,6 +130,20 @@ def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_2hop_")
+    return SP.streaming_silver_two_hop(spark, sf_dir, work)
+
+
+def _streaming_three_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_3hop_")
+    return SP.streaming_gold_three_hop(spark, sf_dir, work)
+
+
 def _streaming_gs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -325,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")
         ),
         "streaming_grouping_sets": _streaming_gs,
+        "streaming_two_hop": _streaming_two_hop,
+        "streaming_three_hop": _streaming_three_hop,
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
@@ -587,6 +603,17 @@ FROM (
         "event_transitions": CO.event_transitions_oracle(),
         # incrementally-maintained partials store == the batch rollup
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
+        # drained multi-hop lakes == the batch silver / gold relations
+        "streaming_two_hop": (
+            "SELECT event_id, serial, metric, value, payload_k, unix_ts, "
+            "datestamp, hourstamp, metric_id, provider_id, agg_type, "
+            f"category_id FROM ({silver})"
+        ),
+        "streaming_three_hop": (
+            "SELECT event_id, serial, remote_id, unix_ts, datestamp, "
+            "hourstamp, metric, metric_id, provider_id, category_id, "
+            f"agg_type, value_double, value_string FROM ({gold})"
+        ),
         # LLM ops
         "dedup_minhash": DD.dedup_minhash_oracle(),
         "dedup_simhash": DD.simhash_near_dups_oracle(),
