@@ -109,3 +109,52 @@ def test_histogram_counts_cover_all_readings(spark, q):
     assert sum(r.n_points for r in rows) == total
     assert all(0 <= r.bucket <= 9 for r in rows)
     assert all(r.bucket_min <= r.bucket_max for r in rows)
+
+
+def test_new_operators_survive_empty_feed(spark):
+    """Empty micro-batch / filtered-to-empty window: every round-5-late
+    operator must plan and return empty without error."""
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import cohort as CO
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+    from telemetry_streaming_datalake_spark.operators import retention as RT
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ded = B.dedup_exact(B.parse_bronze(ev))
+    for df in [
+        CO.cohort_retention(ev),
+        CO.funnel_conversion(ev),
+        CO.rolling_active_users(ev),
+        CO.event_transitions(ev),
+        DV.metric_rank_report(ded),
+        DV.value_histogram(ded),
+        RT.compaction_plan(ded),
+        RT.zorder_layout(ded),
+        R.approx_distinct_rollup(ded),
+        CP.importance_sample(docs),
+        CP.source_reputation(docs),
+    ]:
+        assert df.count() == 0
+    # grouping-sets needs the gold schema; empty gold comes from the
+    # enrich chain over the empty feed
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import silver as S
+    from telemetry_streaming_datalake_spark.operators import temporal as T
+
+    cust = spark.createDataFrame(
+        [(1, "c", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    gold = T.enrich_gold(
+        S.to_silver(ded, dm.metric_mapping(spark)),
+        dm.remote_history(spark, cust),
+    )
+    assert R.rollup_grouping_sets(gold).count() == 0
