@@ -339,6 +339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")
         ),
         "streaming_grouping_sets": _streaming_gs,
+        "cumulative_metric": lambda s, d: DV.cumulative_metric(
+            B.dedup_exact(_bronze(s, d))
+        ),
         "streaming_two_hop": _streaming_two_hop,
         "streaming_three_hop": _streaming_three_hop,
         # --- block E: r4-green tail (rotates back into the window next round) ---
@@ -603,6 +606,7 @@ FROM (
         "event_transitions": CO.event_transitions_oracle(),
         # incrementally-maintained partials store == the batch rollup
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
+        "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
         # drained multi-hop lakes == the batch silver / gold relations
         "streaming_two_hop": (
             "SELECT event_id, serial, metric, value, payload_k, unix_ts, "

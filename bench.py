@@ -129,6 +129,7 @@ HEADLINE = [
     "compaction_plan",
     "zorder_layout",
     "event_transitions",
+    "cumulative_metric",
 ]
 
 

@@ -508,3 +508,54 @@ SELECT d.metric,
 FROM deduped d JOIN bounds b USING (metric)
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# per-series cumulative running total
+# --------------------------------------------------------------------------
+
+
+def cumulative_metric(bronze_deduped: DataFrame) -> DataFrame:
+    """Running total of readings per (serial, metric) in event-time
+    order — the lifetime-usage accumulation the reference derives from
+    counters (``Step 04-04b ….scala:175-200`` sums constituents; this
+    is the time-cumulative companion served next to counter→rate).
+
+    Shape: one hash shuffle on the series key + in-partition sort —
+    identical cost class to :func:`counter_rate`'s lag window; no
+    global ordering.  The frame order ties on event_id, so the
+    running-sum sequence (and its 6dp rounding) is deterministic
+    across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("serial", "metric")
+        .orderBy("unix_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bronze_deduped.select(
+        "serial",
+        "metric",
+        "event_id",
+        "unix_ts",
+        "value",
+        F.round(F.sum("value").over(w), 6).alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("serial", "metric").orderBy("unix_ts", "event_id"))
+        .cast("long")
+        .alias("reading_seq"),
+    )
+
+
+def cumulative_metric_oracle(bronze_dedup_sql: str) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql})
+SELECT serial, metric, event_id, unix_ts, value,
+       round(sum(value) OVER w, 6) AS running_total,
+       CAST(row_number() OVER w2 AS BIGINT) AS reading_seq
+FROM deduped
+WINDOW w AS (PARTITION BY serial, metric ORDER BY unix_ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY serial, metric ORDER BY unix_ts, event_id)
+"""
