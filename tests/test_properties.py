@@ -113,3 +113,70 @@ def test_round5_ops_are_partitioning_invariant(spark, documents):
         a = fn(documents)
         b = fn(documents.repartition(7))
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, fn.__name__
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1,
+                max_size=20,
+            ),
+            st.integers(min_value=1, max_value=3000),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_importance_sample_is_content_deterministic(spark, docs):
+    """Duplicate texts with equal length must sample identically (the
+    dup-coherence contract), the kept set is a subset of the input,
+    and keep_prob never exceeds the base rate."""
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    rows = [
+        (i, text, "en", "src", n_chars)
+        for i, (text, n_chars) in enumerate(docs * 2)  # every text twice
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = CP.importance_sample(df).collect()
+    assert all(r.keep_prob <= CP.IMPORTANCE_BASE_RATE + 1e-12 for r in kept)
+    # group kept doc_ids by (text, n_chars) identity: each content pair
+    # must keep either both copies or neither
+    n = len(docs)
+    kept_ids = {r.doc_id for r in kept}
+    for i in range(n):
+        assert (i in kept_ids) == (i + n in kept_ids)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_interleave_is_injective_and_bounded(spark, pairs):
+    """Morton interleave: distinct (a, b) → distinct z, z within
+    2^(2·bits), and de-interleaving recovers the inputs."""
+    from telemetry_streaming_datalake_spark.operators.retention import zorder_value
+
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", zorder_value(F.col("a"), F.col("b"), 16)
+    )
+    got = df.collect()
+    assert len({r.z for r in got}) == len(pairs)
+    for r in got:
+        assert 0 <= r.z < (1 << 32)
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
