@@ -159,15 +159,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
-    Rotation policy (SURVEY §6): every round, keys with the stalest (or no)
-    driver-green CORRECTNESS row come first, so no key's green row is ever
-    more than ~2 rounds old.  Round-5 window: the 11 never-checked keys,
-    then the r2-stale streaming trio, then the 18 r3-only LLM keys, then
-    the new round-5 keys (feed C, stage delays, weighted simhash, five
-    ad-hoc relational shapes, boilerplate n-grams, semantic dedup,
-    sequence packing, mixture weights, the quarantine router batch +
-    streaming, k-means refine); the r4-green medallion/tpch keys sit at
-    the tail and rotate back in round 6.
+    Rotation policy (SURVEY §2b): every round, keys with the stalest (or
+    no) driver-green CORRECTNESS row come first; with 126 keys and a
+    50-key window the sustainable cycle is 3 rounds.  Round-5 window:
+    blocks A-D below (never-checked + r2/r3-stale keys).  Block E holds
+    the r4-green tail plus every round-5-late addition (28 keys, all
+    locally crosscheck-green) — ROUND-6 REORDER: put the 28 r5-late
+    keys (from `length_trim` through `cumulative_metric` plus
+    `approx_distinct_rollup`) first, then 22 of the r4-green keys; see
+    SURVEY §2b for the full 3-round schedule.
     """
     return {
         # --- block A: never driver-checked before round 5 (11 keys) ---
