@@ -130,6 +130,7 @@ HEADLINE = [
     "zorder_layout",
     "event_transitions",
     "cumulative_metric",
+    "bpe_merges",
 ]
 
 

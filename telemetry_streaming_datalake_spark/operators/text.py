@@ -482,3 +482,121 @@ SELECT doc_id,
        round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
 FROM per_char GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# distributed BPE merge learning (tokenizer training)
+# --------------------------------------------------------------------------
+
+BPE_N_MERGES = 8
+
+
+def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus —
+    the tokenizer-training step of an LLM data pipeline (Sennrich et
+    al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units"), distributed Spark-first:
+
+    - ONE corpus scan reduces events to the word-frequency table
+      (vocabulary cardinality — everything after this iterates over
+      the tiny frame, never the corpus);
+    - each round counts adjacent symbol pairs weighted by word
+      frequency (a ``slice``+``arrays_zip`` explode over the vocab
+      frame, one partial-agg shuffle), picks the argmax (1-row bounded
+      collect — the same driver contract as dup_clusters' convergence
+      count), and applies the merge map-side with a JVM ``aggregate``
+      fold (pending-symbol state machine → greedy left-to-right
+      non-overlapping replacement, exactly reference BPE) — no Python
+      UDF anywhere;
+    - per-round ``localCheckpoint`` truncates the growing lineage
+      (dup_clusters discipline).
+
+    Ties break on (count desc, left, right) — fully deterministic.
+    Output: one row per learned rule (merge_rank, left, right, merged,
+    pair_count).  No SQL oracle (iterative argmax is not
+    SQL-expressible; DuckDB's recursive CTEs cannot re-aggregate per
+    level) — the driver records a rows-only check and
+    ``tests/test_bpe.py`` pins the rules against a pure-Python
+    reference implementation.
+    """
+    norm = normalize_text(F.col("text"))
+    words = (
+        documents.select(F.explode(F.split(F.trim(norm), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            # the zero-width split emits a trailing "" — drop empties
+            F.filter(
+                F.split("word", "(?!^)"), lambda s: F.length(s) > 0
+            ).alias("syms"),
+            "freq",
+        )
+    )
+    vocab = words.localCheckpoint(eager=True)
+    spark = documents.sparkSession
+    learned: list[tuple] = []
+    for rank in range(n_merges):
+        n = F.size("syms")
+        pairs = (
+            vocab.filter(n >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, n - 1).alias("l"),
+                        F.slice("syms", 2, n - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].l, top[0].r, top[0].pair_count
+        learned.append((rank, a, b, a + b, cnt))
+        merged_lit = F.lit(a + b)
+        a_lit, b_lit = F.lit(a), F.lit(b)
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pending"),
+        )
+        def _make_step(al, bl, ml):
+            def step(acc, x):
+                return (
+                    F.when(
+                        acc["pending"].isNull(),
+                        F.struct(acc["out"].alias("out"), x.alias("pending")),
+                    )
+                    .when(
+                        (acc["pending"] == al) & (x == bl),
+                        F.struct(
+                            F.concat(acc["out"], F.array(ml)).alias("out"),
+                            F.lit(None).cast("string").alias("pending"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.concat(acc["out"], F.array(acc["pending"])).alias("out"),
+                            x.alias("pending"),
+                        )
+                    )
+                )
+
+            return step
+
+        step = _make_step(a_lit, b_lit, merged_lit)
+        finish = lambda acc: F.when(  # noqa: E731
+            acc["pending"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pending"])))
+        vocab = vocab.select(
+            F.aggregate("syms", acc0, step, finish).alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        learned,
+        "merge_rank long, left string, right string, merged string, pair_count long",
+    )

@@ -1,0 +1,83 @@
+"""BPE merge learning vs a pure-Python Sennrich reference."""
+
+from collections import Counter
+
+from telemetry_streaming_datalake_spark.operators import text as TX
+from telemetry_streaming_datalake_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_bpe(word_freq: dict, n_merges: int):
+    """Reference implementation: overlapping adjacent-pair counts,
+    argmax with (count desc, left, right) tie-break, greedy
+    left-to-right non-overlapping replacement."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    out = []
+    for rank in range(n_merges):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return out
+
+
+def _word_freq(spark):
+    import re
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    wf = Counter()
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r.text).strip().lower()
+        for w in norm.split(" "):
+            if w:
+                wf[w] += 1
+    return dict(wf)
+
+
+def test_bpe_merges_match_python_reference(spark):
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in TX.bpe_merges(load_table(spark, SF, "documents"), n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want = _python_bpe(_word_freq(spark), 6)
+    assert got == want
+
+
+def test_bpe_learns_multi_char_merges(spark):
+    """Later merges must build on earlier ones (a merged symbol appears
+    on the left or right of a subsequent rule) on this corpus."""
+    rules = TX.bpe_merges(load_table(spark, SF, "documents"), n_merges=8).collect()
+    assert len(rules) == 8
+    merged_syms = {r.merged for r in rules}
+    assert any(
+        (r.left in merged_syms or r.right in merged_syms)
+        for r in rules
+        if r.merge_rank > 0
+    )
+
+
+def test_bpe_empty_corpus(spark):
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert TX.bpe_merges(docs, n_merges=3).count() == 0
