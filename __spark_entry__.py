@@ -160,7 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
-    no) driver-green CORRECTNESS row come first; with 127 keys and a
+    no) driver-green CORRECTNESS row come first; with 128 keys and a
     50-key window the sustainable cycle is 3 rounds.  Round-5 window:
     blocks A-D below (never-checked + r2/r3-stale keys).  Block E holds
     the r4-green tail plus every round-5-late addition (28 keys, all
@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_grouping_sets": _streaming_gs,
         "bpe_merges": lambda s, d: TX.bpe_merges(load_table(s, d, "documents")),
+        "metric_correlation": lambda s, d: DV.metric_correlation(
+            B.dedup_exact(_bronze(s, d))
+        ),
         "cumulative_metric": lambda s, d: DV.cumulative_metric(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -608,6 +611,7 @@ FROM (
         # incrementally-maintained partials store == the batch rollup
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
+        "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         # drained multi-hop lakes == the batch silver / gold relations
         "streaming_two_hop": (
             "SELECT event_id, serial, metric, value, payload_k, unix_ts, "

@@ -131,6 +131,7 @@ HEADLINE = [
     "event_transitions",
     "cumulative_metric",
     "bpe_merges",
+    "metric_correlation",
 ]
 
 

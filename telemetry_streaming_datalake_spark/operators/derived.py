@@ -559,3 +559,76 @@ WINDOW w AS (PARTITION BY serial, metric ORDER BY unix_ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        w2 AS (PARTITION BY serial, metric ORDER BY unix_ts, event_id)
 """
+
+
+# --------------------------------------------------------------------------
+# metric correlation matrix
+# --------------------------------------------------------------------------
+
+
+def metric_correlation(bronze_deduped: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation between metrics over their daily
+    per-terminal sums — the cross-signal diagnostic read next to the
+    anomaly flags (correlated metrics alarm together; a correlation
+    break is itself a signal).
+
+    Shape: the wide frame is the same literal-vocabulary conditional
+    aggregation as :func:`pivot_metrics` (ONE partial-agg shuffle);
+    all M·(M−1)/2 correlations then compute in ONE aggregate pass over
+    it (corr's co-moments combine map-side), unpivoted with a map-only
+    ``stack``.  Inputs to corr are the 6dp-rounded sums, so both
+    engines correlate identical numbers; the result rounds to 6dp to
+    absorb accumulation-order residue.  NULL days (metric absent for a
+    terminal) are skipped pairwise by corr in both engines.
+    """
+    wide = (
+        bronze_deduped.groupBy("serial", "datestamp")
+        .pivot("metric", list(METRIC_NAMES))
+        .agg(F.round(F.sum("value"), 6))
+    )
+    names = list(METRIC_NAMES)
+    aggs, stack_parts = [], []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            key = f"{a}__{b}"
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"c_{key}"))
+            aggs.append(
+                F.count(
+                    F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
+                ).alias(f"n_{key}")
+            )
+            stack_parts.append(f"'{a}', '{b}', c_{key}, n_{key}")
+    n_pairs = len(stack_parts)
+    return wide.agg(*aggs).select(
+        F.expr(
+            f"stack({n_pairs}, " + ", ".join(stack_parts)
+            + ") as (metric_a, metric_b, corr, n_days)"
+        )
+    )
+
+
+def metric_correlation_oracle(bronze_dedup_sql: str) -> str:
+    names = list(METRIC_NAMES)
+    cols = ",\n       ".join(
+        f"round(sum(CASE WHEN metric = '{m}' THEN value END), 6) AS {m}"
+        for m in names
+    )
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            selects.append(
+                f"SELECT '{a}' AS metric_a, '{b}' AS metric_b, "
+                f"round(corr({a}, {b}), 6) AS corr, "
+                f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END) AS n_days "
+                f"FROM wide"
+            )
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+wide AS (
+    SELECT serial, datestamp,
+       {cols}
+    FROM deduped
+    GROUP BY serial, datestamp
+)
+{" UNION ALL ".join(selects)}
+"""
