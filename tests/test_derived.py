@@ -217,3 +217,43 @@ def test_anomaly_mad_is_robust_to_the_outlier_itself(spark):
     assert not any(out[i].is_anomaly for i in range(20))
     # median/MAD sit in the bulk, unmoved by the outlier
     assert 9.9 <= out[99].med_value <= 10.5
+
+
+def test_metric_correlation_matches_numpy(spark):
+    import datetime
+
+    import numpy as np
+
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    # two serials, two days; click and view perfectly correlated for
+    # the constructed sums, error anti-correlated with click
+    rows = []
+    i = 0
+    data = {
+        ("s1", 1): {"click": 1.0, "view": 2.0, "error": 4.0},
+        ("s1", 2): {"click": 2.0, "view": 4.0, "error": 3.0},
+        ("s2", 1): {"click": 3.0, "view": 6.0, "error": 2.0},
+        ("s2", 2): {"click": 4.0, "view": 8.0, "error": 1.0},
+    }
+    for (serial, day), metrics in data.items():
+        for m, v in metrics.items():
+            rows.append(
+                (i, datetime.datetime(2024, 1, day, 0, 0, i % 60), int(serial[1]), m, v, "{}")
+            )
+            i += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ded = B.dedup_exact(B.parse_bronze(spark.createDataFrame(rows, schema)))
+    out = {
+        (r.metric_a, r.metric_b): r
+        for r in DV.metric_correlation(ded).collect()
+    }
+    cl = [1.0, 2.0, 3.0, 4.0]
+    er = [4.0, 3.0, 2.0, 1.0]
+    assert out[("click", "view")].corr == 1.0
+    assert out[("click", "error")].corr == round(float(np.corrcoef(cl, er)[0, 1]), 6)
+    assert out[("click", "view")].n_days == 4
+    # metrics never observed → NULL corr, 0 overlapping days
+    assert out[("purchase", "signup")].corr is None
+    assert out[("purchase", "signup")].n_days == 0
