@@ -491,7 +491,11 @@ FROM per_char GROUP BY doc_id
 BPE_N_MERGES = 8
 
 
-def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+def bpe_merges(
+    documents: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    max_vocab: int | None = None,
+) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules over the corpus —
     the tokenizer-training step of an LLM data pipeline (Sennrich et
     al. 2016, "Neural Machine Translation of Rare Words with Subword
@@ -511,6 +515,12 @@ def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     - per-round ``localCheckpoint`` truncates the growing lineage
       (dup_clusters discipline).
 
+    ``max_vocab`` caps the word-frequency table to the top-V words
+    (freq desc, word asc — deterministic) before iterating: at 100 TB
+    the raw distinct-word count includes a long typo tail that
+    standard BPE trainers truncate the same way; the cap bounds every
+    iteration's frame at V rows regardless of corpus size.
+
     Ties break on (count desc, left, right) — fully deterministic.
     Output: one row per learned rule (merge_rank, left, right, merged,
     pair_count).  No SQL oracle (iterative argmax is not
@@ -525,13 +535,23 @@ def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            # the zero-width split emits a trailing "" — drop empties
-            F.filter(
-                F.split("word", "(?!^)"), lambda s: F.length(s) > 0
-            ).alias("syms"),
-            "freq",
+        .select("word", "freq")
+    )
+    if max_vocab is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("freq").desc(), "word")
+        words = (
+            words.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_vocab)
+            .drop("__rk")
         )
+    words = words.select(
+        # the zero-width split emits a trailing "" — drop empties
+        F.filter(
+            F.split("word", "(?!^)"), lambda s: F.length(s) > 0
+        ).alias("syms"),
+        "freq",
     )
     vocab = words.localCheckpoint(eager=True)
     spark = documents.sparkSession

@@ -81,3 +81,20 @@ def test_bpe_empty_corpus(spark):
         [], "doc_id long, text string, lang string, source string, n_chars long"
     )
     assert TX.bpe_merges(docs, n_merges=3).count() == 0
+
+
+def test_bpe_max_vocab_caps_iteration_frame(spark):
+    """With the cap at 1 the trainer sees only the most frequent word;
+    its merges must equal the Python reference over that word alone."""
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa bb", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in TX.bpe_merges(docs, n_merges=2, max_vocab=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # only "aa" (freq 3) survives the cap; one merge (a,a) then done
+    assert got == [(0, "a", "a", "aa", 3)]

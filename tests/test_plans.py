@@ -354,3 +354,16 @@ def test_rank_report_and_transitions_no_joins(plans):
     zero join operators at any scale."""
     for name in ["metric_rank_report", "event_transitions", "compaction_plan"]:
         assert "Join" not in plans[name], name
+
+
+def test_metric_correlation_single_aggregate_no_join(spark):
+    """All pairwise co-moments compute in one aggregation over the
+    pivot — no join, no per-pair re-scan; partial aggregation present."""
+    import re
+
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["metric_correlation"](spark, SF))
+    assert "Join" not in p
+    assert "partial" in p.lower()
+    assert len(re.findall(r"events\.parquet", p)) == 1

@@ -180,3 +180,35 @@ def test_zorder_interleave_is_injective_and_bounded(spark, pairs):
         a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b)
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=100),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_matches_python_reference_on_random_corpora(spark, word_freq):
+    """Distributed BPE == the pure-Python Sennrich reference for
+    arbitrary tiny vocabularies (tie-heavy alphabets stress the
+    deterministic argmax ordering)."""
+    from telemetry_streaming_datalake_spark.operators import text as TX
+    from tests.test_bpe import _python_bpe
+
+    text = " ".join(w for w, f in sorted(word_freq.items()) for _ in range(f))
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in TX.bpe_merges(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert got == _python_bpe(word_freq, 4)
