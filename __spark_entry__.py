@@ -9,6 +9,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.session import load_table, load_tables
 from telemetry_streaming_datalake_spark import datamodel as dm
@@ -160,7 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
-    no) driver-green CORRECTNESS row come first; with 128 keys and a
+    no) driver-green CORRECTNESS row come first; with 129 keys and a
     50-key window the sustainable cycle is 3 rounds.  Round-5 window:
     blocks A-D below (never-checked + r2/r3-stale keys).  Block E holds
     the r4-green tail plus every round-5-late addition (28 keys, all
@@ -342,6 +343,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": lambda s, d: TX.bpe_merges(load_table(s, d, "documents")),
         "metric_correlation": lambda s, d: DV.metric_correlation(
             B.dedup_exact(_bronze(s, d))
+        ),
+        "rollup_restate": lambda s, d: R.rollup_restate(
+            B.dedup_exact(_bronze(s, d)),
+            B.dedup_exact(_bronze(s, d))
+            .filter((F.col("event_id") % 97) == 0)
+            .select("event_id", (F.col("value") * 2).alias("new_value")),
         ),
         "cumulative_metric": lambda s, d: DV.cumulative_metric(
             B.dedup_exact(_bronze(s, d))
@@ -612,6 +619,11 @@ FROM (
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
+        "rollup_restate": R.rollup_restate_oracle(
+            DEDUP_ORACLE,
+            f"SELECT event_id, value * 2 AS new_value FROM ({DEDUP_ORACLE}) "
+            "WHERE event_id % 97 = 0",
+        ),
         # drained multi-hop lakes == the batch silver / gold relations
         "streaming_two_hop": (
             "SELECT event_id, serial, metric, value, payload_k, unix_ts, "

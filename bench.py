@@ -132,6 +132,7 @@ HEADLINE = [
     "cumulative_metric",
     "bpe_merges",
     "metric_correlation",
+    "rollup_restate",
 ]
 
 

@@ -349,3 +349,97 @@ def approx_distinct_rollup(bronze: DataFrame, lg_k: int = HLL_LG_K) -> DataFrame
         )
     )
     return day_rows.unionByName(month_rows)
+
+
+# --------------------------------------------------------------------------
+# rollup restatement under late corrections (retraction pattern)
+# --------------------------------------------------------------------------
+
+
+def rollup_restate(bronze_deduped: DataFrame, corrections: DataFrame) -> DataFrame:
+    """Restate the (metric, datestamp) rollup after upstream value
+    corrections WITHOUT rescanning history — the warehouse retraction
+    pattern the reference's "load lost data" backfills approximate by
+    re-running whole slices (``Load History load/Step 04-04b - Gold
+    Phase custom metric - load lost data.scala``).
+
+    ``corrections``: (event_id, new_value) for already-ingested rows.
+
+    Aggregate algebra drives the plan:
+    - **sum / count are invertible** → corrected by a retraction delta
+      (``Σ(new − old)``, count unchanged) — O(corrections), joined to
+      the stored partials by key;
+    - **min / max are NOT invertible** → recomputed, but ONLY over the
+      buckets a correction touches (semi-join prune): O(touched
+      buckets' rows), never the full fact.
+
+    Output equals the from-scratch rollup over corrected data (the SQL
+    oracle recomputes; pytest also pins against
+    :func:`rollup_restate`'s own recompute).  Corrections join the
+    fact on event_id — uniform key, broadcast when small.
+    """
+    orig = bronze_deduped.groupBy("metric", "datestamp").agg(
+        F.sum("value").alias("p_sum"),
+        F.min("value").alias("p_min"),
+        F.max("value").alias("p_max"),
+        F.count(F.lit(1)).alias("p_n"),
+    )
+    corr = F.broadcast(
+        corrections.select("event_id", F.col("new_value").cast("double").alias("new_value"))
+    )
+    corrected_rows = bronze_deduped.join(corr, "event_id").select(
+        "metric",
+        "datestamp",
+        (F.col("new_value") - F.col("value")).alias("delta"),
+    )
+    deltas = corrected_rows.groupBy("metric", "datestamp").agg(
+        F.sum("delta").alias("d_sum")
+    )
+    touched = deltas.select("metric", "datestamp")
+    fixed_base = (
+        bronze_deduped.join(F.broadcast(touched), ["metric", "datestamp"], "left_semi")
+        .join(corr, "event_id", "left")
+        .select(
+            "metric",
+            "datestamp",
+            F.coalesce("new_value", "value").alias("value"),
+        )
+    )
+    fixed_minmax = fixed_base.groupBy("metric", "datestamp").agg(
+        F.min("value").alias("f_min"), F.max("value").alias("f_max")
+    )
+    return (
+        orig.join(F.broadcast(deltas), ["metric", "datestamp"], "left")
+        .join(F.broadcast(fixed_minmax), ["metric", "datestamp"], "left")
+        .select(
+            "metric",
+            "datestamp",
+            F.round(F.col("p_sum") + F.coalesce("d_sum", F.lit(0.0)), 6).alias(
+                "sum_value"
+            ),
+            F.round(F.coalesce("f_min", "p_min"), 6).alias("min_value"),
+            F.round(F.coalesce("f_max", "p_max"), 6).alias("max_value"),
+            F.col("p_n").alias("n_points"),
+        )
+    )
+
+
+def rollup_restate_oracle(bronze_dedup_sql: str, corrections_sql: str) -> str:
+    """Full recompute over corrected values — the ground truth the
+    retraction shortcut must reproduce."""
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+corr AS ({corrections_sql}),
+fixed AS (
+    SELECT d.metric, d.datestamp,
+           coalesce(c.new_value, d.value) AS value
+    FROM deduped d LEFT JOIN corr c USING (event_id)
+)
+SELECT metric, datestamp,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       count(*) AS n_points
+FROM fixed
+GROUP BY 1, 2
+"""

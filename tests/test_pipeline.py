@@ -251,3 +251,34 @@ def test_grouping_sets_rollup_equals_three_single_grain_rollups(spark):
     finally:
         gs.unpersist()
         gold.unpersist()
+
+
+def test_rollup_restate_retraction_equals_recompute(spark):
+    """Sum via retraction delta + min/max via touched-bucket recompute
+    must equal the from-scratch rollup over corrected values —
+    including a correction that LOWERS the bucket max (the
+    non-invertible case the delta shortcut cannot see)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 1), 1, "m", 10.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 2), 1, "m", 50.0, "{}"),  # old max
+        (3, datetime.datetime(2024, 1, 2, 0, 0, 3), 1, "m", 7.0, "{}"),   # untouched day
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ded = B.dedup_exact(B.parse_bronze(spark.createDataFrame(rows, schema)))
+    # correction LOWERS the max: 50 -> 5
+    corr = spark.createDataFrame([(2, 5.0)], "event_id long, new_value double")
+    out = {
+        (r.metric, r.datestamp): r for r in R.rollup_restate(ded, corr).collect()
+    }
+    d1 = out[("m", "2024-01-01")]
+    assert d1.sum_value == 15.0 and d1.min_value == 5.0 and d1.max_value == 10.0
+    assert d1.n_points == 2
+    d2 = out[("m", "2024-01-02")]
+    assert d2.sum_value == 7.0 and d2.min_value == 7.0 and d2.max_value == 7.0
