@@ -133,6 +133,7 @@ HEADLINE = [
     "bpe_merges",
     "metric_correlation",
     "rollup_restate",
+    "canonical_docs",
 ]
 
 

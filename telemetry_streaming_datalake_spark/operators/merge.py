@@ -315,3 +315,71 @@ j AS (
 )
 SELECT * FROM j WHERE change <> 'unchanged'
 """
+
+
+# --------------------------------------------------------------------------
+# canonical-document selection (dedup keep-policy)
+# --------------------------------------------------------------------------
+
+
+def canonical_docs(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """The keep-decision that completes the dedup pipeline: every doc
+    labelled with its duplicate cluster (singletons cluster with
+    themselves) and the cluster's canonical survivor — longest
+    normalized doc wins, ties to the lowest doc_id.  Downstream
+    training-mix builders keep ``is_canonical`` and drop the rest.
+
+    Shape: the cluster labels (near-dup-subset cardinality) broadcast
+    onto the corpus; the canonical choice is one window over
+    cluster-partitioned rows (cluster sizes are small by construction
+    — bucket-capped candidate generation upstream bounds them).
+    Deterministic: (n_chars desc, doc_id) is a total order.
+    """
+    from pyspark.sql import Window
+
+    labeled = (
+        documents.select("doc_id", "n_chars")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "canonical_id",
+            F.min(F.when(F.col("__rk") == 1, F.col("doc_id"))).over(
+                Window.partitionBy("cluster_id")
+            ),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def canonical_docs_oracle(pairs_sql: str) -> str:
+    clusters = dup_clusters_oracle(pairs_sql).strip()
+    return f"""
+WITH clusters AS ({clusters}),
+labeled AS (
+    SELECT d.doc_id, d.n_chars,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+ranked AS (
+    SELECT doc_id, cluster_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM labeled
+)
+SELECT r.doc_id, r.cluster_id, k.canonical_id,
+       r.doc_id = k.canonical_id AS is_canonical
+FROM ranked r
+JOIN (SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rk = 1) k
+  USING (cluster_id)
+"""

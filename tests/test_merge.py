@@ -96,3 +96,25 @@ def test_table_diff_classifies_all_three_changes(spark):
     assert out["b"].change == "updated"        # NULL old value diffs null-safely
     assert out["c"].change == "deleted" and out["c"].new_ts is None
     assert out["d"].change == "inserted" and out["d"].old_ts is None
+
+
+def test_canonical_docs_keep_policy(spark):
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.operators import merge as M
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en", "s", 100), (2, "b", "en", "s", 300),
+         (3, "c", "en", "s", 300), (4, "d", "en", "s", 50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # 1-2-3 form one near-dup cluster; 4 is a singleton
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    out = {r.doc_id: r for r in M.canonical_docs(docs, clusters).collect()}
+    # longest wins; tie between 2 and 3 (both 300 chars) → lowest id (2)
+    assert out[1].canonical_id == 2 and not out[1].is_canonical
+    assert out[2].is_canonical
+    assert out[3].canonical_id == 2 and not out[3].is_canonical
+    assert out[4].cluster_id == 4 and out[4].is_canonical
