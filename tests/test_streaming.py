@@ -460,3 +460,59 @@ def test_streaming_grouping_sets_merges_across_batches(spark, tmp_path):
     g = sorted(tuple(r) for r in got.select(*want.columns).collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
+
+
+
+def test_watermark_late_within_horizon_merges(spark, tmp_path):
+    """Append-mode watermarked tumbling agg over two micro-batches: a
+    batch-2 event that is late but INSIDE the watermark horizon must
+    merge into its window (the contractual guarantee — no data loss
+    within the horizon; dropping beyond it is permitted but not
+    required by the engine, so only the guaranteed side is pinned)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, hours):
+        return (i, base + datetime.timedelta(hours=hours), 1, "click", 1.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: h=9.2 and h=10 → watermark after batch 1 = 9h
+    # batch 2: h=9.5 (late vs batch-1 max, inside the 1 h horizon) must
+    # merge with 9.2 into the [9,10) window; h=20 closes every window
+    batches = [[ev(1, 9.2), ev(2, 10)], [ev(3, 9.5), ev(4, 20)]]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, rows in enumerate(batches):
+        out = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(landing)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = str(tmp_path / "sink")
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {r.window.start.hour: r.n for r in spark.read.parquet(sink).collect()}
+    assert got[9] == 2   # 9.2 (batch 1) + 9.5 (batch 2) merged
+    assert got[10] == 1
