@@ -161,7 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
-    no) driver-green CORRECTNESS row come first; with 130 keys and a
+    no) driver-green CORRECTNESS row come first; with 131 keys and a
     50-key window the sustainable cycle is 3 rounds.  Round-5 window:
     blocks A-D below (never-checked + r2/r3-stale keys).  Block E holds
     the r4-green tail plus every round-5-late addition (28 keys, all
@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_correlation": lambda s, d: DV.metric_correlation(
             B.dedup_exact(_bronze(s, d))
         ),
+        "bronze_orc": TF.bronze_from_orc,
         "canonical_docs": lambda s, d: M.canonical_docs(
             load_table(s, d, "documents"),
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
@@ -623,6 +624,7 @@ FROM (
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
+        "bronze_orc": B.BRONZE_PARSE_ORACLE,
         "canonical_docs": M.canonical_docs_oracle(DD.ngram_jaccard_oracle()),
         "rollup_restate": R.rollup_restate_oracle(
             DEDUP_ORACLE,

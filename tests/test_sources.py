@@ -103,3 +103,17 @@ def test_feed_c_roundtrip_matches_events(spark, events):
         (F.col("record_type") != "status") & (F.col("value") != F.col("raw_value"))
     )
     assert mismatched.count() == 0
+
+
+def test_orc_source_lands_identical_bronze(spark):
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import parse_bronze
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.sources.textfeeds import bronze_from_orc
+
+    sf = "/root/testdata/sf0.001"
+    got = bronze_from_orc(spark, sf)
+    want = parse_bronze(load_table(spark, sf, "events"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
