@@ -35,6 +35,7 @@ from telemetry_streaming_datalake_spark.operators import derived as DV
 from telemetry_streaming_datalake_spark.queries import tpch as Q
 from telemetry_streaming_datalake_spark.sources import textfeeds as TF
 from telemetry_streaming_datalake_spark.storage import stats as ST
+from telemetry_streaming_datalake_spark.storage import bucketed as BK
 from telemetry_streaming_datalake_spark.storage import versioned as VS
 from telemetry_streaming_datalake_spark.streaming import pipeline as SP
 
@@ -161,7 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
-    no) driver-green CORRECTNESS row come first; with 131 keys and a
+    no) driver-green CORRECTNESS row come first; with 132 keys and a
     50-key window the sustainable cycle is 3 rounds.  Round-5 window:
     blocks A-D below (never-checked + r2/r3-stale keys).  Block E holds
     the r4-green tail plus every round-5-late addition (28 keys, all
@@ -345,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             B.dedup_exact(_bronze(s, d))
         ),
         "bronze_orc": TF.bronze_from_orc,
+        "bucketed_join": BK.bucketed_join,
         "canonical_docs": lambda s, d: M.canonical_docs(
             load_table(s, d, "documents"),
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
@@ -625,6 +627,7 @@ FROM (
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,
+        "bucketed_join": BK.bucketed_join_oracle(),
         "canonical_docs": M.canonical_docs_oracle(DD.ngram_jaccard_oracle()),
         "rollup_restate": R.rollup_restate_oracle(
             DEDUP_ORACLE,

@@ -134,6 +134,8 @@ HEADLINE = [
     "metric_correlation",
     "rollup_restate",
     "canonical_docs",
+    "bronze_orc",
+    "bucketed_join",
 ]
 
 
