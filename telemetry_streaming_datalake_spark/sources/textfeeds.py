@@ -3,11 +3,11 @@
 The reference consumes its feeds as *strings* — Kafka/EventHub hand the
 notebook a ``value`` column that is parsed with ``from_json`` against an
 explicit schema (``Bronze-Silver/Part1 ….scala:119``); nothing is ever
-schema-inferred.  These connectors reproduce that contract over the two
-text formats a file-drop pipeline actually receives: newline-delimited
-JSON and CSV.  Both run the SAME downstream bronze parse as the parquet
-path, and the correctness gate proves all three sources land identical
-rows (oracle = the parquet-derived bronze).
+schema-inferred.  These connectors reproduce that contract over the
+formats a file-drop pipeline actually receives: newline-delimited
+JSON, CSV, and (columnar) ORC.  All run the SAME downstream bronze
+parse as the parquet path, and the correctness gate proves every
+source lands identical rows (oracle = the parquet-derived bronze).
 
 Scale shape: staging writes partitioned text; reads are map-only
 line-parses with explicit schemas (no inference pass over the data —
