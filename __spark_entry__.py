@@ -25,6 +25,7 @@ from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import scd as SCD
 from telemetry_streaming_datalake_spark.operators import sessions as SES
 from telemetry_streaming_datalake_spark.operators import temporal as T
+from telemetry_streaming_datalake_spark.operators import tseries as TS
 from telemetry_streaming_datalake_spark.operators import cohort as CO
 from telemetry_streaming_datalake_spark.operators import corpus as CP
 from telemetry_streaming_datalake_spark.operators import dedup as DD
@@ -162,7 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
-    no) driver-green CORRECTNESS row come first; with 132 keys and a
+    no) driver-green CORRECTNESS row come first; with 133 keys and a
     50-key window the sustainable cycle is 3 rounds.  Round-5 window:
     blocks A-D below (never-checked + r2/r3-stale keys).  Block E holds
     the r4-green tail plus every round-5-late addition (28 keys, all
@@ -347,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bronze_orc": TF.bronze_from_orc,
         "bucketed_join": BK.bucketed_join,
+        "ts_similarity": lambda s, d: TS.ts_similarity(
+            B.dedup_exact(_bronze(s, d))
+        ),
         "canonical_docs": lambda s, d: M.canonical_docs(
             load_table(s, d, "documents"),
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
@@ -628,6 +632,7 @@ FROM (
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,
         "bucketed_join": BK.bucketed_join_oracle(),
+        "ts_similarity": TS.ts_similarity_oracle(DEDUP_ORACLE),
         "canonical_docs": M.canonical_docs_oracle(DD.ngram_jaccard_oracle()),
         "rollup_restate": R.rollup_restate_oracle(
             DEDUP_ORACLE,

@@ -136,6 +136,7 @@ HEADLINE = [
     "canonical_docs",
     "bronze_orc",
     "bucketed_join",
+    "ts_similarity",
 ]
 
 
