@@ -367,3 +367,16 @@ def test_metric_correlation_single_aggregate_no_join(spark):
     assert "Join" not in p
     assert "partial" in p.lower()
     assert len(re.findall(r"events\.parquet", p)) == 1
+
+
+def test_ts_similarity_takeordered_no_global_sort(spark):
+    """Top-k must execute as TakeOrdered (per-partition heap + driver
+    merge of k rows) over the one series-keyed window shuffle — a
+    global Sort of the scored frame is the anti-pattern."""
+    import re
+
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["ts_similarity"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"events\.parquet", p)) == 1
