@@ -69,3 +69,25 @@ def test_bench_headline_keys_are_all_registered():
     qs = set(E.queries())
     missing = [k for k in bench.HEADLINE if k not in qs]
     assert not missing, missing
+
+
+def test_rotation_helper_orders_stalest_first():
+    """tools/rotate.py must cover every registered key exactly once,
+    with never-driver-checked keys ahead of any key that has a green
+    CORRECTNESS row."""
+    import importlib
+
+    rotate = importlib.import_module("tools.rotate")
+
+    greens = rotate.last_green_rounds()
+    keys = list(E.queries())
+    order = sorted(
+        range(len(keys)), key=lambda i: (greens.get(keys[i], -1), i)
+    )
+    ordered = [keys[i] for i in order]
+    assert sorted(ordered) == sorted(keys)
+    ranks = {k: r for r, k in enumerate(ordered)}
+    never = [k for k in keys if k not in greens]
+    checked = [k for k in keys if k in greens]
+    if never and checked:
+        assert max(ranks[k] for k in never) < min(ranks[k] for k in checked)
