@@ -163,7 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
-    no) driver-green CORRECTNESS row come first; with 133 keys and a
+    no) driver-green CORRECTNESS row come first; with 134 keys and a
     50-key window the sustainable cycle is 3 rounds.  Round-5 window:
     blocks A-D below (never-checked + r2/r3-stale keys).  Block E holds
     the r4-green tail plus every round-5-late addition (28 keys, all
@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bronze_orc": TF.bronze_from_orc,
         "bucketed_join": BK.bucketed_join,
+        "lm_perplexity": lambda s, d: TX.lm_perplexity(
+            load_table(s, d, "documents")
+        ),
         "ts_similarity": lambda s, d: TS.ts_similarity(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -633,6 +636,7 @@ FROM (
         "bronze_orc": B.BRONZE_PARSE_ORACLE,
         "bucketed_join": BK.bucketed_join_oracle(),
         "ts_similarity": TS.ts_similarity_oracle(DEDUP_ORACLE),
+        "lm_perplexity": TX.lm_perplexity_oracle(),
         "canonical_docs": M.canonical_docs_oracle(DD.ngram_jaccard_oracle()),
         "rollup_restate": R.rollup_restate_oracle(
             DEDUP_ORACLE,

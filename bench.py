@@ -137,6 +137,7 @@ HEADLINE = [
     "bronze_orc",
     "bucketed_join",
     "ts_similarity",
+    "lm_perplexity",
 ]
 
 

@@ -620,3 +620,100 @@ def bpe_merges(
         learned,
         "merge_rank long, left string, right string, merged string, pair_count long",
     )
+
+
+# --------------------------------------------------------------------------
+# bigram LM perplexity scoring
+# --------------------------------------------------------------------------
+
+LM_SMOOTH_K = 1.0
+
+
+def lm_perplexity(documents: DataFrame, k: float = LM_SMOOTH_K) -> DataFrame:
+    """Per-document bigram language-model perplexity, with the LM
+    trained on the corpus itself — the statistical quality signal
+    public curation pipelines (CCNet-style) threshold on: gibberish
+    and boilerplate score high-perplexity / low-perplexity outliers
+    against the corpus distribution.
+
+    Model: Laplace-smoothed bigram LM, ``P(b|a) = (c(a,b) + k) /
+    (c(a) + k·V)``; score = ``2^(-avg log2 P)`` over the doc's
+    bigrams (docs with < 2 tokens are excluded — no bigram evidence).
+
+    Shape: ONE corpus scan explodes bigrams map-side (slice+zip);
+    bigram and unigram counts are token-keyed partial-agg shuffles;
+    the vocabulary size V is a 1-row broadcast crossJoin (the tfidf
+    corpus-size pattern); the probability attach joins the doc
+    bigrams to the count tables on their keys.  Everything stays in
+    codegen; exact integer counts make P identical cross-engine, and
+    the 6dp round absorbs log/avg accumulation residue.
+    """
+    norm = normalize_text(F.col("text"))
+    toks = documents.select(
+        "doc_id", F.split(F.trim(norm), " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    n = F.size("ts")
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, n - 1).alias("a"),
+                F.slice("ts", 2, n - 1).alias("b"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c2 = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    unigrams = documents.select(
+        F.explode(F.split(F.trim(norm), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    c1 = unigrams.groupBy(F.col("w").alias("a")).agg(
+        F.count(F.lit(1)).alias("c_a")
+    )
+    vocab = unigrams.agg(F.count_distinct("w").alias("v"))
+    prob = (
+        c2.join(c1, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a", "b",
+            ((F.col("c_ab") + F.lit(k)) / (F.col("c_a") + F.lit(k) * F.col("v"))).alias("p"),
+        )
+    )
+    return (
+        bigrams.join(prob, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.pow(F.lit(2.0), -F.avg(F.log2("p"))), 6).alias("perplexity"),
+        )
+    )
+
+
+def lm_perplexity_oracle(k: float = LM_SMOOTH_K) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(trim({norm}), ' ') AS ts
+    FROM documents
+    WHERE len(string_split(trim({norm}), ' ')) >= 2
+),
+bigrams AS (
+    SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+    FROM toks, unnest(range(1, len(ts))) AS t(i)
+),
+c2 AS (SELECT a, b, count(*) AS c_ab FROM bigrams GROUP BY 1, 2),
+unigrams AS (
+    SELECT unnest(string_split(trim({norm}), ' ')) AS w FROM documents
+),
+uni AS (SELECT w FROM unigrams WHERE length(w) > 0),
+c1 AS (SELECT w AS a, count(*) AS c_a FROM uni GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM uni),
+prob AS (
+    SELECT a, b, (c_ab + {k}) / (c_a + {k} * v) AS p
+    FROM c2 JOIN c1 USING (a), vocab
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(pow(2.0, -avg(log2(p))), 6) AS perplexity
+FROM bigrams JOIN prob USING (a, b)
+GROUP BY 1
+"""

@@ -664,3 +664,28 @@ def test_similarity_operators_skip_null_vectors(spark):
         SIM.embedding_near_dups(emb, dim=2),
     ]:
         df.count()  # must not raise
+
+
+def test_lm_perplexity_separates_typical_from_gibberish(spark):
+    """A doc repeating the corpus's dominant bigrams must score lower
+    perplexity than a doc of one-off bigrams."""
+    from telemetry_streaming_datalake_spark.operators import text as TX
+
+    corpus = [
+        (0, "the cat sat the cat sat the cat sat", "en", "s", 35),
+        (1, "the cat sat on the mat", "en", "s", 22),
+        (2, "zq xv wk jp qz vx", "en", "s", 17),
+    ]
+    docs = spark.createDataFrame(
+        corpus, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in TX.lm_perplexity(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].perplexity < out[2].perplexity
+    assert out[0].n_bigrams == 8
+    # single-token doc excluded
+    one = spark.createDataFrame(
+        [(9, "word", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert TX.lm_perplexity(one).count() == 0
