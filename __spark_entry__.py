@@ -51,6 +51,58 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
+#: round-6 driver rotation (SURVEY §2b): stalest-first order emitted by
+#: `python tools/rotate.py` after round 5 — the driver oracle-checks the
+#: FIRST 50 keys, so the 36 never-driver-checked keys lead, then the
+#: oldest r4-green keys fill the window; r5-green keys sit in the tail.
+_R6_ORDER = [
+    "length_trim", "anomaly_mad", "latest_state_diff",
+    "q15_top_supplier", "q17_small_quantity", "q2_min_cost_supplier",
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q20_excess_shippers", "q21_waiting_supplier", "rollup_grouping_sets",
+    "cohort_retention", "funnel_conversion", "importance_sample",
+    "source_reputation", "metric_rank_report", "approx_distinct_rollup",
+    "time_travel_read", "compaction_plan", "value_histogram",
+    "rolling_active_users", "zorder_layout", "event_transitions",
+    "streaming_grouping_sets", "bpe_merges", "metric_correlation",
+    "bronze_orc", "bucketed_join", "lm_perplexity",
+    "ts_similarity", "canonical_docs", "rollup_restate",
+    "cumulative_metric", "streaming_two_hop", "streaming_three_hop",
+    "bronze_parse", "silver_dedup", "silver_metrics",
+    "silver_explode", "bronze_feed_b", "bronze_jsonl",
+    "bronze_csv", "gold_enrich", "custom_metric_sum",
+    "custom_metric_join", "agg_hour", "agg_day",
+    "agg_month", "latest_metric", "serving_kv",
+    "gap_detect", "serving_latest_monitor", "orphan_usage",
+    "retention_purge", "scd2_current", "agg_consistency",
+    "sessionize", "counter_rate", "rolling_avg",
+    "anomaly_zscore", "percentile_rollup", "pivot_metrics",
+    "gapfill_hourly", "asof_latest_order", "order_window_activity",
+    "partition_stats", "merge_upsert_latest", "incremental_rollup",
+    "dup_clusters", "online_entities", "q1_pricing",
+    "q3_shipping", "q5_supplier", "adhoc_gold_slice",
+    "q6_forecast", "q10_returns", "q12_priority",
+    "q14_promo", "q7_nation_volume", "q18_large_orders",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
+    "top_ngrams", "tfidf_top_terms", "repetition_stats",
+    "char_entropy", "stratified_sample", "label_centroids",
+    "centroid_confusion", "streaming_sliding_counts", "streaming_interval_join",
+    "streaming_publish_jsonl", "streaming_counter_rate", "streaming_silver_dedup",
+    "streaming_upsert", "streaming_stateful_latest", "ann_cosine_topk",
+    "ann_lsh", "ann_ivf", "text_quality",
+    "token_count", "lang_id", "doc_fingerprint",
+    "multimodal_meta", "multimodal_features", "frame_sample",
+    "multimodal_thumb", "pii_redact", "doc_chunks",
+    "train_val_split", "corpus_stats", "decontaminate",
+    "heavy_hitters", "quantize_embeddings", "dedup_minhash",
+    "dedup_simhash", "stage_delay_report", "bronze_feed_c",
+    "dedup_simhash_weighted", "q4_priority_check", "q13_order_distribution",
+    "q16_supplier_variety", "q19_disjunctive_revenue", "q22_dormant_value",
+    "boilerplate_ngrams", "semantic_dedup", "pack_sequences",
+    "mixture_weights", "bronze_quarantine", "kmeans_refine",
+    "streaming_quarantine_split", "table_profile",
+]
+
 
 # ---------------------------------------------------------------- pipeline
 
@@ -163,16 +215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
-    no) driver-green CORRECTNESS row come first; with 134 keys and a
-    50-key window the sustainable cycle is 3 rounds.  Round-5 window:
-    blocks A-D below (never-checked + r2/r3-stale keys).  Block E holds
-    the r4-green tail plus every round-5-late addition (28 keys, all
-    locally crosscheck-green) — ROUND-6 REORDER: put the 28 r5-late
-    keys (from `length_trim` through `cumulative_metric` plus
-    `approx_distinct_rollup`) first, then 22 of the r4-green keys; see
-    SURVEY §2b for the full 3-round schedule.
+    no) driver-green CORRECTNESS row come first; with 134+ keys and a
+    50-key window the sustainable cycle is 3 rounds.  The dict below is
+    grouped by topic for readability; `_R6_ORDER` (from
+    `python tools/rotate.py`) dictates the actual driver-visible order —
+    the round-6 window is the 36 never-driver-checked keys plus the 14
+    oldest r4-green keys.  Keys added mid-round and absent from
+    `_R6_ORDER` are prepended so they land inside the driver window
+    immediately (VERDICT r5 item 10).
     """
-    return {
+    base = {
         # --- block A: never driver-checked before round 5 (11 keys) ---
         "top_ngrams": lambda s, d: TX.top_ngrams(load_table(s, d, "documents")),
         "tfidf_top_terms": lambda s, d: TX.tfidf_top_terms(load_table(s, d, "documents")),
@@ -480,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
+    fresh = {k: v for k, v in base.items() if k not in set(_R6_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R6_ORDER if k in base}
+    assert len(ordered) == len(base)
+    return ordered
 
 
 #: deduped-bronze CTE body shared by every oracle that starts from the
