@@ -217,17 +217,12 @@ def rolling_active_users(
     Report days are restricted to days with ≥1 event (the observed
     spine), keeping the output deterministic without a calendar dim.
     """
-    from pyspark import StorageLevel
-
     # the event-volume → user×day reduction feeds BOTH the
-    # contribution explode and the observed-day spine; persist so the
-    # expensive distinct shuffle runs once (same discipline as the
-    # dedup family's shared shingle frame)
-    activity = (
-        events.select("user_id", F.to_date("ts").alias("d"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # contribution explode and the observed-day spine; the two branches
+    # share an identical distinct subtree, so Spark's ReusedExchange
+    # runs the expensive shuffle once without a persist (which would
+    # leak cached blocks for the session lifetime — ADVICE r5)
+    activity = events.select("user_id", F.to_date("ts").alias("d")).distinct()
     contributions = activity.select(
         "user_id",
         F.explode(

@@ -477,8 +477,10 @@ def value_histogram(bronze_deduped: DataFrame, n_buckets: int = HIST_BUCKETS) ->
     j = bronze_deduped.select("metric", "value").join(F.broadcast(bounds), "metric")
     width = (F.col("hi") - F.col("lo")) / n_buckets
     raw_idx = F.floor((F.col("value") - F.col("lo")) / width)
+    # clamp BOTH ends: lo is rounded to 6dp and can exceed the true min
+    # by up to 5e-7, which would push a minimum-value row to bucket -1
     idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(raw_idx, F.lit(n_buckets - 1))
+        F.greatest(F.least(raw_idx, F.lit(n_buckets - 1)), F.lit(0))
     )
     return (
         j.withColumn("bucket", idx.cast("long"))
@@ -500,8 +502,8 @@ bounds AS (
 )
 SELECT d.metric,
        CAST(CASE WHEN b.hi = b.lo THEN 0
-            ELSE least(floor((d.value - b.lo) / ((b.hi - b.lo) / {n_buckets})),
-                       {n_buckets - 1}) END AS BIGINT) AS bucket,
+            ELSE greatest(least(floor((d.value - b.lo) / ((b.hi - b.lo) / {n_buckets})),
+                          {n_buckets - 1}), 0) END AS BIGINT) AS bucket,
        count(*) AS n_points,
        round(min(d.value), 6) AS bucket_min,
        round(max(d.value), 6) AS bucket_max

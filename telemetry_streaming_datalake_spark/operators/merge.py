@@ -261,27 +261,53 @@ def latest_state_diff(gold: DataFrame, cutoff_unix: int) -> DataFrame:
     """CDC instantiation on the serving 'latest' store: the change feed
     between the store as of ``cutoff_unix`` and the all-data store —
     exactly the rows the :func:`merge_upsert_latest` writer would have
-    touched, now exposed as a readable feed."""
+    touched, now exposed as a readable feed.
+
+    Both states come out of ONE aggregate over ONE gold subtree: the
+    pre-cutoff latest is ``max(struct) FILTER (unix_ts < cutoff)``
+    alongside the unconditional max — a conditional partial aggregate,
+    not a second scan (the pre-r6 spelling computed the whole
+    bronze→silver→gold pipeline twice and full-outer-joined the two
+    states; VERDICT r5 item 3).  The new state is a superset of the
+    old rows, so the full-outer join degenerates to the group itself
+    and ``deleted`` cannot occur.
+    """
     eligible = gold.filter(F.col("value_double").isNotNull())
     key = F.concat_ws(
         "|", "remote_id", "metric_id", "provider_id", "category_id"
     ).alias("id")
-
-    def latest(df: DataFrame) -> DataFrame:
-        return (
-            df.select(key, F.struct("unix_ts", "event_id", "value_double").alias("s"))
-            .groupBy("id")
-            .agg(F.max("s").alias("s"))
-            .select(
-                "id",
-                F.col("s.unix_ts").alias("last_ts"),
-                F.col("s.value_double").alias("last_value"),
-            )
+    s = F.struct("unix_ts", "event_id", "value_double").alias("s")
+    agged = (
+        eligible.select(key, s, "unix_ts")
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.when(F.col("unix_ts") < cutoff_unix, F.col("s"))
+            ).alias("so"),
+            F.max("s").alias("sn"),
         )
-
-    old = latest(eligible.filter(F.col("unix_ts") < cutoff_unix))
-    new = latest(eligible)
-    return table_diff(old, new, "id", ["last_ts", "last_value"])
+    )
+    # update detection compares the served columns (ts, value), not the
+    # event_id tie-break field inside the max-struct
+    same = F.col("so.unix_ts").eqNullSafe(F.col("sn.unix_ts")) & F.col(
+        "so.value_double"
+    ).eqNullSafe(F.col("sn.value_double"))
+    change = (
+        F.when(F.col("so").isNull(), "inserted")
+        .when(same, "unchanged")
+        .otherwise("updated")
+    )
+    return (
+        agged.select(
+            "id",
+            change.alias("change"),
+            F.col("so.unix_ts").alias("old_last_ts"),
+            F.col("so.value_double").alias("old_last_value"),
+            F.col("sn.unix_ts").alias("new_last_ts"),
+            F.col("sn.value_double").alias("new_last_value"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )
 
 
 def latest_state_diff_oracle(gold_cte: str, cutoff_unix: int) -> str:

@@ -364,6 +364,12 @@ def rollup_restate(bronze_deduped: DataFrame, corrections: DataFrame) -> DataFra
     Phase custom metric - load lost data.scala``).
 
     ``corrections``: (event_id, new_value) for already-ingested rows.
+    The relation need not be unique per event_id: conflicting rows are
+    collapsed first (max(new_value) wins — the contract carries no
+    version column, so the tie-break is arbitrary but deterministic;
+    versioned feeds should pre-dedup keep-latest).  Without the
+    collapse a duplicate correction would double-apply the sum delta
+    and fan out ``fixed_base``'s event_id join.
 
     Aggregate algebra drives the plan:
     - **sum / count are invertible** → corrected by a retraction delta
@@ -385,7 +391,11 @@ def rollup_restate(bronze_deduped: DataFrame, corrections: DataFrame) -> DataFra
         F.count(F.lit(1)).alias("p_n"),
     )
     corr = F.broadcast(
-        corrections.select("event_id", F.col("new_value").cast("double").alias("new_value"))
+        corrections.select(
+            "event_id", F.col("new_value").cast("double").alias("new_value")
+        )
+        .groupBy("event_id")
+        .agg(F.max("new_value").alias("new_value"))
     )
     corrected_rows = bronze_deduped.join(corr, "event_id").select(
         "metric",
@@ -429,7 +439,10 @@ def rollup_restate_oracle(bronze_dedup_sql: str, corrections_sql: str) -> str:
     retraction shortcut must reproduce."""
     return f"""
 WITH deduped AS ({bronze_dedup_sql}),
-corr AS ({corrections_sql}),
+corr AS (
+    SELECT event_id, max(new_value) AS new_value
+    FROM ({corrections_sql}) GROUP BY 1
+),
 fixed AS (
     SELECT d.metric, d.datestamp,
            coalesce(c.new_value, d.value) AS value

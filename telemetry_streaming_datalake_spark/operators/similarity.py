@@ -444,7 +444,11 @@ def _centroid_matrix(embeddings: DataFrame, n_cells: int) -> np.ndarray:
     cent_mat = np.array(
         [r.embedding for r in sorted(cents, key=lambda r: r.vec_id)], dtype=np.float64
     )
-    return cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    # norm floor: an all-zero seed vector assigns deterministically
+    # (cos ≡ 0 against everything) instead of propagating NaN
+    return cent_mat / np.maximum(
+        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12
+    )
 
 
 def _nearest_cell_udf(cent_norm: np.ndarray):
@@ -453,7 +457,7 @@ def _nearest_cell_udf(cent_norm: np.ndarray):
     @pandas_udf("int")
     def nearest_cell(emb: pd.Series) -> pd.Series:
         m = np.array(emb.tolist(), dtype=np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(m @ cent_norm.T, axis=1).astype("int32"))
 
     return nearest_cell
@@ -482,7 +486,7 @@ def ann_ivf_topk(
     probe = []
     for r in q_rows:
         v = np.array(r.embedding, dtype=np.float64)
-        v = v / np.linalg.norm(v)
+        v = v / max(np.linalg.norm(v), 1e-12)
         # stable sort: tied sims keep index order (lowest cell first),
         # matching the oracle's ORDER BY sim DESC, cell
         for cell in np.argsort(-(cent_norm @ v), kind="stable")[:nprobe]:

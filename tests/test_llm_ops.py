@@ -689,3 +689,28 @@ def test_lm_perplexity_separates_typical_from_gibberish(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert TX.lm_perplexity(one).count() == 0
+
+
+def test_ivf_zero_vector_assigns_deterministically(spark):
+    """A zero embedding must assign to a real cell (cos ≡ 0 against
+    every centroid → argmax picks cell 0), never NaN-propagate — the
+    norm floor on both the centroid and the vector side."""
+    import math
+
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [0.0, 0.0, 0.0], "a"),
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.0, 1.0, 0.0], "b"),
+        (3, [0.5, 0.5, 0.0], "b"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r.vec_id: r.cell for r in SIM.ivf_assign_cells(emb, n_cells=2).collect()}
+    assert out[0] == 0  # zero vector: all sims 0.0, argmax ties to cell 0
+    assert all(not math.isnan(c) for c in out.values())
+    # centroid 0 IS the zero vector (lowest vec_id seed) — a vector
+    # with positive sim to centroid 1 still assigns there, not NaN
+    assert out[3] == 1

@@ -282,3 +282,15 @@ def test_rollup_restate_retraction_equals_recompute(spark):
     assert d1.n_points == 2
     d2 = out[("m", "2024-01-02")]
     assert d2.sum_value == 7.0 and d2.min_value == 7.0 and d2.max_value == 7.0
+
+    # duplicate corrections for one event collapse (max new_value wins)
+    # instead of double-applying the sum delta / fanning out the join
+    dup_corr = spark.createDataFrame(
+        [(2, 5.0), (2, 3.0)], "event_id long, new_value double"
+    )
+    dup_out = {
+        (r.metric, r.datestamp): r
+        for r in R.rollup_restate(ded, dup_corr).collect()
+    }
+    d1 = dup_out[("m", "2024-01-01")]
+    assert d1.sum_value == 15.0 and d1.max_value == 10.0 and d1.n_points == 2

@@ -380,3 +380,20 @@ def test_ts_similarity_takeordered_no_global_sort(spark):
     p = _plan(E.queries()["ts_similarity"](spark, SF))
     assert "TakeOrderedAndProject" in p
     assert len(re.findall(r"events\.parquet", p)) == 1
+
+
+def test_latest_state_diff_single_gold_subtree(spark):
+    """Both CDC states (pre-cutoff latest, all-data latest) must come
+    out of ONE conditional aggregate over ONE gold subtree — the
+    pre-r6 two-branch full-outer spelling scanned events+customer
+    twice (VERDICT r5 item 3)."""
+    import re
+
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["latest_state_diff"](spark, SF))
+    assert len(re.findall(r"events\.parquet", p)) == 1
+    assert len(re.findall(r"customer\.parquet", p)) == 1
+    # the dim joins inside gold remain; the outer two-state diff join must not
+    assert "FullOuter" not in p
+    assert "partial" in p.lower()

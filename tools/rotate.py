@@ -39,8 +39,11 @@ def last_green_rounds() -> dict[str, int]:
         for key, row in data.items():
             if not isinstance(row, dict):
                 continue
-            green = row.get("rows_match") and (
-                row.get("hash_match") is not False or row.get("hash_match") is None
+            green = (
+                row.get("rows_match")
+                # absent ⇒ green (rows-only keys have no schema/hash row)
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
             )
             if green:
                 out[key] = max(out.get(key, 0), rnd)
