@@ -35,6 +35,7 @@ from telemetry_streaming_datalake_spark.operators import text as TX
 from telemetry_streaming_datalake_spark.operators import derived as DV
 from telemetry_streaming_datalake_spark.queries import tpch as Q
 from telemetry_streaming_datalake_spark.sources import textfeeds as TF
+from telemetry_streaming_datalake_spark.sources import kafka as KF
 from telemetry_streaming_datalake_spark.storage import stats as ST
 from telemetry_streaming_datalake_spark.storage import bucketed as BK
 from telemetry_streaming_datalake_spark.storage import versioned as VS
@@ -319,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
+        # round-6 additions (absent from _R6_ORDER -> auto-prepended to the window)
+        "bronze_kafka": KF.bronze_from_kafka_analog,
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -690,6 +693,8 @@ FROM (
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,
+        # kafka wire analog lands byte-identical bronze to the parquet path
+        "bronze_kafka": B.BRONZE_PARSE_ORACLE,
         "bucketed_join": BK.bucketed_join_oracle(),
         "ts_similarity": TS.ts_similarity_oracle(DEDUP_ORACLE),
         "lm_perplexity": TX.lm_perplexity_oracle(),

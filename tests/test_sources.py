@@ -117,3 +117,89 @@ def test_orc_source_lands_identical_bronze(spark):
     want = parse_bronze(load_table(spark, sf, "events"))
     assert got.count() == want.count()
     assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+
+def test_kafka_reader_option_contract():
+    """The option map must match the reference reader verbatim
+    (Part1 - Step 01-02 ….scala:26) so a broker swap-in cannot drift."""
+    from telemetry_streaming_datalake_spark.sources import kafka as K
+
+    cfg = K.KafkaSourceConfig(
+        bootstrap_servers="broker1:9092,broker2:9092",
+        subscribe="intelsatusage",
+    )
+    opts = K.reader_options(cfg)
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "intelsatusage",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "minPartitions": "10",
+    }
+    replay = K.KafkaSourceConfig(
+        bootstrap_servers="b:9092",
+        subscribe="t",
+        starting_offsets="earliest",
+        fail_on_data_loss=True,
+        min_partitions=None,
+        extra={"kafka.security.protocol": "SASL_SSL"},
+    )
+    ropts = K.reader_options(replay)
+    assert ropts["startingOffsets"] == "earliest"
+    assert ropts["failOnDataLoss"] == "true"
+    assert "minPartitions" not in ropts
+    assert ropts["kafka.security.protocol"] == "SASL_SSL"
+
+
+def test_kafka_writer_option_contract():
+    from telemetry_streaming_datalake_spark.sources import kafka as K
+
+    cfg = K.KafkaSinkConfig(
+        bootstrap_servers="b:9092", topic="gold", checkpoint_location="/ckpt"
+    )
+    assert K.writer_options(cfg) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "gold",
+        "checkpointLocation": "/ckpt",
+    }
+
+
+def test_kafka_wire_analog_matches_batch_bronze(spark):
+    """The file analog emits the true kafka wire schema and the value
+    parse lands bronze identical to the parquet path."""
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.sources import kafka as K
+
+    got = K.bronze_from_kafka_analog(spark, "/root/testdata/sf0.001")
+    want = B.parse_bronze(load_table(spark, "/root/testdata/sf0.001", "events"))
+    assert dict(got.dtypes) == dict(want.dtypes)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the wire frame itself carries the format("kafka") schema
+    work = tempfile.mkdtemp(prefix="tsdl_kwire_")
+    wire = K.file_analog_wire_stream(spark, "/root/testdata/sf0.001", work)
+    assert [f.name for f in wire.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+    ]
+    assert wire.isStreaming
+
+
+def test_kafka_to_wire_roundtrip(spark):
+    """Publish-side (key, value) serialization round-trips through the
+    wire value parse losslessly."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.sources import kafka as K
+
+    df = spark.createDataFrame(
+        [(1, "m1", 2.5), (2, "m2", 0.0)], "id long, metric string, v double"
+    )
+    wire = K.to_wire(df, "id")
+    assert [f.name for f in wire.schema.fields] == ["key", "value"]
+    back = wire.select(
+        F.from_json(F.col("value").cast("string"), "id long, metric string, v double").alias("r")
+    ).select("r.*")
+    assert sorted(back.collect()) == sorted(df.collect())
