@@ -21,6 +21,7 @@ into a literal MERGE with the same contract.
 
 from __future__ import annotations
 
+import abc
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,7 +29,76 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
-class ParquetUpsertStore:
+class ServingStoreWriter(abc.ABC):
+    """The foreachBatch serving-sink contract a real KV client drops
+    into (the reference's Cosmos ``ItemOverwrite`` strategy is one
+    implementation; :class:`ParquetUpsertStore` is the lake analog).
+
+    Contract:
+
+    - ``apply_batch(batch_df, batch_id)`` upserts the batch keyed by
+      ``self.key`` — newest batch wins per key (ItemOverwrite).
+    - **Replay idempotency**: Structured Streaming re-delivers the
+      SAME ``batch_id`` after a recovery; applying a batch twice must
+      leave the store exactly as applying it once.  Key-overwrite
+      semantics give this for free when the batch content is
+      deterministic; writers with non-idempotent effects must track
+      ``batch_id`` high-water marks themselves (see
+      :class:`InMemoryKVServingStore`).
+    """
+
+    key: str = "id"
+
+    @abc.abstractmethod
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Land one micro-batch.  MUST be safe to call twice with the
+        same (content, batch_id) pair."""
+
+
+def attach_serving_sink(
+    agg_stream: DataFrame,
+    writer: ServingStoreWriter,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> None:
+    """Shared writeStream plumbing for any serving-store writer:
+    foreachBatch + checkpoint + deterministic availableNow drain."""
+    (
+        agg_stream.writeStream.outputMode(output_mode)
+        .foreachBatch(writer.apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+class InMemoryKVServingStore(ServingStoreWriter):
+    """Fake KV client proving the interface: dict-backed ItemOverwrite
+    with an explicit applied-``batch_id`` set, so a replayed batch is
+    skipped rather than re-applied — the high-water-mark discipline a
+    real non-idempotent client (HTTP upsert API, accumulating
+    counters) needs.  ``collect()`` limits it to test scale by design;
+    a production client writes per-partition via ``foreachPartition``.
+    """
+
+    def __init__(self, key: str = "id") -> None:
+        self.key = key
+        self.data: dict = {}
+        self.applied_batches: set[int] = set()
+        self.apply_calls = 0
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.apply_calls += 1
+        if batch_id in self.applied_batches:
+            return  # replay after recovery — already landed
+        for row in batch_df.collect():
+            d = row.asDict()
+            self.data[d[self.key]] = d
+        self.applied_batches.add(batch_id)
+
+
+class ParquetUpsertStore(ServingStoreWriter):
     """Keyed upsert store over partitioned parquet (foreachBatch
     target).
 
@@ -129,13 +199,7 @@ def stream_upsert_rollup(
     partition_col: str | None = "datestamp",
 ) -> None:
     """Stream a (complete-mode) aggregate into the upsert store via
-    foreachBatch — the Step 05 pattern: update-mode agg + MERGE."""
+    foreachBatch — the Step 05 pattern: update-mode agg + MERGE.
+    Any :class:`ServingStoreWriter` slots into the same plumbing."""
     store = ParquetUpsertStore(spark, store_path, partition_col=partition_col)
-    (
-        agg_stream.writeStream.outputMode("complete")
-        .foreachBatch(store.apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    attach_serving_sink(agg_stream, store, checkpoint_dir)

@@ -516,3 +516,75 @@ def test_watermark_late_within_horizon_merges(spark, tmp_path):
     got = {r.window.start.hour: r.n for r in spark.read.parquet(sink).collect()}
     assert got[9] == 2   # 9.2 (batch 1) + 9.5 (batch 2) merged
     assert got[10] == 1
+
+
+def test_always_on_runner_three_concurrent_queries(spark):
+    """VERDICT r5 item 6: ≥3 concurrent named ProcessingTime queries,
+    files fed while running, progress observed on every hop, clean
+    stop.  The drained gold lake must carry the batch row count."""
+    import os
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.streaming import runner as RN
+
+    sf = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="tsdl_runner_")
+    r = RN.AlwaysOnRunner(spark, sf, work, trigger_interval="500 milliseconds")
+    try:
+        qs = r.start()
+        assert set(qs) == {RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY}
+        assert all(q.isActive for q in qs.values())
+        # feed the topic while the queries run
+        r.feed(os.path.join(sf, "events.parquet"))
+        # batch twins give the expected landed row counts
+        import __spark_entry__ as E
+
+        queries = E.queries()
+        want_gold = queries["gold_enrich"](spark, sf).count()
+        got = r.await_rows(r.gold_dir, want_gold, timeout_s=180)
+        assert got == want_gold
+        st = {s["name"]: s for s in r.status()}
+        assert set(st) == {RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY}
+        for s in st.values():
+            assert s["is_active"]
+            assert s["batches_seen"] is not None  # progress observed
+    finally:
+        r.stop()
+    assert not any(
+        q.name in (RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY)
+        for q in spark.streams.active
+    )
+
+
+def test_serving_store_interface_replay_idempotency(spark):
+    """VERDICT r5 item 9: the extracted writer contract — a replayed
+    batch_id (post-recovery re-delivery) leaves any conforming store
+    unchanged.  Proven on the fake KV client AND the parquet store."""
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.streaming import sinks as SK
+
+    batch0 = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "id string, v double"
+    )
+    batch1 = spark.createDataFrame(
+        [("b", 9.0), ("c", 3.0)], "id string, v double"
+    )
+    kv = SK.InMemoryKVServingStore()
+    kv.apply_batch(batch0, 0)
+    kv.apply_batch(batch1, 1)
+    after = dict(kv.data)
+    assert after["b"]["v"] == 9.0  # ItemOverwrite: newest batch wins
+    kv.apply_batch(batch0, 0)  # replay after recovery
+    assert kv.data == after
+    assert kv.apply_calls == 3
+
+    pq = SK.ParquetUpsertStore(
+        spark, tempfile.mkdtemp(prefix="tsdl_pqstore_") + "/store", key="id"
+    )
+    pq.apply_batch(batch0, 0)
+    pq.apply_batch(batch1, 1)
+    want = sorted((r.id, r.v) for r in pq.read().collect())
+    pq.apply_batch(batch1, 1)  # replay
+    assert sorted((r.id, r.v) for r in pq.read().collect()) == want
+    assert dict(want)["b"] == 9.0

