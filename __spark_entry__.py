@@ -322,6 +322,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
         # round-6 additions (absent from _R6_ORDER -> auto-prepended to the window)
         "bronze_kafka": KF.bronze_from_kafka_analog,
+        "token_budget_plan": lambda s, d: CP.token_budget_plan(
+            load_table(s, d, "documents")
+        ),
+        "packing_efficiency": lambda s, d: CP.packing_efficiency(
+            load_table(s, d, "documents")
+        ),
+        "tokenize_bpe": lambda s, d: TX.tokenize_bpe(
+            load_table(s, d, "documents")
+        ),
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -695,6 +704,11 @@ FROM (
         "bronze_orc": B.BRONZE_PARSE_ORACLE,
         # kafka wire analog lands byte-identical bronze to the parquet path
         "bronze_kafka": B.BRONZE_PARSE_ORACLE,
+        "token_budget_plan": CP.token_budget_plan_oracle(),
+        "packing_efficiency": CP.packing_efficiency_oracle(),
+        # tokenize_bpe: rows-only by design (the learned-merge loop is
+        # iterative argmax, not SQL); tests/test_bpe.py pins per-doc
+        # counts against the pure-Python Sennrich reference
         "bucketed_join": BK.bucketed_join_oracle(),
         "ts_similarity": TS.ts_similarity_oracle(DEDUP_ORACLE),
         "lm_perplexity": TX.lm_perplexity_oracle(),

@@ -138,6 +138,10 @@ HEADLINE = [
     "bucketed_join",
     "ts_similarity",
     "lm_perplexity",
+    "bronze_kafka",
+    "token_budget_plan",
+    "packing_efficiency",
+    "tokenize_bpe",
 ]
 
 

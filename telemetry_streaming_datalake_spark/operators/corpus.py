@@ -763,3 +763,154 @@ SELECT source,
 FROM documents
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# token-budget allocation plan (mixture execution)
+# --------------------------------------------------------------------------
+
+#: default training-run token budget the plan allocates
+BUDGET_TARGET_TOKENS = 1_000_000
+#: repetition ceiling — sources asked for more than this many epochs are
+#: capped (data-constrained-LM practice: repeating past ~4 epochs stops
+#: helping, cf. Muennighoff et al. 2023, "Scaling Data-Constrained
+#: Language Models")
+BUDGET_EPOCH_CAP = 4.0
+
+
+def token_budget_plan(
+    documents: DataFrame,
+    target_tokens: int = BUDGET_TARGET_TOKENS,
+    alpha: float = MIXTURE_ALPHA,
+    epoch_cap: float = BUDGET_EPOCH_CAP,
+) -> DataFrame:
+    """Turn the temperature-scaled mixture into an executable sampling
+    plan: each source's token allocation out of ``target_tokens``, the
+    epochs (repeat factor) that allocation implies over its available
+    tokens, and the capped plan after the repetition ceiling.
+
+    This is the step between :func:`mixture_weights` (shares) and a
+    training loader (concrete per-source repeat factors): share ∝
+    tokens^alpha, planned = share·target, epochs = planned/available,
+    capped at ``epoch_cap`` with the achieved token count reported so
+    the gap to target is visible (capped sources under-deliver; the
+    loader re-normalizes or accepts the shortfall — reported, not
+    hidden).
+
+    Scale shape: identical to :func:`mixture_weights` — ONE corpus
+    scan to source-cardinality totals, window normalization over the
+    handful of source rows.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col("text"))
+    per_source = (
+        documents.select(
+            "source", F.size(F.split(F.trim(norm), " ")).alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("avail_tokens"))
+    )
+    w = Window.partitionBy()
+    temp = F.pow(F.col("avail_tokens").cast("double"), F.lit(alpha))
+    share = temp / F.sum(temp).over(w)
+    planned = share * target_tokens
+    epochs = planned / F.col("avail_tokens")
+    capped = F.least(epochs, F.lit(epoch_cap))
+    return per_source.select(
+        "source",
+        "avail_tokens",
+        F.round(share, 6).alias("temp_share"),
+        F.round(planned, 2).alias("planned_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        F.round(capped, 6).alias("capped_epochs"),
+        F.round(capped * F.col("avail_tokens"), 2).alias("achieved_tokens"),
+    )
+
+
+def token_budget_plan_oracle(
+    target_tokens: int = BUDGET_TARGET_TOKENS,
+    alpha: float = MIXTURE_ALPHA,
+    epoch_cap: float = BUDGET_EPOCH_CAP,
+) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(sum(len(string_split(trim({norm}), ' '))) AS BIGINT) AS avail_tokens
+    FROM documents GROUP BY source
+),
+shared AS (
+    SELECT source, avail_tokens,
+           pow(avail_tokens, {alpha}) / sum(pow(avail_tokens, {alpha})) OVER () AS share
+    FROM per_source
+)
+SELECT source, avail_tokens,
+       round(share, 6) AS temp_share,
+       round(share * {target_tokens}, 2) AS planned_tokens,
+       round(share * {target_tokens} / avail_tokens, 6) AS epochs,
+       round(least(share * {target_tokens} / avail_tokens, {epoch_cap}), 6)
+           AS capped_epochs,
+       round(least(share * {target_tokens} / avail_tokens, {epoch_cap})
+             * avail_tokens, 2) AS achieved_tokens
+FROM shared
+"""
+
+
+# --------------------------------------------------------------------------
+# packing-efficiency report
+# --------------------------------------------------------------------------
+
+
+def packing_efficiency(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Context-window utilization audit over :func:`pack_sequences`'
+    layout: per (lang, shard) stream — bins consumed, fill rate of the
+    consumed bins, and how many docs span a bin boundary (the rows a
+    loader must split).  The tail bin of every stream is partially
+    full by construction; fill_rate prices exactly that waste plus
+    boundary effects, which is the number that decides whether the
+    shard count / budget choice is leaving GPU-hours on the table.
+
+    Derivation is pure aggregate algebra over the packing frame: the
+    stream is contiguous, so ``bins_used = ceil(total_tokens/budget)``
+    — no distinct-count over bin ids needed (a doc spanning three bins
+    leaves the middle bin start-free; a distinct count would miss it).
+    One corpus scan + the packing window + a (lang, shard)-keyed
+    partial agg.
+    """
+    packed = pack_sequences(documents, budget)
+    return (
+        packed.groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("spans_bins"), 1).otherwise(0)).alias("n_spanning"),
+        )
+        .select(
+            "lang",
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / budget).alias("bins_used"),
+            F.round(
+                F.col("total_tokens")
+                / (F.ceil(F.col("total_tokens") / budget) * budget),
+                6,
+            ).alias("fill_rate"),
+            "n_spanning",
+        )
+    )
+
+
+def packing_efficiency_oracle(budget: int = PACK_BUDGET) -> str:
+    return f"""
+WITH packed AS ({pack_sequences_oracle(budget)})
+SELECT lang, shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_tokens) * 1.0 / {budget}) AS BIGINT) AS bins_used,
+       round(sum(n_tokens) * 1.0
+             / (ceil(sum(n_tokens) * 1.0 / {budget}) * {budget}), 6) AS fill_rate,
+       CAST(sum(CASE WHEN spans_bins THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+FROM packed
+GROUP BY 1, 2
+"""

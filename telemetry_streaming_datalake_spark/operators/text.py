@@ -529,6 +529,23 @@ def bpe_merges(
     ``tests/test_bpe.py`` pins the rules against a pure-Python
     reference implementation.
     """
+    learned, _vocab = _bpe_learn(documents, n_merges, max_vocab)
+    return documents.sparkSession.createDataFrame(
+        learned,
+        "merge_rank long, left string, right string, merged string, pair_count long",
+    )
+
+
+def _bpe_learn(
+    documents: DataFrame, n_merges: int, max_vocab: int | None
+) -> tuple[list[tuple], DataFrame]:
+    """Shared learn loop: returns (merge rules, final vocab frame).
+
+    The final vocab frame (word, syms, freq) is the fully-merged
+    segmentation of every vocabulary word — i.e. training's last state
+    IS the tokenizer applied to the vocab, which :func:`tokenize_bpe`
+    joins back onto the corpus instead of re-running the merge fold.
+    """
     norm = normalize_text(F.col("text"))
     words = (
         documents.select(F.explode(F.split(F.trim(norm), " ")).alias("word"))
@@ -547,6 +564,7 @@ def bpe_merges(
             .drop("__rk")
         )
     words = words.select(
+        "word",
         # the zero-width split emits a trailing "" — drop empties
         F.filter(
             F.split("word", "(?!^)"), lambda s: F.length(s) > 0
@@ -554,7 +572,6 @@ def bpe_merges(
         "freq",
     )
     vocab = words.localCheckpoint(eager=True)
-    spark = documents.sparkSession
     learned: list[tuple] = []
     for rank in range(n_merges):
         n = F.size("syms")
@@ -614,11 +631,54 @@ def bpe_merges(
             acc["pending"].isNull(), acc["out"]
         ).otherwise(F.concat(acc["out"], F.array(acc["pending"])))
         vocab = vocab.select(
-            F.aggregate("syms", acc0, step, finish).alias("syms"), "freq"
+            "word", F.aggregate("syms", acc0, step, finish).alias("syms"), "freq"
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        learned,
-        "merge_rank long, left string, right string, merged string, pair_count long",
+    return learned, vocab
+
+
+def tokenize_bpe(
+    documents: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Apply the corpus-learned BPE tokenizer back over the corpus —
+    the tokenizer-APPLICATION half of the Sennrich pipeline (learn:
+    :func:`bpe_merges`): per doc, word count, BPE token count, and
+    tokens-per-word — the number that decides whether n_merges is
+    sized right before a full training-data tokenization run.
+
+    Scale shape: training's final vocab state already holds every
+    vocabulary word fully segmented (``_bpe_learn`` keeps the word
+    key), so application is a corpus explode + ONE word-keyed equi-
+    join against the vocabulary-cardinality segmentation frame (AQE
+    broadcasts it when small) + a doc-keyed partial agg — the corpus
+    is never re-folded.  With ``max_vocab`` set, out-of-vocab words
+    fall back to character segmentation (coalesce on the join), the
+    same behavior a capped trainer exhibits; counts stay exact.
+
+    Rows-only correctness (the merge learning inside is iterative,
+    not SQL); ``tests/test_bpe.py`` pins per-doc token counts against
+    the pure-Python Sennrich reference.
+    """
+    _learned, vocab = _bpe_learn(documents, n_merges, max_vocab)
+    seg = vocab.select(
+        "word", F.size("syms").alias("word_tokens")
+    )
+    norm = normalize_text(F.col("text"))
+    doc_words = documents.select(
+        "doc_id", F.explode(F.split(F.trim(norm), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    joined = doc_words.join(seg, "word", "left").select(
+        "doc_id",
+        # OOV under a vocab cap: character segmentation fallback
+        F.coalesce("word_tokens", F.length("word")).alias("word_tokens"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("word_tokens").alias("n_bpe_tokens"),
+        F.round(F.sum("word_tokens") / F.count(F.lit(1)), 6).alias(
+            "tokens_per_word"
+        ),
     )
 
 

@@ -98,3 +98,58 @@ def test_bpe_max_vocab_caps_iteration_frame(spark):
     ]
     # only "aa" (freq 3) survives the cap; one merge (a,a) then done
     assert got == [(0, "a", "a", "aa", 3)]
+
+
+def _python_segment(word_freq: dict, merges: list):
+    """Apply learned merges rank-by-rank (greedy left-to-right) —
+    returns word → token count."""
+    vocab = {w: list(w) for w in word_freq}
+    for _rank, a, b, _m, _cnt in merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return {w: len(s) for w, s in vocab.items()}
+
+
+def test_tokenize_bpe_matches_python_reference(spark):
+    """Per-doc BPE token counts must equal learn-then-apply with the
+    pure-Python Sennrich reference."""
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents")
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in TX.tokenize_bpe(docs, n_merges=6).collect()
+    }
+    wf = _word_freq(spark)
+    merges = _python_bpe(wf, 6)
+    seg = _python_segment(wf, merges)
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r.text).strip().lower()
+        words = [w for w in norm.split(" ") if w]
+        if not words:
+            assert r.doc_id not in got
+            continue
+        assert got[r.doc_id] == (len(words), sum(seg[w] for w in words)), r.doc_id
+
+
+def test_tokenize_bpe_oov_fallback_under_vocab_cap(spark):
+    """With max_vocab capping the trainer, out-of-vocab words must
+    count as character segmentation, not drop."""
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa zzz"), (1, "zzz")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_bpe_tokens for r in TX.tokenize_bpe(docs, n_merges=1, max_vocab=1).collect()}
+    # vocab = {aa}; merge (a,a)->aa => aa = 1 token; zzz OOV = 3 chars
+    assert out[0] == 1 * 3 + 3
+    assert out[1] == 3
