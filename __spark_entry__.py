@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_bpe": lambda s, d: TX.tokenize_bpe(
             load_table(s, d, "documents")
         ),
+        "ann_ivf_indexed": lambda s, d: SIM.ann_ivf_indexed(
+            s, d, ANN_QUERY_IDS
+        ),
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -705,6 +708,8 @@ FROM (
         # kafka wire analog lands byte-identical bronze to the parquet path
         "bronze_kafka": B.BRONZE_PARSE_ORACLE,
         "token_budget_plan": CP.token_budget_plan_oracle(),
+        # persisted-index probe is result-identical to the in-session IVF
+        "ann_ivf_indexed": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
         "packing_efficiency": CP.packing_efficiency_oracle(),
         # tokenize_bpe: rows-only by design (the learned-merge loop is
         # iterative argmax, not SQL); tests/test_bpe.py pins per-doc

@@ -142,6 +142,7 @@ HEADLINE = [
     "token_budget_plan",
     "packing_efficiency",
     "tokenize_bpe",
+    "ann_ivf_indexed",
 ]
 
 

@@ -18,10 +18,12 @@ are reproducible and oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -925,3 +927,112 @@ SELECT cell, dim_idx,
 FROM ex
 GROUP BY cell, dim_idx
 """
+
+
+# --------------------------------------------------------------------------
+# persisted IVF index (build once, probe many)
+# --------------------------------------------------------------------------
+
+#: module-level index cache: rebuilding per call would hide the very
+#: amortization the index exists to demonstrate (bucketed.py discipline)
+_IVF_INDEX_CACHE: dict[tuple[str, int], str] = {}
+
+
+def build_ivf_index(
+    embeddings: DataFrame, index_dir: str, n_cells: int = IVF_CELLS
+) -> str:
+    """Materialize the IVF index as a reusable artifact: the corpus
+    partitioned BY CELL (``cells/``, one directory per posting list)
+    plus the centroid table (``centroids/``).  The expensive pass —
+    the broadcast-centroid Arrow matmul over every vector — runs once
+    at build; every subsequent probe is a partition-pruned read of
+    ``nprobe`` cell directories, never a rescan of the corpus.  This
+    is the physical layout a 100 TB ANN serving path actually ships
+    (FAISS IVF posting lists ≙ parquet cell partitions).
+    """
+    emb = embeddings.filter(F.col("embedding").isNotNull())
+    cent_norm = _centroid_matrix(emb, n_cells)
+    assigned = emb.withColumn("cell", _nearest_cell_udf(cent_norm)(F.col("embedding")))
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent_norm[i]]) for i in range(cent_norm.shape[0])],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    return index_dir
+
+
+def ann_ivf_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 4,
+) -> DataFrame:
+    """Probe the PERSISTED IVF index: centroids load as a bounded
+    n_cells read, probe-cell selection is driver-side numpy over that
+    tiny matrix, and the candidate scan reads ONLY the probed cell
+    partitions (``cell IN (…)`` prunes at the parquet partition level
+    — `tests/test_plans.py` pins the pushed partition filter).  Result
+    is identical to :func:`ann_ivf_topk` (same deterministic seed
+    centroids), so it shares that key's SQL oracle.
+    """
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    if query_ids is None:
+        query_ids = list(range(8))
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    cache_key = (sf_dir, n_cells)
+    if cache_key not in _IVF_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="tsdl_ivfidx_")
+        build_ivf_index(embeddings, d, n_cells)
+        _IVF_INDEX_CACHE[cache_key] = d
+    index_dir = _IVF_INDEX_CACHE[cache_key]
+    cent_rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    cent_norm = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe = []
+    for r in q.collect():
+        v = np.array(r.q_emb, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        for cell in np.argsort(-(cent_norm @ v), kind="stable")[:nprobe]:
+            probe.append((int(r.query_id), int(cell)))
+    probe_df = spark.createDataFrame(probe, "query_id int, cell int")
+    probe_cells = sorted({c for _, c in probe})
+    cells = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("cell").isin(probe_cells)  # partition-pruned posting-list read
+    )
+    cands = (
+        cells.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(pair_cosine(F.col("q_emb"), F.col("embedding")), round_to).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

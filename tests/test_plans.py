@@ -397,3 +397,19 @@ def test_latest_state_diff_single_gold_subtree(spark):
     # the dim joins inside gold remain; the outer two-state diff join must not
     assert "FullOuter" not in p
     assert "partial" in p.lower()
+
+
+def test_ann_ivf_indexed_partition_pruned_probe(spark):
+    """The persisted-index probe must read ONLY the probed cell
+    partitions: the cells/ scan carries a pushed partition filter on
+    `cell`, and the corpus parquet is never rescanned for candidates
+    (embeddings.parquet appears only for the tiny query-side reads)."""
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+
+    df = SIM.ann_ivf_indexed(spark, SF, list(range(8)))
+    p = _plan(df)
+    assert "PartitionFilters" in p
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "cell" in m.group(1)
