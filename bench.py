@@ -143,6 +143,7 @@ HEADLINE = [
     "packing_efficiency",
     "tokenize_bpe",
     "ann_ivf_indexed",
+    "gopher_filter",
 ]
 
 

@@ -777,3 +777,96 @@ SELECT doc_id,
 FROM bigrams JOIN prob USING (a, b)
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher-rules quality GATE (pass/fail filter with reasons)
+# --------------------------------------------------------------------------
+
+#: Gopher §A.2 thresholds (Rae et al. 2021), adapted to this corpus's
+#: whitespace tokenization — the GATE companion to text_quality's scores
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_filter(documents: DataFrame) -> DataFrame:
+    """Per-doc Gopher filtering rules as explicit pass/fail gates —
+    the KEEP decision curation pipelines actually apply, next to
+    :func:`text_quality`'s continuous scores: word-count bounds, mean
+    word length bounds, alphabetic-word fraction, and minimum stopword
+    evidence (Rae et al. 2021 §A.2; C4 applies the same families).
+    Every rule's measured value AND boolean ship in the output, so a
+    downstream `filter(keep)` is auditable per document.
+
+    Map-only: one normalize + split per doc, all rules in the same
+    codegen stage, zero shuffles — the 100 TB shape of a gate that
+    runs before anything expensive.
+    """
+    norm = normalize_text(F.col("text"))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    words = F.split(F.trim(norm), " ")
+    n_words = F.size(words)
+    n_chars = F.length(norm)
+    n_spaces = n_chars - F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    mean_word_len = (n_chars - n_spaces) / n_words
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
+    stop_hits = None
+    for m in LANG_MARKERS["en"]:
+        c = _count_occurrences(padded, m)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_wlen = (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return documents.select(
+        "doc_id",
+        "source",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        r_words.alias("pass_word_count"),
+        r_wlen.alias("pass_word_len"),
+        r_alpha.alias("pass_alpha_frac"),
+        r_stop.alias("pass_stopwords"),
+        (r_words & r_wlen & r_alpha & r_stop).alias("keep"),
+    )
+
+
+def gopher_filter_oracle() -> str:
+    norm = _NORM_SQL
+    padded = f"(' ' || {norm} || ' ')"
+    stop = " + ".join(_count_sql(padded, m) for m in LANG_MARKERS["en"])
+    words = f"string_split(trim({norm}), ' ')"
+    n_words = f"len({words})"
+    n_chars = f"length({norm})"
+    n_spaces = f"(length({norm}) - length(replace({norm}, ' ', '')))"
+    mean_wlen = f"(({n_chars} - {n_spaces}) * 1.0 / {n_words})"
+    alpha_frac = (
+        f"(len(list_filter({words}, w -> regexp_matches(w, '[a-z]')))"
+        f" * 1.0 / {n_words})"
+    )
+    return f"""
+SELECT doc_id, source,
+       CAST({n_words} AS BIGINT) AS n_words,
+       round({mean_wlen}, 6) AS mean_word_len,
+       round({alpha_frac}, 6) AS alpha_word_frac,
+       CAST({stop} AS BIGINT) AS stop_hits,
+       {n_words} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+           AS pass_word_count,
+       {mean_wlen} BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+           AS pass_word_len,
+       {alpha_frac} >= {GOPHER_MIN_ALPHA_WORD_FRAC} AS pass_alpha_frac,
+       {stop} >= {GOPHER_MIN_STOP_HITS} AS pass_stopwords,
+       ({n_words} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AND ({mean_wlen} BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
+           AND ({alpha_frac} >= {GOPHER_MIN_ALPHA_WORD_FRAC})
+           AND ({stop} >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM documents
+"""
