@@ -217,25 +217,28 @@ def rolling_active_users(
     Report days are restricted to days with ≥1 event (the observed
     spine), keeping the output deterministic without a calendar dim.
     """
-    # the event-volume → user×day reduction feeds BOTH the
-    # contribution explode and the observed-day spine; the two branches
-    # share an identical distinct subtree, so Spark's ReusedExchange
-    # runs the expensive shuffle once without a persist (which would
-    # leak cached blocks for the session lifetime — ADVICE r5)
+    # ONE distinct + ONE explode + ONE aggregate, single events scan:
+    # the observed-day spine is NOT a second branch (which would either
+    # leak a persist — ADVICE r5 — or rescan events): a report day is
+    # observed iff some contribution has offset 0 (report_day == its
+    # own activity day), carried as a flag into the same aggregate.
     activity = events.select("user_id", F.to_date("ts").alias("d")).distinct()
     contributions = activity.select(
         "user_id",
+        "d",
         F.explode(
             F.sequence(
                 F.col("d"), F.date_add(F.col("d"), window_days - 1)
             )
         ).alias("report_day"),
     )
-    observed = activity.select(F.col("d").alias("report_day")).distinct()
     return (
-        contributions.join(observed, "report_day")
-        .groupBy("report_day")
-        .agg(F.count_distinct("user_id").alias("active_users"))
+        contributions.groupBy("report_day")
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.max((F.col("report_day") == F.col("d")).cast("int")).alias("__obs"),
+        )
+        .filter(F.col("__obs") == 1)
         .select(
             F.col("report_day").cast("string").alias("report_day"),
             "active_users",

@@ -326,16 +326,16 @@ def test_value_histogram_bounds_broadcast(spark):
 
 
 def test_rolling_actives_single_activity_reduction(spark):
-    """The user×day distinct reduction is persisted and shared by the
-    contribution explode and the observed-day spine — the plan reads
-    the InMemoryRelation, and the events scan appears in one node."""
+    """Single events scan: the observed-day spine rides the
+    contribution aggregate as an offset-0 flag — no second branch, no
+    persist (r5 leaked cached blocks), no spine join."""
     import re
 
     import __spark_entry__ as E
 
     p = _plan(E.queries()["rolling_active_users"](spark, SF))
-    assert "InMemoryTableScan" in p
-    assert len(set(re.findall(r"events\.parquet", p))) <= 1
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", p))) == 1
+    assert "Join" not in p
 
 
 def test_new_tpch_dims_broadcast(plans):
