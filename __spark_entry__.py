@@ -337,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": lambda s, d: TX.gopher_filter(
             load_table(s, d, "documents")
         ),
+        "audio_features": lambda s, d: MM.audio_features(
+            load_table(s, d, "documents")
+        ),
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -714,6 +717,7 @@ FROM (
         # persisted-index probe is result-identical to the in-session IVF
         "ann_ivf_indexed": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
         "gopher_filter": TX.gopher_filter_oracle(),
+        "audio_features": MM.audio_features_oracle(),
         "packing_efficiency": CP.packing_efficiency_oracle(),
         # tokenize_bpe: rows-only by design (the learned-merge loop is
         # iterative argmax, not SQL); tests/test_bpe.py pins per-doc

@@ -144,6 +144,7 @@ HEADLINE = [
     "tokenize_bpe",
     "ann_ivf_indexed",
     "gopher_filter",
+    "audio_features",
 ]
 
 

@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -390,4 +391,173 @@ SELECT doc_id,
        {THUMB_H}::INT AS thumb_h,
        md5(thx)       AS thumb_md5
 FROM thumb
+"""
+
+
+# --------------------------------------------------------------------------
+# audio: real RIFF/WAV PCM decode + waveform features
+# --------------------------------------------------------------------------
+
+#: synthesized test-audio geometry: 256 mono int16 samples = 512 bytes
+#: = unhex of 32 repetitions of the 32-hex-char md5
+AUDIO_N_SAMPLES = 256
+AUDIO_SAMPLE_RATE = 8000
+_AUDIO_MD5_REPS = (AUDIO_N_SAMPLES * 2 * 2) // 32
+
+
+def _wav_header(n_samples: int, sample_rate: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for 16-bit mono PCM — the
+    actual wire format, built per the RIFF spec (little-endian)."""
+    import struct
+
+    data_len = n_samples * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+def attach_audio_payload(documents: DataFrame) -> DataFrame:
+    """Materialize a REAL WAV payload per document: a 44-byte RIFF
+    header (constant — geometry is fixed) + 256 little-endian int16
+    samples whose bytes are ``unhex(repeat(md5(text), 32))``.  Pure
+    JVM column ops, deterministic from the text, so the DuckDB oracle
+    can rebuild the identical sample array from the same hex pairs.
+    """
+    header = _wav_header(AUDIO_N_SAMPLES, AUDIO_SAMPLE_RATE)
+    samples = F.unhex(F.repeat(F.md5("text"), _AUDIO_MD5_REPS))
+    return documents.select(
+        "doc_id",
+        F.concat(F.lit(bytearray(header)), samples).alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE parser for 16-bit mono PCM: validates the RIFF/WAVE
+    magics, reads the fmt chunk (PCM, mono, 16-bit enforced), locates
+    the data chunk by walking the chunk list, and returns
+    (sample_rate, int16 sample array).  Compressed/float codecs raise
+    — the same guarded-seam policy as :func:`decode_image`."""
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    sample_rate, bits, channels, fmt_code = None, None, None, None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, channels, sample_rate = struct.unpack("<HHI", body[0:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_code != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit mono PCM is decodable here (fmt={fmt_code}, "
+            f"ch={channels}, bits={bits})"
+        )
+    if data is None:
+        raise ValueError("no data chunk")
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def audio_features(documents: DataFrame) -> DataFrame:
+    """REAL waveform statistics over the decoded WAV: sample count,
+    duration, peak |amplitude|, RMS, zero crossings — the audio-side
+    twin of :func:`feature_histogram`, and the stats an audio curation
+    pipeline thresholds on (clipped / silent / DC-stuck channels).
+
+    Same execution shape: Arrow-batched ``mapInPandas``, map-only, the
+    decode genuinely executed per payload.  RMS divides the exact
+    integer sum of squares by a power of two (exact in binary FP) and
+    rounds after the IEEE sqrt, so both engines emit identical
+    doubles.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("sample_rate", IntegerType(), False),
+            StructField("n_samples", IntegerType(), False),
+            StructField("duration_ms", IntegerType(), False),
+            StructField("peak_abs", IntegerType(), False),
+            StructField("rms", DoubleType(), False),
+            StructField("zero_crossings", IntegerType(), False),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "media_type", "sample_rate", "n_samples",
+                "duration_ms", "peak_abs", "rms", "zero_crossings",
+            )}
+            for doc_id, mt, raw in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                rate, s = decode_wav(raw)
+                s64 = s.astype(np.int64)
+                nz = ((s64[1:] >= 0) != (s64[:-1] >= 0)).sum()
+                rms = float(np.sqrt((s64 * s64).sum() / len(s64)))
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s64))
+                out["duration_ms"].append(len(s64) * 1000 // rate)
+                out["peak_abs"].append(int(np.abs(s64).max()))
+                out["rms"].append(round(rms, 6))
+                out["zero_crossings"].append(int(nz))
+            yield pd.DataFrame(out)
+
+    return attach_audio_payload(documents).mapInPandas(_batches, schema)
+
+
+def audio_features_oracle() -> str:
+    """DuckDB twin: rebuild the int16 samples from the md5 hex pairs
+    (little-endian: low byte first), then the same statistics."""
+    return f"""
+WITH rep AS (
+    SELECT doc_id, repeat(md5(text), {_AUDIO_MD5_REPS}) AS hx FROM documents
+),
+samples AS (
+    SELECT doc_id, i,
+           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+    FROM (
+        SELECT doc_id, i,
+               ('0x' || substr(hx, 4 * i - 1, 2))::INT * 256
+             + ('0x' || substr(hx, 4 * i - 3, 2))::INT AS raw
+        FROM rep, unnest(range(1, {AUDIO_N_SAMPLES} + 1)) AS u(i)
+    )
+),
+flags AS (
+    SELECT doc_id,
+           CASE WHEN (s >= 0) <>
+                 (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+               THEN 1 ELSE 0 END AS f
+    FROM samples
+),
+crossings AS (SELECT doc_id, sum(f) AS zc FROM flags GROUP BY 1),
+stats AS (
+    SELECT doc_id,
+           max(abs(s)) AS peak,
+           round(sqrt(sum(s * s) / {AUDIO_N_SAMPLES}.0), 6) AS rms
+    FROM samples GROUP BY 1
+)
+SELECT st.doc_id,
+       'audio/wav' AS media_type,
+       {AUDIO_SAMPLE_RATE}::INT AS sample_rate,
+       {AUDIO_N_SAMPLES}::INT AS n_samples,
+       ({AUDIO_N_SAMPLES} * 1000 // {AUDIO_SAMPLE_RATE})::INT AS duration_ms,
+       CAST(st.peak AS INTEGER) AS peak_abs,
+       st.rms AS rms,
+       CAST(c.zc AS INTEGER) AS zero_crossings
+FROM stats st JOIN crossings c USING (doc_id)
 """
