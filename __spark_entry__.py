@@ -27,6 +27,7 @@ from telemetry_streaming_datalake_spark.operators import sessions as SES
 from telemetry_streaming_datalake_spark.operators import temporal as T
 from telemetry_streaming_datalake_spark.operators import tseries as TS
 from telemetry_streaming_datalake_spark.operators import cohort as CO
+from telemetry_streaming_datalake_spark.operators import curation as CU
 from telemetry_streaming_datalake_spark.operators import corpus as CP
 from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import multimodal as MM
@@ -338,6 +339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "audio_features": lambda s, d: MM.audio_features(
+            load_table(s, d, "documents")
+        ),
+        "curation_manifest": lambda s, d: CU.curation_manifest(
             load_table(s, d, "documents")
         ),
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
@@ -718,6 +722,7 @@ FROM (
         "ann_ivf_indexed": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
         "gopher_filter": TX.gopher_filter_oracle(),
         "audio_features": MM.audio_features_oracle(),
+        "curation_manifest": CU.curation_manifest_oracle(),
         "packing_efficiency": CP.packing_efficiency_oracle(),
         # tokenize_bpe: rows-only by design (the learned-merge loop is
         # iterative argmax, not SQL); tests/test_bpe.py pins per-doc

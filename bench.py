@@ -145,6 +145,7 @@ HEADLINE = [
     "ann_ivf_indexed",
     "gopher_filter",
     "audio_features",
+    "curation_manifest",
 ]
 
 

@@ -766,3 +766,30 @@ def test_audio_features_statistics(spark):
         assert r.peak_abs == int(np.abs(s64).max())
         assert r.rms == round(float(np.sqrt((s64 * s64).sum() / 256)), 6)
         assert r.zero_crossings == int(((s64[1:] >= 0) != (s64[:-1] >= 0)).sum())
+
+
+def test_curation_manifest_precedence_and_composition(spark):
+    """The end-to-end manifest: gate failures outrank dup reasons, an
+    exact-dup group keeps exactly its lowest doc_id, and final_keep
+    matches the AND of the three stages."""
+    from telemetry_streaming_datalake_spark.operators import curation as CU
+
+    stop = "the cat and the dog of a mat sat on the hat with a bat near the rat"
+    rows = [
+        (0, stop + " unique zero content here today", "en", "s", 1),
+        (1, stop + " unique zero content here today", "en", "s", 1),  # exact dup of 0
+        (2, "zz qq ww", "en", "s", 1),          # fails gate (short, no stopwords)
+        (3, stop + " completely different tail words now", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in CU.curation_manifest(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].final_keep and out[0].drop_reason is None
+    assert not out[1].is_exact_keeper and out[1].drop_reason in ("exact_dup", "near_dup")
+    assert out[1].drop_reason == "exact_dup"  # precedence: exact before near
+    assert not out[2].gate_keep and out[2].drop_reason == "gate"
+    assert out[3].split in ("train", "val")
+    for r in out.values():
+        assert r.final_keep == (r.gate_keep and r.is_exact_keeper and r.is_canonical)
