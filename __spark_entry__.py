@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_manifest": lambda s, d: CU.curation_manifest(
             load_table(s, d, "documents")
         ),
+        "incremental_dedup": lambda s, d: DD.incremental_dedup(s, d),
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -723,6 +724,7 @@ FROM (
         "gopher_filter": TX.gopher_filter_oracle(),
         "audio_features": MM.audio_features_oracle(),
         "curation_manifest": CU.curation_manifest_oracle(),
+        "incremental_dedup": DD.incremental_dedup_oracle(),
         "packing_efficiency": CP.packing_efficiency_oracle(),
         # tokenize_bpe: rows-only by design (the learned-merge loop is
         # iterative argmax, not SQL); tests/test_bpe.py pins per-doc

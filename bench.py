@@ -146,6 +146,7 @@ HEADLINE = [
     "gopher_filter",
     "audio_features",
     "curation_manifest",
+    "incremental_dedup",
 ]
 
 

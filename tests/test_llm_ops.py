@@ -793,3 +793,37 @@ def test_curation_manifest_precedence_and_composition(spark):
     assert out[3].split in ("train", "val")
     for r in out.values():
         assert r.final_keep == (r.gate_keep and r.is_exact_keeper and r.is_canonical)
+
+
+def test_incremental_dedup_against_index(spark, tmp_path):
+    """Incoming batch dedups against a persisted corpus index: exact
+    dups of indexed docs flagged regardless of id ordering, in-batch
+    dups keep the earliest, genuinely new docs pass."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog " * 4),
+            (12, "unrelated existing content about databases " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    idx_dir = str(tmp_path / "idx")
+    DD.build_dedup_index(corpus, idx_dir)
+    incoming = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 4),  # exact dup of 10 (higher id!)
+            (3, "entirely novel text with fresh words here " * 4),
+            (5, "entirely novel text with fresh words here " * 4),     # in-batch dup of 3
+            (7, "the quick brown fox jumps over the sleepy dog " * 4), # near dup of 10
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in DD.incremental_dedup_against(spark, idx_dir, incoming).collect()}
+    assert out[1].exact_dup_of == 10 and not out[1].is_new
+    assert out[3].exact_dup_of is None and out[3].is_new
+    assert out[5].exact_dup_of == 3 and not out[5].is_new
+    assert out[7].exact_dup_of is None
+    # matches BOTH the indexed doc 10 and its in-batch copy doc 1;
+    # min(j) picks the lowest id among earlier partners
+    assert out[7].near_dup_of == 1 and not out[7].is_new
