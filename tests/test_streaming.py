@@ -588,3 +588,49 @@ def test_serving_store_interface_replay_idempotency(spark):
     pq.apply_batch(batch1, 1)  # replay
     assert sorted((r.id, r.v) for r in pq.read().collect()) == want
     assert dict(want)["b"] == 9.0
+
+
+def test_always_on_runner_restart_recovery_exactly_once(spark):
+    """Checkpoint recovery: stop the topology, start a NEW runner on
+    the same work dir, re-feed the SAME records — the restored
+    watermark-dedup state must drop every duplicate, leaving bronze
+    exactly-once.  This is the recovery contract the reference's
+    checkpointLocation exists for."""
+    import os
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming import runner as RN
+
+    sf = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="tsdl_runner2_")
+    want = B.dedup_exact(B.parse_bronze(load_table(spark, sf, "events"))).count()
+
+    r1 = RN.AlwaysOnRunner(spark, sf, work, trigger_interval="500 milliseconds")
+    try:
+        r1.start()
+        r1.feed(os.path.join(sf, "events.parquet"), "drop_a.parquet")
+        got1 = r1.await_rows(r1.bronze_dir, want, timeout_s=120)
+        assert got1 == want
+    finally:
+        r1.stop()
+
+    r2 = RN.AlwaysOnRunner(spark, sf, work, trigger_interval="500 milliseconds")
+    try:
+        r2.start()
+        # the same records again, as a "replayed" producer file
+        r2.feed(os.path.join(sf, "events.parquet"), "drop_b.parquet")
+        import time
+
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            st = {s_["name"]: s_ for s_ in r2.status()}
+            b = st.get(RN.BRONZE_QUERY, {})
+            if b.get("batches_seen") and b["batches_seen"] >= 1 and b.get("input_rows_last") == 0:
+                break
+            time.sleep(1.0)
+        # every replayed row deduped against the RESTORED state
+        assert spark.read.parquet(r2.bronze_dir).count() == want
+    finally:
+        r2.stop()
