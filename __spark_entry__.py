@@ -208,6 +208,13 @@ def _streaming_gs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_grouping_sets(spark, sf_dir, work)
 
 
+def _streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_cgate_")
+    return SP.streaming_corpus_gate(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -345,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "incremental_dedup": lambda s, d: DD.incremental_dedup(s, d),
+        "streaming_corpus_gate": _streaming_corpus_gate,
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -725,6 +733,8 @@ FROM (
         "audio_features": MM.audio_features_oracle(),
         "curation_manifest": CU.curation_manifest_oracle(),
         "incremental_dedup": DD.incremental_dedup_oracle(),
+        # drained two-lake gate union == the batch Gopher gate
+        "streaming_corpus_gate": TX.gopher_filter_oracle(),
         "packing_efficiency": CP.packing_efficiency_oracle(),
         # tokenize_bpe: rows-only by design (the learned-merge loop is
         # iterative argmax, not SQL); tests/test_bpe.py pins per-doc

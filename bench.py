@@ -147,6 +147,7 @@ HEADLINE = [
     "audio_features",
     "curation_manifest",
     "incremental_dedup",
+    "streaming_corpus_gate",
 ]
 
 

@@ -987,3 +987,66 @@ def streaming_grouping_sets(
             F.col("category_id").cast("string"),
         ).alias("id"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming corpus curation gate (documents feed → keep/reject lakes)
+# --------------------------------------------------------------------------
+
+
+def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """The LLM-corpus twin of :func:`streaming_quarantine_split`: a
+    documents feed streams through the SAME Gopher-rules gate the
+    batch path uses (`text.gopher_filter`), each micro-batch landing
+    keepers and rejects in separate lakes under one checkpointed
+    epoch — how a crawl-ingest pipeline actually gates documents
+    before anything expensive (dedup, embedding) sees them.
+
+    Batch==stream code: the gate is the identical map-only function,
+    so the drained union equals the batch gate row-for-row (the
+    driver oracle).
+    """
+    import shutil
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.operators.text import gopher_filter
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    landing = os.path.join(work_dir, "docs_landing")
+    os.makedirs(landing, exist_ok=True)
+    shutil.copy(src, os.path.join(landing, "documents.parquet"))
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).parquet(landing)
+
+    keep_dir = os.path.join(work_dir, "corpus_keep")
+    rej_dir = os.path.join(work_dir, "corpus_reject")
+    ckpt = os.path.join(work_dir, "gate_ckpt")
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gated = gopher_filter(batch_df).persist()
+        try:
+            gated.filter(F.col("keep")).write.mode("append").parquet(keep_dir)
+            gated.filter(~F.col("keep")).write.mode("append").parquet(rej_dir)
+        finally:
+            gated.unpersist()
+
+    (
+        raw.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    cols = [
+        "doc_id", "source", "n_words", "mean_word_len", "alpha_word_frac",
+        "stop_hits", "pass_word_count", "pass_word_len", "pass_alpha_frac",
+        "pass_stopwords", "keep",
+    ]
+    keep = spark.read.parquet(keep_dir).select(*cols)
+    # the reject lake may be empty on clean corpora — read with the
+    # keeper schema so the union stays total
+    try:
+        rej = spark.read.parquet(rej_dir).select(*cols)
+    except Exception:
+        return keep
+    return keep.unionByName(rej)
