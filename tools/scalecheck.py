@@ -42,6 +42,8 @@ from telemetry_streaming_datalake_spark.operators import merge as M
 from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import temporal as T
 from telemetry_streaming_datalake_spark.operators import tseries as TS
+from telemetry_streaming_datalake_spark.operators import curation as CU
+from telemetry_streaming_datalake_spark.operators import text as TX
 
 #: same cutoff the driver key uses (mid-corpus)
 MERGE_CUTOFF_UNIX = 1705276800
@@ -157,6 +159,12 @@ def queries():
         "dedup_simhash_weighted": lambda s, d: DD.simhash_weighted_near_dups(
             load_table(s, d, "documents")
         ),
+        # round-6 additions with quadratic-risk or iterative surfaces
+        "curation_manifest": lambda s, d: CU.curation_manifest(
+            load_table(s, d, "documents")
+        ),
+        "incremental_dedup": lambda s, d: DD.incremental_dedup(s, d),
+        "tokenize_bpe": lambda s, d: TX.tokenize_bpe(load_table(s, d, "documents")),
     }
 
 
