@@ -203,3 +203,42 @@ def test_kafka_to_wire_roundtrip(spark):
         F.from_json(F.col("value").cast("string"), "id long, metric string, v double").alias("r")
     ).select("r.*")
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_pipeline_config_contract():
+    """The Configuration seam: per-feed topics, lake/checkpoint paths,
+    pre-wired Kafka reader configs — one object per deployment."""
+    from telemetry_streaming_datalake_spark.config import (
+        DEFAULT_TOPICS,
+        PipelineConfig,
+    )
+    from telemetry_streaming_datalake_spark.sources import kafka as K
+
+    cfg = PipelineConfig(stage="prod", kafka_brokers="b1:9092,b2:9092",
+                         base_path="/lake/")
+    assert cfg.topic("feed_b") == DEFAULT_TOPICS["feed_b"]
+    assert cfg.lake_path("bronze") == "/lake/bronze"
+    assert cfg.checkpoint_path("bronze-hop") == "/lake/_checkpoint/bronze-hop"
+    src = cfg.kafka_source("feed_a")
+    opts = K.reader_options(src)
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == DEFAULT_TOPICS["feed_a"]
+
+
+def test_runtime_conf_applies_rocksdb_state_store(spark):
+    from telemetry_streaming_datalake_spark.config import (
+        STREAMING_RUNTIME_CONF,
+        apply_runtime_conf,
+    )
+
+    apply_runtime_conf(spark, extra={"spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions")})
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        assert spark.conf.get(key) == STREAMING_RUNTIME_CONF[key]
+    finally:
+        # restore the default provider so later streaming tests keep
+        # their HDFS-backed state layout
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
