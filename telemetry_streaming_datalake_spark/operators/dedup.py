@@ -22,6 +22,7 @@ top of the reference's telemetry surface.  Design rules at scale:
 
 from __future__ import annotations
 
+import os
 import random
 
 import numpy as np
@@ -815,17 +816,38 @@ SELECT doc_a, doc_b, jaccard FROM (
 _DEDUP_INDEX_CACHE: dict[str, str] = {}
 
 
-def build_dedup_index(documents: DataFrame, index_dir: str) -> str:
-    """Materialize the corpus dedup index: per doc the winnowing
-    fingerprint, the hashed 5-gram shingle set, and the content hash —
-    everything an incoming batch needs to dedup AGAINST the corpus
-    without rescanning it.  One corpus scan at build time; the 100 TB
-    ingestion loop then touches only each day's increment."""
+def build_dedup_index(
+    documents: DataFrame, index_dir: str, fp_cap: int = BUCKET_CAP
+) -> str:
+    """Materialize the corpus dedup index as TWO tables — everything an
+    incoming batch needs to dedup AGAINST the corpus without
+    rescanning it (one corpus scan at build; the 100 TB ingestion loop
+    then touches only each day's increment):
+
+    - ``hashes/``: (doc_id, content_hash), FULL — exact dedup must see
+      every doc;
+    - ``fingerprints/``: (doc_id, fingerprint, sh), CAPPED at
+      ``fp_cap`` members per fingerprint (deterministic lowest
+      doc_ids).  Without the cap a boilerplate fingerprint hot on both
+      sides turns the probe equi-join into |batch|×|bucket| row
+      explosion — the same pathology :func:`bucket_pairs` caps, capped
+      HERE at build time so every probe reads the bounded table for
+      free.  Beyond-cap members can only cost near-dup recall on
+      pathological corpora (exact dedup is unaffected — it reads
+      ``hashes/``), the trade :data:`BUCKET_CAP` already documents.
+    """
     base = _fingerprint_and_shingle_sets(documents)
-    hashes = documents.select(
-        "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= fp_cap)
+        .drop("__rn")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "fingerprints"))
     )
-    base.join(hashes, "doc_id").write.mode("overwrite").parquet(index_dir)
+    documents.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "hashes"))
     return index_dir
 
 
@@ -854,7 +876,8 @@ def incremental_dedup_against(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    idx = spark.read.parquet(index_dir)
+    idx_fp = spark.read.parquet(os.path.join(index_dir, "fingerprints"))
+    idx_hash = spark.read.parquet(os.path.join(index_dir, "hashes"))
     inc_base = _fingerprint_and_shingle_sets(incoming).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -862,7 +885,7 @@ def incremental_dedup_against(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
     )
     # ---- exact: earliest indexed doc per hash, or earlier in-batch doc
-    min_even = idx.groupBy("content_hash").agg(
+    min_even = idx_hash.groupBy("content_hash").agg(
         F.min("doc_id").alias("min_indexed")
     )
     w_prev = (
@@ -886,7 +909,9 @@ def incremental_dedup_against(
     cand_idx = (
         inc_base.select("fingerprint", F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
         .join(
-            idx.select("fingerprint", F.col("doc_id").alias("j"), F.col("sh").alias("sh_j")),
+            idx_fp.select(
+                "fingerprint", F.col("doc_id").alias("j"), F.col("sh").alias("sh_j")
+            ),
             "fingerprint",
         )
         .filter(jac >= threshold)

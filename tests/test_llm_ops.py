@@ -827,3 +827,31 @@ def test_incremental_dedup_against_index(spark, tmp_path):
     # matches BOTH the indexed doc 10 and its in-batch copy doc 1;
     # min(j) picks the lowest id among earlier partners
     assert out[7].near_dup_of == 1 and not out[7].is_new
+
+
+def test_incremental_dedup_hot_fingerprint_bounded(spark, tmp_path):
+    """Mass-duplicated boilerplate on BOTH sides: the capped
+    fingerprint table bounds the probe join while exact dedup (full
+    hashes table) still flags every incoming copy."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    text = "the same boilerplate paragraph repeated everywhere always"
+    corpus = spark.range(1000).select(
+        (F.col("id") * 2).alias("doc_id"), F.lit(text).alias("text")
+    )
+    idx_dir = str(tmp_path / "hotidx")
+    DD.build_dedup_index(corpus, idx_dir)
+    import os
+
+    fp_rows = spark.read.parquet(os.path.join(idx_dir, "fingerprints")).count()
+    assert fp_rows == DD.BUCKET_CAP  # one hot fingerprint, capped
+    incoming = spark.range(500).select(
+        (F.col("id") * 2 + 1).alias("doc_id"), F.lit(text).alias("text")
+    )
+    out = DD.incremental_dedup_against(spark, idx_dir, incoming)
+    rows = out.collect()
+    assert len(rows) == 500
+    # exact dedup saw the FULL corpus: every copy points at doc 0
+    assert all(r.exact_dup_of == 0 and not r.is_new for r in rows)
