@@ -353,6 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "incremental_dedup": lambda s, d: DD.incremental_dedup(s, d),
         "streaming_corpus_gate": _streaming_corpus_gate,
+        "ann_recall_report": lambda s, d: SIM.ann_recall_report(
+            load_table(s, d, "embeddings"), ANN_QUERY_IDS
+        ),
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -735,6 +738,7 @@ FROM (
         "incremental_dedup": DD.incremental_dedup_oracle(),
         # drained two-lake gate union == the batch Gopher gate
         "streaming_corpus_gate": TX.gopher_filter_oracle(),
+        "ann_recall_report": SIM.ann_recall_report_oracle(ANN_QUERY_IDS),
         "packing_efficiency": CP.packing_efficiency_oracle(),
         # tokenize_bpe: rows-only by design (the learned-merge loop is
         # iterative argmax, not SQL); tests/test_bpe.py pins per-doc

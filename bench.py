@@ -148,6 +148,7 @@ HEADLINE = [
     "curation_manifest",
     "incremental_dedup",
     "streaming_corpus_gate",
+    "ann_recall_report",
 ]
 
 

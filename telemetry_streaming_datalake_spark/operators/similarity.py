@@ -1036,3 +1036,68 @@ def ann_ivf_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall report (index quality monitoring)
+# --------------------------------------------------------------------------
+
+
+def ann_recall_report(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Recall@k of each approximate index (LSH, IVF) against the exact
+    brute-force top-k — the quality dial a production ANN deployment
+    monitors before trading more recall for probe cost (nprobe, band
+    count).  One row per method: query count and mean recall@k.
+
+    All three rankings are the engine's own operators composed in one
+    plan; the hit join keys on (query_id, vec_id) — tiny frames (k ×
+    queries), everything broadcastable.
+    """
+    exact = cosine_topk(embeddings, query_ids, k).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    approx = (
+        ann_lsh_topk(embeddings, query_ids, k)
+        .select(F.lit("lsh").alias("method"), "query_id", "vec_id")
+        .unionByName(
+            ann_ivf_topk(embeddings, query_ids, k).select(
+                F.lit("ivf").alias("method"), "query_id", "vec_id"
+            )
+        )
+    )
+    return (
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0)))
+                / (F.lit(k) * F.count_distinct("query_id")),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def ann_recall_report_oracle(query_ids: list[int], k: int = 5) -> str:
+    return f"""
+WITH exact AS (
+    SELECT query_id, vec_id, 1 AS hit FROM ({cosine_topk_oracle(query_ids, k)})
+),
+lsh AS (SELECT query_id, vec_id FROM ({ann_lsh_topk_oracle(query_ids, k)})),
+ivf AS (SELECT query_id, vec_id FROM ({ann_ivf_topk_oracle(query_ids, k)})),
+approx AS (
+    SELECT 'lsh' AS method, query_id, vec_id FROM lsh
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, vec_id FROM ivf
+)
+SELECT a.method,
+       count(DISTINCT a.query_id) AS n_queries,
+       round(sum(coalesce(e.hit, 0)) * 1.0
+             / ({k} * count(DISTINCT a.query_id)), 6) AS recall_at_k
+FROM approx a
+LEFT JOIN exact e USING (query_id, vec_id)
+GROUP BY 1
+"""
