@@ -149,6 +149,7 @@ HEADLINE = [
     "incremental_dedup",
     "streaming_corpus_gate",
     "ann_recall_report",
+    "corpus_drift",
 ]
 
 

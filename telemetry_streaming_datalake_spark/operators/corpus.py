@@ -914,3 +914,93 @@ SELECT lang, shard, count(*) AS n_docs,
 FROM packed
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# corpus drift monitor (distribution shift between snapshots)
+# --------------------------------------------------------------------------
+
+
+def corpus_drift(documents: DataFrame) -> DataFrame:
+    """Jensen–Shannon divergence between the token distributions of
+    two corpus snapshots — the drift alarm a continuously-ingesting
+    training pipeline watches (a jump means the crawl mix changed:
+    new domain, encoding regression, spam flood) before the damage
+    reaches a training run.
+
+    Snapshot convention matches :func:`..dedup.incremental_dedup`:
+    even doc_ids are the reference snapshot, odd the new one.  JS is
+    computed exactly over the full shared vocabulary: one corpus scan
+    to token counts (one shuffle, vocabulary cardinality), totals as a
+    1-row broadcast aggregate, the KL terms map-side, one final 1-row
+    sum.  Output: one row — token/vocab volumes, overlap, and
+    ``js_divergence`` in bits (0 = identical mix, 1 = disjoint).
+    """
+    from telemetry_streaming_datalake_spark.operators.dedup import normalize_text
+
+    toks = documents.select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.explode(F.split(F.trim(normalize_text(F.col("text"))), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("c_new"),
+    )
+    totals = counts.agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_new").alias("t_new")
+    )
+    p = F.col("c_ref") / F.col("t_ref")
+    q = F.col("c_new") / F.col("t_new")
+    m = (p + q) / 2
+    term_p = F.when(F.col("c_ref") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+    term_q = F.when(F.col("c_new") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("t_ref").alias("n_ref_tokens"),
+            F.max("t_new").alias("n_new_tokens"),
+            F.sum(F.when(F.col("c_ref") > 0, 1).otherwise(0)).alias("vocab_ref"),
+            F.sum(F.when(F.col("c_new") > 0, 1).otherwise(0)).alias("vocab_new"),
+            F.sum(
+                F.when((F.col("c_ref") > 0) & (F.col("c_new") > 0), 1).otherwise(0)
+            ).alias("vocab_shared"),
+            F.round(
+                0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), 6
+            ).alias("js_divergence"),
+        )
+    )
+
+
+def corpus_drift_oracle() -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH toks AS (
+    SELECT doc_id % 2 AS slc,
+           unnest(string_split(trim({norm}), ' ')) AS tok
+    FROM documents
+),
+counts AS (
+    SELECT tok,
+           sum(CASE WHEN slc = 0 THEN 1 ELSE 0 END) AS c_ref,
+           sum(CASE WHEN slc = 1 THEN 1 ELSE 0 END) AS c_new
+    FROM toks WHERE length(tok) > 0 GROUP BY 1
+),
+tot AS (SELECT sum(c_ref) AS t_ref, sum(c_new) AS t_new FROM counts)
+SELECT CAST(max(t.t_ref) AS BIGINT) AS n_ref_tokens,
+       CAST(max(t.t_new) AS BIGINT) AS n_new_tokens,
+       CAST(sum(CASE WHEN c_ref > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_ref,
+       CAST(sum(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
+       CAST(sum(CASE WHEN c_ref > 0 AND c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab_shared,
+       round(0.5 * sum(CASE WHEN c_ref > 0 THEN
+                 (c_ref * 1.0 / t.t_ref)
+                 * log2((c_ref * 1.0 / t.t_ref)
+                        / (((c_ref * 1.0 / t.t_ref) + (c_new * 1.0 / t.t_new)) / 2))
+                 ELSE 0 END)
+           + 0.5 * sum(CASE WHEN c_new > 0 THEN
+                 (c_new * 1.0 / t.t_new)
+                 * log2((c_new * 1.0 / t.t_new)
+                        / (((c_ref * 1.0 / t.t_ref) + (c_new * 1.0 / t.t_new)) / 2))
+                 ELSE 0 END), 6) AS js_divergence
+FROM counts, tot t
+"""

@@ -855,3 +855,31 @@ def test_incremental_dedup_hot_fingerprint_bounded(spark, tmp_path):
     assert len(rows) == 500
     # exact dedup saw the FULL corpus: every copy points at doc 0
     assert all(r.exact_dup_of == 0 and not r.is_new for r in rows)
+
+
+def test_corpus_drift_js_properties(spark):
+    """JS = 0 for identical slices; = 1 bit for disjoint vocabularies;
+    strictly between for partial overlap."""
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    same = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    r = CP.corpus_drift(same).collect()[0]
+    assert r.js_divergence == 0.0
+    assert r.vocab_shared == 3
+
+    disjoint = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    r = CP.corpus_drift(disjoint).collect()[0]
+    assert r.js_divergence == 1.0
+    assert r.vocab_shared == 0
+
+    partial = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha zeta")], "doc_id long, text string"
+    )
+    r = CP.corpus_drift(partial).collect()[0]
+    assert 0.0 < r.js_divergence < 1.0
