@@ -884,9 +884,16 @@ def incremental_dedup_against(
     inc_hash = incoming.select(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
     )
-    # ---- exact: earliest indexed doc per hash, or earlier in-batch doc
-    min_even = idx_hash.groupBy("content_hash").agg(
-        F.min("doc_id").alias("min_indexed")
+    # ---- exact: earliest indexed doc per hash, or earlier in-batch doc.
+    # The index's hash table is CORPUS-cardinality — never broadcast it.
+    # Instead the tiny batch key set broadcasts INTO a semi-join that
+    # prunes the corpus side map-side; the surviving ≤|batch| rows are
+    # then legitimately broadcastable back onto the batch.
+    needed = inc_hash.select("content_hash").distinct()
+    min_even = (
+        idx_hash.join(F.broadcast(needed), "content_hash", "left_semi")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("min_indexed"))
     )
     w_prev = (
         Window.partitionBy("content_hash")
@@ -906,10 +913,14 @@ def incremental_dedup_against(
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size("sh_i") + F.size("sh_j") - inter
     jac = F.round(inter / union, 6)
+    # same pruning discipline on the posting lists: only cells the
+    # batch actually probes leave the index scan
+    inc_fps = inc_base.select("fingerprint").distinct()
+    idx_fp_pruned = idx_fp.join(F.broadcast(inc_fps), "fingerprint", "left_semi")
     cand_idx = (
         inc_base.select("fingerprint", F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
         .join(
-            idx_fp.select(
+            idx_fp_pruned.select(
                 "fingerprint", F.col("doc_id").alias("j"), F.col("sh").alias("sh_j")
             ),
             "fingerprint",

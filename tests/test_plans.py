@@ -413,3 +413,17 @@ def test_ann_ivf_indexed_partition_pruned_probe(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "cell" in m.group(1)
+
+
+def test_incremental_dedup_prunes_index_sides(spark):
+    """The corpus-cardinality index tables must never broadcast: the
+    batch key sets broadcast INTO LeftSemi prunes of the index, and
+    the only full-width joins run over the pruned (≤|batch|) frames.
+    No SortMergeJoin, no cartesian."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["incremental_dedup"](spark, SF))
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
