@@ -942,9 +942,16 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
         (F.col("doc_id") % 2).alias("slice"),
         F.explode(F.split(F.trim(normalize_text(F.col("text"))), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    counts = toks.groupBy("tok").agg(
-        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("c_ref"),
-        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("c_new"),
+    # the vocabulary-cardinality counts feed BOTH the totals scalar and
+    # the KL terms; localCheckpoint materializes the corpus reduction
+    # once so the corpus is scanned exactly once (not once per branch)
+    counts = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("c_new"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = counts.agg(
         F.sum("c_ref").alias("t_ref"), F.sum("c_new").alias("t_new")
