@@ -227,11 +227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no) driver-green CORRECTNESS row come first; with 134+ keys and a
     50-key window the sustainable cycle is 3 rounds.  The dict below is
     grouped by topic for readability; `_R6_ORDER` (from
-    `python tools/rotate.py`) dictates the actual driver-visible order —
-    the round-6 window is the 36 never-driver-checked keys plus the 14
-    oldest r4-green keys.  Keys added mid-round and absent from
-    `_R6_ORDER` are prepended so they land inside the driver window
-    immediately (VERDICT r5 item 10).
+    `python tools/rotate.py`) dictates the actual driver-visible order.
+    Keys added mid-round and absent from `_R6_ORDER` are prepended so
+    they land inside the driver window immediately (VERDICT r5 item
+    10) — as shipped, the round-6 window is the 12 new r6 keys, the
+    36 never-driver-checked keys, then the oldest r4-green keys
+    (SURVEY §2b holds the full 3-round schedule and the 150-key
+    sustainability ceiling).
     """
     base = {
         # --- block A: never driver-checked before round 5 (11 keys) ---
