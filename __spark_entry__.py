@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": lambda s, d: CP.corpus_drift(
             load_table(s, d, "documents")
         ),
+        "zipf_fit": lambda s, d: TX.zipf_fit(load_table(s, d, "documents")),
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -745,6 +746,7 @@ FROM (
         "streaming_corpus_gate": TX.gopher_filter_oracle(),
         "ann_recall_report": SIM.ann_recall_report_oracle(ANN_QUERY_IDS),
         "corpus_drift": CP.corpus_drift_oracle(),
+        "zipf_fit": TX.zipf_fit_oracle(),
         "packing_efficiency": CP.packing_efficiency_oracle(),
         # tokenize_bpe: rows-only by design (the learned-merge loop is
         # iterative argmax, not SQL); tests/test_bpe.py pins per-doc

@@ -150,6 +150,7 @@ HEADLINE = [
     "streaming_corpus_gate",
     "ann_recall_report",
     "corpus_drift",
+    "zipf_fit",
 ]
 
 

@@ -870,3 +870,95 @@ SELECT doc_id, source,
            AND ({stop} >= {GOPHER_MIN_STOP_HITS}) AS keep
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit (corpus-health statistic)
+# --------------------------------------------------------------------------
+
+ZIPF_TOP_N = 1000
+
+
+def zipf_fit(documents: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Least-squares fit of ln(freq) ~ ln(rank) over the top-N tokens —
+    the Zipf-law health check for a text corpus: natural language sits
+    near slope −1; spam floods, boilerplate, or synthetic/template
+    text bend the rank-frequency curve, so the slope (and its R²) is a
+    cheap corpus-mix alarm next to :func:`..corpus.corpus_drift`.
+
+    Scale shape: one vocabulary-cardinality count shuffle; the top-N
+    cut executes as TakeOrdered (per-partition heaps + a driver merge
+    of N rows — never a global sort, pinned in `tests/test_plans.py`);
+    ranking and the closed-form regression run over the N-row frame.
+    Ties rank deterministically (freq desc, token asc) so both engines
+    fit identical points.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        documents.select(
+            F.explode(
+                F.split(F.trim(normalize_text(F.col("text"))), " ")
+            ).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(top_n)
+    # N rows: the single-partition window is bounded by top_n, not vocab
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("n").alias("n_tokens_fit"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - (cov / varx) * F.col("sx")) / n, 6
+        ).alias("zipf_intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r_squared"),
+    )
+
+
+def zipf_fit_oracle(top_n: int = ZIPF_TOP_N) -> str:
+    norm = _NORM_SQL
+    return f"""
+WITH counts AS (
+    SELECT tok, count(*) AS c FROM (
+        SELECT unnest(string_split(trim({norm}), ' ')) AS tok FROM documents
+    ) WHERE length(tok) > 0 GROUP BY 1
+),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+    FROM counts ORDER BY c DESC, tok LIMIT {top_n}
+),
+s AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(ln(r)) AS sx, sum(ln(c)) AS sy,
+           sum(ln(r) * ln(c)) AS sxy,
+           sum(ln(r) * ln(r)) AS sxx,
+           sum(ln(c) * ln(c)) AS syy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS zipf_intercept,
+       round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+FROM s
+"""

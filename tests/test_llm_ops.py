@@ -883,3 +883,20 @@ def test_corpus_drift_js_properties(spark):
     )
     r = CP.corpus_drift(partial).collect()[0]
     assert 0.0 < r.js_divergence < 1.0
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    """A synthetic corpus with exact freq = 1000 / rank token counts
+    must fit slope ≈ -1 with r² ≈ 1."""
+    from telemetry_streaming_datalake_spark.operators import text as TX
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"tok{rank:03d}"] * (1000 // rank)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    r = TX.zipf_fit(docs, top_n=50).collect()[0]
+    assert r.n_tokens_fit == 50
+    assert abs(r.zipf_slope + 1.0) < 0.02
+    assert r.r_squared > 0.999

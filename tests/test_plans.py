@@ -427,3 +427,12 @@ def test_incremental_dedup_prunes_index_sides(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_zipf_fit_takeordered_not_global_sort(spark):
+    """The top-N vocabulary cut must execute as TakeOrdered (bounded
+    driver merge), never a global Sort of the vocabulary."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["zipf_fit"](spark, SF))
+    assert "TakeOrderedAndProject" in p
