@@ -49,12 +49,15 @@ def curation_manifest(documents: DataFrame) -> DataFrame:
     """Per-document curation manifest: gate/dedup/canonical/split in
     one composed plan.  Columns: doc_id, gate_keep, is_exact_keeper,
     is_canonical, split, final_keep, drop_reason."""
-    gate = gopher_filter(documents).select(
-        "doc_id", F.col("keep").alias("gate_keep")
-    )
+    # gate + content hash in ONE scan/projection (both map-only over
+    # the same text column); the exact-keeper window rides that frame
     ch = F.md5(normalize_text(F.col("text")))
-    exact = documents.select("doc_id", ch.alias("content_hash")).select(
+    gate = gopher_filter(
+        documents, extra_cols=[ch.alias("content_hash")]
+    ).select("doc_id", F.col("keep").alias("gate_keep"), "content_hash")
+    gate_exact = gate.select(
         "doc_id",
+        "gate_keep",
         (
             F.col("doc_id")
             == F.min("doc_id").over(Window.partitionBy("content_hash"))
@@ -65,7 +68,7 @@ def curation_manifest(documents: DataFrame) -> DataFrame:
         documents, dup_clusters(ngram_jaccard_dedup(documents))
     ).select("doc_id", "is_canonical")
     manifest = (
-        gate.join(exact, "doc_id")
+        gate_exact
         .join(canon, "doc_id")
         .select(
             "doc_id",

@@ -793,7 +793,7 @@ GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MIN_STOP_HITS = 2
 
 
-def gopher_filter(documents: DataFrame) -> DataFrame:
+def gopher_filter(documents: DataFrame, extra_cols: list | None = None) -> DataFrame:
     """Per-doc Gopher filtering rules as explicit pass/fail gates —
     the KEEP decision curation pipelines actually apply, next to
     :func:`text_quality`'s continuous scores: word-count bounds, mean
@@ -836,6 +836,10 @@ def gopher_filter(documents: DataFrame) -> DataFrame:
         r_alpha.alias("pass_alpha_frac"),
         r_stop.alias("pass_stopwords"),
         (r_words & r_wlen & r_alpha & r_stop).alias("keep"),
+        # callers composing further map-only derivations (e.g. the
+        # curation manifest's content hash) append them HERE so the
+        # whole gate stays one scan/projection
+        *(extra_cols or []),
     )
 
 
