@@ -230,7 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `python tools/rotate.py`) dictates the actual driver-visible order.
     Keys added mid-round and absent from `_R6_ORDER` are prepended so
     they land inside the driver window immediately (VERDICT r5 item
-    10) — as shipped, the round-6 window is the 12 new r6 keys, the
+    10) — as shipped, the round-6 window is the 13 new r6 keys, the
     36 never-driver-checked keys, then the oldest r4-green keys
     (SURVEY §2b holds the full 3-round schedule and the 150-key
     sustainability ceiling).
@@ -577,6 +577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     fresh = {k: v for k, v in base.items() if k not in set(_R6_ORDER)}
     ordered = fresh | {k: base[k] for k in _R6_ORDER if k in base}
+    # a typo'd rotation entry would silently fall out of the schedule
+    # and its real key masquerade as "fresh" — fail loudly instead
+    missing = set(_R6_ORDER) - set(base)
+    assert not missing, f"_R6_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 

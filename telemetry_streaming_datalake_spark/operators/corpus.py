@@ -971,8 +971,12 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
             F.sum(
                 F.when((F.col("c_ref") > 0) & (F.col("c_new") > 0), 1).otherwise(0)
             ).alias("vocab_shared"),
-            F.round(
-                0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), 6
+            # degenerate snapshot (an empty slice) yields NULL, not a
+            # divide-by-zero crash — a monitor must tolerate exactly
+            # this input (ANSI mode errors on x/0)
+            F.when(
+                (F.max("t_ref") > 0) & (F.max("t_new") > 0),
+                F.round(0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), 6),
             ).alias("js_divergence"),
         )
     )
@@ -999,6 +1003,7 @@ SELECT CAST(max(t.t_ref) AS BIGINT) AS n_ref_tokens,
        CAST(sum(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
        CAST(sum(CASE WHEN c_ref > 0 AND c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS vocab_shared,
+       CASE WHEN max(t.t_ref) > 0 AND max(t.t_new) > 0 THEN
        round(0.5 * sum(CASE WHEN c_ref > 0 THEN
                  (c_ref * 1.0 / t.t_ref)
                  * log2((c_ref * 1.0 / t.t_ref)
@@ -1008,6 +1013,6 @@ SELECT CAST(max(t.t_ref) AS BIGINT) AS n_ref_tokens,
                  (c_new * 1.0 / t.t_new)
                  * log2((c_new * 1.0 / t.t_new)
                         / (((c_ref * 1.0 / t.t_ref) + (c_new * 1.0 / t.t_new)) / 2))
-                 ELSE 0 END), 6) AS js_divergence
+                 ELSE 0 END), 6) END AS js_divergence
 FROM counts, tot t
 """

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.operators.corpus import (
     VAL_THRESHOLD_HEX,
-    train_val_split_oracle,
 )
 from telemetry_streaming_datalake_spark.operators.dedup import (
     ngram_jaccard_dedup,

@@ -873,14 +873,16 @@ def incremental_dedup_against(
     plus the in-batch bucket-pair expansion.  The index side reads only
     (fingerprint, sh, content_hash) columns.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     idx_fp = spark.read.parquet(os.path.join(index_dir, "fingerprints"))
     idx_hash = spark.read.parquet(os.path.join(index_dir, "hashes"))
-    inc_base = _fingerprint_and_shingle_sets(incoming).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # localCheckpoint (not persist): the batch's shingle frame is
+    # shared by four subtrees, but cacheManager-pinned blocks would
+    # outlive every call (the ADVICE-r5 leak class); checkpoint blocks
+    # are released by the ContextCleaner once the result frame is
+    # dropped
+    inc_base = _fingerprint_and_shingle_sets(incoming).localCheckpoint(eager=True)
     inc_hash = incoming.select(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
     )

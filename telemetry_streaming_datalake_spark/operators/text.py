@@ -928,13 +928,19 @@ def zipf_fit(documents: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # a degenerate fit frame (<2 points, or zero variance) yields NULL
+    # stats instead of a divide-by-zero crash under ANSI mode
     return agg.select(
         F.col("n").alias("n_tokens_fit"),
-        F.round(cov / varx, 6).alias("zipf_slope"),
-        F.round(
-            (F.col("sy") - (cov / varx) * F.col("sx")) / n, 6
+        F.when(varx != 0, F.round(cov / varx, 6)).alias("zipf_slope"),
+        F.when(
+            varx != 0,
+            F.round((F.col("sy") - (cov / varx) * F.col("sx")) / n, 6),
         ).alias("zipf_intercept"),
-        F.round((cov * cov) / (varx * vary), 6).alias("r_squared"),
+        F.when(
+            (varx != 0) & (vary != 0),
+            F.round((cov * cov) / (varx * vary), 6),
+        ).alias("r_squared"),
     )
 
 
@@ -959,10 +965,10 @@ s AS (
     FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_tokens_fit,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx) / n, 6)
            AS zipf_intercept,
        round(pow(n * sxy - sx * sy, 2)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r_squared
 FROM s
 """

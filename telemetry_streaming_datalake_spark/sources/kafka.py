@@ -151,9 +151,10 @@ def wire_to_bronze(wire: DataFrame) -> DataFrame:
 
 
 def to_wire(df: DataFrame, key_col: str) -> DataFrame:
-    """Publish-side serialization: every non-key column JSON-packed
-    into ``value``, ``key`` from ``key_col`` — the (key, value) frame
-    ``format("kafka")`` writers require."""
+    """Publish-side serialization: ALL columns (key included — each
+    record is self-contained and replayable without its key) JSON-
+    packed into ``value``, ``key`` from ``key_col`` — the (key, value)
+    frame ``format("kafka")`` writers require."""
     payload = [c for c in df.columns]
     return df.select(
         F.col(key_col).cast("string").cast("binary").alias("key"),

@@ -75,8 +75,10 @@ def setup_bucketed_tables(
         .sortBy("user_id")
         .saveAsTable(f"{db}.profile_bucketed")
     )
-    if work_dir is None:
-        _LOADED_FOR = sf_dir
+    # unconditional: an explicit-work_dir call rewrites the SAME
+    # catalog tables (the database LOCATION is pinned), so the cache
+    # must track whatever snapshot actually backs them now
+    _LOADED_FOR = sf_dir
     return f"{db}.events_bucketed", f"{db}.profile_bucketed"
 
 

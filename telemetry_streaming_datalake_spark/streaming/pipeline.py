@@ -1020,6 +1020,8 @@ def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> Da
 
     keep_dir = os.path.join(work_dir, "corpus_keep")
     rej_dir = os.path.join(work_dir, "corpus_reject")
+    os.makedirs(keep_dir, exist_ok=True)
+    os.makedirs(rej_dir, exist_ok=True)
     ckpt = os.path.join(work_dir, "gate_ckpt")
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1042,11 +1044,10 @@ def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> Da
         "stop_hits", "pass_word_count", "pass_word_len", "pass_alpha_frac",
         "pass_stopwords", "keep",
     ]
-    keep = spark.read.parquet(keep_dir).select(*cols)
-    # the reject lake may be empty on clean corpora — read with the
-    # keeper schema so the union stays total
-    try:
-        rej = spark.read.parquet(rej_dir).select(*cols)
-    except Exception:
-        return keep
+    # either lake may be empty (all-keep or all-reject corpora write no
+    # parquet footers to the other side) — explicit-schema reads keep
+    # both frames typed and the union total without schema inference
+    gate_schema = gopher_filter(spark.read.schema(schema).parquet(landing).limit(0)).schema
+    keep = spark.read.schema(gate_schema).parquet(keep_dir).select(*cols)
+    rej = spark.read.schema(gate_schema).parquet(rej_dir).select(*cols)
     return keep.unionByName(rej)
