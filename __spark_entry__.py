@@ -230,10 +230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `python tools/rotate.py`) dictates the actual driver-visible order.
     Keys added mid-round and absent from `_R6_ORDER` are prepended so
     they land inside the driver window immediately (VERDICT r5 item
-    10) — as shipped, the round-6 window is the 13 new r6 keys, the
-    36 never-driver-checked keys, then the oldest r4-green keys
-    (SURVEY §2b holds the full 3-round schedule and the 150-key
-    sustainability ceiling).
+    10) — as shipped, the round-6 window is the 14 new r6 keys plus the
+    36 never-driver-checked keys — exactly 50 (SURVEY §2b holds the
+    full 3-round schedule and the 150-key sustainability ceiling).
     """
     base = {
         # --- block A: never driver-checked before round 5 (11 keys) ---
@@ -362,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
         ),
         "zipf_fit": lambda s, d: TX.zipf_fit(load_table(s, d, "documents")),
+        "embedding_drift": lambda s, d: SIM.embedding_drift(
+            load_table(s, d, "embeddings")
+        ),
         "length_trim": lambda s, d: CP.length_trim(load_table(s, d, "documents")),
         "anomaly_mad": lambda s, d: DV.anomaly_mad(B.dedup_exact(_bronze(s, d))),
         "latest_state_diff": lambda s, d: M.latest_state_diff(
@@ -751,6 +753,7 @@ FROM (
         "ann_recall_report": SIM.ann_recall_report_oracle(ANN_QUERY_IDS),
         "corpus_drift": CP.corpus_drift_oracle(),
         "zipf_fit": TX.zipf_fit_oracle(),
+        "embedding_drift": SIM.embedding_drift_oracle(),
         "packing_efficiency": CP.packing_efficiency_oracle(),
         # tokenize_bpe: rows-only by design (the learned-merge loop is
         # iterative argmax, not SQL); tests/test_bpe.py pins per-doc

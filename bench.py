@@ -151,6 +151,7 @@ HEADLINE = [
     "ann_recall_report",
     "corpus_drift",
     "zipf_fit",
+    "embedding_drift",
 ]
 
 

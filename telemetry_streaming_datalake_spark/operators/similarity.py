@@ -1101,3 +1101,99 @@ FROM approx a
 LEFT JOIN exact e USING (query_id, vec_id)
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# embedding drift (centroid shift between snapshots)
+# --------------------------------------------------------------------------
+
+
+def embedding_drift(embeddings: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-label centroid shift between two corpus snapshots — the
+    embedding-space twin of :func:`..corpus.corpus_drift`: an encoder
+    change, a scraper regression, or genuine distribution shift moves
+    a class's mean vector, and ``1 − cos(centroid_ref, centroid_new)``
+    is the standard alarm on it.
+
+    Snapshot convention matches the drift family: even vec_ids are the
+    reference snapshot, odd the new one.  Everything stays long-form
+    JVM aggregation (the :func:`label_centroids` discipline): one
+    posexplode → conditional per-(label, dim, slice) means (rounded
+    like label_centroids, so both engines dot identical values) → one
+    label-keyed sum for the dot/norms.  Labels present in only one
+    snapshot are dropped (no centroid to compare); zero centroids
+    yield NULL cosine rather than a division error.
+    """
+    ex = embeddings.filter(F.col("embedding").isNotNull()).select(
+        (F.col("vec_id") % 2).alias("slc"),
+        "label",
+        F.posexplode("embedding").alias("pos", "component"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(
+            F.avg(F.when(F.col("slc") == 0, F.col("component"))), round_to
+        ).alias("c0"),
+        F.round(
+            F.avg(F.when(F.col("slc") == 1, F.col("component"))), round_to
+        ).alias("c1"),
+        F.sum(F.when(F.col("slc") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("slc") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    agg = (
+        cent.filter(F.col("c0").isNotNull() & F.col("c1").isNotNull())
+        .groupBy("label")
+        .agg(
+            F.max("n0").alias("n_ref"),
+            F.max("n1").alias("n_new"),
+            F.sum(F.col("c0") * F.col("c1")).alias("dot"),
+            F.sum(F.col("c0") * F.col("c0")).alias("sq0"),
+            F.sum(F.col("c1") * F.col("c1")).alias("sq1"),
+        )
+    )
+    cos = F.when(
+        (F.col("sq0") > 0) & (F.col("sq1") > 0),
+        F.round(
+            F.col("dot") / (F.sqrt("sq0") * F.sqrt("sq1")), round_to
+        ),
+    )
+    return agg.select(
+        "label",
+        "n_ref",
+        "n_new",
+        cos.alias("centroid_cosine"),
+        F.round(1 - cos, round_to).alias("drift"),
+    )
+
+
+def embedding_drift_oracle(round_to: int = 6) -> str:
+    return f"""
+WITH dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
+ex AS (
+    SELECT e.vec_id % 2 AS slc, e.label, t.i AS pos,
+           CAST(e.embedding[t.i] AS DOUBLE) AS component
+    FROM embeddings e, dims, unnest(range(1, dims.d + 1)) AS t(i)
+    WHERE e.embedding IS NOT NULL
+),
+cent AS (
+    SELECT label, pos,
+           round(avg(CASE WHEN slc = 0 THEN component END), {round_to}) AS c0,
+           round(avg(CASE WHEN slc = 1 THEN component END), {round_to}) AS c1,
+           sum(CASE WHEN slc = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN slc = 1 THEN 1 ELSE 0 END) AS n1
+    FROM ex GROUP BY 1, 2
+),
+agg AS (
+    SELECT label, max(n0) AS n_ref, max(n1) AS n_new,
+           sum(c0 * c1) AS dot, sum(c0 * c0) AS sq0, sum(c1 * c1) AS sq1
+    FROM cent WHERE c0 IS NOT NULL AND c1 IS NOT NULL
+    GROUP BY 1
+)
+SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_new AS BIGINT) AS n_new,
+       CASE WHEN sq0 > 0 AND sq1 > 0
+            THEN round(dot / (sqrt(sq0) * sqrt(sq1)), {round_to}) END
+           AS centroid_cosine,
+       round(1 - CASE WHEN sq0 > 0 AND sq1 > 0
+            THEN round(dot / (sqrt(sq0) * sqrt(sq1)), {round_to}) END, {round_to})
+           AS drift
+FROM agg
+"""

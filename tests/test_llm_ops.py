@@ -900,3 +900,25 @@ def test_zipf_fit_recovers_known_slope(spark):
     assert r.n_tokens_fit == 50
     assert abs(r.zipf_slope + 1.0) < 0.02
     assert r.r_squared > 0.999
+
+
+def test_embedding_drift_endpoints(spark):
+    """Identical snapshots drift 0; an orthogonally-moved class drifts
+    to 1; a label missing from one snapshot is dropped."""
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+
+    rows = [
+        # label 0: identical centroid both slices
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+        (2, [0.0, 2.0], 0), (3, [0.0, 2.0], 0),
+        # label 1: ref on x-axis, new on y-axis → cosine 0, drift 1
+        (4, [3.0, 0.0], 1), (5, [0.0, 3.0], 1),
+        # label 2: only in the reference slice → dropped
+        (6, [1.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.label: r for r in SIM.embedding_drift(emb).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].drift == 0.0 and out[0].centroid_cosine == 1.0
+    assert out[1].drift == 1.0 and out[1].centroid_cosine == 0.0
+    assert out[0].n_ref == 2 and out[0].n_new == 2
