@@ -10,11 +10,11 @@ scheduler pool, and the notebook's last cells watch
       .trigger(Trigger.ProcessingTime("120 seconds")).start()
 
 This module reproduces that operational shape over the engine's
-feed→bronze→silver→gold hops: :class:`AlwaysOnRunner` starts the
-three hops as concurrent named queries (each in its own pool so a
-slow gold enrichment cannot starve ingest — the exact reason the
-reference splits pools per feed), exposes ``StreamingQueryManager``
-status, and stops cleanly.  The availableNow variants in
+feed→bronze→silver→gold→serving topology: :class:`AlwaysOnRunner`
+starts the four hops as concurrent named queries (each in its own
+pool so a slow gold enrichment cannot starve ingest — the exact
+reason the reference splits pools per feed), exposes
+``StreamingQueryManager`` status, and stops cleanly.  The availableNow variants in
 ``pipeline.py`` remain the deterministic-drain twins the correctness
 gate checks; the runner is the long-running deployment of the SAME
 hop transforms (one logical plan, two trigger policies).
@@ -45,10 +45,11 @@ from telemetry_streaming_datalake_spark.streaming.pipeline import DEDUP_WATERMAR
 BRONZE_QUERY = "bronze-hop"
 SILVER_QUERY = "silver-hop"
 GOLD_QUERY = "gold-hop"
+SERVING_QUERY = "serving-hop"
 
 
 class AlwaysOnRunner:
-    """Feed→bronze→silver→gold as three concurrent continuous queries.
+    """Feed→bronze→silver→gold→serving as four concurrent queries.
 
     ``landing_dir`` is the watched feed directory (drop parquet files
     in, the Kafka-topic analog); each hop writes an unpartitioned
@@ -71,6 +72,7 @@ class AlwaysOnRunner:
         self.bronze_dir = os.path.join(work_dir, "bronze_lake")
         self.silver_dir = os.path.join(work_dir, "silver_lake")
         self.gold_dir = os.path.join(work_dir, "gold_lake")
+        self.serving_dir = os.path.join(work_dir, "serving_store")
         self.queries: dict[str, StreamingQuery] = {}
 
     # ---------------------------------------------------------- hops
@@ -117,6 +119,51 @@ class AlwaysOnRunner:
     def _silver_stream_schema(self):
         return self._silver_stream().schema
 
+    def _gold_stream_schema(self):
+        return self._gold_stream().schema
+
+    def _start_serving(self) -> StreamingQuery:
+        """Hop 4 — the reference's serving edge (`Metric Stream to
+        Cosmos/Step 06.b`): the gold lake streams into a foreachBatch
+        that reduces each micro-batch to its per-key latest and lands
+        it through the :class:`..sinks.ServingStoreWriter` contract
+        (ItemOverwrite: the newest batch wins per key, exactly the
+        reference's Cosmos write strategy — a late-arriving batch can
+        regress a key, as it can in the reference)."""
+        from telemetry_streaming_datalake_spark.operators.latest import latest_metric
+        from telemetry_streaming_datalake_spark.streaming.sinks import (
+            ParquetUpsertStore,
+        )
+
+        gold = self.spark.readStream.schema(self._gold_stream_schema()).parquet(
+            self.gold_dir
+        )
+        store = ParquetUpsertStore(self.spark, self.serving_dir, key="id")
+
+        def upsert_latest(batch_df, batch_id):
+            latest = latest_metric(batch_df).withColumn(
+                "id",
+                F.concat_ws("|", "remote_id", "metric_id", "provider_id"),
+            )
+            store.apply_batch(latest, batch_id)
+
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "ServingPool"
+        )
+        q = (
+            gold.writeStream.queryName(SERVING_QUERY)
+            .foreachBatch(upsert_latest)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.work_dir, f"ckpt_{SERVING_QUERY}"),
+            )
+            .trigger(processingTime=self.trigger)
+            .start()
+        )
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+        self.queries[SERVING_QUERY] = q
+        return q
+
     # ------------------------------------------------------- control
 
     def _start(self, name: str, pool: str, df: DataFrame, out: str) -> StreamingQuery:
@@ -146,9 +193,11 @@ class AlwaysOnRunner:
         os.makedirs(self.landing_dir, exist_ok=True)
         os.makedirs(self.bronze_dir, exist_ok=True)
         os.makedirs(self.silver_dir, exist_ok=True)
+        os.makedirs(self.gold_dir, exist_ok=True)
         self._start(BRONZE_QUERY, "BronzePool", self._bronze_stream(), self.bronze_dir)
         self._start(SILVER_QUERY, "SilverPool", self._silver_stream(), self.silver_dir)
         self._start(GOLD_QUERY, "GoldPool", self._gold_stream(), self.gold_dir)
+        self._start_serving()
         return dict(self.queries)
 
     def feed(self, src_parquet: str, name: str = "drop.parquet") -> None:
@@ -194,7 +243,7 @@ class AlwaysOnRunner:
     def stop(self) -> None:
         """Stop every managed query (newest hop first so upstreams
         don't write into a dead consumer's lake mid-stop)."""
-        for name in [GOLD_QUERY, SILVER_QUERY, BRONZE_QUERY]:
+        for name in [SERVING_QUERY, GOLD_QUERY, SILVER_QUERY, BRONZE_QUERY]:
             q = self.queries.pop(name, None)
             if q is not None and q.isActive:
                 q.stop()

@@ -532,7 +532,9 @@ def test_always_on_runner_three_concurrent_queries(spark):
     r = RN.AlwaysOnRunner(spark, sf, work, trigger_interval="500 milliseconds")
     try:
         qs = r.start()
-        assert set(qs) == {RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY}
+        assert set(qs) == {
+            RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY, RN.SERVING_QUERY,
+        }
         assert all(q.isActive for q in qs.values())
         # feed the topic while the queries run
         r.feed(os.path.join(sf, "events.parquet"))
@@ -543,15 +545,22 @@ def test_always_on_runner_three_concurrent_queries(spark):
         want_gold = queries["gold_enrich"](spark, sf).count()
         got = r.await_rows(r.gold_dir, want_gold, timeout_s=180)
         assert got == want_gold
+        # hop 4: the serving store converges to one row per latest key
+        want_latest = queries["latest_metric"](spark, sf).count()
+        got_latest = r.await_rows(r.serving_dir, want_latest, timeout_s=120)
+        assert got_latest == want_latest
         st = {s["name"]: s for s in r.status()}
-        assert set(st) == {RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY}
+        assert set(st) == {
+            RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY, RN.SERVING_QUERY,
+        }
         for s in st.values():
             assert s["is_active"]
             assert s["batches_seen"] is not None  # progress observed
     finally:
         r.stop()
     assert not any(
-        q.name in (RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY)
+        q.name
+        in (RN.BRONZE_QUERY, RN.SILVER_QUERY, RN.GOLD_QUERY, RN.SERVING_QUERY)
         for q in spark.streams.active
     )
 
