@@ -212,3 +212,145 @@ def test_bpe_matches_python_reference_on_random_corpora(spark, word_freq):
         for r in TX.bpe_merges(docs, n_merges=4).orderBy("merge_rank").collect()
     ]
     assert got == _python_bpe(word_freq, 4)
+
+
+# --------------------------------------------------------------------------
+# round-6 operator properties
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_wav_build_decode_roundtrip(spark, sample_lists):
+    """Arbitrary int16 PCM: header build + chunk-walk decode is the
+    identity on samples and sample rate."""
+    import numpy as np
+
+    from telemetry_streaming_datalake_spark.operators import multimodal as MM
+
+    for samples in sample_lists:
+        arr = np.array(samples, dtype="<i2")
+        payload = MM._wav_header(len(arr), 8000) + arr.tobytes()
+        rate, out = MM.decode_wav(payload)
+        assert rate == 8000
+        assert out.tolist() == samples
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_to_wire_roundtrip_arbitrary_unicode(spark, texts):
+    """Publish-side (key, value) serialization round-trips arbitrary
+    unicode payloads losslessly through the wire value parse."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.sources import kafka as K
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    back = (
+        K.to_wire(df, "id")
+        .select(
+            F.from_json(
+                F.col("value").cast("string"), "id long, payload string"
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["src_a", "src_b", "src_c"]),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_token_budget_plan_invariants(spark, docs_spec):
+    """Allocation plan: temp shares sum to 1, epochs never exceed the
+    cap, achieved == capped_epochs × available."""
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), src)
+        for i, (src, n) in enumerate(docs_spec)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = CP.token_budget_plan(docs, target_tokens=10_000).collect()
+    assert abs(sum(r.temp_share for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert r.capped_epochs <= CP.BUDGET_EPOCH_CAP + 1e-9
+        assert r.capped_epochs <= r.epochs + 1e-9
+        assert abs(r.achieved_tokens - round(r.capped_epochs * r.avail_tokens, 2)) < 0.51
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=200), min_size=1, max_size=15
+    )
+)
+def test_packing_efficiency_invariants(spark, doc_lens):
+    """Fill rate ∈ (0, 1]; bins_used = ceil(total/budget) per stream;
+    doc and token totals conserved."""
+    import math
+
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), "en")
+        for i, n in enumerate(doc_lens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = CP.packing_efficiency(docs, budget=64).collect()
+    assert sum(r.n_docs for r in out) == len(doc_lens)
+    assert sum(r.total_tokens for r in out) == sum(doc_lens)
+    for r in out:
+        assert 0 < r.fill_rate <= 1.0
+        assert r.bins_used == math.ceil(r.total_tokens / 64)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_filter_keep_is_conjunction(spark, texts):
+    """keep must equal the AND of the four per-rule booleans on
+    arbitrary (incl. empty/whitespace) inputs."""
+    from telemetry_streaming_datalake_spark.operators import text as TX
+
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for r in TX.gopher_filter(docs).collect():
+        assert r.keep == (
+            r.pass_word_count
+            and r.pass_word_len
+            and r.pass_alpha_frac
+            and r.pass_stopwords
+        )
