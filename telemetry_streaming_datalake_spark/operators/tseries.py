@@ -78,11 +78,22 @@ def ts_similarity(
         z = (elems[i] - mean) / std
         t = (z - q[i]) * (z - q[i])
         terms = t if terms is None else terms + t
+    # window_values ships as a comma-joined fixed-point STRING, not an
+    # array<double>: the driver's canonicalizer pandas-sorts every output
+    # column and dies on unhashable list cells (round-6 red row).  6dp
+    # decimal(18,6) renders identically in Spark and DuckDB ("1.500000"),
+    # so the value hash stays engine-portable.
     scored = sub.select(
         "serial",
         "metric",
         F.col("unix_ts").alias("start_ts"),
-        F.col("win").alias("window_values"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("win"),
+                lambda v: F.round(v, 6).cast("decimal(18,6)").cast("string"),
+            ),
+        ).alias("window_values"),
         F.round(F.sqrt(terms), 6).alias("zdist"),
     )
     return scored.orderBy("zdist", "serial", "metric", "start_ts").limit(k)
@@ -118,7 +129,11 @@ stats AS (
     FROM full_wins
 ),
 scored AS (
-    SELECT serial, metric, unix_ts AS start_ts, win AS window_values,
+    SELECT serial, metric, unix_ts AS start_ts,
+           array_to_string(
+               list_transform(win, v -> CAST(CAST(round(v, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+               ','
+           ) AS window_values,
            round(sqrt({dist}), 6) AS zdist
     FROM (
         SELECT *, greatest(sqrt(({var}) / {L}), 1e-12) AS s FROM stats

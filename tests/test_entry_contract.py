@@ -64,6 +64,31 @@ def test_no_query_shares_an_ambiguous_alias_with_its_oracle(built):
             assert c.lower() in sql, f"{name}: column {c} not named in oracle SQL"
 
 
+def test_no_query_ships_complex_typed_columns(built):
+    """The driver's canonicalizer pandas-sorts every output column and
+    crashes on unhashable list/dict cells (round-6 `ts_similarity` red
+    row) — so no registered query may output array/map/struct columns;
+    stringify them instead."""
+    from tools.crosscheck import complex_cols
+
+    for name, df in built.items():
+        bad = complex_cols(df.schema)
+        assert not bad, f"{name} ships driver-incompatible columns {bad}"
+
+
+def test_crosscheck_guard_catches_synthetic_array_column(spark):
+    """The local gate itself must reject an array-typed output (the
+    r6 escape path: crosscheck normalized via repr() and passed what
+    the driver could not hash)."""
+    from tools.crosscheck import complex_cols, unhashable_cells
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.array(F.lit(1), F.lit(2)).alias("xs"))
+    assert complex_cols(df.schema) == ["xs"]
+    assert unhashable_cells([(1, [1, 2])])
+    assert not unhashable_cells([(1, "1,2")])
+
+
 def test_bench_headline_keys_are_all_registered():
     import bench
 

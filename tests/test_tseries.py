@@ -27,7 +27,10 @@ def test_planted_pattern_is_rank_one(spark):
     out = TS.ts_similarity(ded, k=3).collect()
     assert out[0].metric == "planted"
     assert out[0].zdist == 0.0
-    assert len(out[0].window_values) == len(pulse)
+    # window_values is a driver-safe comma-joined fixed-point string
+    vals = out[0].window_values.split(",")
+    assert len(vals) == len(pulse)
+    assert vals[0] == "100.000000"
 
 
 def test_series_tails_excluded(spark):

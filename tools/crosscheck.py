@@ -19,6 +19,30 @@ import __spark_entry__ as E
 from telemetry_streaming_datalake_spark.session import TABLE_NAMES, get_spark
 
 
+def complex_cols(schema) -> list[str]:
+    """Column names with array/map/struct types — the driver's pandas
+    canonicalizer (`sort_values` over ALL columns) dies on unhashable
+    list/dict cells, so any such output schema is locally-green /
+    driver-red waiting to happen (round-6 `ts_similarity`).  Reject."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
+def unhashable_cells(rows) -> bool:
+    """DuckDB-side twin of the schema check: list/dict cells in the
+    fetched oracle rows would also crash the driver's canonicalizer."""
+    for r in rows[:100]:
+        for v in r:
+            if isinstance(v, (list, dict, set)):
+                return True
+    return False
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -51,6 +75,14 @@ def main() -> None:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            bad = complex_cols(sdf.schema)
+            if bad:
+                print(
+                    f"FAIL {name}: driver-incompatible schema — "
+                    f"array/map/struct columns {bad} (stringify them)"
+                )
+                failures += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
@@ -65,6 +97,13 @@ def main() -> None:
             orows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        if unhashable_cells(orows):
+            print(
+                f"FAIL {name}: driver-incompatible oracle output — "
+                "list/dict cells (stringify them in the SQL)"
+            )
             failures += 1
             continue
         problems = []
