@@ -956,8 +956,14 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
     totals = counts.agg(
         F.sum("c_ref").alias("t_ref"), F.sum("c_new").alias("t_new")
     )
-    p = F.col("c_ref") / F.col("t_ref")
-    q = F.col("c_new") / F.col("t_new")
+    # try_divide, not `/`: under ANSI mode (default in Spark 4) a plain
+    # division against an empty slice's zero total throws DIVIDE_BY_ZERO
+    # inside the sum() even though the outer F.when guards the projected
+    # scalar — the per-row KL terms still execute.  NULL terms collapse
+    # to the guarded NULL js_divergence the degenerate-input contract
+    # promises.
+    p = F.try_divide(F.col("c_ref"), F.col("t_ref"))
+    q = F.try_divide(F.col("c_new"), F.col("t_new"))
     m = (p + q) / 2
     term_p = F.when(F.col("c_ref") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
     term_q = F.when(F.col("c_new") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))

@@ -979,12 +979,23 @@ def incremental_dedup(spark, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     )
 
 
-def incremental_dedup_oracle(threshold: float = 0.3, window: int = 16, n: int = 5) -> str:
+def incremental_dedup_oracle(
+    threshold: float = 0.3, window: int = 16, n: int = 5, cap: int = BUCKET_CAP
+) -> str:
     """Twin restricted to (incoming i, earlier j): j indexed (even —
     always earlier) or j in-batch with j < i.  Candidates mirror the
     engine's fingerprint blocking (the family contract, same as
     :func:`ngram_jaccard_oracle`): equal winnowing fingerprint, then
     exact 5-gram Jaccard ≥ threshold.
+
+    The engine's hot-bucket caps are mirrored too (ADVICE r6): the
+    index posting list keeps only the ``cap`` lowest even doc_ids per
+    fingerprint (:func:`build_dedup_index`'s ``fp_cap``), and in-batch
+    pairs form only among the first ``cap`` odd docs per fingerprint
+    (:func:`bucket_pairs`) — so engine and oracle share the same
+    recall contract on corpora with a fingerprint hotter than the cap,
+    instead of the oracle reporting near-dups the engine deliberately
+    clips.
     """
     big = 9223372036854775807
     return f"""
@@ -1012,15 +1023,29 @@ fps AS (
                           for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)]) AS s
     FROM norm
 ),
+evens AS (
+    SELECT doc_id, f, s FROM fps WHERE doc_id % 2 = 0
+    QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) <= {cap}
+),
+odds AS (
+    SELECT doc_id, f, s,
+           row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+    FROM fps WHERE doc_id % 2 = 1
+),
 near AS (
     SELECT i AS doc_id, min(j) AS near_dup_of FROM (
         SELECT a.doc_id AS i, b.doc_id AS j,
                round(len(list_intersect(a.s, b.s)) * 1.0
                      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
                    AS jaccard
-        FROM fps a JOIN fps b ON a.f = b.f
-        WHERE a.doc_id % 2 = 1
-          AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)
+        FROM odds a JOIN evens b ON a.f = b.f
+        UNION ALL
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               round(len(list_intersect(a.s, b.s)) * 1.0
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                   AS jaccard
+        FROM odds a JOIN odds b ON a.f = b.f
+        WHERE b.doc_id < a.doc_id AND a.rn <= {cap} AND b.rn <= {cap}
     ) WHERE jaccard >= {threshold}
     GROUP BY 1
 )

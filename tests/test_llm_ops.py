@@ -857,6 +857,59 @@ def test_incremental_dedup_hot_fingerprint_bounded(spark, tmp_path):
     assert all(r.exact_dup_of == 0 and not r.is_new for r in rows)
 
 
+#: six docs sharing one winnowing fingerprint (the 16-char anchor's md5
+#: is the min window hash in every doc — verified at construction) but
+#: with pairwise 5-gram Jaccard 0.206 (probe vs fillers, below the 0.3
+#: threshold) / 0.837 (probe vs near-copy, above it)
+_ANCHOR = "anchor0000033413"
+
+
+def _anchored(tag: str) -> str:
+    return _ANCHOR + " " + " ".join(f"{tag}w0x{j}" for j in range(12))
+
+
+def test_incremental_dedup_oracle_mirrors_fp_cap(spark, tmp_path):
+    """ADVICE r6: a fingerprint bucket hotter than the cap must clip
+    the SAME members in engine and oracle.  Here the probe's only real
+    near-dup (even doc 8) sits beyond a cap of 4 in its posting list;
+    the engine misses it BY CONTRACT, and the capped oracle must agree
+    (the uncapped oracle would report it — asserted too, so this test
+    bites)."""
+    import duckdb
+    import pandas as pd
+
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    fillers = [_anchored(f"filler{i}") for i in range(4)]
+    probe = _anchored("probe")
+    near_copy = probe.rsplit(" ", 1)[0] + " nearcopyend"
+    rows = [(2 * i, t) for i, t in enumerate(fillers)] + [(8, near_copy), (9, probe)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # all six share the fingerprint (the construction's invariant)
+    fps = DD._fingerprint_and_shingle_sets(docs).select("fingerprint").distinct()
+    assert fps.count() == 1
+
+    idx_dir = str(tmp_path / "capidx")
+    DD.build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), idx_dir, fp_cap=4)
+    out = {
+        r.doc_id: r
+        for r in DD.incremental_dedup_against(
+            spark, idx_dir, docs.filter(F.col("doc_id") % 2 == 1)
+        ).collect()
+    }
+    assert out[9].near_dup_of is None and out[9].is_new
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    capped = con.execute(DD.incremental_dedup_oracle(cap=4)).fetchdf()
+    assert capped.set_index("doc_id").loc[9, "near_dup_of"] is None or pd.isna(
+        capped.set_index("doc_id").loc[9, "near_dup_of"]
+    )
+    uncapped = con.execute(DD.incremental_dedup_oracle(cap=10_000)).fetchdf()
+    assert int(uncapped.set_index("doc_id").loc[9, "near_dup_of"]) == 8
+
+
 def test_corpus_drift_js_properties(spark):
     """JS = 0 for identical slices; = 1 bit for disjoint vocabularies;
     strictly between for partial overlap."""
@@ -883,6 +936,21 @@ def test_corpus_drift_js_properties(spark):
     )
     r = CP.corpus_drift(partial).collect()[0]
     assert 0.0 < r.js_divergence < 1.0
+
+
+def test_corpus_drift_empty_slice_yields_null_not_crash(spark):
+    """All-odd doc_ids → reference slice empty → NULL js_divergence,
+    per the degenerate-input contract.  Under ANSI mode a plain
+    division inside the KL terms would throw DIVIDE_BY_ZERO here
+    (ADVICE r6 medium)."""
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    all_odd = spark.createDataFrame(
+        [(1, "alpha beta"), (3, "gamma delta")], "doc_id long, text string"
+    )
+    r = CP.corpus_drift(all_odd).collect()[0]
+    assert r.js_divergence is None
+    assert r.n_ref_tokens == 0 and r.n_new_tokens == 4
 
 
 def test_zipf_fit_recovers_known_slope(spark):
