@@ -53,56 +53,65 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
-#: round-6 driver rotation (SURVEY §2b): stalest-first order emitted by
-#: `python tools/rotate.py` after round 5 — the driver oracle-checks the
-#: FIRST 50 keys, so the 36 never-driver-checked keys lead, then the
-#: oldest r4-green keys fill the window; r5-green keys sit in the tail.
-_R6_ORDER = [
-    "length_trim", "anomaly_mad", "latest_state_diff",
-    "q15_top_supplier", "q17_small_quantity", "q2_min_cost_supplier",
-    "q8_market_share", "q9_product_profit", "q11_important_stock",
-    "q20_excess_shippers", "q21_waiting_supplier", "rollup_grouping_sets",
-    "cohort_retention", "funnel_conversion", "importance_sample",
-    "source_reputation", "metric_rank_report", "approx_distinct_rollup",
+#: round-7 driver rotation (SURVEY §2b): stalest-first order emitted by
+#: `python tools/rotate.py` after round 6, with the two new gate-twin
+#: keys (never checked) leading.  Window (first 50): the 2 new keys +
+#: `bpe_merges` (rows-only — it records only a rows check, so the
+#: rotation always ranks it "never green") + `ts_similarity` (the r6
+#: red row, now fixed) + the 46 stalest r4-green keys through
+#: `dedup_exact`; `dedup_ngram_jaccard`/`dedup_embedding` spill to the
+#: r8 window head under the amended 4-round freshness bound.
+_R7_ORDER = [
+    "tokenize_fixed_vocab", "approx_distinct_audit", "bpe_merges",
+    "ts_similarity", "bronze_parse", "silver_dedup",
+    "silver_metrics", "silver_explode", "bronze_feed_b",
+    "bronze_jsonl", "bronze_csv", "gold_enrich",
+    "custom_metric_sum", "custom_metric_join", "agg_hour",
+    "agg_day", "agg_month", "latest_metric",
+    "serving_kv", "gap_detect", "serving_latest_monitor",
+    "orphan_usage", "retention_purge", "scd2_current",
+    "agg_consistency", "sessionize", "counter_rate",
+    "rolling_avg", "anomaly_zscore", "percentile_rollup",
+    "pivot_metrics", "gapfill_hourly", "asof_latest_order",
+    "order_window_activity", "partition_stats", "merge_upsert_latest",
+    "incremental_rollup", "dup_clusters", "online_entities",
+    "q1_pricing", "q3_shipping", "q5_supplier",
+    "adhoc_gold_slice", "q6_forecast", "q10_returns",
+    "q12_priority", "q14_promo", "q7_nation_volume",
+    "q18_large_orders", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_embedding", "top_ngrams", "tfidf_top_terms",
+    "repetition_stats", "char_entropy", "stratified_sample",
+    "label_centroids", "centroid_confusion", "streaming_sliding_counts",
+    "streaming_interval_join", "streaming_publish_jsonl", "streaming_counter_rate",
+    "streaming_silver_dedup", "streaming_upsert", "streaming_stateful_latest",
+    "ann_cosine_topk", "ann_lsh", "ann_ivf",
+    "text_quality", "token_count", "lang_id",
+    "doc_fingerprint", "multimodal_meta", "multimodal_features",
+    "frame_sample", "multimodal_thumb", "pii_redact",
+    "doc_chunks", "train_val_split", "corpus_stats",
+    "decontaminate", "heavy_hitters", "quantize_embeddings",
+    "dedup_minhash", "dedup_simhash", "stage_delay_report",
+    "bronze_feed_c", "dedup_simhash_weighted", "q4_priority_check",
+    "q13_order_distribution", "q16_supplier_variety", "q19_disjunctive_revenue",
+    "q22_dormant_value", "boilerplate_ngrams", "semantic_dedup",
+    "pack_sequences", "mixture_weights", "bronze_quarantine",
+    "kmeans_refine", "streaming_quarantine_split", "table_profile",
+    "bronze_kafka", "token_budget_plan", "packing_efficiency",
+    "ann_ivf_indexed", "gopher_filter", "audio_features",
+    "curation_manifest", "incremental_dedup", "streaming_corpus_gate",
+    "ann_recall_report", "corpus_drift", "zipf_fit",
+    "embedding_drift", "length_trim", "anomaly_mad",
+    "latest_state_diff", "q15_top_supplier", "q17_small_quantity",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_stock", "q20_excess_shippers", "q21_waiting_supplier",
+    "rollup_grouping_sets", "cohort_retention", "funnel_conversion",
+    "importance_sample", "source_reputation", "metric_rank_report",
     "time_travel_read", "compaction_plan", "value_histogram",
     "rolling_active_users", "zorder_layout", "event_transitions",
-    "streaming_grouping_sets", "bpe_merges", "metric_correlation",
-    "bronze_orc", "bucketed_join", "lm_perplexity",
-    "ts_similarity", "canonical_docs", "rollup_restate",
-    "cumulative_metric", "streaming_two_hop", "streaming_three_hop",
-    "bronze_parse", "silver_dedup", "silver_metrics",
-    "silver_explode", "bronze_feed_b", "bronze_jsonl",
-    "bronze_csv", "gold_enrich", "custom_metric_sum",
-    "custom_metric_join", "agg_hour", "agg_day",
-    "agg_month", "latest_metric", "serving_kv",
-    "gap_detect", "serving_latest_monitor", "orphan_usage",
-    "retention_purge", "scd2_current", "agg_consistency",
-    "sessionize", "counter_rate", "rolling_avg",
-    "anomaly_zscore", "percentile_rollup", "pivot_metrics",
-    "gapfill_hourly", "asof_latest_order", "order_window_activity",
-    "partition_stats", "merge_upsert_latest", "incremental_rollup",
-    "dup_clusters", "online_entities", "q1_pricing",
-    "q3_shipping", "q5_supplier", "adhoc_gold_slice",
-    "q6_forecast", "q10_returns", "q12_priority",
-    "q14_promo", "q7_nation_volume", "q18_large_orders",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding",
-    "top_ngrams", "tfidf_top_terms", "repetition_stats",
-    "char_entropy", "stratified_sample", "label_centroids",
-    "centroid_confusion", "streaming_sliding_counts", "streaming_interval_join",
-    "streaming_publish_jsonl", "streaming_counter_rate", "streaming_silver_dedup",
-    "streaming_upsert", "streaming_stateful_latest", "ann_cosine_topk",
-    "ann_lsh", "ann_ivf", "text_quality",
-    "token_count", "lang_id", "doc_fingerprint",
-    "multimodal_meta", "multimodal_features", "frame_sample",
-    "multimodal_thumb", "pii_redact", "doc_chunks",
-    "train_val_split", "corpus_stats", "decontaminate",
-    "heavy_hitters", "quantize_embeddings", "dedup_minhash",
-    "dedup_simhash", "stage_delay_report", "bronze_feed_c",
-    "dedup_simhash_weighted", "q4_priority_check", "q13_order_distribution",
-    "q16_supplier_variety", "q19_disjunctive_revenue", "q22_dormant_value",
-    "boilerplate_ngrams", "semantic_dedup", "pack_sequences",
-    "mixture_weights", "bronze_quarantine", "kmeans_refine",
-    "streaming_quarantine_split", "table_profile",
+    "streaming_grouping_sets", "metric_correlation", "bronze_orc",
+    "bucketed_join", "lm_perplexity", "canonical_docs",
+    "rollup_restate", "cumulative_metric", "streaming_two_hop",
+    "streaming_three_hop",
 ]
 
 
@@ -226,9 +235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
     no) driver-green CORRECTNESS row come first; with 134+ keys and a
     50-key window the sustainable cycle is 3 rounds.  The dict below is
-    grouped by topic for readability; `_R6_ORDER` (from
+    grouped by topic for readability; `_R7_ORDER` (from
     `python tools/rotate.py`) dictates the actual driver-visible order.
-    Keys added mid-round and absent from `_R6_ORDER` are prepended so
+    Keys added mid-round and absent from `_R7_ORDER` are prepended so
     they land inside the driver window immediately (VERDICT r5 item
     10) — as shipped, the round-6 window is the 14 new r6 keys plus the
     36 never-driver-checked keys — exactly 50 (SURVEY §2b holds the
@@ -329,7 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (absent from _R6_ORDER -> auto-prepended to the window)
+        # round-6 additions (absent from _R7_ORDER -> auto-prepended to the window)
         "bronze_kafka": KF.bronze_from_kafka_analog,
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
@@ -337,7 +346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": lambda s, d: CP.packing_efficiency(
             load_table(s, d, "documents")
         ),
-        "tokenize_bpe": lambda s, d: TX.tokenize_bpe(
+        # tokenize_fixed_vocab supersedes the rows-only tokenize_bpe
+        # key (VERDICT r6 #6): same application machinery, shipped
+        # rule list, full SQL oracle; the learned path stays pinned by
+        # tests/test_bpe.py's Sennrich reference equality
+        "tokenize_fixed_vocab": lambda s, d: TX.tokenize_fixed_vocab(
             load_table(s, d, "documents")
         ),
         "ann_ivf_indexed": lambda s, d: SIM.ann_ivf_indexed(
@@ -419,7 +432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_rank_report": lambda s, d: DV.metric_rank_report(
             B.dedup_exact(_bronze(s, d))
         ),
-        "approx_distinct_rollup": lambda s, d: R.approx_distinct_rollup(
+        # approx_distinct_audit supersedes the rows-only
+        # approx_distinct_rollup key (VERDICT r6 #6): the sketch
+        # rollup's exact-count + within-tolerance relation IS
+        # SQL-comparable, so the HLL accuracy contract gets a real
+        # driver-green row; the sketch operator itself stays pinned by
+        # tests/test_sketches.py
+        "approx_distinct_audit": lambda s, d: R.approx_distinct_audit(
             B.dedup_exact(_bronze(s, d))
         ),
         "time_travel_read": _time_travel,
@@ -577,12 +596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
-    fresh = {k: v for k, v in base.items() if k not in set(_R6_ORDER)}
-    ordered = fresh | {k: base[k] for k in _R6_ORDER if k in base}
+    fresh = {k: v for k, v in base.items() if k not in set(_R7_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R7_ORDER if k in base}
     # a typo'd rotation entry would silently fall out of the schedule
     # and its real key masquerade as "fresh" — fail loudly instead
-    missing = set(_R6_ORDER) - set(base)
-    assert not missing, f"_R6_ORDER names unknown keys: {sorted(missing)}"
+    missing = set(_R7_ORDER) - set(base)
+    assert not missing, f"_R7_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 
@@ -755,9 +774,12 @@ FROM (
         "zipf_fit": TX.zipf_fit_oracle(),
         "embedding_drift": SIM.embedding_drift_oracle(),
         "packing_efficiency": CP.packing_efficiency_oracle(),
-        # tokenize_bpe: rows-only by design (the learned-merge loop is
-        # iterative argmax, not SQL); tests/test_bpe.py pins per-doc
-        # counts against the pure-Python Sennrich reference
+        # bpe_merges stays the ONE rows-only key (the learned-merge
+        # loop is iterative argmax, not SQL; tests/test_bpe.py pins it
+        # against the pure-Python Sennrich reference); the application
+        # half and the sketch rollup now green through their gate twins
+        "tokenize_fixed_vocab": TX.tokenize_fixed_vocab_oracle(),
+        "approx_distinct_audit": R.approx_distinct_audit_oracle(DEDUP_ORACLE),
         "bucketed_join": BK.bucketed_join_oracle(),
         "ts_similarity": TS.ts_similarity_oracle(DEDUP_ORACLE),
         "lm_perplexity": TX.lm_perplexity_oracle(),

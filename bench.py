@@ -123,7 +123,7 @@ HEADLINE = [
     "importance_sample",
     "source_reputation",
     "metric_rank_report",
-    "approx_distinct_rollup",
+    "approx_distinct_audit",
     "value_histogram",
     "rolling_active_users",
     "compaction_plan",
@@ -141,7 +141,7 @@ HEADLINE = [
     "bronze_kafka",
     "token_budget_plan",
     "packing_efficiency",
-    "tokenize_bpe",
+    "tokenize_fixed_vocab",
     "ann_ivf_indexed",
     "gopher_filter",
     "audio_features",

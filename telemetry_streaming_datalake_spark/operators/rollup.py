@@ -351,6 +351,66 @@ def approx_distinct_rollup(bronze: DataFrame, lg_k: int = HLL_LG_K) -> DataFrame
     return day_rows.unionByName(month_rows)
 
 
+def approx_distinct_audit(
+    bronze: DataFrame, lg_k: int = HLL_LG_K, tol: float = 0.03
+) -> DataFrame:
+    """Driver-checkable audit of :func:`approx_distinct_rollup`: per
+    (grain, metric, bucket), the EXACT distinct-serial count plus a
+    ``within_tol`` flag asserting the HLL estimate lands inside the
+    ±``tol`` accuracy contract.  The sketch estimate itself is engine-
+    specific (DataSketches), so it is deliberately NOT in the output —
+    what IS comparable across engines, and what this relation greens
+    in the driver gate, is the full group set, the exact counts, and
+    the claim that every estimate honors the tolerance (the oracle
+    emits literal TRUE; one out-of-contract estimate hash-mismatches
+    the row).  The sketch rollup stays the product operator — this is
+    its gate twin, the shape VERDICT r6 asked for in place of a
+    permanently-unverifiable rows-only row."""
+    approx = approx_distinct_rollup(bronze, lg_k)
+    day_exact = (
+        bronze.groupBy("metric", F.col("datestamp").alias("bucket"))
+        .agg(F.countDistinct("serial").alias("n_serials_exact"))
+        .withColumn("grain", F.lit("DAY"))
+    )
+    month_exact = (
+        bronze.withColumn("bucket", F.substring("datestamp", 1, 7))
+        .groupBy("metric", "bucket")
+        .agg(F.countDistinct("serial").alias("n_serials_exact"))
+        .withColumn("grain", F.lit("MONTH"))
+    )
+    exact = day_exact.unionByName(month_exact)
+    return approx.join(exact, ["grain", "metric", "bucket"]).select(
+        "grain",
+        "metric",
+        "bucket",
+        "n_serials_exact",
+        (
+            F.abs(F.col("n_serials_approx") - F.col("n_serials_exact"))
+            <= F.lit(tol) * F.col("n_serials_exact")
+        ).alias("within_tol"),
+    )
+
+
+def approx_distinct_audit_oracle(bronze_dedup_sql: str) -> str:
+    """Exact distinct counts per grain + literal TRUE within_tol —
+    equality holds iff the engine's every HLL estimate is in contract."""
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+day_e AS (
+    SELECT 'DAY' AS grain, metric, datestamp AS bucket,
+           count(DISTINCT serial) AS n_serials_exact
+    FROM deduped GROUP BY 2, 3
+),
+mon_e AS (
+    SELECT 'MONTH' AS grain, metric, substr(datestamp, 1, 7) AS bucket,
+           count(DISTINCT serial) AS n_serials_exact
+    FROM deduped GROUP BY 2, 3
+)
+SELECT grain, metric, bucket, n_serials_exact, TRUE AS within_tol
+FROM (SELECT * FROM day_e UNION ALL SELECT * FROM mon_e)
+"""
+
+
 # --------------------------------------------------------------------------
 # rollup restatement under late corrections (retraction pattern)
 # --------------------------------------------------------------------------

@@ -596,44 +596,51 @@ def _bpe_learn(
             break
         a, b, cnt = top[0].l, top[0].r, top[0].pair_count
         learned.append((rank, a, b, a + b, cnt))
-        merged_lit = F.lit(a + b)
-        a_lit, b_lit = F.lit(a), F.lit(b)
-        acc0 = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("pending"),
-        )
-        def _make_step(al, bl, ml):
-            def step(acc, x):
-                return (
-                    F.when(
-                        acc["pending"].isNull(),
-                        F.struct(acc["out"].alias("out"), x.alias("pending")),
-                    )
-                    .when(
-                        (acc["pending"] == al) & (x == bl),
-                        F.struct(
-                            F.concat(acc["out"], F.array(ml)).alias("out"),
-                            F.lit(None).cast("string").alias("pending"),
-                        ),
-                    )
-                    .otherwise(
-                        F.struct(
-                            F.concat(acc["out"], F.array(acc["pending"])).alias("out"),
-                            x.alias("pending"),
-                        )
-                    )
-                )
-
-            return step
-
-        step = _make_step(a_lit, b_lit, merged_lit)
-        finish = lambda acc: F.when(  # noqa: E731
-            acc["pending"].isNull(), acc["out"]
-        ).otherwise(F.concat(acc["out"], F.array(acc["pending"])))
         vocab = vocab.select(
-            "word", F.aggregate("syms", acc0, step, finish).alias("syms"), "freq"
+            "word", apply_merge(F.col("syms"), a, b).alias("syms"), "freq"
         ).localCheckpoint(eager=True)
     return learned, vocab
+
+
+def apply_merge(syms_col, a: str, b: str):
+    """One BPE merge rule applied to a symbol array column: greedy
+    left-to-right non-overlapping replacement of adjacent (a, b) with
+    a+b, as a JVM ``aggregate`` fold with a pending-symbol state
+    machine — exactly reference BPE application, no Python in the row
+    path.  Shared by the learn loop (which derives each rule from the
+    pair argmax) and :func:`tokenize_fixed_vocab` (which applies a
+    shipped rule list)."""
+    al, bl, ml = F.lit(a), F.lit(b), F.lit(a + b)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pending"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["pending"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pending")),
+            )
+            .when(
+                (acc["pending"] == al) & (x == bl),
+                F.struct(
+                    F.concat(acc["out"], F.array(ml)).alias("out"),
+                    F.lit(None).cast("string").alias("pending"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pending"])).alias("out"),
+                    x.alias("pending"),
+                )
+            )
+        )
+
+    finish = lambda acc: F.when(  # noqa: E731
+        acc["pending"].isNull(), acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["pending"])))
+    return F.aggregate(syms_col, acc0, step, finish)
 
 
 def tokenize_bpe(
@@ -671,6 +678,7 @@ def tokenize_bpe(
     joined = doc_words.join(seg, "word", "left").select(
         "doc_id",
         # OOV under a vocab cap: character segmentation fallback
+        F.col("word_tokens").isNull().alias("oov"),
         F.coalesce("word_tokens", F.length("word")).alias("word_tokens"),
     )
     return joined.groupBy("doc_id").agg(
@@ -679,7 +687,114 @@ def tokenize_bpe(
         F.round(F.sum("word_tokens") / F.count(F.lit(1)), 6).alias(
             "tokens_per_word"
         ),
+        # the char-fallback approximation made visible (ADVICE r6): how
+        # many words fell out of the capped vocab, and what share of
+        # the token count the fallback contributes — consumers can see
+        # how much of tokens_per_word is approximation, instead of a
+        # silent overestimate
+        F.sum(F.when(F.col("oov"), 1).otherwise(0)).alias("n_oov_words"),
+        F.round(
+            F.sum(F.when(F.col("oov"), F.col("word_tokens")).otherwise(0))
+            / F.sum("word_tokens"),
+            6,
+        ).alias("oov_token_share"),
     )
+
+
+#: a shipped tokenizer vocabulary: the fixed merge-rule list a
+#: production pipeline trains ONCE (``bpe_merges``) and then applies
+#: everywhere — common English subword merges, applied in list order
+FIXED_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("e", "n"), ("a", "t"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("a", "r"), ("a", "l"), ("in", "g"),
+    ("an", "d"), ("o", "u"), ("i", "t"), ("i", "s"), ("o", "f"),
+]
+
+
+def tokenize_fixed_vocab(
+    documents: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Apply a SHIPPED merge-rule list over the corpus — the
+    tokenizer-application half of the BPE pipeline in its production
+    shape (train once with :func:`bpe_merges`, freeze the vocab, apply
+    to every corpus after): per doc, word count, token count under the
+    fixed vocab, and tokens-per-word.
+
+    Scale shape is :func:`tokenize_bpe`'s: the merge folds run over
+    the DISTINCT-word frame (vocabulary cardinality, one shuffle), and
+    the corpus pays one word-keyed equi-join — never a per-corpus-row
+    fold.  Because the rule list is data-independent, the application
+    is fully SQL-expressible (each merge is one greedy left-to-right
+    replace in rank order — rules apply in order and a merged pair of
+    ORIGINAL tokens can never become adjacent again, so chained
+    replaces are exactly reference BPE application), which makes this
+    the driver-green gate twin of the rows-only learned path.
+    """
+    rules = FIXED_BPE_MERGES if merges is None else merges
+    norm = normalize_text(F.col("text"))
+    doc_words = documents.select(
+        "doc_id", F.explode(F.split(F.trim(norm), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    seg = (
+        doc_words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.filter(
+                F.split("word", "(?!^)"), lambda s: F.length(s) > 0
+            ).alias("syms"),
+        )
+    )
+    for a, b in rules:
+        seg = seg.select("word", apply_merge(F.col("syms"), a, b).alias("syms"))
+    seg = seg.select("word", F.size("syms").alias("word_tokens"))
+    joined = doc_words.join(seg, "word")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("word_tokens").alias("n_bpe_tokens"),
+        F.round(F.sum("word_tokens") / F.count(F.lit(1)), 6).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
+def tokenize_fixed_vocab_oracle(
+    merges: list[tuple[str, str]] | None = None,
+) -> str:
+    """DuckDB twin: each word becomes a tab-delimited token string
+    ("\\tt\\t\\th\\t\\te\\t"), each merge rule one plain (non-regex)
+    replace in rank order, token count = inter-token "\\t\\t"
+    separators + 1.  Tabs cannot survive inside a normalized word
+    (``\\s+`` collapses to single spaces in BOTH engines before the
+    word split), so the delimiter is collision-free by construction."""
+    rules = FIXED_BPE_MERGES if merges is None else merges
+    T = "\t"
+    expr = (
+        f"'{T}' || left(regexp_replace(word, '(.)', '\\1{T}{T}', 'g'), -1)"
+    )
+    for a, b in rules:
+        expr = f"replace({expr}, '{T}{a}{T}{T}{b}{T}', '{T}{a}{b}{T}')"
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH doc_words AS (
+    SELECT doc_id, unnest(string_split(trim({norm}), ' ')) AS word
+    FROM documents
+),
+nonempty AS (SELECT * FROM doc_words WHERE length(word) > 0),
+seg AS (
+    SELECT word,
+           (length(s) - length(replace(s, '{T}{T}', '{T}'))) + 1 AS word_tokens
+    FROM (SELECT word, {expr} AS s FROM (SELECT DISTINCT word FROM nonempty))
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       sum(word_tokens) AS n_bpe_tokens,
+       round(sum(word_tokens) * 1.0 / count(*), 6) AS tokens_per_word
+FROM nonempty JOIN seg USING (word)
+GROUP BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------

@@ -994,6 +994,29 @@ def streaming_grouping_sets(
 # --------------------------------------------------------------------------
 
 
+def gate_and_land_batch(
+    batch_df: DataFrame, keep_dir: str, rej_dir: str, batch_id: int
+) -> None:
+    """One micro-batch of the corpus gate: apply the Gopher rules and
+    land keepers/rejects under ``<lake>/batch-<id>/`` in overwrite
+    mode.  Re-invoking with the same ``batch_id`` (checkpoint replay
+    after a mid-commit crash) rewrites the same directories — exactly
+    once per batch id, never a double append."""
+    from telemetry_streaming_datalake_spark.operators.text import gopher_filter
+
+    sub = f"batch-{batch_id:08d}"
+    gated = gopher_filter(batch_df).persist()
+    try:
+        gated.filter(F.col("keep")).write.mode("overwrite").parquet(
+            os.path.join(keep_dir, sub)
+        )
+        gated.filter(~F.col("keep")).write.mode("overwrite").parquet(
+            os.path.join(rej_dir, sub)
+        )
+    finally:
+        gated.unpersist()
+
+
 def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     """The LLM-corpus twin of :func:`streaming_quarantine_split`: a
     documents feed streams through the SAME Gopher-rules gate the
@@ -1005,11 +1028,16 @@ def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> Da
     Batch==stream code: the gate is the identical map-only function,
     so the drained union equals the batch gate row-for-row (the
     driver oracle).
+
+    Replay idempotency (ADVICE r6): each micro-batch lands in a
+    batchId-scoped subdirectory written in OVERWRITE mode, so a
+    checkpoint restart that re-delivers a partially committed batch
+    rewrites its own directory instead of double-appending — the same
+    contract :class:`..streaming.sinks.InMemoryKVServingStore` keeps
+    via applied-batch tracking.
     """
     import shutil
     import tempfile
-
-    from telemetry_streaming_datalake_spark.operators.text import gopher_filter
 
     src = os.path.join(sf_dir, "documents.parquet")
     landing = os.path.join(work_dir, "docs_landing")
@@ -1024,16 +1052,12 @@ def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> Da
     os.makedirs(rej_dir, exist_ok=True)
     ckpt = os.path.join(work_dir, "gate_ckpt")
 
-    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        gated = gopher_filter(batch_df).persist()
-        try:
-            gated.filter(F.col("keep")).write.mode("append").parquet(keep_dir)
-            gated.filter(~F.col("keep")).write.mode("append").parquet(rej_dir)
-        finally:
-            gated.unpersist()
-
     (
-        raw.writeStream.foreachBatch(gate_batch)
+        raw.writeStream.foreachBatch(
+            lambda batch_df, batch_id: gate_and_land_batch(
+                batch_df, keep_dir, rej_dir, batch_id
+            )
+        )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -1047,7 +1071,19 @@ def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> Da
     # either lake may be empty (all-keep or all-reject corpora write no
     # parquet footers to the other side) — explicit-schema reads keep
     # both frames typed and the union total without schema inference
+    from telemetry_streaming_datalake_spark.operators.text import gopher_filter
+
     gate_schema = gopher_filter(spark.read.schema(schema).parquet(landing).limit(0)).schema
-    keep = spark.read.schema(gate_schema).parquet(keep_dir).select(*cols)
-    rej = spark.read.schema(gate_schema).parquet(rej_dir).select(*cols)
+    keep = (
+        spark.read.schema(gate_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(keep_dir)
+        .select(*cols)
+    )
+    rej = (
+        spark.read.schema(gate_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(rej_dir)
+        .select(*cols)
+    )
     return keep.unionByName(rej)

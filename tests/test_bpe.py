@@ -153,3 +153,43 @@ def test_tokenize_bpe_oov_fallback_under_vocab_cap(spark):
     # vocab = {aa}; merge (a,a)->aa => aa = 1 token; zzz OOV = 3 chars
     assert out[0] == 1 * 3 + 3
     assert out[1] == 3
+
+
+def test_tokenize_bpe_surfaces_oov_share(spark):
+    """The char-fallback approximation is visible: n_oov_words and
+    oov_token_share quantify how much of the count is fallback
+    (ADVICE r6 — no silent divergence from reference tokenizer
+    application)."""
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa zzz"), (1, "zzz")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.tokenize_bpe(docs, n_merges=1, max_vocab=1).collect()}
+    assert out[0].n_oov_words == 1 and out[1].n_oov_words == 1
+    # doc 0: 3 in-vocab tokens (aa×3→1 each) + 3 fallback chars = 6
+    assert out[0].oov_token_share == 0.5
+    assert out[1].oov_token_share == 1.0
+    full = TX.tokenize_bpe(docs, n_merges=1).collect()
+    assert all(r.n_oov_words == 0 and r.oov_token_share == 0.0 for r in full)
+
+
+def test_tokenize_fixed_vocab_matches_python_application(spark):
+    """The shipped-vocab tokenizer must equal rank-ordered greedy
+    application of FIXED_BPE_MERGES in pure Python."""
+    import re
+
+    docs = load_table(spark, SF, "documents")
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in TX.tokenize_fixed_vocab(docs).collect()
+    }
+    wf = _word_freq(spark)
+    rules = [(None, a, b, a + b, None) for a, b in TX.FIXED_BPE_MERGES]
+    seg = _python_segment(wf, rules)
+    for r in docs.select("doc_id", "text").collect():
+        norm = re.sub(r"\s+", " ", r.text).strip().lower()
+        words = [w for w in norm.split(" ") if w]
+        if not words:
+            assert r.doc_id not in got
+            continue
+        assert got[r.doc_id] == (len(words), sum(seg[w] for w in words)), r.doc_id

@@ -19,15 +19,15 @@ def test_every_oracle_key_has_a_query():
 
 
 def test_rows_only_entries_are_the_documented_ones():
-    """Every registered query has a DuckDB oracle twin except three
-    declared cases: the HLL sketch rollup (estimates are
-    engine-specific; accuracy + merge pins in tests/test_sketches.py)
-    and the BPE pair — merge learning and tokenizer application
-    (iterative argmax is not SQL-expressible; both pinned against a
-    pure-Python Sennrich reference in tests/test_bpe.py).  All get the
-    driver's rows-only check."""
+    """Every registered query has a DuckDB oracle twin except ONE
+    declared case: BPE merge LEARNING (iterative argmax is not
+    SQL-expressible; pinned against a pure-Python Sennrich reference
+    in tests/test_bpe.py).  The application half greens through
+    `tokenize_fixed_vocab` (shipped rule list, chained-replace SQL
+    oracle) and the HLL rollup through `approx_distinct_audit`
+    (exact-count + within-tolerance relation)."""
     q, o = set(E.queries()), set(E.oracle_sql())
-    assert q - o == {"approx_distinct_rollup", "bpe_merges", "tokenize_bpe"}
+    assert q - o == {"bpe_merges"}
 
 
 #: streaming entries execute sinks; they're covered by test_streaming

@@ -68,3 +68,23 @@ def test_month_from_merged_day_sketches_equals_direct_sketch(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_approx_distinct_audit_all_groups_in_contract(spark):
+    """The gate twin of the sketch rollup: full group set present and
+    every estimate within the ±3% contract (within_tol all true) —
+    the relation the driver hash-compares against exact SQL."""
+    ded = _deduped(spark)
+    rows = R.approx_distinct_audit(ded).collect()
+    assert rows and all(r.within_tol for r in rows)
+    day = [r for r in rows if r.grain == "DAY"]
+    mon = [r for r in rows if r.grain == "MONTH"]
+    assert day and mon
+    exact_day = {
+        (r.metric, r.datestamp): r.n
+        for r in ded.groupBy("metric", "datestamp")
+        .agg(F.countDistinct("serial").alias("n"))
+        .collect()
+    }
+    for r in day:
+        assert r.n_serials_exact == exact_day[(r.metric, r.bucket)]

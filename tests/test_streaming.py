@@ -643,3 +643,28 @@ def test_always_on_runner_restart_recovery_exactly_once(spark):
         assert spark.read.parquet(r2.bronze_dir).count() == want
     finally:
         r2.stop()
+
+
+def test_corpus_gate_batch_replay_is_idempotent(spark, tmp_path):
+    """A re-delivered micro-batch (checkpoint restart after a partial
+    commit) must not double-append: gate_and_land_batch writes each
+    batch to its own batchId-scoped directory in overwrite mode
+    (ADVICE r6)."""
+    keep_dir = str(tmp_path / "keep")
+    rej_dir = str(tmp_path / "rej")
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "the quick brown fox jumps over the lazy dog and then some more of it"),
+            (2, "web", "zz zz zz"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    SP.gate_and_land_batch(docs, keep_dir, rej_dir, 0)
+    # replay of batch 0, then a genuinely new batch 1
+    SP.gate_and_land_batch(docs, keep_dir, rej_dir, 0)
+    SP.gate_and_land_batch(docs.filter(F.col("doc_id") == 1), keep_dir, rej_dir, 1)
+    total = (
+        spark.read.option("recursiveFileLookup", "true").parquet(keep_dir).count()
+        + spark.read.option("recursiveFileLookup", "true").parquet(rej_dir).count()
+    )
+    assert total == 3  # 2 from batch 0 (once), 1 from batch 1
