@@ -118,3 +118,25 @@ def test_canonical_docs_keep_policy(spark):
     assert out[2].is_canonical
     assert out[3].canonical_id == 2 and not out[3].is_canonical
     assert out[4].cluster_id == 4 and out[4].is_canonical
+
+
+def test_dup_clusters_iso_fast_path_and_clique_mix(spark):
+    """The isolated-pair fast path must coexist with iterated
+    components: two degree-1 pairs (one listed in BOTH orientations —
+    canonicalization keeps it on the fast path), a triangle clique,
+    and a 3-node path, with no duplicated or missing nodes."""
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=20, doc_b=21), Row(doc_a=21, doc_b=20),  # iso, reversed dup
+            Row(doc_a=30, doc_b=31),                            # iso
+            Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=1, doc_b=3),  # clique
+            Row(doc_a=40, doc_b=41), Row(doc_a=41, doc_b=42),   # path
+        ]
+    )
+    rows = M.dup_clusters(pairs).collect()
+    got = {r.doc_id: r.cluster_id for r in rows}
+    assert len(rows) == len(got) == 10  # no duplicate node rows
+    assert got == {
+        20: 20, 21: 20, 30: 30, 31: 30,
+        1: 1, 2: 1, 3: 1, 40: 40, 41: 40, 42: 40,
+    }
