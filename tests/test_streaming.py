@@ -668,3 +668,67 @@ def test_corpus_gate_batch_replay_is_idempotent(spark, tmp_path):
         + spark.read.option("recursiveFileLookup", "true").parquet(rej_dir).count()
     )
     assert total == 3  # 2 from batch 0 (once), 1 from batch 1
+
+
+def test_resilient_store_retries_transient_item_faults(spark):
+    """A flaky item (fails twice, succeeds third) must land within one
+    apply_batch via in-batch retries, without disturbing other items."""
+    from telemetry_streaming_datalake_spark.streaming.sinks import (
+        ResilientKVServingStore,
+    )
+
+    fail_left = {"b": 2}
+    store = ResilientKVServingStore(max_attempts=3)
+    real_write = store._write_item
+
+    def flaky(k, v):
+        if fail_left.get(k, 0) > 0:
+            fail_left[k] -= 1
+            raise IOError("throttled")
+        real_write(k, v)
+
+    store._write_item = flaky
+    batch = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "id string, v long")
+    store.apply_batch(batch, 0)
+    assert set(store.data) == {"a", "b", "c"}
+    assert 0 in store.applied_batches
+    assert store.write_attempts == 5  # 3 items + 2 retries of 'b'
+    assert not store.dead_letters
+
+
+def test_resilient_store_persistent_fault_converges_on_replay(spark):
+    """An item failing past max_attempts must fail the batch WITHOUT
+    data loss: successes are landed, the batch stays unapplied, and the
+    replayed batch converges once the fault clears (ItemOverwrite makes
+    re-landing successes harmless)."""
+    import pytest as _pytest
+
+    from telemetry_streaming_datalake_spark.streaming.sinks import (
+        ResilientKVServingStore,
+    )
+
+    broken = {"b"}
+    store = ResilientKVServingStore(max_attempts=2)
+    real_write = store._write_item
+
+    def faulty(k, v):
+        if k in broken:
+            raise IOError("item too large")
+        real_write(k, v)
+
+    store._write_item = faulty
+    batch = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "id string, v long")
+    with _pytest.raises(RuntimeError, match="not marked applied"):
+        store.apply_batch(batch, 7)
+    assert set(store.data) == {"a", "c"}  # error isolated, no loss
+    assert 7 not in store.applied_batches
+    assert "b" in store.dead_letters
+    # fault clears; the engine replays the same batch_id
+    broken.clear()
+    store.apply_batch(batch, 7)
+    assert set(store.data) == {"a", "b", "c"}
+    assert 7 in store.applied_batches
+    # an exact re-replay is now a no-op (idempotency high-water mark)
+    n = store.write_attempts
+    store.apply_batch(batch, 7)
+    assert store.write_attempts == n

@@ -4,6 +4,8 @@ vacuum — the Delta-log-analog contracts."""
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.storage.versioned import VersionedParquetStore
@@ -55,3 +57,78 @@ def test_vacuum_drops_expired_versions(spark, tmp_path):
     # the removed files are really gone from disk
     for f in removed:
         assert not os.path.exists(os.path.join(store.path, f))
+
+
+def test_merge_schema_append_and_time_travel_across_boundary(spark, tmp_path):
+    """The Delta mergeSchema analog (VERDICT r6 #9): a widened bronze
+    schema appends with merge_schema=True, pre-boundary rows read the
+    new column as NULL, and time travel BEFORE the boundary shows the
+    original column set."""
+    from telemetry_streaming_datalake_spark.storage.versioned import (
+        VersionedParquetStore,
+    )
+
+    store = VersionedParquetStore(spark, str(tmp_path / "evo"))
+    v0_df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, a string")
+    store.write(v0_df, mode="append")
+    widened = spark.createDataFrame(
+        [(3, "z", 7.5)], "id long, a string, quality double"
+    )
+    # schema enforcement: the widened batch is rejected by default
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        store.write(widened, mode="append")
+    store.write(widened, mode="append", merge_schema=True)
+
+    latest = store.read()
+    assert [f.name for f in latest.schema.fields] == ["id", "a", "quality"]
+    rows = {r.id: r for r in latest.collect()}
+    assert rows[1].quality is None and rows[3].quality == 7.5
+
+    v0 = store.read(version=0)
+    assert [f.name for f in v0.schema.fields] == ["id", "a"]
+    assert v0.count() == 2
+
+
+def test_merge_schema_rejects_narrowing_and_type_change(spark, tmp_path):
+    """mergeSchema only ever widens: dropped columns and type changes
+    are rejected even with merge_schema=True."""
+    from telemetry_streaming_datalake_spark.storage.versioned import (
+        VersionedParquetStore,
+    )
+
+    store = VersionedParquetStore(spark, str(tmp_path / "strict"))
+    store.write(spark.createDataFrame([(1, "x")], "id long, a string"))
+    with pytest.raises(ValueError, match="never narrow"):
+        store.write(
+            spark.createDataFrame([(2,)], "id long"), merge_schema=True
+        )
+    with pytest.raises(ValueError, match="type change"):
+        store.write(
+            spark.createDataFrame([(2, 9)], "id long, a long"),
+            merge_schema=True,
+        )
+
+
+def test_schema_carries_through_delete_and_replay(spark, tmp_path):
+    """A copy-on-write delete after a mergeSchema boundary keeps the
+    widened schema in the log (replay survives)."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.storage.versioned import (
+        VersionedParquetStore,
+    )
+
+    store = VersionedParquetStore(spark, str(tmp_path / "del"))
+    store.write(
+        spark.createDataFrame([(1, "d1"), (2, "d2")], "id long, ds string"),
+        partition_col="ds",
+    )
+    store.write(
+        spark.createDataFrame([(3, "d3", 1.0)], "id long, ds string, q double"),
+        partition_col="ds",
+        merge_schema=True,
+    )
+    store.delete_partitions("ds", ["d1"])
+    latest = store.read()
+    assert [f.name for f in latest.schema.fields] == ["id", "ds", "q"]
+    assert {r.id for r in latest.collect()} == {2, 3}
