@@ -480,6 +480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter((F.col("event_id") % 97) == 0)
             .select("event_id", (F.col("value") * 2).alias("new_value")),
         ),
+        # r7 additions (absent from _R7_ORDER -> auto-prepended to the window)
+        "ewma_smooth": lambda s, d: DV.ewma_smooth(B.dedup_exact(_bronze(s, d))),
+        "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
+            B.dedup_exact(_bronze(s, d))
+        ),
         "cumulative_metric": lambda s, d: DV.cumulative_metric(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -756,6 +761,8 @@ FROM (
         # incrementally-maintained partials store == the batch rollup
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
+        "ewma_smooth": DV.ewma_smooth_oracle(DEDUP_ORACLE),
+        "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,
         # kafka wire analog lands byte-identical bronze to the parquet path

@@ -130,6 +130,8 @@ HEADLINE = [
     "zorder_layout",
     "event_transitions",
     "cumulative_metric",
+    "ewma_smooth",
+    "downsample_ohlc",
     "bpe_merges",
     "metric_correlation",
     "rollup_restate",

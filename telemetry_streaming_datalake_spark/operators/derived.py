@@ -634,3 +634,152 @@ wide AS (
 )
 {" UNION ALL ".join(selects)}
 """
+
+
+# --------------------------------------------------------------------------
+# finite-horizon EWMA smoothing (bounded-state exponential smoothing)
+# --------------------------------------------------------------------------
+
+#: smoothing factor and trailing horizon: weights below a*(1-a)^19
+#: (~0.05% of mass at alpha 0.3) are truncated — the bounded-state
+#: form a streaming smoother keeps per series
+EWMA_ALPHA = 0.3
+EWMA_HORIZON = 20
+
+#: weight constants shared VERBATIM by the Spark expression and the
+#: SQL oracle, so both engines multiply the identical IEEE doubles
+#: (pow() at plan time could differ in the last ulp and flip a 6dp
+#: rounding boundary)
+_EWMA_POW = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_HORIZON)]
+_EWMA_APOW = [EWMA_ALPHA * p for p in _EWMA_POW]
+
+
+def ewma_smooth(bronze_deduped: DataFrame) -> DataFrame:
+    """Per-series exponentially weighted moving average — the standard
+    telemetry smoother (adjust=False recursion ``e_t = a*x_t +
+    (1-a)*e_{t-1}``, seeded with the first reading), evaluated over a
+    bounded trailing horizon of :data:`EWMA_HORIZON` rows so state
+    stays O(1) per series at any scale.
+
+    Within the horizon the value is EXACTLY the recursion: for a row
+    whose trailing frame still reaches the series head, the first
+    element carries the full seed weight ``(1-a)^(L-1)`` (adjust=False
+    seeding); deeper rows truncate the tail below ~0.05% of the weight
+    mass — the bounded-state trade every streaming EWMA makes.
+
+    Spark shape: ONE series-keyed window (same single shuffle as every
+    per-series operator here), ``collect_list`` over the ROWS frame,
+    and the weighted sum unrolled into plan-time literals — whole-stage
+    codegen, no UDF, no per-row Python.
+    """
+    K = EWMA_HORIZON
+    w = (
+        Window.partitionBy("serial", "metric")
+        .orderBy("unix_ts")
+        .rowsBetween(-(K - 1), Window.currentRow)
+    )
+    wn = Window.partitionBy("serial", "metric").orderBy("unix_ts")
+    sub = bronze_deduped.select(
+        "serial", "metric", "unix_ts", "value"
+    ).withColumn("win", F.collect_list("value").over(w)).withColumn(
+        "rn", F.row_number().over(wn)
+    )
+    L = F.size("win")
+    head = F.col("rn") <= F.lit(K)  # frame reaches the series head
+    apow = F.array(*[F.lit(x) for x in _EWMA_APOW])
+    pow_ = F.array(*[F.lit(x) for x in _EWMA_POW])
+    terms = None
+    for i in range(1, K + 1):
+        wgt = F.when(
+            (F.lit(i) == 1) & head,
+            F.element_at(pow_, L),  # seed weight (1-a)^(L-1)
+        ).otherwise(F.element_at(apow, L - F.lit(i) + 1))
+        t = F.when(L >= i, F.element_at("win", i) * wgt).otherwise(F.lit(0.0))
+        terms = t if terms is None else terms + t
+    return sub.select(
+        "serial",
+        "metric",
+        "unix_ts",
+        "value",
+        F.round(terms, 6).alias("ewma"),
+    )
+
+
+def ewma_smooth_oracle(bronze_dedup_sql: str) -> str:
+    K = EWMA_HORIZON
+    # ::DOUBLE pins the literal type (DuckDB defaults decimal literals
+    # to DECIMAL); repr() round-trips to the identical IEEE double
+    apow = "[" + ", ".join(f"{x!r}::DOUBLE" for x in _EWMA_APOW) + "]"
+    pow_ = "[" + ", ".join(f"{x!r}::DOUBLE" for x in _EWMA_POW) + "]"
+    terms = []
+    for i in range(1, K + 1):
+        wgt = (
+            f"CASE WHEN {i} = 1 AND rn <= {K} THEN ({pow_})[len(win)] "
+            f"ELSE ({apow})[len(win) - {i} + 1] END"
+        )
+        terms.append(
+            f"CASE WHEN len(win) >= {i} THEN win[{i}] * ({wgt}) ELSE 0.0 END"
+        )
+    expr = " + ".join(terms)
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+sub AS (
+    SELECT serial, metric, unix_ts, value,
+           list(value) OVER (
+               PARTITION BY serial, metric ORDER BY unix_ts
+               ROWS BETWEEN {K - 1} PRECEDING AND CURRENT ROW
+           ) AS win,
+           row_number() OVER (
+               PARTITION BY serial, metric ORDER BY unix_ts
+           ) AS rn
+    FROM deduped
+)
+SELECT serial, metric, unix_ts, value, round({expr}, 6) AS ewma FROM sub
+"""
+
+
+# --------------------------------------------------------------------------
+# OHLC downsampling (chart-resolution reduction)
+# --------------------------------------------------------------------------
+
+
+def downsample_ohlc(bronze_deduped: DataFrame, bucket_secs: int = 3600) -> DataFrame:
+    """Downsample every (serial, metric) series to one OHLC row per
+    time bucket — open/high/low/close + mean + count, the lossy
+    resolution reduction a charting/serving layer stores instead of
+    raw points (the M4/OHLC family of time-series downsamplers).
+
+    One partial-agg shuffle on (serial, metric, bucket): open/close
+    ride min/max over a (unix_ts, value) struct — post-dedup unix_ts
+    is unique within a series, so both are deterministic without a
+    window pass; no second scan, no sort.
+    """
+    bucket = (F.col("unix_ts") - F.col("unix_ts") % bucket_secs).alias("bucket_ts")
+    st = F.struct("unix_ts", "value")
+    return (
+        bronze_deduped.groupBy("serial", "metric", bucket)
+        .agg(
+            F.min(st)["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(st)["value"].alias("close"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def downsample_ohlc_oracle(bronze_dedup_sql: str, bucket_secs: int = 3600) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql})
+SELECT serial, metric,
+       unix_ts - unix_ts % {bucket_secs} AS bucket_ts,
+       arg_min(value, unix_ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, unix_ts) AS close,
+       round(avg(value), 6) AS mean,
+       count(*) AS n
+FROM deduped
+GROUP BY 1, 2, 3
+"""

@@ -257,3 +257,60 @@ def test_metric_correlation_matches_numpy(spark):
     # metrics never observed → NULL corr, 0 overlapping days
     assert out[("purchase", "signup")].corr is None
     assert out[("purchase", "signup")].n_days == 0
+
+
+def test_ewma_matches_pandas_recursion_within_horizon(spark):
+    """Within the trailing horizon the finite-horizon EWMA must equal
+    the exact adjust=False recursion (pandas ewm reference); series
+    shorter than the horizon match everywhere."""
+    import pandas as pd
+
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    vals = [5.0, 9.0, 2.0, 7.0, 7.0, 1.0, 4.0, 8.0, 3.0, 6.0]
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "m", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ded = B.dedup_exact(B.parse_bronze(df))
+    got = {
+        r.unix_ts: r.ewma
+        for r in DV.ewma_smooth(ded).collect()
+    }
+    want = pd.Series(vals).ewm(alpha=DV.EWMA_ALPHA, adjust=False).mean()
+    got_ordered = [got[k] for k in sorted(got)]
+    for g, w in zip(got_ordered, want):
+        assert abs(g - w) < 1e-6, (g, w)
+
+
+def test_downsample_ohlc_semantics(spark):
+    """open/close are the bucket's chronologically first/last values;
+    high/low the extremes; one row per (series, bucket)."""
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    rows = [
+        (0, "2024-01-01 00:05:00", 1, "m", 10.0, "{}"),
+        (1, "2024-01-01 00:20:00", 1, "m", 99.0, "{}"),
+        (2, "2024-01-01 00:50:00", 1, "m", 3.0, "{}"),
+        (3, "2024-01-01 01:10:00", 1, "m", 42.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.bucket_ts: r
+        for r in DV.downsample_ohlc(B.dedup_exact(B.parse_bronze(df))).collect()
+    }
+    assert len(out) == 2
+    h0 = out[min(out)]
+    assert (h0.open, h0.high, h0.low, h0.close, h0.n) == (10.0, 99.0, 3.0, 3.0, 3)
+    h1 = out[max(out)]
+    assert (h1.open, h1.close, h1.n) == (42.0, 42.0, 1)
