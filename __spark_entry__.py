@@ -482,6 +482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # r7 additions (absent from _R7_ORDER -> auto-prepended to the window)
         "ewma_smooth": lambda s, d: DV.ewma_smooth(B.dedup_exact(_bronze(s, d))),
+        "cusum_changepoint": lambda s, d: DV.cusum_changepoint(
+            B.dedup_exact(_bronze(s, d))
+        ),
+        "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
         "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -762,6 +766,8 @@ FROM (
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
         "ewma_smooth": DV.ewma_smooth_oracle(DEDUP_ORACLE),
+        "cusum_changepoint": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
+        "png_meta": MM.png_meta_oracle(),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,

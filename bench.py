@@ -131,6 +131,8 @@ HEADLINE = [
     "event_transitions",
     "cumulative_metric",
     "ewma_smooth",
+    "cusum_changepoint",
+    "png_meta",
     "downsample_ohlc",
     "bpe_merges",
     "metric_correlation",

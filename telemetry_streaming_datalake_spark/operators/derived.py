@@ -783,3 +783,128 @@ SELECT serial, metric,
 FROM deduped
 GROUP BY 1, 2, 3
 """
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection
+# --------------------------------------------------------------------------
+
+#: CUSUM slack and alarm threshold, in units of the metric's stddev
+#: (the classic k=sigma/2, h=5*sigma tuning from Page 1954 practice)
+CUSUM_K = 0.5
+CUSUM_H = 5.0
+
+
+def cusum_changepoint(bronze_deduped: DataFrame) -> DataFrame:
+    """Per-series tabular CUSUM drift detector (Page 1954): the
+    one-sided statistics ``S+_t = max(0, S+_{t-1} + (x_t - mu - k*sigma))``
+    / ``S-_t`` symmetric, alarming when either exceeds ``h*sigma`` —
+    the change-point alarm a telemetry pipeline runs on counters whose
+    MEAN shifts (device regression, config push) without any single
+    reading being a z-score outlier.
+
+    Spark-first shape — the sequential max(0, ·) recursion is NOT a
+    fold here: by the prefix-sum identity ``S_t = cum_t -
+    min(0, min_{j<=t} cum_j)`` it collapses to a running sum + running
+    min over ONE series-keyed window (the same single shuffle every
+    per-series operator takes, whole-stage codegen, no UDF, no
+    collect_list state).  Per-metric moments come from one tiny
+    broadcast aggregate, rounded 6dp BEFORE the cumsum so both engines
+    accumulate identical doubles in identical order.
+    """
+    moments = bronze_deduped.groupBy("metric").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+    )
+    j = bronze_deduped.select("serial", "metric", "unix_ts", "value").join(
+        F.broadcast(moments), "metric"
+    )
+    w = (
+        Window.partitionBy("serial", "metric")
+        .orderBy("unix_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the per-row drifts are accumulated as EXACT integers at 1e7 scale
+    # (values have 2 decimals, rounded moments 6, k*sigma 7 — all exact
+    # decimal integers at 1e7): running FP sums are association-order-
+    # dependent and DuckDB's segment-tree window sum associates
+    # differently than Spark's in-order accumulation, which flips 6dp
+    # roundings; integer cumsums are bit-identical everywhere
+    scale = 1e7
+    d_pos = F.col("value") - F.col("mean_value") - F.lit(CUSUM_K) * F.col("std_value")
+    d_neg = F.col("mean_value") - F.col("value") - F.lit(CUSUM_K) * F.col("std_value")
+    # two window stages (cumsum, then running min of it) — Catalyst
+    # merges same-spec Window operators, so the series still sorts once
+    staged = j.select(
+        "serial",
+        "metric",
+        "unix_ts",
+        "value",
+        "std_value",
+        F.sum(F.round(d_pos * scale).cast("long")).over(w).alias("cum_pos"),
+        F.sum(F.round(d_neg * scale).cast("long")).over(w).alias("cum_neg"),
+    )
+    # round at 7dp — the EXACT decimal precision of the integer-scaled
+    # statistic (rounding to 6 would sit square on half-boundaries,
+    # where Spark's shortest-repr HALF_UP and DuckDB's binary round
+    # disagree); at 7dp both engines reproduce the identical decimal
+    s_pos = F.round(
+        (F.col("cum_pos") - F.least(F.min("cum_pos").over(w), F.lit(0).cast("long")))
+        / F.lit(scale),
+        7,
+    )
+    s_neg = F.round(
+        (F.col("cum_neg") - F.least(F.min("cum_neg").over(w), F.lit(0).cast("long")))
+        / F.lit(scale),
+        7,
+    )
+    return staged.select(
+        "serial",
+        "metric",
+        "unix_ts",
+        "value",
+        s_pos.alias("cusum_pos"),
+        s_neg.alias("cusum_neg"),
+        (
+            (s_pos > F.lit(CUSUM_H) * F.col("std_value"))
+            | (s_neg > F.lit(CUSUM_H) * F.col("std_value"))
+        ).alias("is_change"),
+    )
+
+
+def cusum_changepoint_oracle(bronze_dedup_sql: str) -> str:
+    k, h = CUSUM_K, CUSUM_H
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+moments AS (
+    SELECT metric,
+           round(avg(value), 6) AS mean_value,
+           round(stddev_samp(value), 6) AS std_value
+    FROM deduped GROUP BY metric
+),
+staged AS (
+    SELECT d.serial, d.metric, d.unix_ts, d.value, m.std_value,
+           sum(CAST(round((d.value - m.mean_value - {k} * m.std_value) * 1e7) AS BIGINT))
+               OVER w AS cum_pos,
+           sum(CAST(round((m.mean_value - d.value - {k} * m.std_value) * 1e7) AS BIGINT))
+               OVER w AS cum_neg
+    FROM deduped d JOIN moments m USING (metric)
+    WINDOW w AS (PARTITION BY d.serial, d.metric ORDER BY d.unix_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+    SELECT serial, metric, unix_ts, value, std_value, cum_pos, cum_neg,
+           min(cum_pos) OVER w2 AS run_min_pos,
+           min(cum_neg) OVER w2 AS run_min_neg
+    FROM staged
+    WINDOW w2 AS (PARTITION BY serial, metric ORDER BY unix_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT serial, metric, unix_ts, value,
+       round((cum_pos - least(run_min_pos, 0)) / 1e7, 7) AS cusum_pos,
+       round((cum_neg - least(run_min_neg, 0)) / 1e7, 7) AS cusum_neg,
+       (round((cum_pos - least(run_min_pos, 0)) / 1e7, 7) > {h} * std_value
+        OR round((cum_neg - least(run_min_neg, 0)) / 1e7, 7) > {h} * std_value)
+           AS is_change
+FROM scored
+"""

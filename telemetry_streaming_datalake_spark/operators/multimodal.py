@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -560,4 +561,161 @@ SELECT st.doc_id,
        st.rms AS rms,
        CAST(c.zc AS INTEGER) AS zero_crossings
 FROM stats st JOIN crossings c USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# PNG container metadata (signature + chunk walk + CRC validation)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _be32(col):
+    """4-byte big-endian binary from a non-negative integer column —
+    the PNG wire form for lengths, dimensions, and CRCs."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def _chunk(ctype: bytes, data_col):
+    """One PNG chunk from a binary data column: length + type + data +
+    CRC-32 over (type ++ data).  Spark's ``crc32`` is java.util.zip's
+    CRC-32 — the exact polynomial PNG mandates — so the emitted chunks
+    carry REAL verifiable checksums."""
+    body = F.concat(F.lit(bytearray(ctype)), data_col)
+    return F.concat(
+        _be32(F.length(data_col)), body, _be32(F.crc32(body))
+    )
+
+
+def attach_png_payload(documents: DataFrame) -> DataFrame:
+    """Materialize a REAL PNG container per document: signature, an
+    IHDR whose width/height derive from the first two md5 nibbles of
+    the text (1..16 each — every row parses different geometry), an
+    IDAT carrying the 16 md5 bytes, and IEND — every chunk with its
+    genuine CRC-32.  Pure JVM column ops (md5 / conv / unhex / crc32 /
+    concat), deterministic from the text, so the DuckDB oracle rebuilds
+    every parsed field from the same hex arithmetic.
+
+    The IDAT payload is deliberately NOT a zlib stream: pixel decode
+    is behind the same guarded NotImplementedError seam as the other
+    compressed codecs (`decode_image`); THIS operator family is about
+    container/metadata parsing, which never inflates.
+    """
+    h = F.md5("text")
+    width = (F.conv(F.substring(h, 1, 1), 16, 10).cast("int") + 1).cast("int")
+    height = (F.conv(F.substring(h, 2, 1), 16, 10).cast("int") + 1).cast("int")
+    ihdr_data = F.concat(
+        _be32(width),
+        _be32(height),
+        F.lit(bytearray(b"\x08\x02\x00\x00\x00")),  # 8-bit RGB, no interlace
+    )
+    payload = F.concat(
+        F.lit(bytearray(_PNG_SIG)),
+        _chunk(b"IHDR", ihdr_data),
+        _chunk(b"IDAT", F.unhex(h)),
+        _chunk(b"IEND", F.lit(bytearray(b""))),
+    )
+    return documents.select(
+        "doc_id", payload.alias("payload"), F.lit("image/png").alias("media_type")
+    )
+
+
+def parse_png(payload: bytes) -> dict:
+    """Real PNG container parser: signature check, chunk walk
+    (length/type/data/CRC), CRC-32 verification of EVERY chunk against
+    zlib.crc32, IHDR field extraction.  Raises on malformed
+    containers; pixel decode (zlib inflate + unfilter) stays behind
+    the guarded seam by design."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, n = 8, len(payload)
+    out = {"n_chunks": 0, "idat_bytes": 0, "crc_ok": True}
+    while pos + 12 <= n:
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + clen : pos + 12 + clen])
+        out["n_chunks"] += 1
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            out["crc_ok"] = False
+        if ctype == b"IHDR":
+            w, h, bd, ct, _comp, _filt, inter = struct.unpack(">IIBBBBB", data)
+            out.update(
+                width=w, height=h, bit_depth=bd, color_type=ct, interlace=inter
+            )
+        elif ctype == b"IDAT":
+            out["idat_bytes"] += clen
+        pos += 12 + clen
+        if ctype == b"IEND":
+            break
+    if "width" not in out:
+        raise ValueError("no IHDR chunk")
+    return out
+
+
+def png_meta(documents: DataFrame) -> DataFrame:
+    """Container metadata for a PNG payload column — the parse an
+    image-curation pipeline runs BEFORE deciding to decode (geometry /
+    bit depth / truncation / checksum filters): every chunk CRC
+    genuinely verified, IHDR fields extracted, IDAT volume summed.
+    Arrow-batched ``mapInPandas``, map-only, no shuffle."""
+    with_payload = attach_png_payload(documents)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("n_pixels", IntegerType(), False),
+            StructField("bit_depth", IntegerType(), False),
+            StructField("color_type", IntegerType(), False),
+            StructField("interlace", IntegerType(), False),
+            StructField("n_chunks", IntegerType(), False),
+            StructField("idat_bytes", IntegerType(), False),
+            StructField("crc_ok", BooleanType(), False),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_png(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        m["width"],
+                        m["height"],
+                        m["width"] * m["height"],
+                        m["bit_depth"],
+                        m["color_type"],
+                        m["interlace"],
+                        m["n_chunks"],
+                        m["idat_bytes"],
+                        m["crc_ok"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return with_payload.select("doc_id", "payload").mapInPandas(_batches, schema)
+
+
+def png_meta_oracle() -> str:
+    """Rebuilds every parsed field from the same md5 arithmetic the
+    synthesizer used (strpos over the hex alphabet = nibble value + 1
+    = the emitted dimension); crc_ok is literal TRUE — one corrupted
+    CRC in the engine's emitted chunks breaks the row hash."""
+    hexd = "'0123456789abcdef'"
+    return f"""
+SELECT doc_id,
+       CAST(strpos({hexd}, substr(md5(text), 1, 1)) AS INTEGER) AS width,
+       CAST(strpos({hexd}, substr(md5(text), 2, 1)) AS INTEGER) AS height,
+       CAST(strpos({hexd}, substr(md5(text), 1, 1))
+            * strpos({hexd}, substr(md5(text), 2, 1)) AS INTEGER) AS n_pixels,
+       8 AS bit_depth, 2 AS color_type, 0 AS interlace,
+       3 AS n_chunks, 16 AS idat_bytes, TRUE AS crc_ok
+FROM documents
 """

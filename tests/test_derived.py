@@ -314,3 +314,41 @@ def test_downsample_ohlc_semantics(spark):
     assert (h0.open, h0.high, h0.low, h0.close, h0.n) == (10.0, 99.0, 3.0, 3.0, 3)
     h1 = out[max(out)]
     assert (h1.open, h1.close, h1.n) == (42.0, 42.0, 1)
+
+
+def test_cusum_matches_direct_recursion_and_alarms_after_shift(spark):
+    """The prefix-sum formulation must equal the textbook recursion
+    S_t = max(0, S_{t-1} + d_t) exactly (same rounded moments), and a
+    mean shift must alarm only after the shift point."""
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    base = [10.0, 11.0, 9.0, 10.0] * 10  # 40 in-control points
+    shift = [22.0, 23.0, 21.0, 22.0, 23.0, 21.0, 22.0, 23.0, 21.0, 22.0]
+    vals = base + shift
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "m", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ded = B.dedup_exact(B.parse_bronze(df))
+    out = sorted(DV.cusum_changepoint(ded).collect(), key=lambda r: r.unix_ts)
+
+    import statistics
+
+    mu = round(statistics.mean(vals), 6)
+    sd = round(statistics.stdev(vals), 6)
+    sp = sn = 0.0
+    for r, v in zip(out, vals):
+        sp = max(0.0, sp + (v - mu - DV.CUSUM_K * sd))
+        sn = max(0.0, sn + (mu - v - DV.CUSUM_K * sd))
+        assert abs(r.cusum_pos - sp) < 1e-6 and abs(r.cusum_neg - sn) < 1e-6
+        assert r.is_change == (
+            round(sp, 6) > DV.CUSUM_H * sd or round(sn, 6) > DV.CUSUM_H * sd
+        )
+    # the shifted regime must eventually alarm; in-control never does
+    assert not any(r.is_change for r in out[: len(base)])
+    assert any(r.is_change for r in out[len(base):])

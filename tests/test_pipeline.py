@@ -294,3 +294,34 @@ def test_rollup_restate_retraction_equals_recompute(spark):
     }
     d1 = dup_out[("m", "2024-01-01")]
     assert d1.sum_value == 15.0 and d1.max_value == 10.0 and d1.n_points == 2
+
+
+def test_png_container_roundtrip_and_crc_validation(spark):
+    """The emitted PNG containers parse back exactly (per-doc geometry
+    from md5 nibbles), every chunk CRC verifies, and a flipped byte in
+    the IDAT body is CAUGHT by the CRC check."""
+    import hashlib
+
+    from telemetry_streaming_datalake_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "some other text")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in MM.png_meta(docs).collect()}
+    for doc_id, text in [(1, "alpha doc"), (2, "some other text")]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        assert out[doc_id].width == int(h[0], 16) + 1
+        assert out[doc_id].height == int(h[1], 16) + 1
+        assert out[doc_id].crc_ok and out[doc_id].n_chunks == 3
+        assert out[doc_id].idat_bytes == 16
+        assert (out[doc_id].bit_depth, out[doc_id].color_type) == (8, 2)
+
+    payload = bytearray(
+        MM.attach_png_payload(docs.filter("doc_id = 1")).collect()[0].payload
+    )
+    meta = MM.parse_png(bytes(payload))
+    assert meta["crc_ok"]
+    # flip one IDAT body byte: structure still parses, CRC check fails
+    idat_body = len(payload) - 12 - 16 - 4  # IEND chunk + IDAT crc+data offset
+    payload[idat_body] ^= 0xFF
+    assert not MM.parse_png(bytes(payload))["crc_ok"]
