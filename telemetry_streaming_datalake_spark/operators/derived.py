@@ -750,19 +750,21 @@ def downsample_ohlc(bronze_deduped: DataFrame, bucket_secs: int = 3600) -> DataF
     raw points (the M4/OHLC family of time-series downsamplers).
 
     One partial-agg shuffle on (serial, metric, bucket): open/close
-    ride min/max over a (unix_ts, value) struct — post-dedup unix_ts
+    ride ``min_by``/``max_by`` on the timestamp — post-dedup unix_ts
     is unique within a series, so both are deterministic without a
-    window pass; no second scan, no sort.
+    window pass.  min_by keeps the whole pipeline in HashAggregate
+    with map-side combine (a min-over-struct formulation forces
+    SortAggregate — an in-partition sort per side — because struct
+    buffers are not hash-aggregable); no second scan, no sort.
     """
     bucket = (F.col("unix_ts") - F.col("unix_ts") % bucket_secs).alias("bucket_ts")
-    st = F.struct("unix_ts", "value")
     return (
         bronze_deduped.groupBy("serial", "metric", bucket)
         .agg(
-            F.min(st)["value"].alias("open"),
+            F.min_by("value", "unix_ts").alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max(st)["value"].alias("close"),
+            F.max_by("value", "unix_ts").alias("close"),
             F.round(F.avg("value"), 6).alias("mean"),
             F.count(F.lit(1)).alias("n"),
         )

@@ -436,3 +436,59 @@ def test_zipf_fit_takeordered_not_global_sort(spark):
 
     p = _plan(E.queries()["zipf_fit"](spark, SF))
     assert "TakeOrderedAndProject" in p
+
+
+def test_cusum_single_fact_shuffle_shared_sort(spark):
+    """CUSUM's two window stages (integer cumsum, running min) must
+    share ONE series-keyed exchange + sort; the per-metric moments ride
+    a broadcast, never a fact-side shuffle."""
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    src = spark.createDataFrame(
+        [("s", "m", 1, 1.0)], "serial string, metric string, unix_ts long, value double"
+    )
+    p = DV.cusum_changepoint(src)._jdf.queryExecution().executedPlan().toString()
+    # two shuffles total: the fact's series key + the 5-row moments agg
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in p
+    # both Window operators present, ONE sort feeding them
+    assert p.count("+- Window") == 2
+    assert p.count("+- Sort") == 1
+
+
+def test_ewma_single_series_shuffle(spark):
+    """The EWMA fold is plan-time literals over one series-keyed
+    window — exactly one exchange, no broadcast, no join."""
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    src = spark.createDataFrame(
+        [("s", "m", 1, 1.0)], "serial string, metric string, unix_ts long, value double"
+    )
+    p = DV.ewma_smooth(src)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_ohlc_single_partial_agg_no_window(spark):
+    """OHLC is ONE partial-agg shuffle (struct min/max carry
+    open/close) — no Window operator, no sort."""
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    src = spark.createDataFrame(
+        [("s", "m", 1, 1.0)], "serial string, metric string, unix_ts long, value double"
+    )
+    p = DV.downsample_ohlc(src)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_min_by" in p  # map-side combine present
+    assert "HashAggregate" in p and "SortAggregate" not in p
+    assert "Window" not in p and "+- Sort" not in p
+
+
+def test_png_meta_map_only(spark):
+    """Container synthesis + parse is a map-only pipeline — zero
+    exchanges of any kind."""
+    from telemetry_streaming_datalake_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    p = MM.png_meta(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
