@@ -217,6 +217,13 @@ def _streaming_gs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_grouping_sets(spark, sf_dir, work)
 
 
+def _streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_sewma_")
+    return SP.streaming_ewma(spark, sf_dir, work)
+
+
 def _streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -486,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             B.dedup_exact(_bronze(s, d))
         ),
         "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
+        "streaming_ewma": _streaming_ewma,
         "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -768,6 +776,9 @@ FROM (
         "ewma_smooth": DV.ewma_smooth_oracle(DEDUP_ORACLE),
         "cusum_changepoint": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
         "png_meta": MM.png_meta_oracle(),
+        # bounded-horizon EWMA is the SAME semantics batch and stream,
+        # so the drained stream shares the batch oracle
+        "streaming_ewma": DV.ewma_smooth_oracle(DEDUP_ORACLE),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,

@@ -1087,3 +1087,117 @@ def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> Da
         .select(*cols)
     )
     return keep.unionByName(rej)
+
+
+# --------------------------------------------------------------------------
+# streaming EWMA (bounded-tail state, exact batch parity)
+# --------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = (
+    "serial string, metric string, unix_ts long, value double, ewma double"
+)
+_EWMA_STATE_SCHEMA = "n_seen long, last_ts long, tail array<double>"
+
+
+def _ewma_state_fn(key, pdfs, state):
+    """Per-(serial, metric) finite-horizon EWMA with the trailing
+    K-1 readings carried as state — the bounded-state form IS the
+    batch operator's semantics, so the drained stream equals
+    ``operators.derived.ewma_smooth`` row for row (same weight
+    literals, same multiply/add order, HALF_UP rounding replicated via
+    Decimal-over-shortest-repr exactly as Spark's ``round`` does)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from telemetry_streaming_datalake_spark.operators.derived import (
+        _EWMA_APOW,
+        _EWMA_POW,
+        EWMA_HORIZON as K,
+    )
+
+    if state.exists:
+        n_seen, last_ts, tail = state.get
+        tail = list(tail)
+    else:
+        n_seen, last_ts, tail = 0, None, []
+    out = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["unix_ts", "event_id"])
+            .drop_duplicates("unix_ts", keep="first")
+        )
+        for r in whole.itertuples(index=False):
+            ts, v = int(r.unix_ts), float(r.value)
+            if last_ts is not None and last_ts >= 0 and ts <= last_ts:
+                continue
+            n_seen += 1
+            win = (tail + [v])[-min(n_seen, K):]
+            L = len(win)
+            s = None
+            for i in range(1, L + 1):
+                w = (
+                    _EWMA_POW[L - 1]
+                    if (i == 1 and n_seen <= K)
+                    else _EWMA_APOW[L - i]
+                )
+                t = win[i - 1] * w
+                s = t if s is None else s + t
+            ewma = float(
+                Decimal(repr(s)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            out.append([key[0], key[1], ts, v, ewma])
+            tail = (tail + [v])[-(K - 1):]
+            last_ts = ts
+    state.update((n_seen, last_ts if last_ts is not None else -1, tail))
+    cols = ["serial", "metric", "unix_ts", "value", "ewma"]
+    yield pd.DataFrame(out, columns=cols)
+
+
+def streaming_ewma(
+    spark: SparkSession, sf_dir: str, work_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``operators.derived.ewma_smooth``: the
+    trailing horizon rides in ``applyInPandasWithState`` state (≤ K-1
+    doubles + two longs per series — O(distinct series) no matter how
+    long the stream runs), hash-partitioned on the series key (the one
+    exchange the batch window also takes).  Because the batch operator
+    is ALREADY the bounded-horizon form, stream and batch agree
+    exactly — the drained ``availableNow`` result shares the batch
+    key's SQL oracle, and ``maxFilesPerTrigger=1`` exercises the
+    cross-batch tail carry (``tests/test_streaming.py``)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if max_files_per_trigger:
+        path = os.path.join(work_dir, "landing")
+        schema = spark.read.parquet(path).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        raw = _events_glob(spark, sf_dir, work_dir)
+    raw = normalize_nano_ts(raw, "ts")
+    bronze = parse_bronze(raw)
+    smoothed = bronze.groupBy("serial", "metric").applyInPandasWithState(
+        _ewma_state_fn,
+        EWMA_OUTPUT_SCHEMA,
+        _EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = os.path.join(work_dir, "ewma_out")
+    ckpt = os.path.join(work_dir, "ewma_ckpt")
+    (
+        smoothed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)

@@ -354,3 +354,68 @@ def test_gopher_filter_keep_is_conjunction(spark, texts):
             and r.pass_alpha_frac
             and r.pass_stopwords
         )
+
+
+#: per-series value streams for the smoothing/change-point properties
+_series_strategy = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _bronze_series(spark, vals):
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i), 1, "m", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    return B.dedup_exact(B.parse_bronze(df))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_series_strategy)
+def test_ewma_matches_reference_recursion(spark, vals):
+    """Finite-horizon EWMA == the adjust=False recursion wherever the
+    horizon covers the series prefix (always true for short series)."""
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    assume_short = vals[: DV.EWMA_HORIZON]
+    ded = _bronze_series(spark, assume_short)
+    got = [
+        r.ewma
+        for r in sorted(DV.ewma_smooth(ded).collect(), key=lambda r: r.unix_ts)
+    ]
+    e = None
+    for g, v in zip(got, assume_short):
+        e = v if e is None else DV.EWMA_ALPHA * v + (1 - DV.EWMA_ALPHA) * e
+        assert abs(g - e) < 1e-5
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_series_strategy)
+def test_cusum_matches_reference_recursion(spark, vals):
+    """Prefix-sum CUSUM == the textbook max(0, ·) recursion on
+    arbitrary series (moments self-computed, 1e-7 quantization)."""
+    import statistics
+
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    ded = _bronze_series(spark, vals)
+    out = sorted(DV.cusum_changepoint(ded).collect(), key=lambda r: r.unix_ts)
+    mu = round(statistics.mean(vals), 6)
+    sd = round(statistics.stdev(vals), 6) if len(vals) > 1 else None
+    if sd is None:
+        # single reading: stddev_samp is NULL -> cusum columns NULL
+        assert out[0].cusum_pos is None and out[0].cusum_neg is None
+        return
+    sp = sn = 0.0
+    for r, v in zip(out, vals):
+        sp = max(0.0, sp + (v - mu - DV.CUSUM_K * sd))
+        sn = max(0.0, sn + (mu - v - DV.CUSUM_K * sd))
+        assert abs(r.cusum_pos - sp) < 1e-5 and abs(r.cusum_neg - sn) < 1e-5

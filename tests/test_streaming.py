@@ -732,3 +732,42 @@ def test_resilient_store_persistent_fault_converges_on_replay(spark):
     n = store.write_attempts
     store.apply_batch(batch, 7)
     assert store.write_attempts == n
+
+
+def test_streaming_ewma_carries_tail_across_batches(spark, tmp_path):
+    """Time-split the feed into two files drained one per micro-batch:
+    batch-2 smoothing must weight the trailing batch-1 readings (tail
+    state carry), and the union of emissions must equal the batch
+    finite-horizon ewma_smooth EXACTLY — same weights, same FP order,
+    same HALF_UP rounding."""
+    import glob
+    import os as _os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.derived import ewma_smooth
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import streaming_ewma
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    ts_cut = raw.select(F.unix_timestamp("ts").alias("u")).approxQuantile("u", [0.5], 0.0)[0]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    halves = [
+        raw.filter(F.unix_timestamp("ts") <= ts_cut),
+        raw.filter(F.unix_timestamp("ts") > ts_cut),
+    ]
+    for i, half in enumerate(halves):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(_os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    got = streaming_ewma(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    want = ewma_smooth(dedup_exact(parse_bronze(raw)))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
