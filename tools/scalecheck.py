@@ -165,6 +165,16 @@ def queries():
         ),
         "incremental_dedup": lambda s, d: DD.incremental_dedup(s, d),
         "tokenize_bpe": lambda s, d: TX.tokenize_bpe(load_table(s, d, "documents")),
+        # round-7 additions: per-series window / single-agg shapes
+        "ewma_smooth": lambda s, d: DV.ewma_smooth(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "cusum_changepoint": lambda s, d: DV.cusum_changepoint(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
     }
 
 
