@@ -494,6 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
         "streaming_ewma": _streaming_ewma,
+        "approx_percentile_audit": lambda s, d: DV.approx_percentile_audit(
+            B.dedup_exact(_bronze(s, d))
+        ),
         "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -779,6 +782,7 @@ FROM (
         # bounded-horizon EWMA is the SAME semantics batch and stream,
         # so the drained stream shares the batch oracle
         "streaming_ewma": DV.ewma_smooth_oracle(DEDUP_ORACLE),
+        "approx_percentile_audit": DV.approx_percentile_audit_oracle(DEDUP_ORACLE),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,

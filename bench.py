@@ -133,6 +133,7 @@ HEADLINE = [
     "ewma_smooth",
     "cusum_changepoint",
     "png_meta",
+    "approx_percentile_audit",
     "downsample_ohlc",
     "bpe_merges",
     "metric_correlation",

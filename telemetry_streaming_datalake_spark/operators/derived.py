@@ -910,3 +910,97 @@ SELECT serial, metric, unix_ts, value,
            AS is_change
 FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# approx-percentile audit (the 100 TB swap-in's accuracy contract)
+# --------------------------------------------------------------------------
+
+#: sketch accuracy for the audited swap-in; the audited claim is the
+#: sketch's OWN documented guarantee — rank error <= 1/accuracy — plus
+#: one rank of discreteness (the sketch returns an actual sample, the
+#: exact percentile interpolates between order statistics)
+APPROX_PCTL_ACCURACY = 10000
+
+
+def approx_percentile_audit(
+    bronze_deduped: DataFrame,
+    accuracy: int = APPROX_PCTL_ACCURACY,
+) -> DataFrame:
+    """Driver-checkable audit of the ``approx_percentile`` swap-in the
+    percentile rollup documents for 100 TB: per (metric, datestamp),
+    the EXACT p50/p95/p99 plus a ``within_tol`` flag asserting every
+    sketch estimate honors the sketch's contract IN RANK SPACE —
+    the fraction of group values below/at the estimate brackets the
+    target quantile within ``1/accuracy + 1/n`` (rank error plus one
+    rank of sample-vs-interpolation discreteness; a value-space
+    tolerance would be a lie at small n, where adjacent order
+    statistics in the tail sit several percent apart).
+
+    Same gate shape as ``rollup.approx_distinct_audit``: the sketch
+    values are engine-specific and stay OUT of the output; the group
+    set, exact values, and the in-contract claim are what the oracle
+    hash-compares (literal TRUE — one out-of-contract estimate
+    mismatches the row).  Cost: the one grouped aggregate both paths
+    share, plus a broadcast of the group-cardinality estimates back
+    onto the fact for the rank counts — the fact shuffles on the same
+    key twice, never more."""
+    qs = [0.5, 0.95, 0.99]
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for q in qs:
+        tag = f"p{int(q * 100)}"
+        aggs.append(F.round(F.percentile("value", q), 6).alias(f"{tag}_exact"))
+        aggs.append(
+            F.approx_percentile("value", q, accuracy).alias(f"_{tag}_approx")
+        )
+    est = bronze_deduped.groupBy("metric", "datestamp").agg(*aggs)
+    joined = bronze_deduped.select("metric", "datestamp", "value").join(
+        F.broadcast(est), ["metric", "datestamp"]
+    )
+    rank_aggs = []
+    for q in qs:
+        tag = f"p{int(q * 100)}"
+        rank_aggs.append(
+            F.sum(
+                F.when(F.col("value") < F.col(f"_{tag}_approx"), 1).otherwise(0)
+            ).alias(f"_{tag}_lt")
+        )
+        rank_aggs.append(
+            F.sum(
+                F.when(F.col("value") <= F.col(f"_{tag}_approx"), 1).otherwise(0)
+            ).alias(f"_{tag}_le")
+        )
+    ranks = joined.groupBy("metric", "datestamp").agg(*rank_aggs)
+    df = est.join(ranks, ["metric", "datestamp"])
+    slack = F.lit(1.0 / accuracy) + 1.0 / F.col("n_points")
+    ok = None
+    for q in qs:
+        tag = f"p{int(q * 100)}"
+        this = (
+            (F.col(f"_{tag}_lt") / F.col("n_points") <= F.lit(q) + slack)
+            & (F.col(f"_{tag}_le") / F.col("n_points") >= F.lit(q) - slack)
+        )
+        ok = this if ok is None else (ok & this)
+    return df.select(
+        "metric",
+        "datestamp",
+        "n_points",
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+        ok.alias("within_tol"),
+    )
+
+
+def approx_percentile_audit_oracle(bronze_dedup_sql: str) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql})
+SELECT metric, datestamp,
+       count(*) AS n_points,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       round(quantile_cont(value, 0.95), 6) AS p95_exact,
+       round(quantile_cont(value, 0.99), 6) AS p99_exact,
+       TRUE AS within_tol
+FROM deduped
+GROUP BY metric, datestamp
+"""

