@@ -41,8 +41,20 @@ _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed since this operation read its base
+    version — the optimistic-concurrency rejection Delta raises as
+    ConcurrentModificationException.  Retry by re-reading and
+    re-applying (the standard OCC loop)."""
+
+
 class VersionedParquetStore:
-    """Single-writer versioned parquet table with time travel."""
+    """Versioned parquet table with time travel and optimistic
+    concurrency: every mutating operation captures the version it read
+    and its commit is rejected (:class:`CommitConflict`) if another
+    writer published first — manifest publication is create-exclusive
+    (hard-link), so two racing writers can never both claim the same
+    version number even without the base check."""
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -69,8 +81,19 @@ class VersionedParquetStore:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], op: str, meta: dict | None = None) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        meta: dict | None = None,
+        expected_base: int | None | str = "unchecked",
+    ) -> int:
         prev = self.latest_version()
+        if expected_base != "unchecked" and prev != expected_base:
+            raise CommitConflict(
+                f"{op} read version {expected_base} but the table is now "
+                f"at {prev} — concurrent commit; re-read and retry"
+            )
         version = 0 if prev is None else prev + 1
         manifest = {
             "version": version,
@@ -82,7 +105,19 @@ class VersionedParquetStore:
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path(version))  # atomic publish
+        try:
+            # create-exclusive publish: os.link fails if the version
+            # file already exists, so a racing writer that computed the
+            # same version number loses deterministically (os.replace
+            # would silently overwrite — a lost update)
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            raise CommitConflict(
+                f"{op}: version {version} was published by a concurrent "
+                "writer between the base check and the commit"
+            ) from None
+        finally:
+            os.remove(tmp)
         return version
 
     def history(self) -> list[dict]:
@@ -171,16 +206,19 @@ class VersionedParquetStore:
         time travel survive a widened bronze schema (VERDICT r6 #9)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        base = self.latest_version()
         if mode == "append":
             schema = self._evolve_schema(df, merge_schema)
         else:
             schema = self._schema_list(df)
-        next_v = 0 if self.latest_version() is None else self.latest_version() + 1
+        next_v = 0 if base is None else base + 1
         new_files = self._write_data(df, next_v, partition_col)
         carried: list[str] = []
-        if mode == "append" and self.latest_version() is not None:
-            carried = self._read_manifest(self.latest_version())["files"]
-        return self._commit(carried + new_files, mode, {"schema": schema})
+        if mode == "append" and base is not None:
+            carried = self._read_manifest(base)["files"]
+        return self._commit(
+            carried + new_files, mode, {"schema": schema}, expected_base=base
+        )
 
     def delete_partitions(
         self, partition_col: str, values: list, keep_predicate=None
@@ -189,7 +227,8 @@ class VersionedParquetStore:
         partitions (optionally keeping rows matching
         ``keep_predicate``); every other file is carried by reference —
         the Delta ``DELETE WHERE partition IN (...)`` cost shape."""
-        cur = self._read_manifest(self.latest_version())
+        base = self.latest_version()
+        cur = self._read_manifest(base)
         str_vals = {str(v) for v in values}
 
         def is_touched(relpath: str) -> bool:
@@ -211,6 +250,37 @@ class VersionedParquetStore:
                 # a delete never changes the table schema — carry it
                 "schema": cur.get("schema"),
             },
+            expected_base=base,
+        )
+
+    def optimize(self, partition_col: str | None = None) -> int:
+        """OPTIMIZE as a log commit: rewrite the CURRENT snapshot's
+        row set into freshly-compacted files and publish it as a new
+        version (op ``optimize``) — data-identical by construction,
+        and every pre-optimize version still time-travels until
+        :meth:`vacuum` expires it, exactly Delta's OPTIMIZE contract.
+        The small-file problem this solves at 100 TB: a streaming
+        append lands one file set per micro-batch, and the read-side
+        file count grows without bound until a compaction commit
+        re-clusters them (cf. ``operators/retention.py`` for the
+        bin-packing PLAN over file stats; this is the transactional
+        executor on the versioned log)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"nothing to optimize at {self.path}")
+        cur = self._read_manifest(base)
+        snapshot = self.read()
+        next_v = base + 1
+        new_files = self._write_data(
+            snapshot.coalesce(1) if partition_col is None else snapshot,
+            next_v,
+            partition_col,
+        )
+        return self._commit(
+            new_files,
+            "optimize",
+            {"compacted_from": len(cur["files"]), "schema": cur.get("schema")},
+            expected_base=base,
         )
 
     # ---------------------------------------------------------------- read

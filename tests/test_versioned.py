@@ -132,3 +132,49 @@ def test_schema_carries_through_delete_and_replay(spark, tmp_path):
     latest = store.read()
     assert [f.name for f in latest.schema.fields] == ["id", "ds", "q"]
     assert {r.id for r in latest.collect()} == {2, 3}
+
+
+def test_optimistic_concurrency_rejects_conflicting_commit(spark, tmp_path):
+    """Two writers on one table: the slower writer's commit must raise
+    CommitConflict, never silently overwrite or double-claim a version
+    (Delta's ConcurrentModificationException contract)."""
+    from telemetry_streaming_datalake_spark.storage.versioned import (
+        CommitConflict,
+        VersionedParquetStore,
+    )
+
+    path = str(tmp_path / "occ")
+    w1 = VersionedParquetStore(spark, path)
+    w2 = VersionedParquetStore(spark, path)
+    w1.write(spark.createDataFrame([(1,)], "id long"))
+    # w1 stages a commit against base 0; w2 publishes first
+    base = w1.latest_version()
+    files = w1._write_data(spark.createDataFrame([(2,)], "id long"), 99, None)
+    w2.write(spark.createDataFrame([(3,)], "id long"))
+    with pytest.raises(CommitConflict):
+        w1._commit(files, "append", {"schema": [["id", "bigint"]]}, expected_base=base)
+    # the winning history is intact: v0 (w1) then v1 (w2)
+    assert w1.versions() == [0, 1]
+    assert {r.id for r in w1.read().collect()} == {1, 3}
+
+
+def test_optimize_commit_compacts_without_changing_data(spark, tmp_path):
+    """OPTIMIZE publishes a data-identical compacted version; earlier
+    versions still time-travel until vacuumed, then the optimized
+    snapshot survives alone."""
+    from telemetry_streaming_datalake_spark.storage.versioned import (
+        VersionedParquetStore,
+    )
+
+    store = VersionedParquetStore(spark, str(tmp_path / "opt"))
+    for i in range(4):  # four micro-batch-ish appends -> many files
+        store.write(spark.createDataFrame([(i, float(i))], "id long, v double"))
+    before = store._read_manifest(store.latest_version())["files"]
+    v = store.optimize()
+    after = store._read_manifest(v)["files"]
+    assert len(after) < len(before)
+    assert store.history()[-1]["op"] == "optimize"
+    want = {(r.id, r.v) for r in store.read(version=3).collect()}
+    assert {(r.id, r.v) for r in store.read().collect()} == want
+    store.vacuum(retain_last=1)
+    assert {(r.id, r.v) for r in store.read().collect()} == want
