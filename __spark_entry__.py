@@ -497,6 +497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_audit": lambda s, d: DV.approx_percentile_audit(
             B.dedup_exact(_bronze(s, d))
         ),
+        "availability_report": lambda s, d: DT.availability_report(
+            B.dedup_exact(_bronze(s, d))
+        ),
         "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -783,6 +786,7 @@ FROM (
         # so the drained stream shares the batch oracle
         "streaming_ewma": DV.ewma_smooth_oracle(DEDUP_ORACLE),
         "approx_percentile_audit": DV.approx_percentile_audit_oracle(DEDUP_ORACLE),
+        "availability_report": DT.availability_report_oracle(DEDUP_ORACLE),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,

@@ -134,6 +134,7 @@ HEADLINE = [
     "cusum_changepoint",
     "png_meta",
     "approx_percentile_audit",
+    "availability_report",
     "downsample_ohlc",
     "bpe_merges",
     "metric_correlation",

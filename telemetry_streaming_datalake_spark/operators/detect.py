@@ -457,3 +457,89 @@ FROM bronze"""
         for c, _ in PROFILE_COLS
     )
     return f"WITH bronze AS ({bronze_cte})\n{branches}"
+
+
+# --------------------------------------------------------------------------
+# per-device daily availability / uptime report
+# --------------------------------------------------------------------------
+
+#: a reporting gap longer than this counts as downtime (the reference's
+#: data-lack detection asks "which feeds went quiet"; this asks "for
+#: HOW LONG, per device-day" — the SLA number an ops dashboard exports)
+AVAIL_SLACK_S = 600
+
+
+def availability_report(
+    bronze_deduped: DataFrame, slack_s: int = AVAIL_SLACK_S
+) -> DataFrame:
+    """Per (serial, datestamp): seconds of downtime and the resulting
+    availability fraction.  A device is "down" whenever the time since
+    its previous reading exceeds ``slack_s`` — the excess over the
+    slack counts as downtime — including the head gap from midnight to
+    the first reading and the tail gap from the last reading to
+    midnight (a device first seen at noon was down all morning, by
+    definition: the report is about coverage of the DAY, not of the
+    device's own activity span).
+
+    One series-day-keyed window (lag) + one aggregate on the same key
+    — a single shuffle; the day-boundary epochs come from the
+    datestamp string, no second scan.
+    """
+    from pyspark.sql import Window
+
+    day0 = F.unix_timestamp(F.col("datestamp"), "yyyy-MM-dd")
+    w = Window.partitionBy("serial", "datestamp").orderBy("unix_ts")
+    with_gap = bronze_deduped.select(
+        "serial", "datestamp", "unix_ts"
+    ).withColumn(
+        "gap",
+        F.col("unix_ts") - F.coalesce(F.lag("unix_ts").over(w), day0),
+    )
+    return (
+        with_gap.groupBy("serial", "datestamp")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            (
+                F.sum(F.greatest(F.col("gap") - slack_s, F.lit(0)))
+                + F.greatest(
+                    (day0 + 86400) - F.max("unix_ts") - slack_s, F.lit(0)
+                )
+            ).alias("downtime_secs"),
+        )
+        .select(
+            "serial",
+            "datestamp",
+            "n_readings",
+            "downtime_secs",
+            F.round(1.0 - F.col("downtime_secs") / F.lit(86400.0), 6).alias(
+                "availability"
+            ),
+        )
+    )
+
+
+def availability_report_oracle(
+    bronze_dedup_sql: str, slack_s: int = AVAIL_SLACK_S
+) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+gaps AS (
+    SELECT serial, datestamp, unix_ts,
+           unix_ts - coalesce(
+               lag(unix_ts) OVER (PARTITION BY serial, datestamp ORDER BY unix_ts),
+               CAST(epoch(strptime(datestamp, '%Y-%m-%d')) AS BIGINT)
+           ) AS gap,
+           CAST(epoch(strptime(datestamp, '%Y-%m-%d')) AS BIGINT) AS day0
+    FROM deduped
+)
+SELECT serial, datestamp,
+       count(*) AS n_readings,
+       sum(greatest(gap - {slack_s}, 0))
+           + greatest(max(day0) + 86400 - max(unix_ts) - {slack_s}, 0)
+           AS downtime_secs,
+       round(1.0 - (sum(greatest(gap - {slack_s}, 0))
+           + greatest(max(day0) + 86400 - max(unix_ts) - {slack_s}, 0)) / 86400.0, 6)
+           AS availability
+FROM gaps
+GROUP BY serial, datestamp
+"""

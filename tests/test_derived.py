@@ -373,3 +373,26 @@ def test_approx_percentile_audit_contract(spark):
     for r in rows:
         assert r.p50_exact == exact[(r.metric, r.datestamp)].p50
         assert r.p99_exact == exact[(r.metric, r.datestamp)].p99
+
+
+def test_availability_report_gap_accounting(spark):
+    """Head gap (midnight -> first reading), interior gap, and tail gap
+    (last reading -> midnight) all count downtime beyond the slack; a
+    steadily-reporting device scores ~1.0."""
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+
+    day0 = 1704067200  # 2024-01-01 00:00 UTC
+    # device A: reads at 01:00 and 02:00 then silent => head 3600,
+    # interior 3600, tail 79200 — downtime = sum(gap - 600 over slack)
+    rows_a = [("a", "2024-01-01", day0 + 3600), ("a", "2024-01-01", day0 + 7200)]
+    # device B: every 5 min all day => all gaps under the 600s slack
+    rows_b = [("b", "2024-01-01", day0 + i * 300) for i in range(288)]
+    df = spark.createDataFrame(
+        rows_a + rows_b, "serial string, datestamp string, unix_ts long"
+    )
+    out = {r.serial: r for r in DT.availability_report(df).collect()}
+    want_a = (3600 - 600) + (3600 - 600) + (86400 - 7200 - 600)
+    assert out["a"].downtime_secs == want_a
+    assert abs(out["a"].availability - (1 - want_a / 86400)) < 1e-6
+    # B: head gap 0 (reads at midnight), tail gap 300 < slack
+    assert out["b"].downtime_secs == 0 and out["b"].availability == 1.0
