@@ -953,7 +953,14 @@ def approx_percentile_audit(
         aggs.append(
             F.approx_percentile("value", q, accuracy).alias(f"_{tag}_approx")
         )
-    est = bronze_deduped.groupBy("metric", "datestamp").agg(*aggs)
+    # materialize the group-cardinality estimate frame ONCE — it feeds
+    # both the broadcast into the rank counts and the final join, and
+    # without the pin each branch would re-run the full fact aggregate
+    est = (
+        bronze_deduped.groupBy("metric", "datestamp")
+        .agg(*aggs)
+        .localCheckpoint(eager=True)
+    )
     joined = bronze_deduped.select("metric", "datestamp", "value").join(
         F.broadcast(est), ["metric", "datestamp"]
     )

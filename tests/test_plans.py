@@ -492,3 +492,33 @@ def test_png_meta_map_only(spark):
     docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     p = MM.png_meta(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
+
+
+def test_availability_report_single_shuffle(spark):
+    """Lag window and aggregate share the (serial, datestamp) key —
+    exactly one exchange."""
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+
+    src = spark.createDataFrame(
+        [("s", "2024-01-01", 1)], "serial string, datestamp string, unix_ts long"
+    )
+    p = DT.availability_report(src)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_approx_percentile_audit_broadcasts_estimates(spark):
+    """The group-cardinality estimate frame broadcasts back onto the
+    fact; the fact shuffles on the group key for the two aggregates and
+    never more."""
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    src = spark.createDataFrame(
+        [("m", "2024-01-01", 1.0)], "metric string, datestamp string, value double"
+    )
+    p = DV.approx_percentile_audit(src)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p  # fact joins the estimates broadcast-side
+    # the fact shuffles once here (the rank agg) — the estimate frame
+    # is checkpoint-pinned, so its aggregate ran exactly once upstream
+    # instead of once per consuming branch
+    assert p.count("Exchange hashpartitioning") <= 2
