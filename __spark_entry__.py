@@ -224,6 +224,13 @@ def _streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_ewma(spark, sf_dir, work)
 
 
+def _streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_sohlc_")
+    return SP.streaming_ohlc(spark, sf_dir, work)
+
+
 def _streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -494,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
         "streaming_ewma": _streaming_ewma,
+        "streaming_ohlc": _streaming_ohlc,
         "approx_percentile_audit": lambda s, d: DV.approx_percentile_audit(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -785,6 +793,9 @@ FROM (
         # bounded-horizon EWMA is the SAME semantics batch and stream,
         # so the drained stream shares the batch oracle
         "streaming_ewma": DV.ewma_smooth_oracle(DEDUP_ORACLE),
+        # windowed min_by/max_by partials merge across micro-batches, so
+        # the drained stream shares the batch OHLC oracle
+        "streaming_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "approx_percentile_audit": DV.approx_percentile_audit_oracle(DEDUP_ORACLE),
         "availability_report": DT.availability_report_oracle(DEDUP_ORACLE),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),

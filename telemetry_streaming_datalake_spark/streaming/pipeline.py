@@ -1201,3 +1201,69 @@ def streaming_ewma(
         .awaitTermination()
     )
     return spark.read.parquet(out)
+
+
+def streaming_ohlc(
+    spark: SparkSession, sf_dir: str, work_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``operators.derived.downsample_ohlc``: the
+    per-series hourly OHLC maintained as a watermarked tumbling-window
+    aggregate — ``min_by``/``max_by`` are algebraic, so open/close
+    partials merge across micro-batches exactly like sum/count and the
+    chart-resolution store updates incrementally as readings arrive
+    (the serving-side form of downsampling: the raw points never land,
+    only the OHLC rows do).
+
+    Over a drained ``availableNow`` feed every window holds its final
+    value, so the result equals the batch operator — which is the SQL
+    oracle (same complete-mode drain note as
+    :func:`streaming_sliding_counts`: append mode would hold back
+    windows inside the late-data horizon at end-of-feed).
+    """
+    if max_files_per_trigger:
+        path = os.path.join(work_dir, "landing")
+        schema = spark.read.parquet(path).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        raw = _events_glob(spark, sf_dir, work_dir)
+    raw = normalize_nano_ts(raw, "ts")
+    bronze = parse_bronze(raw)
+    windowed = (
+        bronze.withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
+        .withWatermark("event_time", DEDUP_WATERMARK)
+        .groupBy(F.window("event_time", "1 hour"), "serial", "metric")
+        .agg(
+            F.min_by("value", "unix_ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "unix_ts").alias("close"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    out = os.path.join(work_dir, "ohlc_out")
+    ckpt = os.path.join(work_dir, "ohlc_ckpt")
+    (
+        windowed.writeStream.outputMode("complete")
+        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    res = spark.read.parquet(out)
+    return res.select(
+        "serial",
+        "metric",
+        F.unix_timestamp(F.col("window.start")).alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "mean",
+        "n",
+    )

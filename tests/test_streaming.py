@@ -771,3 +771,40 @@ def test_streaming_ewma_carries_tail_across_batches(spark, tmp_path):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
+
+
+def test_streaming_ohlc_merges_window_partials_across_batches(spark, tmp_path):
+    """Split the feed by alternating event_id so every hour window
+    receives rows in BOTH micro-batches: the merged min_by/max_by
+    partials must still pick the chronologically first/last reading of
+    the window — equal to the batch downsample exactly."""
+    import glob
+    import os as _os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.derived import downsample_ohlc
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import streaming_ohlc
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    halves = [
+        raw.filter(F.col("event_id") % 2 == 0),
+        raw.filter(F.col("event_id") % 2 == 1),
+    ]
+    for i, half in enumerate(halves):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(_os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    got = streaming_ohlc(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    want = downsample_ohlc(dedup_exact(parse_bronze(raw)))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
