@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "availability_report": lambda s, d: DT.availability_report(
             B.dedup_exact(_bronze(s, d))
         ),
+        "bm25_search": lambda s, d: TX.bm25_search(load_table(s, d, "documents")),
         "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -798,6 +799,7 @@ FROM (
         "streaming_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "approx_percentile_audit": DV.approx_percentile_audit_oracle(DEDUP_ORACLE),
         "availability_report": DT.availability_report_oracle(DEDUP_ORACLE),
+        "bm25_search": TX.bm25_search_oracle(),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,

@@ -135,6 +135,7 @@ HEADLINE = [
     "png_meta",
     "approx_percentile_audit",
     "availability_report",
+    "bm25_search",
     "downsample_ohlc",
     "bpe_merges",
     "metric_correlation",

@@ -1087,3 +1087,129 @@ SELECT CAST(n AS BIGINT) AS n_tokens_fit,
              / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r_squared
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval
+# --------------------------------------------------------------------------
+
+#: fixed demo query over the synthetic corpus vocabulary
+BM25_QUERY_TERMS = ("hash", "join", "vector", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 50
+
+
+def bm25_search(
+    documents: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval for a fixed query — the lexical
+    search primitive a corpus platform serves next to the ANN index
+    (and the classic hybrid-retrieval partner to it).
+
+    Spark-first shape — the query terms are KNOWN literals, so the
+    whole computation is ONE corpus scan + ONE doc-keyed partial-agg
+    shuffle (the pivot_metrics trick): per-doc length and per-term
+    term frequencies come from one conditional aggregation, corpus
+    stats (N, avgdl, per-term document frequencies) reduce to a 1-row
+    broadcast, and the BM25 sum is plan-time arithmetic.  No token
+    index materializes and no join touches the corpus; top-k executes
+    as TakeOrdered (per-partition heap), never a global sort.
+
+    Determinism: scores round to 6dp before ranking, ties break on
+    doc_id — identical ranking in both engines.
+    """
+    norm = normalize_text(F.col("text"))
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.trim(norm), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    matched = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        norm_len = 1.0 - BM25_B + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        term_score = F.when(
+            tf > 0,
+            idf * tf * (BM25_K1 + 1.0) / (tf + F.lit(BM25_K1) * norm_len),
+        ).otherwise(F.lit(0.0))
+        hit = F.when(tf > 0, 1).otherwise(0)
+        score = term_score if score is None else score + term_score
+        matched = hit if matched is None else matched + hit
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").alias("doc_len"),
+            matched.alias("n_terms_matched"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .filter(F.col("n_terms_matched") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_search_oracle(
+    terms: tuple[str, ...] = BM25_QUERY_TERMS, k: int = BM25_TOP_K
+) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    tf_cols = ", ".join(
+        f"sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN "
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) * tf_{i} * {BM25_K1 + 1.0!r} "
+        f"/ (tf_{i} + {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r} * dl / avgdl)) "
+        f"ELSE 0.0 END"
+        for i in range(len(terms))
+    )
+    match_terms = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(trim({norm}), ' ')) AS tok
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS dl, {tf_cols}
+    FROM toks WHERE length(tok) > 0 GROUP BY doc_id
+),
+stats AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM per_doc
+)
+SELECT doc_id, dl AS doc_len,
+       ({match_terms}) AS n_terms_matched,
+       round({score_terms}, 6) AS bm25
+FROM per_doc, stats
+WHERE ({match_terms}) > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""

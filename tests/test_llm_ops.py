@@ -990,3 +990,45 @@ def test_embedding_drift_endpoints(spark):
     assert out[0].drift == 0.0 and out[0].centroid_cosine == 1.0
     assert out[1].drift == 1.0 and out[1].centroid_cosine == 0.0
     assert out[0].n_ref == 2 and out[0].n_new == 2
+
+
+def test_bm25_matches_python_reference(spark):
+    """BM25 scores must equal the textbook Okapi formula computed in
+    pure Python over a tiny corpus, with deterministic ranking."""
+    import math
+
+    from telemetry_streaming_datalake_spark.operators import text as TX
+
+    corpus = {
+        1: "hash join hash join scan",
+        2: "vector scan vector index build",
+        3: "sort merge join over the wire",
+        4: "completely unrelated words here",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    terms = ("hash", "join", "vector", "scan")
+    out = {r.doc_id: r for r in TX.bm25_search(docs, terms=terms, k=10).collect()}
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    for d, tk in toks.items():
+        score = 0.0
+        matched = 0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log((N - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            score += idf * tf * (TX.BM25_K1 + 1) / (
+                tf + TX.BM25_K1 * (1 - TX.BM25_B + TX.BM25_B * len(tk) / avgdl)
+            )
+        if matched == 0:
+            assert d not in out  # non-matching docs excluded
+            continue
+        assert out[d].n_terms_matched == matched
+        assert abs(out[d].bm25 - score) < 1e-5
+    # doc 1 (two query terms, high tf) must outrank doc 3 (one term)
+    assert out[1].bm25 > out[3].bm25
