@@ -509,6 +509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             B.dedup_exact(_bronze(s, d))
         ),
         "bm25_search": lambda s, d: TX.bm25_search(load_table(s, d, "documents")),
+        "hybrid_search": lambda s, d: SIM.hybrid_search(
+            load_table(s, d, "documents"), load_table(s, d, "embeddings")
+        ),
         "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -800,6 +803,10 @@ FROM (
         "approx_percentile_audit": DV.approx_percentile_audit_oracle(DEDUP_ORACLE),
         "availability_report": DT.availability_report_oracle(DEDUP_ORACLE),
         "bm25_search": TX.bm25_search_oracle(),
+        "hybrid_search": SIM.hybrid_search_oracle(
+            TX.bm25_search_oracle(k=SIM.HYBRID_DEPTH),
+            SIM.cosine_topk_oracle([SIM.HYBRID_QUERY_VEC_ID], k=SIM.HYBRID_DEPTH),
+        ),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,

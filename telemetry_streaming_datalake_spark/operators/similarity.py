@@ -1197,3 +1197,102 @@ SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_new AS BIGINT) AS n_new,
            AS drift
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: BM25 × ANN with reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+#: RRF constant (Cormack et al. 2009 — 60 is the published default)
+RRF_K = 60
+HYBRID_DEPTH = 50
+HYBRID_TOP_K = 25
+HYBRID_QUERY_VEC_ID = 0
+
+
+def hybrid_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int = HYBRID_QUERY_VEC_ID,
+    terms: tuple[str, ...] | None = None,
+    k: int = HYBRID_TOP_K,
+    depth: int = HYBRID_DEPTH,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25) and semantic
+    (exact cosine) retrievers — the standard hybrid-search recipe
+    (RRF, Cormack et al. 2009): each candidate scores
+    ``Σ 1/(rrf_k + rank_i)`` over the lists it appears in, which
+    needs no score calibration between the two systems.
+
+    Scale shape: each retriever already reduces the corpus to a
+    ``depth``-row frame (one scan + TakeOrdered each, per their own
+    entries), so the fusion itself is a full-outer join of two tiny
+    frames + one ranking — nothing corpus-sized moves.  vec_id and
+    doc_id share the id space by construction of the test lake (the
+    embedding of document i is row i of ``embeddings``).
+    """
+    from pyspark.sql import Window
+
+    from telemetry_streaming_datalake_spark.operators.text import bm25_search
+
+    lex = bm25_search(documents, terms, depth) if terms else bm25_search(
+        documents, k=depth
+    )
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    sem = cosine_topk(embeddings, [query_vec_id], k=depth).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = (
+        F.when(
+            F.col("lex_rank").isNotNull(),
+            1.0 / (F.lit(rrf_k) + F.col("lex_rank")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("sem_rank").isNotNull(),
+            1.0 / (F.lit(rrf_k) + F.col("sem_rank")),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def hybrid_search_oracle(
+    bm25_sql: str,
+    cosine_sql: str,
+    k: int = HYBRID_TOP_K,
+    rrf_k: int = RRF_K,
+) -> str:
+    """Fusion twin composing the two retrievers' own oracles: re-rank
+    the BM25 list (row_number over its deterministic ordering), take
+    the cosine list's ranks, full-outer join, RRF, top-k."""
+    return f"""
+WITH lex AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+    FROM ({bm25_sql})
+),
+sem AS (
+    SELECT vec_id AS doc_id, rank AS sem_rank FROM ({cosine_sql})
+),
+fused AS (
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+           round(
+               coalesce(1.0 / ({rrf_k} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({rrf_k} + s.sem_rank), 0.0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
+"""

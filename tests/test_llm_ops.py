@@ -1032,3 +1032,44 @@ def test_bm25_matches_python_reference(spark):
         assert abs(out[d].bm25 - score) < 1e-5
     # doc 1 (two query terms, high tf) must outrank doc 3 (one term)
     assert out[1].bm25 > out[3].bm25
+
+
+def test_hybrid_search_rrf_properties(spark):
+    """A doc high on BOTH lists must outrank docs on one list only;
+    single-list docs carry exactly their one RRF term."""
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query anchor text"),            # the query vector's own doc
+            (1, "hash join hash join scan"),      # lexical + semantic hit
+            (2, "hash join scan vector"),         # lexical hit
+            (3, "nothing lexical here at all"),   # semantic-only candidate
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.1]),   # nearest to query 0
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.2]),    # second nearest
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.doc_id: r
+        for r in SIM.hybrid_search(docs, emb, query_vec_id=0, k=4).collect()
+    }
+    assert out[1].lex_rank is not None and out[1].sem_rank is not None
+    # doc 1 is on both lists -> highest fused score
+    top = max(out.values(), key=lambda r: (r.rrf_score, -r.doc_id))
+    assert top.doc_id == 1
+    # single-list docs: score equals their one reciprocal term
+    for d in out.values():
+        expect = 0.0
+        if d.lex_rank is not None:
+            expect += 1.0 / (SIM.RRF_K + d.lex_rank)
+        if d.sem_rank is not None:
+            expect += 1.0 / (SIM.RRF_K + d.sem_rank)
+        assert abs(d.rrf_score - round(expect, 6)) < 1e-9
