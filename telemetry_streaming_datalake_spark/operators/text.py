@@ -1125,12 +1125,19 @@ def bm25_search(
     toks = documents.select(
         "doc_id", F.explode(F.split(F.trim(norm), " ")).alias("tok")
     ).filter(F.length("tok") > 0)
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
-            for i, t in enumerate(terms)
-        ],
+    # materialize the doc-cardinality frame ONCE: it feeds both the
+    # corpus-stats reduction and the scoring join, and without the pin
+    # each branch re-runs the corpus explode + aggregation
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),

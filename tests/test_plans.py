@@ -522,3 +522,32 @@ def test_approx_percentile_audit_broadcasts_estimates(spark):
     # is checkpoint-pinned, so its aggregate ran exactly once upstream
     # instead of once per consuming branch
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_bm25_single_scan_single_shuffle(spark):
+    """Literal query terms make BM25 one conditional aggregation: one
+    corpus exchange (doc key), a 1-row broadcast of the stats, top-k as
+    TakeOrdered — no SortMergeJoin, no global Sort."""
+    from telemetry_streaming_datalake_spark.operators import text as TX
+
+    docs = spark.createDataFrame([(1, "hash join")], "doc_id long, text string")
+    p = TX.bm25_search(docs)._jdf.queryExecution().executedPlan().toString()
+    # per_doc is checkpoint-pinned: its corpus aggregate ran once
+    # upstream; the remaining plan reads the materialized frame
+    assert p.count("Exchange hashpartitioning") == 0
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # 1-row stats
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_hybrid_search_fuses_tiny_frames(spark):
+    """The fusion join runs over the two depth-row retriever outputs —
+    no corpus-sized SortMergeJoin appears above the retrievers."""
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+
+    docs = spark.createDataFrame([(0, "hash join")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    p = SIM.hybrid_search(docs, emb)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
