@@ -231,6 +231,13 @@ def _streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_ohlc(spark, sf_dir, work)
 
 
+def _streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_shll_")
+    return SP.streaming_approx_distinct(spark, sf_dir, work)
+
+
 def _streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -502,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
         "streaming_ewma": _streaming_ewma,
         "streaming_ohlc": _streaming_ohlc,
+        "streaming_approx_distinct": _streaming_approx_distinct,
         "approx_percentile_audit": lambda s, d: DV.approx_percentile_audit(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -800,6 +808,14 @@ FROM (
         # windowed min_by/max_by partials merge across micro-batches, so
         # the drained stream shares the batch OHLC oracle
         "streaming_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
+        # audit-shaped: exact day-grain distincts + the in-contract claim
+        "streaming_approx_distinct": f"""
+WITH deduped AS ({DEDUP_ORACLE})
+SELECT metric, datestamp AS bucket,
+       count(DISTINCT serial) AS n_serials_exact,
+       TRUE AS within_tol
+FROM deduped GROUP BY metric, datestamp
+""",
         "approx_percentile_audit": DV.approx_percentile_audit_oracle(DEDUP_ORACLE),
         "availability_report": DT.availability_report_oracle(DEDUP_ORACLE),
         "bm25_search": TX.bm25_search_oracle(),

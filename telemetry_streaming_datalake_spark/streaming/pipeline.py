@@ -1267,3 +1267,94 @@ def streaming_ohlc(
         "mean",
         "n",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming approximate-distinct rollup (mergeable HLL store)
+# --------------------------------------------------------------------------
+
+HLL_STREAM_LG_K = 14
+
+
+def _merge_hll_store(spark: SparkSession, store: str, agg: DataFrame) -> None:
+    """Serving-store sketch merge: sketch(stored) ∪ sketch(delta) per
+    (metric, datestamp) — the mergeable-sketch discipline that makes
+    distinct counting incremental at 100 TB (the store holds one
+    bounded sketch per key, never raw serials)."""
+    if os.path.exists(store):
+        # localCheckpoint cuts the file lineage so the overwrite below
+        # may target the directory it was read from
+        cur = spark.read.parquet(store).localCheckpoint(eager=True)
+        merged = (
+            cur.unionByName(agg)
+            .groupBy("metric", "datestamp")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+    else:
+        merged = agg
+    merged.write.mode("overwrite").parquet(store)
+
+
+def streaming_approx_distinct(
+    spark: SparkSession, sf_dir: str, work_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of the HLL approx-distinct rollup: each
+    micro-batch reduces to per-(metric, day) sketches and the serving
+    store merges them with ``hll_union_agg`` — union at one lgConfigK
+    is lossless, so the store's final estimate equals the batch sketch
+    over the whole feed no matter how the stream was chopped into
+    batches (pinned in ``tests/test_streaming.py``).
+
+    The registered output is audit-shaped (the r7 gate-twin pattern):
+    per group, the EXACT distinct-serial count plus a ``within_tol``
+    flag asserting the streamed sketch landed inside the ±3% accuracy
+    contract — estimates themselves are engine-specific and stay out
+    of the hash-compared relation.
+    """
+    if max_files_per_trigger:
+        path = os.path.join(work_dir, "landing")
+        schema = spark.read.parquet(path).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        raw = _events_glob(spark, sf_dir, work_dir)
+    raw = normalize_nano_ts(raw, "ts")
+    bronze = parse_bronze(raw)
+    store = os.path.join(work_dir, "hll_store")
+    ckpt = os.path.join(work_dir, "hll_ckpt")
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        agg = batch_df.groupBy("metric", "datestamp").agg(
+            F.hll_sketch_agg("serial", F.lit(HLL_STREAM_LG_K)).alias("sketch")
+        )
+        _merge_hll_store(spark, store, agg)
+
+    (
+        bronze.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    estimates = spark.read.parquet(store).select(
+        "metric",
+        F.col("datestamp").alias("bucket"),
+        F.hll_sketch_estimate("sketch").alias("approx"),
+    )
+    exact = (
+        parse_bronze(load_table(spark, sf_dir, "events"))
+        .groupBy("metric", F.col("datestamp").alias("bucket"))
+        .agg(F.countDistinct("serial").alias("n_serials_exact"))
+    )
+    return estimates.join(exact, ["metric", "bucket"]).select(
+        "metric",
+        "bucket",
+        "n_serials_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_serials_exact"))
+            <= 0.03 * F.col("n_serials_exact")
+        ).alias("within_tol"),
+    )

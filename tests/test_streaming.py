@@ -808,3 +808,53 @@ def test_streaming_ohlc_merges_window_partials_across_batches(spark, tmp_path):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
+
+
+def test_streaming_hll_union_is_lossless_across_batches(spark, tmp_path):
+    """Chop the feed into two micro-batches: the store's merged
+    sketches must estimate EXACTLY what one batch sketch over the
+    whole feed estimates (union at one lgConfigK is lossless), and the
+    audit flag must hold for every group."""
+    import glob
+    import os as _os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import parse_bronze
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        HLL_STREAM_LG_K,
+        streaming_approx_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    halves = [
+        raw.filter(F.col("event_id") % 2 == 0),
+        raw.filter(F.col("event_id") % 2 == 1),
+    ]
+    for i, half in enumerate(halves):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(_os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    out = streaming_approx_distinct(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    rows = out.collect()
+    assert rows and all(r.within_tol for r in rows)
+    # merged estimates == direct single-sketch estimates over the feed
+    merged = spark.read.parquet(str(tmp_path / "hll_store")).select(
+        "metric", "datestamp", F.hll_sketch_estimate("sketch").alias("est")
+    )
+    direct = (
+        parse_bronze(raw)
+        .groupBy("metric", "datestamp")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("serial", F.lit(HLL_STREAM_LG_K))
+            ).alias("est")
+        )
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
