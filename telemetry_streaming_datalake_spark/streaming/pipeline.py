@@ -1280,7 +1280,14 @@ def _merge_hll_store(spark: SparkSession, store: str, agg: DataFrame) -> None:
     """Serving-store sketch merge: sketch(stored) ∪ sketch(delta) per
     (metric, datestamp) — the mergeable-sketch discipline that makes
     distinct counting incremental at 100 TB (the store holds one
-    bounded sketch per key, never raw serials)."""
+    bounded sketch per key, never raw serials).
+
+    Replay idempotency comes from the ALGEBRA, not from batch-id
+    bookkeeping: HLL union is idempotent (A ∪ A = A — a sketch records
+    register maxima), so a checkpoint restart that re-delivers a
+    micro-batch merges the same sketch again with zero effect — the
+    one foreachBatch sink here that needs no applied-batch tracking
+    (pinned in ``tests/test_streaming.py``)."""
     if os.path.exists(store):
         # localCheckpoint cuts the file lineage so the overwrite below
         # may target the directory it was read from

@@ -858,3 +858,68 @@ def test_streaming_hll_union_is_lossless_across_batches(spark, tmp_path):
     assert sorted(tuple(r) for r in merged.collect()) == sorted(
         tuple(r) for r in direct.collect()
     )
+
+
+def test_hll_store_merge_is_replay_idempotent(spark, tmp_path):
+    """HLL union is idempotent (register maxima), so re-merging the
+    same micro-batch after a checkpoint replay leaves every estimate
+    unchanged — no batch-id bookkeeping needed for THIS sink."""
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        HLL_STREAM_LG_K,
+        _merge_hll_store,
+    )
+
+    store = str(tmp_path / "hll")
+    batch = spark.createDataFrame(
+        [("m", "d1", f"s{i}") for i in range(50)],
+        "metric string, datestamp string, serial string",
+    )
+    agg = batch.groupBy("metric", "datestamp").agg(
+        F.hll_sketch_agg("serial", F.lit(HLL_STREAM_LG_K)).alias("sketch")
+    )
+    _merge_hll_store(spark, store, agg)
+    first = spark.read.parquet(store).select(
+        F.hll_sketch_estimate("sketch")
+    ).collect()[0][0]
+    _merge_hll_store(spark, store, agg)  # replayed batch
+    again = spark.read.parquet(store).select(
+        F.hll_sketch_estimate("sketch")
+    ).collect()[0][0]
+    assert first == again
+
+
+def test_resilient_store_attaches_to_real_stream(spark, tmp_path):
+    """ResilientKVServingStore drops into the shared writeStream
+    plumbing (attach_serving_sink) and lands a streamed aggregate with
+    a transient per-item fault retried in-flight."""
+    from telemetry_streaming_datalake_spark.streaming.sinks import (
+        ResilientKVServingStore,
+        attach_serving_sink,
+    )
+
+    src_dir = tmp_path / "feed"
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "id string, v double"
+    ).write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src_dir))
+        .groupBy("id")
+        .agg(F.sum("v").alias("total"))
+    )
+    fail_left = {"b": 1}
+    store = ResilientKVServingStore(max_attempts=3)
+    real_write = store._write_item
+
+    def flaky(k, v):
+        if fail_left.get(k, 0) > 0:
+            fail_left[k] -= 1
+            raise IOError("throttled")
+        real_write(k, v)
+
+    store._write_item = flaky
+    attach_serving_sink(stream, store, str(tmp_path / "ckpt"))
+    assert store.data["a"]["total"] == 3.0
+    assert store.data["b"]["total"] == 5.0
+    assert not store.dead_letters
