@@ -520,6 +520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": lambda s, d: SIM.hybrid_search(
             load_table(s, d, "documents"), load_table(s, d, "embeddings")
         ),
+        "ann_ivf_incremental": lambda s, d: SIM.ann_ivf_incremental(
+            s, d, ANN_QUERY_IDS
+        ),
         "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -823,6 +826,9 @@ FROM deduped GROUP BY metric, datestamp
             TX.bm25_search_oracle(k=SIM.HYBRID_DEPTH),
             SIM.cosine_topk_oracle([SIM.HYBRID_QUERY_VEC_ID], k=SIM.HYBRID_DEPTH),
         ),
+        # frozen centroids make extend == rebuild, so the incremental
+        # index probe shares the from-scratch IVF oracle verbatim
+        "ann_ivf_incremental": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         "bronze_orc": B.BRONZE_PARSE_ORACLE,

@@ -996,6 +996,23 @@ def ann_ivf_indexed(
         build_ivf_index(embeddings, d, n_cells)
         _IVF_INDEX_CACHE[cache_key] = d
     index_dir = _IVF_INDEX_CACHE[cache_key]
+    return probe_ivf_index(
+        spark, index_dir, embeddings, query_ids, k, nprobe, round_to
+    )
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 4,
+) -> DataFrame:
+    """Probe any persisted IVF index dir (see :func:`build_ivf_index`
+    / :func:`extend_ivf_index`): bounded centroid read, driver-side
+    probe-cell selection, partition-pruned posting-list scan."""
     cent_rows = (
         spark.read.parquet(os.path.join(index_dir, "centroids"))
         .orderBy("cell")
@@ -1296,3 +1313,75 @@ fused AS (
 SELECT doc_id, lex_rank, sem_rank, rrf_score
 FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# incremental IVF index maintenance
+# --------------------------------------------------------------------------
+
+_IVF_INCR_CACHE: dict = {}
+
+
+def extend_ivf_index(spark: SparkSession, index_dir: str, new_embeddings: DataFrame) -> str:
+    """Add a batch of vectors to a persisted IVF index WITHOUT
+    rebuilding: assign against the FROZEN centroid table (the standard
+    FAISS `add` semantics — centroids never retrain on add) and append
+    the assigned rows into their cell partitions.  Cost is
+    O(increment): one broadcast-centroid Arrow matmul over the batch
+    plus partition-local appends; the existing posting lists are never
+    read, and probes see the union immediately.  This is what turns
+    100 TB ANN serving into an ingestion loop — the similarity-side
+    twin of :func:`..dedup.build_dedup_index`'s incremental story."""
+    cent_rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    cent_norm = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    assigned = new_embeddings.filter(F.col("embedding").isNotNull()).withColumn(
+        "cell", _nearest_cell_udf(cent_norm)(F.col("embedding"))
+    )
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    return index_dir
+
+
+def ann_ivf_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Driver-checkable instantiation of build-then-extend: the index
+    builds on the slice holding every centroid seed (vec_id < n_cells
+    plus the even ids), the odd tail arrives later as an increment —
+    and because centroids are FROZEN at build, the extended index is
+    file-identical in content to a from-scratch build over the full
+    corpus, so probing it shares ``ann_ivf``'s SQL oracle verbatim."""
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    if query_ids is None:
+        query_ids = list(range(8))
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    cache_key = (sf_dir, n_cells)
+    if cache_key not in _IVF_INCR_CACHE:
+        d = tempfile.mkdtemp(prefix="tsdl_ivfincr_")
+        initial = embeddings.filter(
+            (F.col("vec_id") < n_cells) | (F.col("vec_id") % 2 == 0)
+        )
+        increment = embeddings.filter(
+            (F.col("vec_id") >= n_cells) & (F.col("vec_id") % 2 == 1)
+        )
+        build_ivf_index(initial, d, n_cells)
+        extend_ivf_index(spark, d, increment)
+        _IVF_INCR_CACHE[cache_key] = d
+    return probe_ivf_index(
+        spark, _IVF_INCR_CACHE[cache_key], embeddings, query_ids, k, nprobe
+    )

@@ -1073,3 +1073,42 @@ def test_hybrid_search_rrf_properties(spark):
         if d.sem_rank is not None:
             expect += 1.0 / (SIM.RRF_K + d.sem_rank)
         assert abs(d.rrf_score - round(expect, 6)) < 1e-9
+
+
+def test_extend_ivf_index_equals_full_rebuild(spark, tmp_path, embeddings):
+    """Frozen-centroid add: building on a prefix then extending with
+    the rest must produce probe results identical to a from-scratch
+    build over everything (FAISS `add` semantics), at O(increment)
+    cost — the existing posting lists are never read."""
+    import os as _os
+
+    n_cells = SIM.IVF_CELLS
+    full_dir = str(tmp_path / "full")
+    incr_dir = str(tmp_path / "incr")
+    SIM.build_ivf_index(embeddings, full_dir, n_cells)
+    initial = embeddings.filter(
+        (F.col("vec_id") < n_cells) | (F.col("vec_id") % 2 == 0)
+    )
+    increment = embeddings.filter(
+        (F.col("vec_id") >= n_cells) & (F.col("vec_id") % 2 == 1)
+    )
+    SIM.build_ivf_index(initial, incr_dir, n_cells)
+    n_files_before = sum(
+        len(fs) for _r, _d, fs in _os.walk(_os.path.join(incr_dir, "cells"))
+    )
+    SIM.extend_ivf_index(spark, incr_dir, increment)
+    qids = [0, 1, 2, 3]
+    got = sorted(
+        tuple(r)
+        for r in SIM.probe_ivf_index(spark, incr_dir, embeddings, qids).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in SIM.probe_ivf_index(spark, full_dir, embeddings, qids).collect()
+    )
+    assert got == want
+    # the extend appended files; it did not rewrite the index
+    n_files_after = sum(
+        len(fs) for _r, _d, fs in _os.walk(_os.path.join(incr_dir, "cells"))
+    )
+    assert n_files_after > n_files_before
