@@ -136,6 +136,8 @@ HEADLINE = [
     "approx_percentile_audit",
     "availability_report",
     "bm25_search",
+    "hybrid_search",
+    "ann_ivf_incremental",
     "downsample_ohlc",
     "bpe_merges",
     "metric_correlation",
