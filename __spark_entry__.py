@@ -238,6 +238,13 @@ def _streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_approx_distinct(spark, sf_dir, work)
 
 
+def _streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_scusum_")
+    return SP.streaming_cusum(spark, sf_dir, work)
+
+
 def _streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -510,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": _streaming_ewma,
         "streaming_ohlc": _streaming_ohlc,
         "streaming_approx_distinct": _streaming_approx_distinct,
+        "streaming_cusum": _streaming_cusum,
         "approx_percentile_audit": lambda s, d: DV.approx_percentile_audit(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -804,6 +812,8 @@ FROM (
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
         "ewma_smooth": DV.ewma_smooth_oracle(DEDUP_ORACLE),
         "cusum_changepoint": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
+        # frozen limits + integer drift state: drained stream == batch
+        "streaming_cusum": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
         "png_meta": MM.png_meta_oracle(),
         # bounded-horizon EWMA is the SAME semantics batch and stream,
         # so the drained stream shares the batch oracle

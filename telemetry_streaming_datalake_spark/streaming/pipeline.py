@@ -1365,3 +1365,150 @@ def streaming_approx_distinct(
             <= 0.03 * F.col("n_serials_exact")
         ).alias("within_tol"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming CUSUM (frozen control limits, exact integer drift state)
+# --------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "serial string, metric string, unix_ts long, value double, "
+    "cusum_pos double, cusum_neg double, is_change boolean"
+)
+_CUSUM_STATE_SCHEMA = (
+    "last_ts long, cum_pos long, min_pos long, cum_neg long, min_neg long"
+)
+
+
+def _cusum_state_fn_factory(moments: dict):
+    """Build the per-(serial, metric) CUSUM state function for a FIXED
+    control-limit table (metric → rounded mean/std) — the production
+    control-chart shape: limits freeze on a baseline, the drift state
+    runs forever.  State is four INTEGERS at 1e7 scale (cumsum and its
+    running min, both sides), so drained stream == batch bit-for-bit —
+    the same exactness argument as the batch operator, carried across
+    micro-batches."""
+
+    from telemetry_streaming_datalake_spark.operators.derived import (
+        CUSUM_H,
+        CUSUM_K,
+    )
+
+    def fn(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        mean6, std6 = moments.get(key[1], (None, None))
+        if state.exists:
+            last_ts, cum_p, min_p, cum_n, min_n = state.get
+        else:
+            last_ts, cum_p, min_p, cum_n, min_n = -1, 0, 0, 0, 0
+        out = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks and std6 is not None:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values(["unix_ts", "event_id"])
+                .drop_duplicates("unix_ts", keep="first")
+            )
+            h_limit = CUSUM_H * std6
+            for r in whole.itertuples(index=False):
+                ts, v = int(r.unix_ts), float(r.value)
+                if last_ts >= 0 and ts <= last_ts:
+                    continue
+                # HALF_UP over shortest repr == Spark's round()
+                d_p = int(
+                    Decimal(repr((v - mean6 - CUSUM_K * std6) * 1e7)).quantize(
+                        Decimal("1"), ROUND_HALF_UP
+                    )
+                )
+                d_n = int(
+                    Decimal(repr((mean6 - v - CUSUM_K * std6) * 1e7)).quantize(
+                        Decimal("1"), ROUND_HALF_UP
+                    )
+                )
+                cum_p += d_p
+                min_p = min(min_p, cum_p)
+                cum_n += d_n
+                min_n = min(min_n, cum_n)
+                s_p = float(
+                    Decimal(repr((cum_p - min(min_p, 0)) / 1e7)).quantize(
+                        Decimal("0.0000001"), ROUND_HALF_UP
+                    )
+                )
+                s_n = float(
+                    Decimal(repr((cum_n - min(min_n, 0)) / 1e7)).quantize(
+                        Decimal("0.0000001"), ROUND_HALF_UP
+                    )
+                )
+                out.append(
+                    [key[0], key[1], ts, v, s_p, s_n, s_p > h_limit or s_n > h_limit]
+                )
+                last_ts = ts
+        state.update((last_ts, cum_p, min_p, cum_n, min_n))
+        cols = [
+            "serial", "metric", "unix_ts", "value",
+            "cusum_pos", "cusum_neg", "is_change",
+        ]
+        yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+def streaming_cusum(
+    spark: SparkSession, sf_dir: str, work_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``operators.derived.cusum_changepoint``:
+    control limits come from ONE batch pass over the landed feed
+    (rounded exactly like the batch operator's moments), then the
+    drift statistics run as integer ``applyInPandasWithState`` state —
+    four longs per series, O(distinct series) forever.  Integer
+    accumulation makes the drained stream equal the batch operator
+    exactly, so the key shares its SQL oracle; ``maxFilesPerTrigger=1``
+    pins the cross-batch drift carry."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if max_files_per_trigger:
+        path = os.path.join(work_dir, "landing")
+        schema = spark.read.parquet(path).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        base = spark.read.parquet(path)
+    else:
+        raw = _events_glob(spark, sf_dir, work_dir)
+        base = load_table(spark, sf_dir, "events")
+    moments = {
+        r.metric: (r.mean_value, r.std_value)
+        for r in parse_bronze(normalize_nano_ts(base, "ts") if base.schema["ts"].dataType.typeName() == "long" else base)
+        .groupBy("metric")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        )
+        .collect()
+    }
+    raw = normalize_nano_ts(raw, "ts")
+    bronze = parse_bronze(raw)
+    flagged = bronze.groupBy("serial", "metric").applyInPandasWithState(
+        _cusum_state_fn_factory(moments),
+        CUSUM_OUTPUT_SCHEMA,
+        _CUSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = os.path.join(work_dir, "cusum_out")
+    ckpt = os.path.join(work_dir, "cusum_ckpt")
+    (
+        flagged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out)

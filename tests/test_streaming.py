@@ -923,3 +923,43 @@ def test_resilient_store_attaches_to_real_stream(spark, tmp_path):
     assert store.data["a"]["total"] == 3.0
     assert store.data["b"]["total"] == 5.0
     assert not store.dead_letters
+
+
+def test_streaming_cusum_carries_drift_across_batches(spark, tmp_path):
+    """Time-split feed at maxFilesPerTrigger=1: batch-2 statistics must
+    continue batch-1's integer drift state, and the union of emissions
+    must equal the batch cusum_changepoint exactly (integer state ==
+    bit-exact parity)."""
+    import glob
+    import os as _os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.derived import (
+        cusum_changepoint,
+    )
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import streaming_cusum
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    ts_cut = raw.select(F.unix_timestamp("ts").alias("u")).approxQuantile("u", [0.5], 0.0)[0]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    halves = [
+        raw.filter(F.unix_timestamp("ts") <= ts_cut),
+        raw.filter(F.unix_timestamp("ts") > ts_cut),
+    ]
+    for i, half in enumerate(halves):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(_os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    got = streaming_cusum(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    want = cusum_changepoint(dedup_exact(parse_bronze(raw)))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
