@@ -534,8 +534,8 @@ gaps AS (
 )
 SELECT serial, datestamp,
        count(*) AS n_readings,
-       sum(greatest(gap - {slack_s}, 0))
-           + greatest(max(day0) + 86400 - max(unix_ts) - {slack_s}, 0)
+       CAST(sum(greatest(gap - {slack_s}, 0))
+           + greatest(max(day0) + 86400 - max(unix_ts) - {slack_s}, 0) AS BIGINT)
            AS downtime_secs,
        round(1.0 - (sum(greatest(gap - {slack_s}, 0))
            + greatest(max(day0) + 86400 - max(unix_ts) - {slack_s}, 0)) / 86400.0, 6)

@@ -790,7 +790,7 @@ seg AS (
 )
 SELECT doc_id,
        count(*) AS n_words,
-       sum(word_tokens) AS n_bpe_tokens,
+       CAST(sum(word_tokens) AS BIGINT) AS n_bpe_tokens,
        round(sum(word_tokens) * 1.0 / count(*), 6) AS tokens_per_word
 FROM nonempty JOIN seg USING (word)
 GROUP BY doc_id
