@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from telemetry_streaming_datalake_spark.ingest.bronze import parse_bronze
+from telemetry_streaming_datalake_spark.ingest.bronze import dedup_exact, parse_bronze
 from telemetry_streaming_datalake_spark.ingest.silver import to_silver
 from telemetry_streaming_datalake_spark.session import load_table, normalize_nano_ts
 
@@ -1105,7 +1105,20 @@ def _ewma_state_fn(key, pdfs, state):
     batch operator's semantics, so the drained stream equals
     ``operators.derived.ewma_smooth`` row for row (same weight
     literals, same multiply/add order, HALF_UP rounding replicated via
-    Decimal-over-shortest-repr exactly as Spark's ``round`` does)."""
+    Decimal-over-shortest-repr exactly as Spark's ``round`` does).
+
+    DELIVERY-ORDER CONTRACT: rows at or before the last processed
+    timestamp of their series are dropped (within a micro-batch that
+    implements dedup_exact's keep-lowest-event_id rule, because the
+    chunk is sorted on (unix_ts, event_id) first; ACROSS micro-batches
+    it means exact batch parity requires per-series nondecreasing
+    event time between batches — a reading arriving in a later batch
+    with an older timestamp is discarded where the batch operator
+    would fold it in, and a cross-batch duplicate keeps the
+    FIRST-BATCH row regardless of event_id).  The availableNow file
+    feeds here deliver time-ordered files, so the precondition holds;
+    an out-of-order production feed should land through the
+    watermarked bronze dedup first and recompute from silver."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
@@ -1219,6 +1232,18 @@ def streaming_ohlc(
     oracle (same complete-mode drain note as
     :func:`streaming_sliding_counts`: append mode would hold back
     windows inside the late-data horizon at end-of-feed).
+
+    The oracle's batch twin takes ``dedup_exact`` input, so the stream
+    must dedup too (a duplicated reading would inflate ``n``/``mean``
+    and make the ``min_by`` open/close ties nondeterministic).  A
+    windowed aggregate can't chain behind ``dropDuplicates`` in
+    complete mode (one stateful operator per complete-mode query), so
+    this runs the medallion shape the reference itself uses: hop 1
+    drains the watermarked-dedup bronze to parquet (exactly
+    :func:`streaming_bronze`'s pipeline), hop 2 streams THAT table
+    into the OHLC aggregate — each query carries one stateful
+    operator, and the intermediate table is the silver layer a serving
+    pipeline would persist anyway.
     """
     if max_files_per_trigger:
         path = os.path.join(work_dir, "landing")
@@ -1232,8 +1257,22 @@ def streaming_ohlc(
         raw = _events_glob(spark, sf_dir, work_dir)
     raw = normalize_nano_ts(raw, "ts")
     bronze = parse_bronze(raw)
-    windowed = (
+    deduped = (
         bronze.withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
+        .withWatermark("event_time", DEDUP_WATERMARK)
+        .dropDuplicatesWithinWatermark(["unique_hash_key"])
+        .drop("event_time")
+    )
+    silver_dir = os.path.join(work_dir, "ohlc_silver")
+    run_stream_to_parquet(
+        deduped, silver_dir, os.path.join(work_dir, "ohlc_silver_ckpt"),
+        partition_by=None,
+    )
+    silver = spark.readStream.schema(
+        spark.read.parquet(silver_dir).schema
+    ).parquet(silver_dir)
+    windowed = (
+        silver.withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
         .withWatermark("event_time", DEDUP_WATERMARK)
         .groupBy(F.window("event_time", "1 hour"), "serial", "metric")
         .agg(
@@ -1287,19 +1326,57 @@ def _merge_hll_store(spark: SparkSession, store: str, agg: DataFrame) -> None:
     register maxima), so a checkpoint restart that re-delivers a
     micro-batch merges the same sketch again with zero effect — the
     one foreachBatch sink here that needs no applied-batch tracking
-    (pinned in ``tests/test_streaming.py``)."""
-    if os.path.exists(store):
-        # localCheckpoint cuts the file lineage so the overwrite below
-        # may target the directory it was read from
-        cur = spark.read.parquet(store).localCheckpoint(eager=True)
+    (pinned in ``tests/test_streaming.py``).
+
+    Durability: each merge writes a NEW ``v{n}`` directory and then
+    atomically swaps a ``CURRENT`` pointer file (tmp + ``os.replace``)
+    — an in-place overwrite would destroy every previously merged
+    sketch on a mid-write crash, and checkpoint replay only redelivers
+    UNAPPLIED batches, so the store would be unrecoverable.  With the
+    swap, a crash before the pointer moves leaves the old version
+    intact and the replayed batch re-merges into it; stale version
+    dirs are swept after a successful swap."""
+    import shutil
+
+    cur_dir = _hll_current_dir(store)
+    if cur_dir is not None:
+        cur = spark.read.parquet(cur_dir)
         merged = (
             cur.unionByName(agg)
             .groupBy("metric", "datestamp")
             .agg(F.hll_union_agg("sketch").alias("sketch"))
         )
+        next_v = int(os.path.basename(cur_dir)[1:]) + 1
     else:
-        merged = agg
-    merged.write.mode("overwrite").parquet(store)
+        merged, next_v = agg, 0
+    new_dir = os.path.join(store, f"v{next_v}")
+    merged.write.mode("overwrite").parquet(new_dir)
+    tmp = os.path.join(store, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{next_v}")
+    os.replace(tmp, os.path.join(store, "CURRENT"))
+    for d in os.listdir(store):
+        if d.startswith("v") and d != f"v{next_v}":
+            shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+
+
+def _hll_current_dir(store: str) -> str | None:
+    """Resolve the committed version directory, or None for an empty
+    store (a ``v*`` dir without a CURRENT pointer is an uncommitted
+    crash leftover and is correctly ignored)."""
+    ptr = os.path.join(store, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return os.path.join(store, f.read().strip())
+
+
+def read_hll_store(spark: SparkSession, store: str) -> DataFrame:
+    """Read the committed contents of a sketch store."""
+    cur = _hll_current_dir(store)
+    if cur is None:
+        raise FileNotFoundError(f"empty sketch store: {store}")
+    return spark.read.parquet(cur)
 
 
 def streaming_approx_distinct(
@@ -1346,7 +1423,7 @@ def streaming_approx_distinct(
         .start()
         .awaitTermination()
     )
-    estimates = spark.read.parquet(store).select(
+    estimates = read_hll_store(spark, store).select(
         "metric",
         F.col("datestamp").alias("bucket"),
         F.hll_sketch_estimate("sketch").alias("approx"),
@@ -1387,7 +1464,9 @@ def _cusum_state_fn_factory(moments: dict):
     runs forever.  State is four INTEGERS at 1e7 scale (cumsum and its
     running min, both sides), so drained stream == batch bit-for-bit —
     the same exactness argument as the batch operator, carried across
-    micro-batches."""
+    micro-batches.  Same delivery-order contract as
+    :func:`_ewma_state_fn`: per-series event time must not decrease
+    across micro-batches (late rows are dropped, not folded)."""
 
     from telemetry_streaming_datalake_spark.operators.derived import (
         CUSUM_H,
@@ -1481,9 +1560,12 @@ def streaming_cusum(
     else:
         raw = _events_glob(spark, sf_dir, work_dir)
         base = load_table(spark, sf_dir, "events")
+    # moments over DEDUPED bronze — the batch twin freezes its control
+    # limits on dedup_exact input, and a duplicated reading here would
+    # shift mean/std away from the oracle's
     moments = {
         r.metric: (r.mean_value, r.std_value)
-        for r in parse_bronze(normalize_nano_ts(base, "ts") if base.schema["ts"].dataType.typeName() == "long" else base)
+        for r in dedup_exact(parse_bronze(normalize_nano_ts(base, "ts") if base.schema["ts"].dataType.typeName() == "long" else base))
         .groupBy("metric")
         .agg(
             F.round(F.avg("value"), 6).alias("mean_value"),

@@ -810,6 +810,48 @@ def test_streaming_ohlc_merges_window_partials_across_batches(spark, tmp_path):
     assert g == w
 
 
+def test_streaming_ohlc_dedups_duplicate_readings(spark, tmp_path):
+    """Inject hash-key duplicates (same serial/metric/ts, higher
+    event_id, DIFFERENT value) into a second micro-batch file: the
+    silver-hop dedup must drop them, so the OHLC output still equals
+    the batch twin over dedup_exact input — without the dedup hop the
+    duplicates would inflate n/mean and flip min_by/max_by ties."""
+    import glob
+    import os as _os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.derived import downsample_ohlc
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import streaming_ohlc
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    max_id = raw.agg(F.max("event_id")).collect()[0][0]
+    dups = (
+        raw.orderBy("event_id")
+        .limit(200)
+        .withColumn("event_id", F.col("event_id") + max_id + 1)
+        .withColumn("value", F.col("value") * 10 + 1)
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, part_df in enumerate([raw, dups]):
+        tmp_out = str(tmp_path / f"half{i}")
+        part_df.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(_os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    got = streaming_ohlc(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    full = raw.unionByName(dups)
+    want = downsample_ohlc(dedup_exact(parse_bronze(full)))
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+
+
 def test_streaming_hll_union_is_lossless_across_batches(spark, tmp_path):
     """Chop the feed into two micro-batches: the store's merged
     sketches must estimate EXACTLY what one batch sketch over the
@@ -843,7 +885,9 @@ def test_streaming_hll_union_is_lossless_across_batches(spark, tmp_path):
     rows = out.collect()
     assert rows and all(r.within_tol for r in rows)
     # merged estimates == direct single-sketch estimates over the feed
-    merged = spark.read.parquet(str(tmp_path / "hll_store")).select(
+    from telemetry_streaming_datalake_spark.streaming.pipeline import read_hll_store
+
+    merged = read_hll_store(spark, str(tmp_path / "hll_store")).select(
         "metric", "datestamp", F.hll_sketch_estimate("sketch").alias("est")
     )
     direct = (
@@ -867,6 +911,7 @@ def test_hll_store_merge_is_replay_idempotent(spark, tmp_path):
     from telemetry_streaming_datalake_spark.streaming.pipeline import (
         HLL_STREAM_LG_K,
         _merge_hll_store,
+        read_hll_store,
     )
 
     store = str(tmp_path / "hll")
@@ -878,14 +923,59 @@ def test_hll_store_merge_is_replay_idempotent(spark, tmp_path):
         F.hll_sketch_agg("serial", F.lit(HLL_STREAM_LG_K)).alias("sketch")
     )
     _merge_hll_store(spark, store, agg)
-    first = spark.read.parquet(store).select(
+    first = read_hll_store(spark, store).select(
         F.hll_sketch_estimate("sketch")
     ).collect()[0][0]
     _merge_hll_store(spark, store, agg)  # replayed batch
-    again = spark.read.parquet(store).select(
+    again = read_hll_store(spark, store).select(
         F.hll_sketch_estimate("sketch")
     ).collect()[0][0]
     assert first == again
+
+
+def test_hll_store_crash_mid_write_keeps_previous_version(spark, tmp_path):
+    """A version dir written WITHOUT the pointer swap (crash before
+    commit) must be invisible: reads return the previous committed
+    store, and the next merge ignores the orphan and sweeps it."""
+    import os as _os
+
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        HLL_STREAM_LG_K,
+        _merge_hll_store,
+        read_hll_store,
+    )
+
+    store = str(tmp_path / "hll")
+
+    def sketch_of(serials):
+        batch = spark.createDataFrame(
+            [("m", "d1", s) for s in serials],
+            "metric string, datestamp string, serial string",
+        )
+        return batch.groupBy("metric", "datestamp").agg(
+            F.hll_sketch_agg("serial", F.lit(HLL_STREAM_LG_K)).alias("sketch")
+        )
+
+    _merge_hll_store(spark, store, sketch_of([f"s{i}" for i in range(50)]))
+    committed = read_hll_store(spark, store).select(
+        F.hll_sketch_estimate("sketch")
+    ).collect()[0][0]
+    # simulate a crash: v1 data lands but CURRENT never moves
+    sketch_of(["zz1", "zz2"]).write.parquet(_os.path.join(store, "v1"))
+    assert read_hll_store(spark, store).select(
+        F.hll_sketch_estimate("sketch")
+    ).collect()[0][0] == committed
+    # replayed batch merges into the COMMITTED version, orphan is swept
+    _merge_hll_store(spark, store, sketch_of([f"t{i}" for i in range(10)]))
+    versions = sorted(d for d in _os.listdir(store) if d.startswith("v"))
+    assert versions == [_os.path.basename(
+        _os.path.join(store, open(_os.path.join(store, "CURRENT")).read().strip())
+    )]
+    final = read_hll_store(spark, store).select(
+        F.hll_sketch_estimate("sketch")
+    ).collect()[0][0]
+    assert final >= committed  # 50 + 10 serials, zz* never merged
+    assert final < committed + 12
 
 
 def test_resilient_store_attaches_to_real_stream(spark, tmp_path):
