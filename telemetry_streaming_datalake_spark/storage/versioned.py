@@ -54,7 +54,11 @@ class VersionedParquetStore:
     and its commit is rejected (:class:`CommitConflict`) if another
     writer published first — manifest publication is create-exclusive
     (hard-link), so two racing writers can never both claim the same
-    version number even without the base check."""
+    version number even without the base check.  Staged data is also
+    race-safe: each commit writes into a writer-unique
+    ``c{version}-{uuid}`` dir referenced only from its manifest, so
+    the losing writer's files never touch the winner's (they become
+    orphans that :meth:`vacuum` sweeps after a retention window)."""
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
@@ -129,7 +133,18 @@ class VersionedParquetStore:
     # --------------------------------------------------------------- write
 
     def _write_data(self, df: DataFrame, version: int, partition_col: str | None) -> list[str]:
-        out = os.path.join(self.path, _DATA_DIR, f"c{version:05d}")
+        # writer-UNIQUE staging dir: two racing writers that both read
+        # base N must never collide on disk — if both staged into a
+        # shared c{N+1}, the loser's mode('overwrite') would delete the
+        # winner's already-committed part files (silent data loss
+        # behind a valid manifest).  The uuid suffix makes every
+        # commit's data dir private; only the manifest decides which
+        # one is live, and vacuum sweeps the loser's orphan dir.
+        import uuid
+
+        out = os.path.join(
+            self.path, _DATA_DIR, f"c{version:05d}-{uuid.uuid4().hex[:8]}"
+        )
         writer = df.write.mode("overwrite")
         if partition_col:
             writer = writer.partitionBy(partition_col)
@@ -335,11 +350,20 @@ class VersionedParquetStore:
 
     # -------------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 1, orphan_retention_s: float = 3600.0
+    ) -> list[str]:
         """Drop data files referenced ONLY by versions older than the
         newest ``retain_last`` manifests (and the expired manifests).
         Time travel to vacuumed versions stops working — exactly
-        Delta's VACUUM contract."""
+        Delta's VACUUM contract.
+
+        Also sweeps ORPHAN commit dirs — staging dirs no surviving
+        manifest references (a lost OCC race or a crash between
+        ``_write_data`` and ``_commit``) — but only once they're older
+        than ``orphan_retention_s``, so an IN-FLIGHT writer's staging
+        dir is never deleted from under it (Delta's VACUUM retention
+        window, applied to uncommitted files)."""
         vs = self.versions()
         keep_vs = vs[-retain_last:]
         live: set[str] = set()
@@ -356,13 +380,27 @@ class VersionedParquetStore:
                         os.remove(full)
                         removed.append(f)
             os.remove(self._manifest_path(v))
-        # sweep now-empty commit dirs
+        # sweep commit dirs that are empty of parquet, or whose files
+        # no surviving manifest references (orphans past retention)
+        live_dirs = {f.split(os.sep)[1] for f in live}
         data_root = os.path.join(self.path, _DATA_DIR)
+        now = time.time()
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
-            if os.path.isdir(full) and not any(
+            if not os.path.isdir(full):
+                continue
+            has_parquet = any(
                 n.endswith(".parquet") for _r, _d, ns in os.walk(full) for n in ns
-            ):
+            )
+            if not has_parquet:
+                shutil.rmtree(full)
+            elif d not in live_dirs and now - os.path.getmtime(full) >= orphan_retention_s:
+                for root, _dirs, names in os.walk(full):
+                    for n in names:
+                        if n.endswith(".parquet"):
+                            removed.append(
+                                os.path.relpath(os.path.join(root, n), self.path)
+                            )
                 shutil.rmtree(full)
         return sorted(removed)
 

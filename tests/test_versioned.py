@@ -178,3 +178,47 @@ def test_optimize_commit_compacts_without_changing_data(spark, tmp_path):
     assert {(r.id, r.v) for r in store.read().collect()} == want
     store.vacuum(retain_last=1)
     assert {(r.id, r.v) for r in store.read().collect()} == want
+
+
+def test_racing_writers_never_collide_on_staged_data(spark, tmp_path):
+    """Two writers that both read base=N stage into DIFFERENT dirs:
+    the loser's overwrite must not delete the winner's committed part
+    files (the pre-r8 layout shared data/c{N+1}, so it did).  After
+    the race the winner's snapshot reads back intact, and the loser's
+    orphan dir is swept by vacuum once past the retention window."""
+    import os
+
+    from telemetry_streaming_datalake_spark.storage.versioned import (
+        CommitConflict,
+        VersionedParquetStore,
+    )
+
+    path = str(tmp_path / "race")
+    w1 = VersionedParquetStore(spark, path)
+    w2 = VersionedParquetStore(spark, path)
+    w1.write(spark.createDataFrame([(0,)], "id long"))
+    base = w1.latest_version()
+    # both writers stage version base+1 data; w2 commits first
+    f1 = w1._write_data(spark.createDataFrame([(1,)], "id long"), base + 1, None)
+    v = w2.write(spark.createDataFrame([(2,)], "id long"))
+    # loser's staging happened AFTER the winner's commit in the old
+    # layout this would have overwritten data/c{base+1}; now it lands
+    # in its own dir and the winner's files are untouched
+    f1b = w1._write_data(spark.createDataFrame([(3,)], "id long"), base + 1, None)
+    assert {x.split(os.sep)[1] for x in f1} != {x.split(os.sep)[1] for x in f1b}
+    winner_files = w2._read_manifest(v)["files"]
+    for f in winner_files:
+        assert os.path.exists(os.path.join(path, f))
+    with pytest.raises(CommitConflict):
+        w1._commit(f1, "append", {"schema": [["id", "bigint"]]}, expected_base=base)
+    assert {r.id for r in w1.read().collect()} == {0, 2}
+    # orphan staging dirs referenced by no manifest are vacuumed only
+    # past the retention window (in-flight writers stay safe) ...
+    removed_early = w1.vacuum(retain_last=10, orphan_retention_s=3600)
+    assert removed_early == []
+    assert {r.id for r in w1.read().collect()} == {0, 2}
+    # ... and swept once expired
+    removed = w1.vacuum(retain_last=10, orphan_retention_s=0)
+    assert removed  # the two orphan staging dirs' files
+    assert {r.id for r in w1.read().collect()} == {0, 2}
+    assert {r.id for r in w1.read(version=0).collect()} == {0}
