@@ -858,10 +858,11 @@ FROM deduped GROUP BY metric, datestamp
         "zipf_fit": TX.zipf_fit_oracle(),
         "embedding_drift": SIM.embedding_drift_oracle(),
         "packing_efficiency": CP.packing_efficiency_oracle(),
-        # bpe_merges stays the ONE rows-only key (the learned-merge
-        # loop is iterative argmax, not SQL; tests/test_bpe.py pins it
-        # against the pure-Python Sennrich reference); the application
-        # half and the sketch rollup now green through their gate twins
+        # bpe_merges gained a full oracle in r8: the fixed-depth
+        # training loop unrolled into chained CTE rounds (pair count →
+        # argmax → greedy replace per rank) — no rows-only keys remain;
+        # tests/test_bpe.py still pins the pure-Python Sennrich parity
+        "bpe_merges": TX.bpe_merges_oracle(),
         "tokenize_fixed_vocab": TX.tokenize_fixed_vocab_oracle(),
         "approx_distinct_audit": R.approx_distinct_audit_oracle(DEDUP_ORACLE),
         "bucketed_join": BK.bucketed_join_oracle(),

@@ -523,17 +523,71 @@ def bpe_merges(
 
     Ties break on (count desc, left, right) — fully deterministic.
     Output: one row per learned rule (merge_rank, left, right, merged,
-    pair_count).  No SQL oracle (iterative argmax is not
-    SQL-expressible; DuckDB's recursive CTEs cannot re-aggregate per
-    level) — the driver records a rows-only check and
-    ``tests/test_bpe.py`` pins the rules against a pure-Python
-    reference implementation.
+    pair_count).  The oracle (:func:`bpe_merges_oracle`) UNROLLS the
+    fixed-depth training loop into chained CTEs — one
+    pair-count/argmax/apply block per merge rank — so the learned
+    rules themselves are driver-hash-checked (general recursion is not
+    SQL-expressible, but a compile-time-constant ``n_merges`` is just
+    n chained relational rounds); ``tests/test_bpe.py`` additionally
+    pins the rules against a pure-Python Sennrich reference.
     """
     learned, _vocab = _bpe_learn(documents, n_merges, max_vocab)
     return documents.sparkSession.createDataFrame(
         learned,
         "merge_rank long, left string, right string, merged string, pair_count long",
     )
+
+
+def bpe_merges_oracle(n_merges: int = BPE_N_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_merges`: the training loop unrolled
+    into ``n_merges`` chained CTE rounds.  Each round re-splits the
+    tab-delimited segmentation (the :func:`tokenize_fixed_vocab_oracle`
+    encoding — collision-free because normalization collapses all
+    whitespace before the word split), counts OVERLAPPING adjacent
+    pairs positionally (``toks[i], toks[i+1]`` over a generate_series
+    unnest — a string-count would miss overlaps in runs like "aaa"),
+    takes the same (count desc, left, right) argmax, and applies the
+    merge as one plain replace (greedy left-to-right non-overlapping —
+    exactly ``apply_merge``'s state machine).  Integer aggregates are
+    CAST to BIGINT per the repo-wide no-HUGEINT oracle contract."""
+    T = "\t"
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    seg_expr = (
+        f"'{T}' || left(regexp_replace(word, '(.)', '\\1{T}{T}', 'g'), -1)"
+    )
+    parts = [
+        f"""w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(trim({norm}), ' ')) AS word FROM documents
+  ) WHERE length(word) > 0 GROUP BY word
+),
+seg0 AS (SELECT freq, {seg_expr} AS s FROM w)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""t{r} AS (
+  SELECT freq, string_split(trim(s, '{T}'), '{T}{T}') AS toks FROM seg{r}
+),
+p{r} AS (
+  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT freq, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        FROM t{r} WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+top{r} AS (SELECT l, r, c FROM p{r} ORDER BY c DESC, l, r LIMIT 1),
+seg{r + 1} AS (
+  SELECT freq,
+         replace(s, '{T}' || t.l || '{T}{T}' || t.r || '{T}',
+                 '{T}' || t.l || t.r || '{T}') AS s
+  FROM seg{r}, top{r} t
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS BIGINT) AS merge_rank, l AS "left", '
+        f'r AS "right", l || r AS merged, c AS pair_count FROM top{r}'
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
 
 
 def _bpe_learn(

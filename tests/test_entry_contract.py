@@ -19,15 +19,14 @@ def test_every_oracle_key_has_a_query():
 
 
 def test_rows_only_entries_are_the_documented_ones():
-    """Every registered query has a DuckDB oracle twin except ONE
-    declared case: BPE merge LEARNING (iterative argmax is not
-    SQL-expressible; pinned against a pure-Python Sennrich reference
-    in tests/test_bpe.py).  The application half greens through
-    `tokenize_fixed_vocab` (shipped rule list, chained-replace SQL
-    oracle) and the HLL rollup through `approx_distinct_audit`
-    (exact-count + within-tolerance relation)."""
+    """Every registered query has a DuckDB oracle twin — zero
+    rows-only keys since r8: even BPE merge LEARNING oracles through
+    the fixed-depth loop unrolled into chained CTE rounds (general
+    recursion isn't SQL, but compile-time-constant n_merges is just n
+    relational rounds; pure-Python Sennrich parity stays pinned in
+    tests/test_bpe.py)."""
     q, o = set(E.queries()), set(E.oracle_sql())
-    assert q - o == {"bpe_merges"}
+    assert q - o == set()
 
 
 #: streaming entries execute sinks; they're covered by test_streaming
@@ -80,13 +79,14 @@ def test_crosscheck_guard_catches_synthetic_array_column(spark):
     """The local gate itself must reject an array-typed output (the
     r6 escape path: crosscheck normalized via repr() and passed what
     the driver could not hash)."""
-    from tools.crosscheck import complex_cols, unhashable_cells
+    from tools.crosscheck import complex_cols
     from pyspark.sql import functions as F
 
     df = spark.range(1).select(F.array(F.lit(1), F.lit(2)).alias("xs"))
     assert complex_cols(df.schema) == ["xs"]
-    assert unhashable_cells([(1, [1, 2])])
-    assert not unhashable_cells([(1, "1,2")])
+    assert complex_cols(
+        spark.range(1).select(F.lit("1,2").alias("xs")).schema
+    ) == []
 
 
 def test_bench_headline_keys_are_all_registered():
