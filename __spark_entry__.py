@@ -41,6 +41,7 @@ from telemetry_streaming_datalake_spark.storage import stats as ST
 from telemetry_streaming_datalake_spark.storage import bucketed as BK
 from telemetry_streaming_datalake_spark.storage import versioned as VS
 from telemetry_streaming_datalake_spark.streaming import pipeline as SP
+from telemetry_streaming_datalake_spark.streaming import runner as RN
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -243,6 +244,13 @@ def _streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tsdl_scusum_")
     return SP.streaming_cusum(spark, sf_dir, work)
+
+
+def _always_on_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_aot_")
+    return RN.always_on_topology(spark, sf_dir, work)
 
 
 def _streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_day": lambda s, d: R.rollup_day(_gold(s, d)),
         "agg_month": lambda s, d: R.rollup_month(_gold(s, d)),
         "latest_metric": lambda s, d: L.latest_metric(_gold(s, d)),
+        "always_on_topology": _always_on_topology,
         "serving_kv": lambda s, d: L.serving_kv(_gold(s, d)),
         "gap_detect": lambda s, d: DT.gap_detect(_silver(s, d)),
         "serving_latest_monitor": lambda s, d: DT.serving_latest_monitor(
@@ -704,6 +713,9 @@ FROM (
         "agg_day": R.rollup_oracle(gold, bucket_day, "bucket_ts"),
         "agg_month": R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
         "latest_metric": L.latest_oracle(gold),
+        # serving store after a drained 4-hop run with a mid-feed
+        # stop+restart == batch latest (time-split monotone overwrite)
+        "always_on_topology": RN.always_on_topology_oracle(gold),
         "serving_kv": L.serving_kv_oracle(gold),
         "gap_detect": DT.gap_detect_oracle(silver),
         "stage_delay_report": DT.stage_delay_report_oracle(

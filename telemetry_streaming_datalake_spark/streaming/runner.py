@@ -248,3 +248,124 @@ class AlwaysOnRunner:
             if q is not None and q.isActive:
                 q.stop()
                 q.awaitTermination(30)
+
+
+# --------------------------------------------------------------------------
+# driver-checkable drained topology (stop + restart mid-feed)
+# --------------------------------------------------------------------------
+
+
+def always_on_topology(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    trigger_interval: str = "500 milliseconds",
+) -> DataFrame:
+    """The always-on posture as ONE oracle-checkable relation: run the
+    4-hop topology, feed the first (chronological) half of the events,
+    STOP cleanly, start a NEW runner on the same work dir (checkpoint
+    recovery), feed the second half, drain, stop — and return the
+    serving store's final state.
+
+    Why this equals the batch twin: the feed is split at the median
+    event time, so every phase-2 reading is newer than every phase-1
+    reading; the serving hop's ItemOverwrite therefore can only move
+    keys FORWARD, and the final store is exactly
+    ``latest_metric(gold(full feed))`` — a key last touched in phase 1
+    keeps its phase-1 latest (already global), a key touched in phase 2
+    takes its phase-2 latest (newer than anything in phase 1).  Each
+    hop's parquet lake commits through ``_spark_metadata``, so the
+    downstream file source sees upstream micro-batches atomically and
+    each single-file feed traverses the topology as one batch per hop.
+
+    Expected row counts come from the batch twins, polled with
+    ``await_rows`` — the run is fully drained before the store is
+    read, and a restart that lost checkpoint state would double-apply
+    phase 1 and fail the count (the recovery contract, now on the
+    driver gate instead of pytest alone).
+    """
+    import glob
+    import shutil
+
+    from telemetry_streaming_datalake_spark.datamodel import (
+        metric_mapping,
+        remote_history,
+    )
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.ingest.silver import to_silver
+    from telemetry_streaming_datalake_spark.operators.latest import latest_metric
+    from telemetry_streaming_datalake_spark.operators.temporal import enrich_gold
+
+    raw = load_table(spark, sf_dir, "events")
+    ts_cut = raw.select(F.unix_timestamp("ts").alias("u")).approxQuantile(
+        "u", [0.5], 0.0
+    )[0]
+    halves = [
+        raw.filter(F.unix_timestamp("ts") <= ts_cut),
+        raw.filter(F.unix_timestamp("ts") > ts_cut),
+    ]
+    feed_files = []
+    for i, half in enumerate(halves):
+        tmp_out = os.path.join(work_dir, f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        feed_files.append(glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0])
+
+    # batch twins -> expected drained counts per phase
+    mapping = metric_mapping(spark)
+    history = remote_history(spark, load_table(spark, sf_dir, "customer"))
+
+    def gold_of(df):
+        return enrich_gold(to_silver(dedup_exact(parse_bronze(df)), mapping), history)
+
+    gold_a = gold_of(halves[0]).count()
+    gold_full = gold_a + gold_of(halves[1]).count()
+    keys_a = latest_metric(gold_of(halves[0])).count()
+    keys_full = latest_metric(gold_of(raw)).count()
+
+    r1 = AlwaysOnRunner(spark, sf_dir, work_dir, trigger_interval)
+    try:
+        r1.start()
+        shutil.copy(feed_files[0], os.path.join(r1.landing_dir, "feed_a.parquet"))
+        got = r1.await_rows(r1.gold_dir, gold_a, timeout_s=180)
+        assert got == gold_a, f"phase-1 gold drain: {got} != {gold_a}"
+        got = r1.await_rows(r1.serving_dir, keys_a, timeout_s=120)
+        assert got == keys_a, f"phase-1 serving drain: {got} != {keys_a}"
+    finally:
+        r1.stop()
+
+    r2 = AlwaysOnRunner(spark, sf_dir, work_dir, trigger_interval)
+    try:
+        r2.start()
+        shutil.copy(feed_files[1], os.path.join(r2.landing_dir, "feed_b.parquet"))
+        got = r2.await_rows(r2.gold_dir, gold_full, timeout_s=180)
+        assert got == gold_full, f"phase-2 gold drain: {got} != {gold_full}"
+        got = r2.await_rows(r2.serving_dir, keys_full, timeout_s=120)
+        assert got == keys_full, f"phase-2 serving drain: {got} != {keys_full}"
+    finally:
+        r2.stop()
+
+    from telemetry_streaming_datalake_spark.streaming.sinks import ParquetUpsertStore
+
+    store = ParquetUpsertStore(spark, os.path.join(work_dir, "serving_store"), key="id")
+    return store.read().select(
+        "id", "remote_id", "metric_id", "provider_id", "unix_ts",
+        "event_id", "value_double", "value_string", "category_id",
+    )
+
+
+def always_on_topology_oracle(gold_cte: str) -> str:
+    """The serving store after the drained stop+restart run ==
+    ``latest_metric`` over the full batch gold, with the composite
+    serving id prepended."""
+    from telemetry_streaming_datalake_spark.operators.latest import latest_oracle
+
+    return f"""
+SELECT concat_ws('|', CAST(remote_id AS VARCHAR), CAST(metric_id AS VARCHAR),
+                 CAST(provider_id AS VARCHAR)) AS id,
+       remote_id, metric_id, provider_id, unix_ts, event_id,
+       value_double, value_string, category_id
+FROM ({latest_oracle(gold_cte)})
+"""
