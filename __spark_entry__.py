@@ -54,28 +54,16 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
-#: round-7 driver rotation (SURVEY §2b): stalest-first order emitted by
-#: `python tools/rotate.py` after round 6, with the two new gate-twin
-#: keys (never checked) leading.  Window (first 50): the 2 new keys +
-#: `bpe_merges` (rows-only — it records only a rows check, so the
-#: rotation always ranks it "never green") + `ts_similarity` (the r6
-#: red row, now fixed) + the 46 stalest r4-green keys through
-#: `dedup_exact`; `dedup_ngram_jaccard`/`dedup_embedding` spill to the
-#: r8 window head under the amended 4-round freshness bound.
-_R7_ORDER = [
-    "tokenize_fixed_vocab", "approx_distinct_audit", "bpe_merges",
-    "ts_similarity", "bronze_parse", "silver_dedup",
-    "silver_metrics", "silver_explode", "bronze_feed_b",
-    "bronze_jsonl", "bronze_csv", "gold_enrich",
-    "custom_metric_sum", "custom_metric_join", "agg_hour",
-    "agg_day", "agg_month", "latest_metric",
-    "serving_kv", "gap_detect", "serving_latest_monitor",
-    "orphan_usage", "retention_purge", "scd2_current",
-    "agg_consistency", "sessionize", "counter_rate",
-    "rolling_avg", "anomaly_zscore", "percentile_rollup",
-    "pivot_metrics", "gapfill_hourly", "asof_latest_order",
-    "order_window_activity", "partition_stats", "merge_upsert_latest",
-    "incremental_rollup", "dup_clusters", "online_entities",
+#: round-8 driver rotation (SURVEY §2b): stalest-first order emitted
+#: by `python tools/rotate.py` after round 7.  Window (first 50): the
+#: 4 never-green keys (`availability_report`/`tokenize_fixed_vocab`
+#: now value-fixed via BIGINT oracle casts, `always_on_topology` and
+#: the newly-oracled `bpe_merges`) + the 15 r4-green spillover keys
+#: through `dedup_embedding` + the stalest r5 block; everything else
+#: stays within the 4-round freshness bound.
+_R8_ORDER = [
+    "availability_report", "always_on_topology", "tokenize_fixed_vocab",
+    "bpe_merges", "dup_clusters", "online_entities",
     "q1_pricing", "q3_shipping", "q5_supplier",
     "adhoc_gold_slice", "q6_forecast", "q10_returns",
     "q12_priority", "q14_promo", "q7_nation_volume",
@@ -112,7 +100,22 @@ _R7_ORDER = [
     "streaming_grouping_sets", "metric_correlation", "bronze_orc",
     "bucketed_join", "lm_perplexity", "canonical_docs",
     "rollup_restate", "cumulative_metric", "streaming_two_hop",
-    "streaming_three_hop",
+    "streaming_three_hop", "ewma_smooth", "cusum_changepoint",
+    "png_meta", "streaming_ewma", "streaming_ohlc",
+    "streaming_approx_distinct", "streaming_cusum", "approx_percentile_audit",
+    "bm25_search", "hybrid_search", "ann_ivf_incremental",
+    "downsample_ohlc", "approx_distinct_audit", "ts_similarity",
+    "bronze_parse", "silver_dedup", "silver_metrics",
+    "silver_explode", "bronze_feed_b", "bronze_jsonl",
+    "bronze_csv", "gold_enrich", "custom_metric_sum",
+    "custom_metric_join", "agg_hour", "agg_day",
+    "agg_month", "latest_metric", "serving_kv",
+    "gap_detect", "serving_latest_monitor", "orphan_usage",
+    "retention_purge", "scd2_current", "agg_consistency",
+    "sessionize", "counter_rate", "rolling_avg",
+    "anomaly_zscore", "percentile_rollup", "pivot_metrics",
+    "gapfill_hourly", "asof_latest_order", "order_window_activity",
+    "partition_stats", "merge_upsert_latest", "incremental_rollup",
 ]
 
 
@@ -271,9 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
     no) driver-green CORRECTNESS row come first; with 134+ keys and a
     50-key window the sustainable cycle is 3 rounds.  The dict below is
-    grouped by topic for readability; `_R7_ORDER` (from
+    grouped by topic for readability; `_R8_ORDER` (from
     `python tools/rotate.py`) dictates the actual driver-visible order.
-    Keys added mid-round and absent from `_R7_ORDER` are prepended so
+    Keys added mid-round and absent from `_R8_ORDER` are prepended so
     they land inside the driver window immediately (VERDICT r5 item
     10) — as shipped, the round-6 window is the 14 new r6 keys plus the
     36 never-driver-checked keys — exactly 50 (SURVEY §2b holds the
@@ -374,7 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (absent from _R7_ORDER -> auto-prepended to the window)
+        # round-6 additions (absent from _R8_ORDER -> auto-prepended to the window)
         "bronze_kafka": KF.bronze_from_kafka_analog,
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
@@ -516,7 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter((F.col("event_id") % 97) == 0)
             .select("event_id", (F.col("value") * 2).alias("new_value")),
         ),
-        # r7 additions (absent from _R7_ORDER -> auto-prepended to the window)
+        # r7 additions (absent from _R8_ORDER -> auto-prepended to the window)
         "ewma_smooth": lambda s, d: DV.ewma_smooth(B.dedup_exact(_bronze(s, d))),
         "cusum_changepoint": lambda s, d: DV.cusum_changepoint(
             B.dedup_exact(_bronze(s, d))
@@ -659,12 +662,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
-    fresh = {k: v for k, v in base.items() if k not in set(_R7_ORDER)}
-    ordered = fresh | {k: base[k] for k in _R7_ORDER if k in base}
+    fresh = {k: v for k, v in base.items() if k not in set(_R8_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R8_ORDER if k in base}
     # a typo'd rotation entry would silently fall out of the schedule
     # and its real key masquerade as "fresh" — fail loudly instead
-    missing = set(_R7_ORDER) - set(base)
-    assert not missing, f"_R7_ORDER names unknown keys: {sorted(missing)}"
+    missing = set(_R8_ORDER) - set(base)
+    assert not missing, f"_R8_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 
