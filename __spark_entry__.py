@@ -306,6 +306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
         # --- block C: r3-only LLM-pipeline keys (18) ---
+        "hard_negatives": lambda s, d: SIM.hard_negatives(
+            load_table(s, d, "embeddings"), ANN_QUERY_IDS
+        ),
+        "seasonal_baseline": lambda s, d: DT.seasonal_baseline(
+            B.dedup_exact(_bronze(s, d))
+        ),
+        "dup_spans": lambda s, d: DD.dup_spans(load_table(s, d, "documents")),
         "ann_cosine_topk": lambda s, d: SIM.cosine_topk(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
         ),
@@ -911,6 +918,9 @@ FROM deduped GROUP BY metric, datestamp
         "dedup_ngram_jaccard": DD.ngram_jaccard_oracle(),
         "dedup_embedding": SIM.embedding_near_dups_oracle(),
         "ann_cosine_topk": SIM.cosine_topk_oracle(ANN_QUERY_IDS),
+        "hard_negatives": SIM.hard_negatives_oracle(ANN_QUERY_IDS),
+        "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
+        "dup_spans": DD.dup_spans_oracle(),
         "text_quality": TX.text_quality_oracle(),
         "token_count": TX.token_count_oracle(),
         "lang_id": TX.lang_id_oracle(),

@@ -1059,3 +1059,175 @@ FROM prev_odd p
 LEFT JOIN min_even m USING (ch)
 LEFT JOIN near nr USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2022 style)
+# --------------------------------------------------------------------------
+
+#: span shingle width (chars of normalized text)
+SPAN_W = 24
+#: minimum reported span length
+SPAN_MIN = 40
+#: per-gram occurrence cap (boilerplate suppression)
+SPAN_GRAM_CAP = 8
+
+
+def dup_spans(
+    documents: DataFrame,
+    w: int = SPAN_W,
+    min_len: int = SPAN_MIN,
+    cap: int = SPAN_GRAM_CAP,
+) -> DataFrame:
+    """Cross-document EXACT substring overlaps ≥ ``min_len`` chars —
+    the span-level dedup of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022): whole-doc dedup misses
+    a boilerplate header or a quoted paragraph shared between
+    otherwise-different docs, and those repeated spans are what LLMs
+    memorize.  Per (doc_i < doc_j) pair, the LONGEST shared span with
+    its start offsets (1-based, in normalized text).
+
+    Spark-first shape (a suffix array is a single-machine index; this
+    is the distributed equivalent):
+
+    - stride-1 ``w``-char gram hashes per doc — O(total chars) skinny
+      rows, the same explode cost class as ``decontaminate`` /
+      ``doc_fingerprint``;
+    - per-gram occurrence cap (first ``cap`` by (doc_id, pos)) in the
+      SAME hash partitioning the join uses next — one window pass both
+      dedups the hot boilerplate grams AND bounds the self-join at
+      ``cap²`` rows per gram (the ``bucket_pairs`` discipline; dropped
+      occurrences can only cost recall on grams hotter than the cap,
+      which are boilerplate by definition — Lee et al. likewise drop
+      ubiquitous grams);
+    - hash-keyed self-equi-join (uniform 8-byte keys, no skew after
+      the cap), then matched positions merge into maximal runs via the
+      gaps-and-islands trick per (pair, diagonal): consecutive pos_i
+      minus row_number is constant within a run, so one window + one
+      aggregate recovers every maximal span of length run + w - 1.
+
+    Matching is on xxhash64 of the gram (8-byte join keys); the oracle
+    joins the gram STRINGS — equal modulo hash collisions, the
+    documented contract of the whole Jaccard/minhash family here.
+    """
+    norm = normalize_text(F.col("text"))
+    base = documents.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= w
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("norm") - (w - 1))
+        ).alias("pos"),
+        "norm",
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.col("norm").substr(F.col("pos"), F.lit(w))).alias("g"),
+    )
+    wcap = Window.partitionBy("g").orderBy("doc_id", "pos")
+    # localCheckpoint: both self-join sides read the capped gram frame;
+    # without it the alias difference defeats ReusedExchange and the
+    # O(total chars) explode + cap window runs twice (the
+    # incremental_dedup_against discipline — checkpoint blocks free
+    # with the frame, unlike cacheManager-pinned persist blocks)
+    capped = (
+        grams.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+        .localCheckpoint(eager=False)
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_i"), F.col("pos").alias("pos_i"), "g"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_j"), F.col("pos").alias("pos_j"), "g"
+    )
+    matches = (
+        a.join(b, "g")
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .select("doc_i", "doc_j", "pos_i", "pos_j")
+    )
+    wrun = Window.partitionBy(
+        "doc_i", "doc_j", F.col("pos_i") - F.col("pos_j")
+    ).orderBy("pos_i")
+    runs = (
+        matches.withColumn(
+            "diag", F.col("pos_i") - F.col("pos_j")
+        )
+        .withColumn("grp", F.col("pos_i") - F.row_number().over(wrun))
+        .groupBy("doc_i", "doc_j", "diag", "grp")
+        .agg(
+            F.min("pos_i").alias("start_i"),
+            F.min("pos_j").alias("start_j"),
+            (F.count(F.lit(1)) + (w - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+    )
+    wbest = Window.partitionBy("doc_i", "doc_j").orderBy(
+        F.col("span_len").desc(), "start_i", "start_j"
+    )
+    return (
+        runs.withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "doc_i",
+            "doc_j",
+            # sequence() positions are int32; the relation contract is
+            # BIGINT offsets like every other id/offset column here
+            F.col("start_i").cast("long").alias("start_i"),
+            F.col("start_j").cast("long").alias("start_j"),
+            F.col("span_len").cast("long").alias("span_len"),
+        )
+    )
+
+
+def dup_spans_oracle(
+    w: int = SPAN_W, min_len: int = SPAN_MIN, cap: int = SPAN_GRAM_CAP
+) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH d AS (
+    SELECT doc_id, {norm} AS nrm FROM documents
+    WHERE length({norm}) >= {w}
+),
+grams AS (
+    SELECT doc_id, i AS pos, substr(nrm, CAST(i AS INTEGER), {w}) AS gs
+    FROM (SELECT doc_id, nrm,
+                 unnest(generate_series(1, length(nrm) - {w - 1})) AS i
+          FROM d)
+),
+capped AS (
+    SELECT doc_id, pos, gs FROM (
+        SELECT doc_id, pos, gs,
+               row_number() OVER (PARTITION BY gs ORDER BY doc_id, pos) AS rn
+        FROM grams
+    ) WHERE rn <= {cap}
+),
+m AS (
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+           a.pos AS pos_i, b.pos AS pos_j
+    FROM capped a JOIN capped b ON a.gs = b.gs AND a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT doc_i, doc_j, pos_i - pos_j AS diag, pos_i, pos_j,
+           pos_i - row_number() OVER (
+               PARTITION BY doc_i, doc_j, pos_i - pos_j ORDER BY pos_i
+           ) AS grp
+    FROM m
+),
+spans AS (
+    SELECT doc_i, doc_j,
+           CAST(min(pos_i) AS BIGINT) AS start_i,
+           CAST(min(pos_j) AS BIGINT) AS start_j,
+           CAST(count(*) + {w - 1} AS BIGINT) AS span_len
+    FROM runs GROUP BY doc_i, doc_j, diag, grp
+    HAVING count(*) + {w - 1} >= {min_len}
+)
+SELECT doc_i, doc_j, start_i, start_j, span_len FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_i, doc_j
+        ORDER BY span_len DESC, start_i, start_j
+    ) AS rk FROM spans
+) WHERE rk = 1
+"""

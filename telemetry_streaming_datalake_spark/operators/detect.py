@@ -543,3 +543,91 @@ SELECT serial, datestamp,
 FROM gaps
 GROUP BY serial, datestamp
 """
+
+
+# --------------------------------------------------------------------------
+# seasonal (hour-of-day) baseline and anomaly counts
+# --------------------------------------------------------------------------
+
+#: modified-z threshold against the seasonal profile
+SEASONAL_Z = 3.0
+
+
+def seasonal_baseline(bronze_deduped: DataFrame) -> DataFrame:
+    """Per (metric, hour-of-day) seasonal profile with anomaly counts
+    — the diurnal-pattern detector the flat z-score family
+    (``anomaly_zscore`` / ``anomaly_mad``) cannot express: a value
+    normal at peak hours is anomalous at 3am, so the baseline must be
+    conditioned on the hour.
+
+    Shape: one (metric, hour)-keyed moment aggregate (24×|metrics|
+    rows — dimension-sized), broadcast back onto the fact for the
+    z-test, then a second same-key aggregate for the counts.  The
+    fact scans once and never shuffles raw rows (both aggregates are
+    map-side partial); the hour comes from the already-oracle-checked
+    ``hourstamp`` string, so no timezone dependency enters.
+
+    Engine-parity discipline (the ``cusum_changepoint`` rule): moments
+    round to 6dp BEFORE the z computation and the z itself rounds to
+    6dp before the threshold compare, so both engines compare
+    identical IEEE doubles.  Groups with zero variance (or n=1, where
+    sample std is NULL) report zero anomalies by definition.
+    """
+    hod = F.substring("hourstamp", 12, 2).cast("int")
+    fact = bronze_deduped.select(
+        "metric", hod.alias("hour_of_day"), "value"
+    )
+    moments = fact.groupBy("metric", "hour_of_day").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+    )
+    z = F.round(
+        F.abs(F.col("value") - F.col("mean_value")) / F.col("std_value"), 6
+    )
+    # the second aggregate carries the (group-constant) moments through
+    # via max(), so ONE fact aggregate yields the whole report — no
+    # moments⋈counts join, and the moments frame computes exactly once
+    # (on the broadcast side)
+    return (
+        fact.join(F.broadcast(moments), ["metric", "hour_of_day"])
+        .withColumn(
+            "is_anom",
+            F.when((F.col("std_value") > 0) & (z > SEASONAL_Z), 1).otherwise(0),
+        )
+        .groupBy("metric", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.max("mean_value").alias("mean_value"),
+            F.max("std_value").alias("std_value"),
+            F.sum("is_anom").cast("bigint").alias("n_anomalies"),
+        )
+    )
+
+
+def seasonal_baseline_oracle(bronze_dedup_sql: str) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+fact AS (
+    SELECT metric, CAST(substr(hourstamp, 12, 2) AS INTEGER) AS hour_of_day,
+           value
+    FROM deduped
+),
+moments AS (
+    SELECT metric, hour_of_day,
+           count(*) AS n_readings,
+           round(avg(value), 6) AS mean_value,
+           round(stddev_samp(value), 6) AS std_value
+    FROM fact GROUP BY metric, hour_of_day
+),
+counts AS (
+    SELECT f.metric, f.hour_of_day,
+           CAST(sum(CASE WHEN m.std_value > 0
+                          AND round(abs(f.value - m.mean_value) / m.std_value, 6)
+                              > {SEASONAL_Z}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM fact f JOIN moments m USING (metric, hour_of_day)
+    GROUP BY f.metric, f.hour_of_day
+)
+SELECT metric, hour_of_day, n_readings, mean_value, std_value, n_anomalies
+FROM moments JOIN counts USING (metric, hour_of_day)
+"""

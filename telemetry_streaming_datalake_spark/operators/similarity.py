@@ -130,6 +130,85 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: per
+    query vector, the ``k`` most-similar vectors carrying a DIFFERENT
+    label — the near-misses a trainer wants in the batch because easy
+    (random) negatives stop contributing gradient early.
+
+    Scale shape is :func:`cosine_topk`'s: the query set is
+    dimension-sized and broadcasts; the corpus makes ONE scan with the
+    label-mismatch predicate applied inside the broadcast join (before
+    any scoring work), scoring runs through the shared Arrow-batched
+    einsum, and per-query top-k is a partitioned window over the
+    scored frame — the corpus never shuffles.  At 100 TB the IVF
+    variant slots in exactly as it does for plain ANN (probe pruned
+    cells, then apply the label filter); the brute-force form here is
+    the recall baseline, like :func:`cosine_topk` is for search.
+    """
+    embeddings = embeddings.filter(F.col("embedding").isNotNull())
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = embeddings.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(pair_cosine(F.col("q_emb"), F.col("embedding")), round_to).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "query_label", "vec_id", "neg_label", "cosine", "rank")
+    )
+
+
+def hard_negatives_oracle(
+    query_ids: list[int], k: int = 5, round_to: int = 4
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb
+    FROM embeddings WHERE vec_id IN ({ids})
+),
+scored AS (
+    SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+           round(
+             list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+             {round_to}) AS cosine
+    FROM embeddings e, q
+    WHERE e.label <> q.query_label
+)
+SELECT query_id, query_label, vec_id, neg_label, cosine, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def cosine_topk_oracle(query_ids: list[int], k: int = 5, round_to: int = 4) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return f"""

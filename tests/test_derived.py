@@ -396,3 +396,30 @@ def test_availability_report_gap_accounting(spark):
     assert abs(out["a"].availability - (1 - want_a / 86400)) < 1e-6
     # B: head gap 0 (reads at midnight), tail gap 300 < slack
     assert out["b"].downtime_secs == 0 and out["b"].availability == 1.0
+
+
+def test_seasonal_baseline_conditions_on_hour(spark):
+    """A value that is normal at its own hour's baseline but extreme
+    against another hour's must only be flagged when the hour says so
+    — and a zero-variance group reports zero anomalies."""
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+
+    rows = []
+    # hour 03: tight baseline around 10, one wild outlier
+    for i in range(20):
+        rows.append(("m", f"2024-01-01 03", 10.0 + (i % 5) * 0.1))
+    rows.append(("m", "2024-01-01 03", 500.0))
+    # hour 12: values around 500 are NORMAL here
+    for i in range(20):
+        rows.append(("m", "2024-01-01 12", 500.0 + (i % 7) * 2.0))
+    # hour 23: constant => std NULL-or-0 => no anomalies by definition
+    for i in range(5):
+        rows.append(("m", "2024-01-01 23", 7.0))
+    df = spark.createDataFrame(
+        rows, "metric string, hourstamp string, value double"
+    )
+    out = {r.hour_of_day: r for r in DT.seasonal_baseline(df).collect()}
+    assert out[3].n_anomalies == 1       # the 500 at 3am
+    assert out[12].n_anomalies == 0      # 500s are the 12h baseline
+    assert out[23].n_anomalies == 0 and out[23].n_readings == 5
+    assert out[3].n_readings == 21

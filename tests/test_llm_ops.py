@@ -1112,3 +1112,81 @@ def test_extend_ivf_index_equals_full_rebuild(spark, tmp_path, embeddings):
         len(fs) for _r, _d, fs in _os.walk(_os.path.join(incr_dir, "cells"))
     )
     assert n_files_after > n_files_before
+
+
+def test_hard_negatives_labels_always_differ(spark, embeddings):
+    """Every mined negative must carry a label different from its
+    query's, ranks must be dense 1..k, and the top negative must be
+    the true most-similar cross-label vector (checked via numpy)."""
+    import numpy as np
+
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+
+    out = SIM.hard_negatives(embeddings, [0, 1], k=5).collect()
+    assert len(out) == 10
+    by_q = {}
+    for r in out:
+        assert r.neg_label != r.query_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == [1, 2, 3, 4, 5]
+    rows = embeddings.collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
+    for q in (0, 1):
+        qv, ql = vecs[q]
+        best, best_c = None, -2.0
+        for vid, (v, lb) in vecs.items():
+            if lb == ql:
+                continue
+            c = round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 4)
+            # same tie-break as the operator: cosine desc, vec_id asc
+            if c > best_c or (c == best_c and vid < best):
+                best, best_c = vid, c
+        got = [r for r in by_q[q] if r.rank == 1][0]
+        assert got.vec_id == best
+
+
+def test_dup_spans_finds_exact_shared_substring(spark):
+    """Two docs sharing one long verbatim paragraph: the reported span
+    must have the exact length and 1-based offsets of the shared text
+    in NORMALIZED form; unrelated docs produce no row."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    d1 = "intro text one. " + shared + " and then doc one continues alone."
+    d2 = "a totally different opening here --- " + shared + " closing words two."
+    d3 = "no overlap with anything else at all in this one, just filler prose."
+    docs = spark.createDataFrame(
+        [(1, d1, "en", "w", len(d1)), (2, d2, "en", "w", len(d2)),
+         (3, d3, "en", "w", len(d3))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = DD.dup_spans(docs, w=24, min_len=40)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_i, r.doc_j) == (1, 2)
+    # offsets are 1-based into the normalized (ws-collapsed, lowered) text
+    n1 = " ".join(d1.lower().split())
+    n2 = " ".join(d2.lower().split())
+    assert n1[r.start_i - 1 : r.start_i - 1 + r.span_len] == \
+           n2[r.start_j - 1 : r.start_j - 1 + r.span_len]
+    assert shared in n1[r.start_i - 1 : r.start_i - 1 + r.span_len]
+
+
+def test_dup_spans_gram_cap_suppresses_boilerplate(spark):
+    """A gram shared by MORE docs than the cap keeps only the first
+    `cap` occurrences — with cap=2 a 3-doc boilerplate still pairs the
+    two lowest doc_ids but cannot explode into all 3 pairs."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    boiler = "standard legal disclaimer footer text appended to every document here"
+    docs = spark.createDataFrame(
+        [(i, f"unique lead-in number {i} distinct words . " + boiler, "en", "w", 1)
+         for i in range(1, 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = DD.dup_spans(docs, w=24, min_len=40, cap=2).collect()
+    pairs = {(r.doc_i, r.doc_j) for r in rows}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)

@@ -551,3 +551,54 @@ def test_hybrid_search_fuses_tiny_frames(spark):
     )
     p = SIM.hybrid_search(docs, emb)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
+
+
+def test_hard_negatives_broadcasts_queries_never_shuffles_corpus(spark):
+    """The query set broadcasts (BNLJ on the label-mismatch predicate,
+    like cosine_topk's id-mismatch); the corpus's only exchange is the
+    per-query top-k window."""
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [0.0, 1.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    p = SIM.hard_negatives(emb, [0])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p  # tiny query side broadcast
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") == 1  # top-k window only
+
+
+def test_seasonal_baseline_broadcasts_moments(spark):
+    """Moments are dimension-sized (metrics x 24) and broadcast back;
+    the fact never SortMergeJoins."""
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+
+    src = spark.createDataFrame(
+        [("m", "2024-01-01 03", 1.0)],
+        "metric string, hourstamp string, value double",
+    )
+    p = DT.seasonal_baseline(src)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dup_spans_capped_equi_join_no_cartesian(spark):
+    """The self-join is a hash equi-join on the gram key over the
+    checkpoint-pinned capped frame (explode + cap window run ONCE);
+    no cartesian product, no per-pair quadratic surface beyond the
+    cap^2-bounded gram buckets."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz 0123456789 abcdefghijklmnopqrstuvwxyz",
+          "en", "w", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = DD.dup_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # checkpoint pin: the join reads the materialized capped frame, so
+    # the only exchanges left are the join key and the two windows
+    assert "Scan ExistingRDD" in p
