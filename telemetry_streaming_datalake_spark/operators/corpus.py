@@ -16,7 +16,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from telemetry_streaming_datalake_spark.operators.dedup import normalize_text
+from telemetry_streaming_datalake_spark.operators.dedup import (
+    _rolling_gram_hashes_udf,
+    normalize_text,
+)
 
 # --------------------------------------------------------------------------
 # PII redaction
@@ -210,86 +213,12 @@ BENCH_DOC_IDS = tuple(range(0, 500, 50))
 CONTAM_NGRAM = 16
 
 
-#: rolling-hash base (odd => invertible mod 2^64) and its inverse
-_RH_P = 1099511628211
-_RH_PINV = pow(_RH_P, -1, 1 << 64)
-
-
-def _rolling_gram_hashes_udf(n: int):
-    """Arrow-batched O(len) polynomial gram hashes per doc.
-
-    The r7 form hashed every stride-1 gram as
-    ``xxhash64(substr(norm, i, n))`` — pure codegen, but it allocates
-    one n-char UTF8String per position, and the quiet-window A/B
-    measured that allocation at ~90% of decontaminate's wall (2.05 s
-    of 2.3 s at sf0.1, 2.13x the DuckDB baseline).  This replaces it
-    with the prefix-sum rolling hash over the doc's CODEPOINT array
-    (utf-32-le reinterpret -> uint32, so semantics stay per-CHAR, not
-    per-byte): with p_j = P^-j mod 2^64 and T the wrapping cumsum of
-    b[j]*p_j, every window hash is (T[i+n]-T[i])*P^{i+n-1} — three
-    vector ops per doc, ~3x the codegen form's throughput (0.68 s for
-    the same frame).  uint64 wraparound IS the mod-2^64 arithmetic.
-
-    Hashes only ever stand in for gram strings as join keys (both
-    sides use THIS function), so the collision contract is unchanged
-    from the xxhash64 form and the string-joining oracle still
-    verifies the result.  (Built per call: pandas_udf return-type
-    parsing needs an active SparkSession.)
-    """
-    from pyspark.sql.functions import pandas_udf
-
-    def make_pows(length):
-        pw = np.empty(length, dtype=np.uint64)
-        piv = np.empty(length, dtype=np.uint64)
-        pw[0] = piv[0] = 1
-        for i in range(1, length):
-            pw[i] = pw[i - 1] * np.uint64(_RH_P)
-            piv[i] = piv[i - 1] * np.uint64(_RH_PINV)
-        return pw, piv
-
-    state = {"pw": None, "piv": None, "cap": 0}
-
-    def pows(need):
-        if need > state["cap"]:
-            cap = max(4096, 1 << (need - 1).bit_length())
-            state["pw"], state["piv"] = make_pows(cap)
-            state["cap"] = cap
-        return state["pw"], state["piv"]
-
-    @pandas_udf("array<long>")
-    def gram_hashes(norm: pd.Series) -> pd.Series:
-        out = []
-        for s in norm:
-            b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
-                np.uint64
-            )
-            length = len(b)
-            pw, piv = pows(length + n)
-            if length >= n:
-                t = np.zeros(length + 1, dtype=np.uint64)
-                np.cumsum(b * piv[:length], dtype=np.uint64, out=t[1:])
-                m = length - n + 1
-                h = (t[n:] - t[:m]) * pw[n - 1 : length]
-            elif length:
-                # short doc: one gram over all chars (the substr-clamp
-                # semantics of the codegen form)
-                h = np.array(
-                    [(b * pw[length - 1 :: -1]).sum(dtype=np.uint64)],
-                    dtype=np.uint64,
-                )
-            else:
-                h = np.zeros(1, dtype=np.uint64)  # empty doc: one "" gram
-            out.append(h.astype(np.int64))
-        return pd.Series(out)
-
-    return gram_hashes
-
-
 def _contam_grams(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram-hash) rows via the O(len) rolling hash.  Hashes
-    stand in for the gram strings on the Spark side (8-byte join
-    keys); the oracle joins the strings themselves, equal modulo hash
-    collisions like the whole Jaccard family."""
+    """(doc_id, gram-hash) rows via the O(len) rolling hash (see
+    :func:`..dedup._rolling_gram_hashes_udf`).  Hashes stand in for
+    the gram strings on the Spark side (8-byte join keys); the oracle
+    joins the strings themselves, equal modulo hash collisions like
+    the whole Jaccard family."""
     norm = normalize_text(F.col("text"))
     base = documents.select("doc_id", norm.alias("norm"))
     return base.select(
@@ -1011,7 +940,10 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
     sum.  Output: one row — token/vocab volumes, overlap, and
     ``js_divergence`` in bits (0 = identical mix, 1 = disjoint).
     """
-    from telemetry_streaming_datalake_spark.operators.dedup import normalize_text
+    from telemetry_streaming_datalake_spark.operators.dedup import (
+    _rolling_gram_hashes_udf,
+    normalize_text,
+)
 
     toks = documents.select(
         (F.col("doc_id") % 2).alias("slice"),

@@ -162,8 +162,14 @@ def bucket_pairs(
     partition buffer to disk, unlike a collect_list value.  Use
     :func:`bucket_truncation` to monitor how much a corpus clips.
     Output columns: ``a_<col>`` / ``b_<col>`` for each payload col.
+
+    The cap order is the FULL payload tuple: for consumers whose first
+    payload col is unique per bucket (every pre-r8 caller) this is the
+    original order, and for multi-occurrence payloads (``dup_spans``:
+    several positions of one doc under one gram) it makes the clipped
+    set deterministic instead of tie-arbitrary.
     """
-    w = Window.partitionBy(*key_cols).orderBy(payload[0])
+    w = Window.partitionBy(*key_cols).orderBy(*payload)
     capped = (
         banded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
@@ -1061,6 +1067,82 @@ LEFT JOIN near nr USING (doc_id)
 """
 
 
+#: rolling-hash base (odd => invertible mod 2^64) and its inverse
+_RH_P = 1099511628211
+_RH_PINV = pow(_RH_P, -1, 1 << 64)
+
+
+def _rolling_gram_hashes_udf(n: int):
+    """Arrow-batched O(len) polynomial gram hashes per doc.
+
+    The r7 form hashed every stride-1 gram as
+    ``xxhash64(substr(norm, i, n))`` — pure codegen, but it allocates
+    one n-char UTF8String per position, and the quiet-window A/B
+    measured that allocation at ~90% of decontaminate's wall (2.05 s
+    of 2.3 s at sf0.1, 2.13x the DuckDB baseline).  This replaces it
+    with the prefix-sum rolling hash over the doc's CODEPOINT array
+    (utf-32-le reinterpret -> uint32, so semantics stay per-CHAR, not
+    per-byte): with p_j = P^-j mod 2^64 and T the wrapping cumsum of
+    b[j]*p_j, every window hash is (T[i+n]-T[i])*P^{i+n-1} — three
+    vector ops per doc, ~3x the codegen form's throughput (0.68 s for
+    the same frame).  uint64 wraparound IS the mod-2^64 arithmetic.
+
+    Hashes only ever stand in for gram strings as join keys (both
+    sides use THIS function), so the collision contract is unchanged
+    from the xxhash64 form and the string-joining oracle still
+    verifies the result.  (Built per call: pandas_udf return-type
+    parsing needs an active SparkSession.)
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def make_pows(length):
+        pw = np.empty(length, dtype=np.uint64)
+        piv = np.empty(length, dtype=np.uint64)
+        pw[0] = piv[0] = 1
+        for i in range(1, length):
+            pw[i] = pw[i - 1] * np.uint64(_RH_P)
+            piv[i] = piv[i - 1] * np.uint64(_RH_PINV)
+        return pw, piv
+
+    state = {"pw": None, "piv": None, "cap": 0}
+
+    def pows(need):
+        if need > state["cap"]:
+            cap = max(4096, 1 << (need - 1).bit_length())
+            state["pw"], state["piv"] = make_pows(cap)
+            state["cap"] = cap
+        return state["pw"], state["piv"]
+
+    @pandas_udf("array<long>")
+    def gram_hashes(norm: pd.Series) -> pd.Series:
+        out = []
+        for s in norm:
+            b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            length = len(b)
+            pw, piv = pows(length + n)
+            if length >= n:
+                t = np.zeros(length + 1, dtype=np.uint64)
+                np.cumsum(b * piv[:length], dtype=np.uint64, out=t[1:])
+                m = length - n + 1
+                h = (t[n:] - t[:m]) * pw[n - 1 : length]
+            elif length:
+                # short doc: one gram over all chars (the substr-clamp
+                # semantics of the codegen form)
+                h = np.array(
+                    [(b * pw[length - 1 :: -1]).sum(dtype=np.uint64)],
+                    dtype=np.uint64,
+                )
+            else:
+                h = np.zeros(1, dtype=np.uint64)  # empty doc: one "" gram
+            out.append(h.astype(np.int64))
+        return pd.Series(out)
+
+    return gram_hashes
+
+
+
 # --------------------------------------------------------------------------
 # exact-substring span dedup (Lee et al. 2022 style)
 # --------------------------------------------------------------------------
@@ -1093,15 +1175,13 @@ def dup_spans(
     - stride-1 ``w``-char gram hashes per doc — O(total chars) skinny
       rows, the same explode cost class as ``decontaminate`` /
       ``doc_fingerprint``;
-    - per-gram occurrence cap (first ``cap`` by (doc_id, pos)) in the
-      SAME hash partitioning the join uses next — one window pass both
-      dedups the hot boilerplate grams AND bounds the self-join at
-      ``cap²`` rows per gram (the ``bucket_pairs`` discipline; dropped
-      occurrences can only cost recall on grams hotter than the cap,
-      which are boilerplate by definition — Lee et al. likewise drop
-      ubiquitous grams);
-    - hash-keyed self-equi-join (uniform 8-byte keys, no skew after
-      the cap), then matched positions merge into maximal runs via the
+    - ONE gram-keyed shuffle (:func:`bucket_pairs`) caps each bucket
+      at the ``cap`` lowest (doc_id, pos) occurrences and expands
+      cross-doc occurrence pairs locally — pairs are bounded at
+      ``cap²`` per gram, and dropped occurrences can only cost recall
+      on grams hotter than the cap, which are boilerplate by
+      definition (Lee et al. likewise drop ubiquitous grams);
+    - matched positions merge into maximal runs via the
       gaps-and-islands trick per (pair, diagonal): consecutive pos_i
       minus row_number is constant within a run, so one window + one
       aggregate recovers every maximal span of length run + w - 1.
@@ -1114,39 +1194,28 @@ def dup_spans(
     base = documents.select("doc_id", norm.alias("norm")).filter(
         F.length("norm") >= w
     )
+    # O(len) rolling gram hashes (the decontaminate optimization — the
+    # substr+xxhash64 codegen form spends ~90% of its wall allocating
+    # one w-char UTF8String per position); posexplode recovers the
+    # 1-based positions the island merge needs
     grams = base.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("norm") - (w - 1))
-        ).alias("pos"),
-        "norm",
-    ).select(
-        "doc_id",
-        "pos",
-        F.xxhash64(F.col("norm").substr(F.col("pos"), F.lit(w))).alias("g"),
-    )
-    wcap = Window.partitionBy("g").orderBy("doc_id", "pos")
-    # localCheckpoint: both self-join sides read the capped gram frame;
-    # without it the alias difference defeats ReusedExchange and the
-    # O(total chars) explode + cap window runs twice (the
-    # incremental_dedup_against discipline — checkpoint blocks free
-    # with the frame, unlike cacheManager-pinned persist blocks)
-    capped = (
-        grams.withColumn("__rn", F.row_number().over(wcap))
-        .filter(F.col("__rn") <= cap)
-        .drop("__rn")
-        .localCheckpoint(eager=False)
-    )
-    a = capped.select(
-        F.col("doc_id").alias("doc_i"), F.col("pos").alias("pos_i"), "g"
-    )
-    b = capped.select(
-        F.col("doc_id").alias("doc_j"), F.col("pos").alias("pos_j"), "g"
-    )
-    matches = (
-        a.join(b, "g")
-        .filter(F.col("doc_i") < F.col("doc_j"))
-        .select("doc_i", "doc_j", "pos_i", "pos_j")
+        F.posexplode(_rolling_gram_hashes_udf(w)(F.col("norm"))).alias(
+            "pos0", "g"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    # ONE gram-keyed shuffle does cap + pair expansion: bucket_pairs
+    # caps each gram bucket at the `cap` lowest (doc_id, pos)
+    # occurrences inside the same partitioning its collect_list uses,
+    # then expands cross-doc occurrence pairs locally — replacing the
+    # first-cut self-join, which shuffled the O(total chars) frame two
+    # extra times and needed a localCheckpoint to stop the explode
+    # re-running per join branch
+    matches = bucket_pairs(grams, ["g"], ["doc_id", "pos"], cap).select(
+        F.col("a_doc_id").alias("doc_i"),
+        F.col("b_doc_id").alias("doc_j"),
+        F.col("a_pos").alias("pos_i"),
+        F.col("b_pos").alias("pos_j"),
     )
     wrun = Window.partitionBy(
         "doc_i", "doc_j", F.col("pos_i") - F.col("pos_j")

@@ -584,11 +584,12 @@ def test_seasonal_baseline_broadcasts_moments(spark):
     assert "CartesianProduct" not in p
 
 
-def test_dup_spans_capped_equi_join_no_cartesian(spark):
-    """The self-join is a hash equi-join on the gram key over the
-    checkpoint-pinned capped frame (explode + cap window run ONCE);
-    no cartesian product, no per-pair quadratic surface beyond the
-    cap^2-bounded gram buckets."""
+def test_dup_spans_single_gram_shuffle_no_join(spark):
+    """Pair expansion is bucket_pairs (cap + collect_list + local
+    explode in ONE gram-keyed shuffle) — no join operator at all on
+    the O(total chars) gram frame, no cartesian product; the only
+    other exchanges are over the matches frame (runs + best-span
+    windows)."""
     from telemetry_streaming_datalake_spark.operators import dedup as DD
 
     docs = spark.createDataFrame(
@@ -598,7 +599,4 @@ def test_dup_spans_capped_equi_join_no_cartesian(spark):
     )
     p = DD.dup_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    # checkpoint pin: the join reads the materialized capped frame, so
-    # the only exchanges left are the join key and the two windows
-    assert "Scan ExistingRDD" in p
+    assert "Join" not in p  # no self-join: local per-bucket expansion

@@ -38,6 +38,7 @@ from telemetry_streaming_datalake_spark.operators import cohort as CO
 from telemetry_streaming_datalake_spark.operators import corpus as CP
 from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import derived as DV
+from telemetry_streaming_datalake_spark.operators import detect as DT
 from telemetry_streaming_datalake_spark.operators import merge as M
 from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import temporal as T
@@ -174,6 +175,16 @@ def queries():
         ),
         "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
             B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        # round-8 additions: the gram self-join (quadratic-risk surface
+        # bounded by the per-gram cap), the broadcast-scored miner, and
+        # the two-agg seasonal report
+        "dup_spans": lambda s, d: DD.dup_spans(load_table(s, d, "documents")),
+        "seasonal_baseline": lambda s, d: DT.seasonal_baseline(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "decontaminate": lambda s, d: CP.decontaminate(
+            load_table(s, d, "documents")
         ),
     }
 
