@@ -161,6 +161,9 @@ HEADLINE = [
     "corpus_drift",
     "zipf_fit",
     "embedding_drift",
+    "hard_negatives",
+    "seasonal_baseline",
+    "dup_spans",
 ]
 
 

@@ -154,7 +154,7 @@ def streaming_upsert_rollup(spark: SparkSession, sf_dir: str, work_dir: str) -> 
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(store_path).select(
+    return store.read().select(
         "id", "metric", F.col("datestamp").cast("string").alias("datestamp"),
         "hourstamp", "n_events", "sum_value", "min_value", "max_value",
     )

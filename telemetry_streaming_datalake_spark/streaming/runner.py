@@ -240,6 +240,28 @@ class AlwaysOnRunner:
             time.sleep(1.0)
         return seen
 
+    def await_store_rows(self, n_rows: int, timeout_s: float = 120.0) -> int:
+        """Poll the serving store (through its version pointer — the
+        store root holds version dirs, not bare parquet) until it
+        holds >= ``n_rows`` keys."""
+        from telemetry_streaming_datalake_spark.streaming.sinks import (
+            ParquetUpsertStore,
+        )
+
+        store = ParquetUpsertStore(self.spark, self.serving_dir, key="id")
+        deadline = time.monotonic() + timeout_s
+        seen = 0
+        while time.monotonic() < deadline:
+            try:
+                df = store.read()
+                seen = 0 if df is None else df.count()
+            except Exception:
+                seen = 0  # pointer swap mid-read; retry
+            if seen >= n_rows:
+                return seen
+            time.sleep(1.0)
+        return seen
+
     def stop(self) -> None:
         """Stop every managed query (newest hop first so upstreams
         don't write into a dead consumer's lake mid-stop)."""
@@ -331,7 +353,7 @@ def always_on_topology(
         shutil.copy(feed_files[0], os.path.join(r1.landing_dir, "feed_a.parquet"))
         got = r1.await_rows(r1.gold_dir, gold_a, timeout_s=180)
         assert got == gold_a, f"phase-1 gold drain: {got} != {gold_a}"
-        got = r1.await_rows(r1.serving_dir, keys_a, timeout_s=120)
+        got = r1.await_store_rows(keys_a, timeout_s=120)
         assert got == keys_a, f"phase-1 serving drain: {got} != {keys_a}"
     finally:
         r1.stop()
@@ -342,7 +364,7 @@ def always_on_topology(
         shutil.copy(feed_files[1], os.path.join(r2.landing_dir, "feed_b.parquet"))
         got = r2.await_rows(r2.gold_dir, gold_full, timeout_s=180)
         assert got == gold_full, f"phase-2 gold drain: {got} != {gold_full}"
-        got = r2.await_rows(r2.serving_dir, keys_full, timeout_s=120)
+        got = r2.await_store_rows(keys_full, timeout_s=120)
         assert got == keys_full, f"phase-2 serving drain: {got} != {keys_full}"
     finally:
         r2.stop()

@@ -173,15 +173,28 @@ class ResilientKVServingStore(ServingStoreWriter):
 
 
 class ParquetUpsertStore(ServingStoreWriter):
-    """Keyed upsert store over partitioned parquet (foreachBatch
-    target).
+    """Keyed upsert store over versioned partitioned parquet
+    (foreachBatch target).
 
     ``apply_batch`` is what you hand to ``foreachBatch``; it implements
     ItemOverwrite: rows from the newer batch replace same-key rows.
     ``partition_col`` is the pruning axis (e.g. ``datestamp``); with it
-    set, a batch rewrites only the partitions it touches.  Without it
-    the store degrades to a documented full rewrite (only acceptable
-    for tiny key-value stores).
+    set, a batch REWRITES only the partitions it touches and carries
+    every untouched partition file across by hardlink (O(touched
+    data + #files metadata), never O(store)).  Without it the store
+    degrades to a documented full rewrite (only acceptable for tiny
+    key-value stores).
+
+    Durability (r8): every apply lands in a fresh ``v{n}`` directory
+    and becomes visible only via an atomic ``CURRENT`` pointer swap
+    (tmp + ``os.replace``) — the pre-r8 layout overwrote the store
+    directory in place, so a query stop or crash mid-apply could leave
+    the store EMPTY with no replay able to restore the lost rows (the
+    checkpoint only re-delivers unapplied batches).  With the swap, an
+    aborted apply leaves an orphan ``v{n}`` that the next apply's
+    sweep removes, and readers always see the last committed state.
+    The previous version is kept until the next successful apply so
+    in-flight lazy readers of the prior snapshot stay valid.
     """
 
     def __init__(
@@ -195,12 +208,45 @@ class ParquetUpsertStore(ServingStoreWriter):
         self.path = path
         self.key = key
         self.partition_col = partition_col
-        self._version = 0
+
+    # ------------------------------------------------------ versioning
+
+    def current_data_dir(self) -> str | None:
+        """The committed version directory (None for an empty store)."""
+        ptr = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return os.path.join(self.path, fh.read().strip())
+
+    def _publish(self, version: int) -> None:
+        import shutil
+
+        tmp = os.path.join(self.path, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{version}")
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))
+        # sweep everything older than the PREVIOUS version (kept for
+        # in-flight readers) plus any aborted-apply orphans newer than
+        # the committed one
+        for d in os.listdir(self.path):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in (
+                version,
+                version - 1,
+            ):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def _next_version(self) -> int:
+        cur = self.current_data_dir()
+        return 0 if cur is None else int(os.path.basename(cur)[1:]) + 1
+
+    # ------------------------------------------------------------ read
 
     def read(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
+        cur = self.current_data_dir()
+        if cur is None:
             return None
-        df = self.spark.read.parquet(self.path)
+        df = self.spark.read.parquet(cur)
         if self.partition_col:
             # partition-column values come back type-inferred (e.g.
             # DATE for 'yyyy-MM-dd'); restore the stored string form so
@@ -218,51 +264,61 @@ class ParquetUpsertStore(ServingStoreWriter):
             .drop("_rn", "_v")
         )
 
+    # ----------------------------------------------------------- write
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         incoming = batch_df.withColumn("_v", F.lit(1))
-        current = self.read()
-        if self.partition_col and current is not None:
-            # partitions this batch touches — bounded by batch size
-            parts = [
-                r[0]
-                for r in batch_df.select(self.partition_col).distinct().collect()
-            ]
-            # partition-pruned read of ONLY those partitions;
-            # localCheckpoint materializes them and cuts the file
-            # lineage, so the dynamic overwrite below may target the
-            # same directory it was read from
-            current = (
-                current.filter(F.col(self.partition_col).isin(parts))
-                .withColumn("_v", F.lit(0))
-                .localCheckpoint()
-            )
-            merged = self._winners(current.unionByName(incoming))
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(self.partition_col)
-                .parquet(self.path)
-            )
-            return
-        if current is None:
+        cur = self.current_data_dir()
+        version = self._next_version()
+        new_dir = os.path.join(self.path, f"v{version}")
+        if cur is None:
             writer = incoming.drop("_v").write.mode("overwrite")
             if self.partition_col:
                 writer = writer.partitionBy(self.partition_col)
-            writer.parquet(self.path)
+            writer.parquet(new_dir)
+            self._publish(version)
             return
-        # unpartitioned fallback: full winner rewrite via a temp swap
+        current = self.read()
+        if self.partition_col:
+            # partitions this batch touches — bounded by batch size
+            parts = {
+                str(r[0])
+                for r in batch_df.select(self.partition_col).distinct().collect()
+            }
+            merged = self._winners(
+                current.filter(F.col(self.partition_col).isin(list(parts)))
+                .withColumn("_v", F.lit(0))
+                .unionByName(incoming)
+            )
+            merged.write.mode("overwrite").partitionBy(
+                self.partition_col
+            ).parquet(new_dir)
+            # carry untouched partitions by hardlink: same inode, so
+            # bytes/mtimes are literally the previous version's —
+            # O(#files) metadata, no data copied or rewritten
+            prefix = f"{self.partition_col}="
+            for entry in os.listdir(cur):
+                if not entry.startswith(prefix) or entry[len(prefix):] in parts:
+                    continue
+                src_dir = os.path.join(cur, entry)
+                dst_dir = os.path.join(new_dir, entry)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fname in os.listdir(src_dir):
+                    if fname.startswith(".") or fname.startswith("_"):
+                        continue
+                    os.link(
+                        os.path.join(src_dir, fname),
+                        os.path.join(dst_dir, fname),
+                    )
+            self._publish(version)
+            return
+        # unpartitioned: documented full winner rewrite, atomic via the
+        # same version swap
         merged = self._winners(
             current.withColumn("_v", F.lit(0)).unionByName(incoming)
         )
-        tmp = f"{self.path}__v{self._version}"
-        self._version += 1
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(new_dir)
+        self._publish(version)
 
 
 def stream_upsert_rollup(

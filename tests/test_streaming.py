@@ -58,13 +58,15 @@ def test_upsert_store_rewrites_only_touched_partitions(spark, tmp_path):
         [("a", "2024-01-01", 1), ("b", "2024-01-02", 2)], schema
     )
     store.apply_batch(b0, 0)
-    before = _partition_files(path, "datestamp=2024-01-01")
+    before = _partition_files(store.current_data_dir(), "datestamp=2024-01-01")
     assert before  # d1 exists
     b1 = spark.createDataFrame(
         [("b", "2024-01-02", 20), ("c", "2024-01-02", 3)], schema
     )
     store.apply_batch(b1, 1)
-    after = _partition_files(path, "datestamp=2024-01-01")
+    # hardlink carry: the new version's untouched partition shares the
+    # previous version's inodes — same names, bytes, and mtimes
+    after = _partition_files(store.current_data_dir(), "datestamp=2024-01-01")
     assert after == before  # same files, sizes, and mtimes
     final = {r.id: r.v for r in store.read().collect()}
     assert final == {"a": 1, "b": 20, "c": 3}
@@ -547,7 +549,7 @@ def test_always_on_runner_three_concurrent_queries(spark):
         assert got == want_gold
         # hop 4: the serving store converges to one row per latest key
         want_latest = queries["latest_metric"](spark, sf).count()
-        got_latest = r.await_rows(r.serving_dir, want_latest, timeout_s=120)
+        got_latest = r.await_store_rows(want_latest, timeout_s=120)
         assert got_latest == want_latest
         st = {s["name"]: s for s in r.status()}
         assert set(st) == {
@@ -1053,3 +1055,30 @@ def test_streaming_cusum_carries_drift_across_batches(spark, tmp_path):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
+
+
+def test_upsert_store_abort_mid_apply_keeps_committed_state(spark, tmp_path):
+    """An apply that dies before the pointer swap must be invisible:
+    reads return the previous committed version, and the next
+    successful apply sweeps the orphan dir."""
+    import os as _os
+
+    path = str(tmp_path / "store")
+    store = ParquetUpsertStore(spark, path, key="id")
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int")
+    store.apply_batch(b0, 0)
+    committed = {r.id: r.v for r in store.read().collect()}
+    # simulate a crash: v1 data lands but CURRENT never moves
+    spark.createDataFrame([("zz", 99)], "id string, v int").write.parquet(
+        _os.path.join(path, "v1")
+    )
+    assert {r.id: r.v for r in store.read().collect()} == committed
+    # replayed/next batch applies on the COMMITTED state; orphan swept
+    b1 = spark.createDataFrame([("b", 20)], "id string, v int")
+    store.apply_batch(b1, 1)
+    assert {r.id: r.v for r in store.read().collect()} == {"a": 1, "b": 20}
+    versions = sorted(
+        d for d in _os.listdir(path) if d.startswith("v") and d[1:].isdigit()
+    )
+    cur = _os.path.basename(store.current_data_dir())
+    assert cur in versions and "v1" not in versions or cur == "v1"
