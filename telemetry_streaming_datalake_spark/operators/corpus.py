@@ -220,7 +220,12 @@ def _contam_grams(documents: DataFrame, n: int) -> DataFrame:
     joins the strings themselves, equal modulo hash collisions like
     the whole Jaccard family."""
     norm = normalize_text(F.col("text"))
-    base = documents.select("doc_id", norm.alias("norm"))
+    # repartition BEFORE the ~300x generate stage (the
+    # exploded_shingles rule): a corpus read from few compact files
+    # would otherwise expand on a handful of cores
+    base = documents.select("doc_id", norm.alias("norm")).repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     return base.select(
         "doc_id",
         F.explode(_rolling_gram_hashes_udf(n)(F.col("norm"))).alias("g"),

@@ -1191,8 +1191,14 @@ def dup_spans(
     documented contract of the whole Jaccard/minhash family here.
     """
     norm = normalize_text(F.col("text"))
-    base = documents.select("doc_id", norm.alias("norm")).filter(
-        F.length("norm") >= w
+    # repartition BEFORE the ~(len-w)x generate stage (the
+    # exploded_shingles rule — full-cluster fan-out for the explode)
+    base = (
+        documents.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= w)
+        .repartition(
+            documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     )
     # O(len) rolling gram hashes (the decontaminate optimization — the
     # substr+xxhash64 codegen form spends ~90% of its wall allocating
