@@ -313,6 +313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             B.dedup_exact(_bronze(s, d))
         ),
         "dup_spans": lambda s, d: DD.dup_spans(load_table(s, d, "documents")),
+        "quality_classifier": lambda s, d: TX.quality_classifier(
+            load_table(s, d, "documents")
+        ),
         "ann_cosine_topk": lambda s, d: SIM.cosine_topk(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
         ),
@@ -921,6 +924,7 @@ FROM deduped GROUP BY metric, datestamp
         "hard_negatives": SIM.hard_negatives_oracle(ANN_QUERY_IDS),
         "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
         "dup_spans": DD.dup_spans_oracle(),
+        "quality_classifier": TX.quality_classifier_oracle(),
         "text_quality": TX.text_quality_oracle(),
         "token_count": TX.token_count_oracle(),
         "lang_id": TX.lang_id_oracle(),

@@ -164,6 +164,7 @@ HEADLINE = [
     "hard_negatives",
     "seasonal_baseline",
     "dup_spans",
+    "quality_classifier",
 ]
 
 

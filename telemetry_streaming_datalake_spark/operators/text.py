@@ -1045,6 +1045,96 @@ FROM documents
 """
 
 
+#: shipped quality-classifier weights — the "train once, apply
+#: everywhere" artifact of model-based corpus filtering (the
+#: fastText-classifier stage of DCLM / FineWeb-Edu pipelines, reduced
+#: to its deterministic apply half): a logistic model over the same
+#: interpretable features the rule gates measure.  Like
+#: FIXED_BPE_MERGES, the weights are a fixed production artifact, so
+#: application is pure arithmetic and fully oracle-checkable.
+QUALITY_CLF_WEIGHTS = {
+    "bias": -3.5,
+    "ln_words": 0.55,       # longer docs score higher, saturating
+    "mean_word_len": -0.12, # very long tokens suggest code/garbage
+    "alpha_frac": 1.5,      # alphabetic words dominate real prose
+    "stop_density": 9.0,    # stopword evidence is the strongest signal
+}
+QUALITY_CLF_THRESHOLD = 0.5
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """Model-based quality scoring with a SHIPPED logistic model —
+    the classifier stage curation pipelines run next to the rule
+    gates (:func:`gopher_filter`): score = sigmoid(w·x) over
+    interpretable per-doc features, keep = score ≥ threshold.
+
+    Map-only, one codegen scan, zero shuffles — like every gate that
+    runs before anything expensive.  Engine parity: the linear term z
+    rounds to 6dp BEFORE the sigmoid, and the keep decision tests z ≥
+    logit(threshold) = 0 directly (never the exp output), so the only
+    cross-engine float surface is one exp on an identical 6dp input.
+    """
+    w = QUALITY_CLF_WEIGHTS
+    norm = normalize_text(F.col("text"))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    words = F.split(F.trim(norm), " ")
+    n_words = F.size(words)
+    n_chars = F.length(norm)
+    n_spaces = n_chars - F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    mean_word_len = (n_chars - n_spaces) / n_words
+    alpha_frac = F.size(F.filter(words, lambda x: x.rlike("[a-z]"))) / n_words
+    stop_hits = None
+    for m in LANG_MARKERS["en"]:
+        c = _count_occurrences(padded, m)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_density = stop_hits / n_words
+    z = F.round(
+        F.lit(w["bias"])
+        + F.lit(w["ln_words"]) * F.log(n_words.cast("double"))
+        + F.lit(w["mean_word_len"]) * mean_word_len
+        + F.lit(w["alpha_frac"]) * alpha_frac
+        + F.lit(w["stop_density"]) * stop_density,
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return documents.select(
+        "doc_id",
+        "source",
+        z.alias("logit"),
+        score.alias("quality_prob"),
+        (z >= 0.0).alias("keep"),
+    )
+
+
+def quality_classifier_oracle() -> str:
+    w = QUALITY_CLF_WEIGHTS
+    norm = _NORM_SQL
+    padded = f"(' ' || {norm} || ' ')"
+    stop = " + ".join(_count_sql(padded, m) for m in LANG_MARKERS["en"])
+    words = f"string_split(trim({norm}), ' ')"
+    n_words = f"len({words})"
+    n_chars = f"length({norm})"
+    n_spaces = f"(length({norm}) - length(replace({norm}, ' ', '')))"
+    mean_wlen = f"(({n_chars} - {n_spaces}) * 1.0 / {n_words})"
+    alpha_frac = (
+        f"(len(list_filter({words}, x -> regexp_matches(x, '[a-z]')))"
+        f" * 1.0 / {n_words})"
+    )
+    z = (
+        f"round({w['bias']} + {w['ln_words']} * ln({n_words}) "
+        f"+ {w['mean_word_len']} * {mean_wlen} "
+        f"+ {w['alpha_frac']} * {alpha_frac} "
+        f"+ {w['stop_density']} * (({stop}) * 1.0 / {n_words}), 6)"
+    )
+    return f"""
+SELECT doc_id, source,
+       {z} AS logit,
+       round(1.0 / (1.0 + exp(-{z})), 6) AS quality_prob,
+       {z} >= 0.0 AS keep
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Zipf-law fit (corpus-health statistic)
 # --------------------------------------------------------------------------

@@ -1190,3 +1190,26 @@ def test_dup_spans_gram_cap_suppresses_boilerplate(spark):
     pairs = {(r.doc_i, r.doc_j) for r in rows}
     assert (1, 2) in pairs
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_quality_classifier_monotone_in_stopword_evidence(spark):
+    """Real English prose must outscore stopword-free gibberish of the
+    same length, the keep flag must equal logit >= 0, and the score
+    must be the sigmoid of the rounded logit."""
+    import math
+
+    from telemetry_streaming_datalake_spark.operators import text as TX
+
+    good = ("the cat sat on the mat and the dog lay by the door of the "
+            "house while the rain fell on the roof above them all day")
+    bad = "zxqv ploo wrrk vnns " * 7
+    docs = spark.createDataFrame(
+        [(1, good, "en", "w", len(good)), (2, bad, "en", "w", len(bad))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in TX.quality_classifier(docs).collect()}
+    assert out[1].quality_prob > out[2].quality_prob
+    for r in out.values():
+        assert r.keep == (r.logit >= 0.0)
+        assert abs(r.quality_prob - round(1 / (1 + math.exp(-r.logit)), 6)) < 1e-9
+    assert out[1].keep and not out[2].keep
