@@ -305,6 +305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
+        # --- r8 continuation additions (absent from _R8_ORDER ->
+        # auto-prepended to the driver window) ---
+        "slo_burn_alerts": lambda s, d: DT.slo_burn_alerts(
+            B.dedup_exact(_bronze(s, d))
+        ),
         # --- block C: r3-only LLM-pipeline keys (18) ---
         "hard_negatives": lambda s, d: SIM.hard_negatives(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
@@ -923,6 +928,7 @@ FROM deduped GROUP BY metric, datestamp
         "ann_cosine_topk": SIM.cosine_topk_oracle(ANN_QUERY_IDS),
         "hard_negatives": SIM.hard_negatives_oracle(ANN_QUERY_IDS),
         "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
+        "slo_burn_alerts": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),
         "dup_spans": DD.dup_spans_oracle(),
         "quality_classifier": TX.quality_classifier_oracle(),
         "text_quality": TX.text_quality_oracle(),

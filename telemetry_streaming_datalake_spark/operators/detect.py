@@ -631,3 +631,127 @@ counts AS (
 SELECT metric, hour_of_day, n_readings, mean_value, std_value, n_anomalies
 FROM moments JOIN counts USING (metric, hour_of_day)
 """
+
+
+# --------------------------------------------------------------------------
+# multi-window SLO burn-rate alerting
+# --------------------------------------------------------------------------
+
+#: fraction of events allowed to be errors under the fleet SLO
+#: (75% success — sized to the synthetic fleet's ~20% error mix so the
+#: burn ratios exercise both sides of the alert thresholds)
+SLO_ERROR_BUDGET = 0.25
+#: page when BOTH the 1h and 6h burn rates exceed this factor
+SLO_PAGE_FACTOR = 1.5
+#: open a ticket when BOTH the 6h and 24h burn rates exceed this factor
+SLO_TICKET_FACTOR = 1.2
+
+
+def slo_burn_alerts(bronze_deduped: DataFrame) -> DataFrame:
+    """Fleet-wide multi-window, multi-burn-rate SLO alerting — the
+    Google SRE workbook's alerting policy (ch. 5) scaled to hourly
+    grain: burn rate = (observed error fraction / error budget) over a
+    window; a PAGE requires the short (1h) AND medium (6h) windows to
+    both burn above ``SLO_PAGE_FACTOR`` (fast + sustained), a TICKET
+    requires the 6h AND 24h windows above ``SLO_TICKET_FACTOR``
+    (slow leak).  Pairing a short with a long window is what keeps a
+    one-hour blip from paging while still catching real regressions
+    within minutes of the page condition holding.
+
+    Shape: ONE fact aggregate to hourly grain (map-side partial, one
+    shuffle, output is dimension-sized — |hours| rows ≈ 9k/year), then
+    RANGE-frame rolling sums over the integer hour index.  The rolling
+    stage is a single-partition window BY DESIGN: it runs on the
+    post-aggregate frame, never on raw rows — at 100 TB the fact still
+    scans once and reduces to O(hours) before any ordering happens.
+    RANGE (not ROWS) frames make silent hours count correctly: an hour
+    with no events contributes nothing, and the frame spans wall-clock
+    hours, not adjacent present rows.
+
+    Engine parity: burn ratios round to 6dp before the threshold
+    compare (the ``seasonal_baseline`` discipline), so both engines
+    compare identical IEEE doubles.
+    """
+    from pyspark.sql import Window
+
+    hourly = (
+        bronze_deduped.groupBy((F.col("unix_ts") - F.col("unix_ts") % 3600).alias("hour_epoch"))
+        .agg(
+            F.max("hourstamp").alias("hourstamp"),
+            F.count(F.lit(1)).alias("n_1h"),
+            F.sum(F.when(F.col("metric") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("err_1h"),
+        )
+        .withColumn("hour_idx", (F.col("hour_epoch") / 3600).cast("bigint"))
+    )
+    w6 = Window.orderBy("hour_idx").rangeBetween(-5, 0)
+    w24 = Window.orderBy("hour_idx").rangeBetween(-23, 0)
+    burn = lambda e, t: F.round(  # noqa: E731
+        F.col(e).cast("double") / F.col(t) / F.lit(SLO_ERROR_BUDGET), 6
+    )
+    out = (
+        hourly.withColumn("err_6h", F.sum("err_1h").over(w6))
+        .withColumn("tot_6h", F.sum("n_1h").over(w6))
+        .withColumn("err_24h", F.sum("err_1h").over(w24))
+        .withColumn("tot_24h", F.sum("n_1h").over(w24))
+        .withColumn("burn_1h", burn("err_1h", "n_1h"))
+        .withColumn("burn_6h", burn("err_6h", "tot_6h"))
+        .withColumn("burn_24h", burn("err_24h", "tot_24h"))
+    )
+    return out.select(
+        "hourstamp",
+        "n_1h",
+        "err_1h",
+        "burn_1h",
+        "burn_6h",
+        "burn_24h",
+        (
+            (F.col("burn_1h") >= SLO_PAGE_FACTOR)
+            & (F.col("burn_6h") >= SLO_PAGE_FACTOR)
+        ).alias("page"),
+        (
+            (F.col("burn_6h") >= SLO_TICKET_FACTOR)
+            & (F.col("burn_24h") >= SLO_TICKET_FACTOR)
+        ).alias("ticket"),
+    )
+
+
+def slo_burn_alerts_oracle(bronze_dedup_sql: str) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+hourly AS (
+    SELECT unix_ts - unix_ts % 3600 AS hour_epoch,
+           max(hourstamp) AS hourstamp,
+           count(*) AS n_1h,
+           CAST(sum(CASE WHEN metric = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS err_1h,
+           (unix_ts - unix_ts % 3600) // 3600 AS hour_idx
+    FROM deduped
+    GROUP BY 1
+),
+rolled AS (
+    SELECT hourstamp, n_1h, err_1h,
+           sum(err_1h) OVER w6  AS err_6h,  sum(n_1h) OVER w6  AS tot_6h,
+           sum(err_1h) OVER w24 AS err_24h, sum(n_1h) OVER w24 AS tot_24h
+    FROM hourly
+    WINDOW w6  AS (ORDER BY hour_idx RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+           w24 AS (ORDER BY hour_idx RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+burns AS (
+    SELECT hourstamp, n_1h, err_1h,
+           round(CAST(err_1h AS DOUBLE) / n_1h / {SLO_ERROR_BUDGET}, 6)
+               AS burn_1h,
+           round(CAST(err_6h AS DOUBLE) / tot_6h / {SLO_ERROR_BUDGET}, 6)
+               AS burn_6h,
+           round(CAST(err_24h AS DOUBLE) / tot_24h / {SLO_ERROR_BUDGET}, 6)
+               AS burn_24h
+    FROM rolled
+)
+SELECT hourstamp, n_1h, err_1h, burn_1h, burn_6h, burn_24h,
+       (burn_1h >= {SLO_PAGE_FACTOR} AND burn_6h >= {SLO_PAGE_FACTOR})
+           AS page,
+       (burn_6h >= {SLO_TICKET_FACTOR} AND burn_24h >= {SLO_TICKET_FACTOR})
+           AS ticket
+FROM burns
+"""

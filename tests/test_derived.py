@@ -423,3 +423,44 @@ def test_seasonal_baseline_conditions_on_hour(spark):
     assert out[12].n_anomalies == 0      # 500s are the 12h baseline
     assert out[23].n_anomalies == 0 and out[23].n_readings == 5
     assert out[3].n_readings == 21
+
+
+def test_slo_burn_multiwindow_gating(spark):
+    """The page alert needs BOTH the 1h and 6h burn above the page
+    factor: a single bad hour inside an otherwise-healthy 6h window
+    must NOT page; six bad hours in a row must.  RANGE frames mean a
+    silent hour still ages the window (wall-clock, not row-adjacency)."""
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+
+    day0 = 1704067200  # 2024-01-01 00:00 UTC
+
+    def hour_rows(h, n_err, n_ok):
+        ts = day0 + h * 3600
+        hs = f"2024-01-01 {h:02d}"
+        rows = [("s", "error", ts + i, hs) for i in range(n_err)]
+        rows += [("s", "view", ts + 100 + i, hs) for i in range(n_ok)]
+        return rows
+
+    rows = []
+    # hours 0-5: healthy (1 error in 10 => burn 0.4)
+    for h in range(6):
+        rows += hour_rows(h, 1, 9)
+    # hour 6: one terrible hour (8/10 errors => burn_1h 3.2) but the
+    # 6h window still dilutes it below the page factor
+    rows += hour_rows(6, 8, 2)
+    # hours 8-13 (hour 7 SILENT): sustained 50% errors => burn 2.0
+    for h in range(8, 14):
+        rows += hour_rows(h, 5, 5)
+    df = spark.createDataFrame(
+        rows, "serial string, metric string, unix_ts long, hourstamp string"
+    )
+    out = {r.hourstamp: r for r in DT.slo_burn_alerts(df).collect()}
+    spike = out["2024-01-01 06"]
+    assert spike.burn_1h == 3.2 and not spike.page
+    # by hour 13 the trailing 6h window is hours 08..13 — all at 50%
+    sustained = out["2024-01-01 13"]
+    assert sustained.burn_1h == 2.0 and sustained.burn_6h == 2.0
+    assert sustained.page and sustained.ticket
+    # the silent hour 7 produced no row but still aged hour 6 out of
+    # hour 13's RANGE window (rows-frame would have kept it in)
+    assert "2024-01-01 07" not in out
