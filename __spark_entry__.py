@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn_alerts": lambda s, d: DT.slo_burn_alerts(
             B.dedup_exact(_bronze(s, d))
         ),
+        "cdc_apply": lambda s, d: M.cdc_apply(B.dedup_exact(_bronze(s, d))),
         # --- block C: r3-only LLM-pipeline keys (18) ---
         "hard_negatives": lambda s, d: SIM.hard_negatives(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
@@ -929,6 +930,7 @@ FROM deduped GROUP BY metric, datestamp
         "hard_negatives": SIM.hard_negatives_oracle(ANN_QUERY_IDS),
         "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
         "slo_burn_alerts": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),
+        "cdc_apply": M.cdc_apply_oracle(DEDUP_ORACLE),
         "dup_spans": DD.dup_spans_oracle(),
         "quality_classifier": TX.quality_classifier_oracle(),
         "text_quality": TX.text_quality_oracle(),

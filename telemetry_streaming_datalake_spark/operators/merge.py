@@ -463,3 +463,93 @@ FROM ranked r
 JOIN (SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rk = 1) k
   USING (cluster_id)
 """
+
+
+# --------------------------------------------------------------------------
+# CDC changelog apply (upserts + deletes)
+# --------------------------------------------------------------------------
+
+#: payload_k residue class treated as a tombstone op — the feed has no
+#: native op column, so the demo derives one deterministically (~1/7 of
+#: ops delete); production swaps this single expression for the real
+#: Debezium/CDF ``op`` field
+CDC_DELETE_MOD = 7
+
+
+def cdc_ops(bronze_deduped: DataFrame) -> DataFrame:
+    """Tag each deduped reading as a CDC op: ``D`` (tombstone) when
+    ``payload_k % CDC_DELETE_MOD = 0``, else ``U`` (upsert).  Map-only;
+    the op column is what a Debezium topic or a Delta CDF read would
+    already carry."""
+    return bronze_deduped.withColumn(
+        "op",
+        F.when(F.col("payload_k") % CDC_DELETE_MOD == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+
+
+def cdc_apply(bronze_deduped: DataFrame) -> DataFrame:
+    """Apply an ordered CDC changelog to land the final table state —
+    the MERGE-with-deletes posture :func:`merge_upsert_latest` lacks:
+    per key (serial, metric) the ops replay in (unix_ts, event_id)
+    order and the LAST op wins; a trailing tombstone removes the key
+    from the result entirely (not a null row — absence).
+
+    The whole replay is ONE key-partitioned aggregate: ``max(struct)``
+    folds "last op wins" with map-side partial aggregation (no window,
+    no sort — the struct max IS the replay order), and the audit
+    counts (ops seen, tombstones seen) fold in the same pass.  The
+    tombstone filter runs post-agg on the dimension-sized result.  At
+    100 TB this is a single uniform shuffle on the natural key; a
+    window-based replay would sort every key group for the same
+    answer.
+    """
+    last = F.max(
+        F.struct("unix_ts", "event_id", "op", "value")
+    ).alias("s")
+    agged = (
+        cdc_ops(bronze_deduped)
+        .groupBy("serial", "metric")
+        .agg(
+            last,
+            F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deletes"),
+        )
+    )
+    return agged.filter(F.col("s.op") != "D").select(
+        "serial",
+        "metric",
+        F.col("s.unix_ts").alias("last_ts"),
+        F.col("s.value").alias("last_value"),
+        "n_ops",
+        "n_deletes",
+    )
+
+
+def cdc_apply_oracle(bronze_dedup_sql: str) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+ops AS (
+    SELECT serial, metric, unix_ts, event_id, value,
+           CASE WHEN payload_k % {CDC_DELETE_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+    FROM deduped
+),
+audit AS (
+    SELECT serial, metric,
+           CAST(count(*) AS BIGINT) AS n_ops,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+    FROM ops GROUP BY serial, metric
+),
+last AS (
+    SELECT serial, metric, unix_ts AS last_ts, value AS last_value, op
+    FROM ops
+    QUALIFY row_number() OVER (
+        PARTITION BY serial, metric ORDER BY unix_ts DESC, event_id DESC) = 1
+)
+SELECT l.serial, l.metric, l.last_ts, l.last_value, a.n_ops, a.n_deletes
+FROM last l JOIN audit a ON l.serial = a.serial AND l.metric = a.metric
+WHERE l.op <> 'D'
+"""

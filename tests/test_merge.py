@@ -140,3 +140,31 @@ def test_dup_clusters_iso_fast_path_and_clique_mix(spark):
         20: 20, 21: 20, 30: 30, 31: 30,
         1: 1, 2: 1, 3: 1, 40: 40, 41: 40, 42: 40,
     }
+
+
+def test_cdc_apply_last_op_wins(spark):
+    """A trailing tombstone removes the key entirely; a delete in the
+    middle of the log is overridden by a later upsert; audit counts
+    see every op regardless of outcome."""
+    rows = [
+        # key (a, m): U then D  -> absent from the result
+        ("a", "m", 100, 1, 10.0, 3),   # payload_k=3 -> U
+        ("a", "m", 200, 2, 11.0, 7),   # payload_k=7 -> D (last)
+        # key (b, m): D then U  -> resurrected, latest value wins
+        ("b", "m", 100, 3, 20.0, 14),  # D
+        ("b", "m", 300, 4, 21.0, 8),   # U (last)
+        # key (c, m): same-ts tie broken by event_id
+        ("c", "m", 500, 5, 30.0, 1),   # U
+        ("c", "m", 500, 6, 31.0, 2),   # U, higher event_id -> wins
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "serial string, metric string, unix_ts long, event_id long,"
+        " value double, payload_k long",
+    )
+    out = {(r.serial, r.metric): r for r in M.cdc_apply(df).collect()}
+    assert ("a", "m") not in out
+    b = out[("b", "m")]
+    assert b.last_value == 21.0 and b.n_ops == 2 and b.n_deletes == 1
+    c = out[("c", "m")]
+    assert c.last_value == 31.0 and c.n_deletes == 0
