@@ -24,6 +24,7 @@ from telemetry_streaming_datalake_spark.operators import retention as RT
 from telemetry_streaming_datalake_spark.operators import rollup as R
 from telemetry_streaming_datalake_spark.operators import scd as SCD
 from telemetry_streaming_datalake_spark.operators import sessions as SES
+from telemetry_streaming_datalake_spark.operators import skew as SKW
 from telemetry_streaming_datalake_spark.operators import temporal as T
 from telemetry_streaming_datalake_spark.operators import tseries as TS
 from telemetry_streaming_datalake_spark.operators import cohort as CO
@@ -311,6 +312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             B.dedup_exact(_bronze(s, d))
         ),
         "cdc_apply": lambda s, d: M.cdc_apply(B.dedup_exact(_bronze(s, d))),
+        "bloom_prune_join": lambda s, d: SKW.bloom_prune_join(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders")
+        ),
         # --- block C: r3-only LLM-pipeline keys (18) ---
         "hard_negatives": lambda s, d: SIM.hard_negatives(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
@@ -931,6 +935,7 @@ FROM deduped GROUP BY metric, datestamp
         "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
         "slo_burn_alerts": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),
         "cdc_apply": M.cdc_apply_oracle(DEDUP_ORACLE),
+        "bloom_prune_join": SKW.bloom_prune_join_oracle(),
         "dup_spans": DD.dup_spans_oracle(),
         "quality_classifier": TX.quality_classifier_oracle(),
         "text_quality": TX.text_quality_oracle(),

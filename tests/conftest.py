@@ -36,3 +36,13 @@ def documents(spark):
 @pytest.fixture(scope="session")
 def embeddings(spark):
     return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="session")
+def lineitem(spark):
+    return load_table(spark, SF_DIR, "lineitem")
+
+
+@pytest.fixture(scope="session")
+def orders(spark):
+    return load_table(spark, SF_DIR, "orders")

@@ -600,3 +600,26 @@ def test_dup_spans_single_gram_shuffle_no_join(spark):
     p = DD.dup_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "Join" not in p  # no self-join: local per-bucket expansion
+
+
+def test_bloom_prune_filters_below_the_join_exchange(spark):
+    """The bloom membership filter must run in the probe-side scan
+    stage, BEFORE that side's exchange into the (forced sort-merge)
+    join — that ordering is the whole point: pruned rows never
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.operators import skew as SK
+
+    li = spark.createDataFrame([(1, 1.0, 0.0)],
+                               "l_orderkey long, l_extendedprice double, l_discount double")
+    od = spark.createDataFrame(
+        [(1, "1995-03-02 00:00:00", "1-URGENT")],
+        "o_orderkey long, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    p = SK.bloom_prune_join(li, od)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p  # the non-broadcast regime being modeled
+    # the tree prints top-down (join above, scans at the bottom), so a
+    # filter that executes below the probe exchange appears AFTER it
+    assert "shiftrightunsigned" in p
+    assert p.index("shiftrightunsigned") > p.index("Exchange hashpartitioning")

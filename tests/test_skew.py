@@ -40,3 +40,42 @@ def test_salted_count_equals_plain_count(spark):
     got = {(r.k): r.n for r in SK.salted_count(df, ["k"], buckets=8).collect()}
     want = {(r.k): r["count"] for r in df.groupBy("k").count().collect()}
     assert got == want
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """Every key in the build set must survive the prune (bloom
+    membership has zero false negatives); the prune removes the bulk
+    of a disjoint probe population; false positives are possible but
+    the verify join must make the end result exactly the plain join."""
+    build = spark.range(500).select((F.col("id") * 3).alias("k"))
+    bitmap = SK.build_bloom(build, "k")
+    assert len(bitmap) == SK.BLOOM_M_BITS // 64 and any(bitmap)
+    probe = spark.range(20000).select(F.col("id").alias("k"))
+    kept = SK.bloom_prune(probe, "k", bitmap)
+    kept_keys = {r.k for r in kept.collect()}
+    build_keys = {r.k for r in build.collect()}
+    present = build_keys & {r.k for r in probe.collect()}
+    assert present <= kept_keys                       # no false negatives
+    # prune actually prunes: <5% of the disjoint 19.5k keys survive
+    assert len(kept_keys - present) < 1000
+
+
+def test_bloom_prune_join_equals_plain_join(spark, lineitem, orders):
+    got = SK.bloom_prune_join(lineitem, orders)
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-03-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1995-06-01 00:00:00"))
+    )
+    want = (
+        lineitem.join(dim, lineitem["l_orderkey"] == dim["o_orderkey"])
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
