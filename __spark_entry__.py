@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": lambda s, d: SKW.bloom_prune_join(
             load_table(s, d, "lineitem"), load_table(s, d, "orders")
         ),
+        "fuzzy_join": lambda s, d: DD.fuzzy_join(load_table(s, d, "documents")),
         # --- block C: r3-only LLM-pipeline keys (18) ---
         "hard_negatives": lambda s, d: SIM.hard_negatives(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
@@ -936,6 +937,7 @@ FROM deduped GROUP BY metric, datestamp
         "slo_burn_alerts": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),
         "cdc_apply": M.cdc_apply_oracle(DEDUP_ORACLE),
         "bloom_prune_join": SKW.bloom_prune_join_oracle(),
+        "fuzzy_join": DD.fuzzy_join_oracle(),
         "dup_spans": DD.dup_spans_oracle(),
         "quality_classifier": TX.quality_classifier_oracle(),
         "text_quality": TX.text_quality_oracle(),

@@ -1306,3 +1306,102 @@ SELECT doc_i, doc_j, start_i, start_j, span_len FROM (
     ) AS rk FROM spans
 ) WHERE rk = 1
 """
+
+
+# --------------------------------------------------------------------------
+# edit-distance (levenshtein) similarity join — PassJoin-style blocking
+# --------------------------------------------------------------------------
+
+#: fixed width of the normalized title key the join runs on
+FUZZY_W = 24
+#: maximum levenshtein distance considered a match
+FUZZY_K = 4
+#: hot-bucket cap for the (segment, gram) pair expansion — far above
+#: any bucket this corpus produces (pinned in pytest); the
+#: bucket_truncation monitor reports clipping if a pathological corpus
+#: ever reaches it
+FUZZY_CAP = 1024
+
+
+def _fuzzy_segments(w: int = FUZZY_W, k: int = FUZZY_K) -> list[tuple[int, int, int]]:
+    """(segment_idx, start_1based, length) for the k+1 even partition
+    of a width-``w`` key — all compile-time constants."""
+    base, rem = divmod(w, k + 1)
+    segs, start = [], 1
+    for i in range(k + 1):
+        ln = base + (1 if i < rem else 0)
+        segs.append((i, start, ln))
+        start += ln
+    return segs
+
+
+def fuzzy_key(col, w: int = FUZZY_W):
+    """The join key: whitespace-normalized text, truncated to ``w``
+    chars and padded with a sentinel (chr 1 — can't appear in
+    normalized text) so every key is EXACTLY ``w`` chars.  Fixing the
+    width is what makes the segment starts compile-time constants."""
+    return F.rpad(F.substring(normalize_text(col), 1, w), w, "\x01")
+
+
+def fuzzy_join(documents: DataFrame, k: int = FUZZY_K) -> DataFrame:
+    """All document pairs whose title keys are within levenshtein
+    distance ``k`` — record-linkage near-dup detection at typo
+    granularity, the gap between exact dedup (distance 0 only) and the
+    shingle/simhash family (token-level, blind to single-char edits).
+
+    Blocking is PassJoin's pigeonhole (Li et al., VLDB 2011): partition
+    each key into k+1 segments; any pair within distance k shares at
+    least one segment VERBATIM, displaced by at most k positions (the
+    indels before it).  Each doc therefore emits its k+1 exact
+    segments PLUS every same-length substring starting within ±k of
+    each segment start — 37 constant-position substrings at (w=24,
+    k=4), all single-pass codegen — and candidates meet in (segment,
+    gram) buckets: LOSSLESS, never all-pairs, the same band-bucket
+    shuffle discipline as MinHash.  Candidates then verify with the
+    JVM ``levenshtein`` (O(w²) on 24-char keys, constant per pair).
+
+    Scale: emitted rows = 37×|corpus| with uniform(ish) bucket keys;
+    the ``bucket_pairs`` cap bounds any pathological gram at
+    ``FUZZY_CAP``² pair expansions and `bucket_truncation` reports
+    clipping.  Nothing corpus-sized is ever collected or crossed.
+    """
+    keyed = documents.select(
+        "doc_id", fuzzy_key(F.col("text")).alias("tkey")
+    )
+    emit = []
+    w = FUZZY_W
+    for i, start, ln in _fuzzy_segments(w, k):
+        for s in range(max(1, start - k), min(w - ln + 1, start + k) + 1):
+            emit.append(
+                F.struct(
+                    F.lit(i).alias("seg"), F.substring("tkey", s, ln).alias("gram")
+                )
+            )
+    grams = (
+        keyed.select("doc_id", "tkey", F.explode(F.array(*emit)).alias("g"))
+        .select("doc_id", "tkey", F.col("g.seg").alias("seg"), F.col("g.gram").alias("gram"))
+        .distinct()
+    )
+    pairs = bucket_pairs(
+        grams, ["seg", "gram"], ["doc_id", "tkey"], cap=FUZZY_CAP
+    ).distinct()
+    dist = F.levenshtein(F.col("a_tkey"), F.col("b_tkey"))
+    return pairs.filter(dist <= k).select(
+        F.col("a_doc_id").alias("doc_a"),
+        F.col("b_doc_id").alias("doc_b"),
+        dist.cast("bigint").alias("edit_distance"),
+    )
+
+
+def fuzzy_join_oracle(k: int = FUZZY_K, w: int = FUZZY_W) -> str:
+    """Ground truth is the quadratic join — fine at the driver's sf,
+    and exactly what the lossless blocking must reproduce."""
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    tkey = f"rpad(substr({norm}, 1, {w}), {w}, chr(1))"
+    return f"""
+WITH keyed AS (SELECT doc_id, {tkey} AS tkey FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.tkey, b.tkey) AS BIGINT) AS edit_distance
+FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.tkey, b.tkey) <= {k}
+"""

@@ -1213,3 +1213,63 @@ def test_quality_classifier_monotone_in_stopword_evidence(spark):
         assert r.keep == (r.logit >= 0.0)
         assert abs(r.quality_prob - round(1 / (1 + math.exp(-r.logit)), 6)) < 1e-9
     assert out[1].keep and not out[2].keep
+
+
+def test_fuzzy_join_blocking_complete_vs_allpairs(spark, documents):
+    """PassJoin segment blocking must find EXACTLY the all-pairs
+    levenshtein<=k set on the real corpus (pigeonhole: k edits cannot
+    touch all k+1 segments)."""
+    keyed = documents.select("doc_id", DD.fuzzy_key(F.col("text")).alias("tkey"))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("tkey").alias("ka"))
+    b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("tkey").alias("kb"))
+    allpairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ka", "kb").cast("bigint").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= DD.FUZZY_K)
+    )
+    want = sorted(tuple(r) for r in allpairs.collect())
+    got = sorted(tuple(r) for r in DD.fuzzy_join(documents).collect())
+    assert got == want and len(got) > 0
+
+
+def test_fuzzy_join_catches_shifting_edits(spark):
+    """A deletion near the head shifts every later char — the case
+    position-aligned (hamming-style) blocking misses and PassJoin's
+    ±k displacement window exists for."""
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, base),
+        (2, base[1:]),              # head deletion: everything shifts left
+        (3, "x" + base),            # head insertion: everything shifts right
+        (4, base[:10] + "zz" + base[12:]),  # two interior substitutions
+        (5, "completely unrelated text about spark plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.edit_distance for r in DD.fuzzy_join(df).collect()}
+    assert got[(1, 2)] >= 1 and (1, 2) in got      # shift-left pair found
+    assert (1, 3) in got and (2, 3) in got
+    assert got[(1, 4)] == 2
+    assert not any(5 in p for p in got)
+
+
+def test_fuzzy_join_bucket_cap_not_binding(spark, documents):
+    """Oracle parity at the driver's sf depends on the hot-bucket cap
+    never clipping — pin truncation == 0 on the test corpus."""
+    keyed = documents.select("doc_id", DD.fuzzy_key(F.col("text")).alias("tkey"))
+    emit = []
+    for i, start, ln in DD._fuzzy_segments():
+        for s in range(max(1, start - DD.FUZZY_K),
+                       min(DD.FUZZY_W - ln + 1, start + DD.FUZZY_K) + 1):
+            emit.append(F.struct(F.lit(i).alias("seg"),
+                                 F.substring("tkey", s, ln).alias("gram")))
+    grams = (
+        keyed.select("doc_id", F.explode(F.array(*emit)).alias("g"))
+        .select("doc_id", F.col("g.seg").alias("seg"), F.col("g.gram").alias("gram"))
+        .distinct()
+    )
+    t = DD.bucket_truncation(grams, ["seg", "gram"], cap=DD.FUZZY_CAP).collect()[0]
+    assert t.hot_buckets == 0 and t.clipped_members == 0
