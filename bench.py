@@ -165,6 +165,10 @@ HEADLINE = [
     "seasonal_baseline",
     "dup_spans",
     "quality_classifier",
+    "slo_burn_alerts",
+    "cdc_apply",
+    "bloom_prune_join",
+    "fuzzy_join",
 ]
 
 

@@ -45,6 +45,7 @@ from telemetry_streaming_datalake_spark.operators import temporal as T
 from telemetry_streaming_datalake_spark.operators import tseries as TS
 from telemetry_streaming_datalake_spark.operators import curation as CU
 from telemetry_streaming_datalake_spark.operators import text as TX
+from telemetry_streaming_datalake_spark.operators import skew as SKW
 
 #: same cutoff the driver key uses (mid-corpus)
 MERGE_CUTOFF_UNIX = 1705276800
@@ -53,7 +54,29 @@ SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
 
+def generate_tpch(spark, out_dir: str) -> None:
+    """x10 lineitem/orders for the join-strategy rows: replica k shifts
+    both orderkeys by k*10^8 so each replica joins within itself and
+    the join's selectivity/shape is preserved at 10x volume.  Guarded
+    per-table (added after the original _DONE marker shipped)."""
+    if os.path.exists(os.path.join(out_dir, "orders.parquet")):
+        return
+    for tbl, keycol in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        src = load_table(spark, SRC, tbl)
+        parts = [
+            src.withColumn(keycol, F.col(keycol) + k * 100_000_000)
+            for k in range(REPLICAS)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{tbl}.parquet")
+        )
+
+
 def generate(spark, out_dir: str) -> None:
+    generate_tpch(spark, out_dir)
     if os.path.exists(os.path.join(out_dir, "_DONE")):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -186,12 +209,26 @@ def queries():
         "decontaminate": lambda s, d: CP.decontaminate(
             load_table(s, d, "documents")
         ),
+        # round-8 continuation: rolling-frame report, keyed CDC fold,
+        # bloom-pruned shuffle join, PassJoin gram self-join
+        "slo_burn_alerts": lambda s, d: DT.slo_burn_alerts(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "cdc_apply": lambda s, d: M.cdc_apply(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "bloom_prune_join": lambda s, d: SKW.bloom_prune_join(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders")
+        ),
+        "fuzzy_join": lambda s, d: DD.fuzzy_join(load_table(s, d, "documents")),
     }
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, float]:
     out = {}
     for name, fn in queries().items():
+        if only and name not in only:
+            continue
         best = float("inf")
         for _ in range(2):  # best-of-2, same convention as bench.py
             spark.catalog.clearCache()
@@ -204,18 +241,20 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tsdl_scale"
+    only = set(sys.argv[2:]) or None  # focused runs: name the queries
     spark = get_spark("scalecheck")
     generate(spark, out_dir)
     # warm up scan/codegen/worker-pool like bench.py, then measure
     load_table(spark, SRC, "events").count()
-    small = time_queries(spark, SRC)
-    big = time_queries(spark, out_dir)
+    small = time_queries(spark, SRC, only)
+    big = time_queries(spark, out_dir, only)
     ratio = {k: round(big[k] / small[k], 2) for k in small}
-    prod = incremental_dedup_production_shape(spark, out_dir)
-    print(json.dumps(
-        {"sf0.1": small, "sf1x": big, "ratio": ratio,
-         "incremental_dedup_prod": prod}
-    ))
+    result = {"sf0.1": small, "sf1x": big, "ratio": ratio}
+    if only is None:
+        result["incremental_dedup_prod"] = incremental_dedup_production_shape(
+            spark, out_dir
+        )
+    print(json.dumps(result))
 
 
 def incremental_dedup_production_shape(spark, out_dir: str) -> dict:
