@@ -623,3 +623,33 @@ def test_bloom_prune_filters_below_the_join_exchange(spark):
     # filter that executes below the probe exchange appears AFTER it
     assert "shiftrightunsigned" in p
     assert p.index("shiftrightunsigned") > p.index("Exchange hashpartitioning")
+
+
+def test_cdc_apply_single_shuffle_no_window(spark):
+    """The changelog replay is ONE key-partitioned aggregate — no
+    window sort, no join; max(struct) IS the replay."""
+    from telemetry_streaming_datalake_spark.operators import merge as M
+
+    src = spark.createDataFrame(
+        [("s", "m", 1, 1, 1.0, 3)],
+        "serial string, metric string, unix_ts long, event_id long,"
+        " value double, payload_k long",
+    )
+    p = M.cdc_apply(src)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" not in p and "Join" not in p
+
+
+def test_slo_burn_single_fact_shuffle(spark):
+    """The fact reduces to hourly grain in one hash shuffle; the
+    rolling frames then run on the dimension-sized aggregate (the
+    single-partition windows are BY DESIGN post-reduction)."""
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+
+    src = spark.createDataFrame(
+        [("s", "error", 1, "1970-01-01 00")],
+        "serial string, metric string, unix_ts long, hourstamp string",
+    )
+    p = DT.slo_burn_alerts(src)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1  # the hourly agg only
+    assert "Join" not in p

@@ -419,3 +419,58 @@ def test_cusum_matches_reference_recursion(spark, vals):
         sp = max(0.0, sp + (v - mu - DV.CUSUM_K * sd))
         sn = max(0.0, sn + (mu - v - DV.CUSUM_K * sd))
         assert abs(r.cusum_pos - sp) < 1e-5 and abs(r.cusum_neg - sn) < 1e-5
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _py_fuzzy_key(text: str) -> str:
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", text).strip().lower()[: DD.FUZZY_W]
+    return norm + "\x01" * (DD.FUZZY_W - len(norm))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # edit kind: sub/del/ins
+            st.integers(0, 23),           # position
+            st.sampled_from("abcdefgh"),  # replacement char
+        ),
+        min_size=0,
+        max_size=2 * DD.FUZZY_K,
+    )
+)
+def test_fuzzy_join_matches_brute_force_on_random_edits(spark, edits):
+    """PassJoin completeness under RANDOM edit scripts: apply an
+    arbitrary sequence of single-char edits to a base title and demand
+    the blocked join agree EXACTLY with a pure-python levenshtein on
+    the fixed-width keys — both for pairs within k (must be found:
+    pigeonhole holds for every edit pattern, not just curated cases)
+    and beyond k (must be absent)."""
+    base = "the quick brown fox jumps over the lazy dog"
+    s = base
+    for kind, pos, ch in edits:
+        pos = pos % max(1, len(s))
+        if kind == 0:
+            s = s[:pos] + ch + s[pos + 1 :]
+        elif kind == 1 and len(s) > 1:
+            s = s[:pos] + s[pos + 1 :]
+        else:
+            s = s[:pos] + ch + s[pos:]
+    df = spark.createDataFrame([(1, base), (2, s)], "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.edit_distance for r in DD.fuzzy_join(df).collect()}
+    d = _py_lev(_py_fuzzy_key(base), _py_fuzzy_key(s))
+    if d <= DD.FUZZY_K:
+        assert got == {(1, 2): d}
+    else:
+        assert got == {}
