@@ -1260,16 +1260,6 @@ def test_fuzzy_join_bucket_cap_not_binding(spark, documents):
     """Oracle parity at the driver's sf depends on the hot-bucket cap
     never clipping — pin truncation == 0 on the test corpus."""
     keyed = documents.select("doc_id", DD.fuzzy_key(F.col("text")).alias("tkey"))
-    emit = []
-    for i, start, ln in DD._fuzzy_segments():
-        for s in range(max(1, start - DD.FUZZY_K),
-                       min(DD.FUZZY_W - ln + 1, start + DD.FUZZY_K) + 1):
-            emit.append(F.struct(F.lit(i).alias("seg"),
-                                 F.substring("tkey", s, ln).alias("gram")))
-    grams = (
-        keyed.select("doc_id", F.explode(F.array(*emit)).alias("g"))
-        .select("doc_id", F.col("g.seg").alias("seg"), F.col("g.gram").alias("gram"))
-        .distinct()
-    )
+    grams = DD.fuzzy_grams(keyed)
     t = DD.bucket_truncation(grams, ["seg", "gram"], cap=DD.FUZZY_CAP).collect()[0]
     assert t.hot_buckets == 0 and t.clipped_members == 0
