@@ -474,3 +474,100 @@ def test_fuzzy_join_matches_brute_force_on_random_edits(spark, edits):
         assert got == {(1, 2): d}
     else:
         assert got == {}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key selector (serial)
+            st.integers(0, 999),    # unix_ts
+            st.integers(0, 20),     # payload_k (k%7==0 -> tombstone)
+            st.floats(0, 100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cdc_apply_matches_python_replay(spark, ops):
+    """Random changelogs vs a literal python replay: sort by
+    (unix_ts, event_id), apply ops in order, drop keys whose final op
+    is a tombstone — the aggregate fold must agree exactly, including
+    duplicate-timestamp ties (event_id breaks them) and
+    delete-then-resurrect sequences."""
+    from telemetry_streaming_datalake_spark.operators import merge as M
+
+    rows = [
+        (f"s{k}", "m", ts, eid, float(v), pk)
+        for eid, (k, ts, pk, v) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "serial string, metric string, unix_ts long, event_id long,"
+        " value double, payload_k long",
+    )
+    state, audit = {}, {}
+    for serial, metric, ts, eid, v, pk in sorted(rows, key=lambda r: (r[2], r[3])):
+        key = (serial, metric)
+        n, d = audit.get(key, (0, 0))
+        is_del = pk % M.CDC_DELETE_MOD == 0
+        audit[key] = (n + 1, d + (1 if is_del else 0))
+        state[key] = None if is_del else (ts, v)
+    want = sorted(
+        (k[0], k[1], s[0], s[1], audit[k][0], audit[k][1])
+        for k, s in state.items()
+        if s is not None
+    )
+    got = sorted(tuple(r) for r in M.cdc_apply(df).collect())
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 47),      # hour index (2-day horizon)
+            st.booleans(),           # is error
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_slo_burn_matches_python_rolling(spark, events):
+    """Random hourly error streams vs a python rolling-window
+    reference: RANGE semantics (silent hours age the window), burn
+    ratios, and both alert gates."""
+    from telemetry_streaming_datalake_spark.operators import detect as DT
+
+    day0 = 1704067200
+    rows = [
+        ("s", "error" if err else "view", day0 + h * 3600 + i,
+         f"2024-01-0{1 + h // 24} {h % 24:02d}")
+        for i, (h, err) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "serial string, metric string, unix_ts long, hourstamp string"
+    )
+    per_hour = {}
+    for _, m, ts, hs in rows:
+        h = (ts - day0) // 3600
+        tot, err = per_hour.get(h, (0, 0))
+        per_hour[h] = (tot + 1, err + (1 if m == "error" else 0))
+    want = {}
+    for h, (tot, err) in per_hour.items():
+        def roll(width):
+            t = sum(per_hour[x][0] for x in per_hour if h - width < x <= h)
+            e = sum(per_hour[x][1] for x in per_hour if h - width < x <= h)
+            return round(e / t / DT.SLO_ERROR_BUDGET, 6)
+        b1, b6, b24 = roll(1), roll(6), roll(24)
+        want[f"2024-01-0{1 + h // 24} {h % 24:02d}"] = (
+            tot, err, b1, b6, b24,
+            b1 >= DT.SLO_PAGE_FACTOR and b6 >= DT.SLO_PAGE_FACTOR,
+            b6 >= DT.SLO_TICKET_FACTOR and b24 >= DT.SLO_TICKET_FACTOR,
+        )
+    got = {
+        r.hourstamp: (r.n_1h, r.err_1h, r.burn_1h, r.burn_6h, r.burn_24h,
+                      r.page, r.ticket)
+        for r in DT.slo_burn_alerts(df).collect()
+    }
+    assert got == want
