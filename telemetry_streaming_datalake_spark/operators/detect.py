@@ -672,10 +672,17 @@ def slo_burn_alerts(bronze_deduped: DataFrame) -> DataFrame:
     compare (the ``seasonal_baseline`` discipline), so both engines
     compare identical IEEE doubles.
     """
-    from pyspark.sql import Window
+    return slo_rolling(slo_hourly(bronze_deduped))
 
-    hourly = (
-        bronze_deduped.groupBy((F.col("unix_ts") - F.col("unix_ts") % 3600).alias("hour_epoch"))
+
+def slo_hourly(bronze_deduped: DataFrame) -> DataFrame:
+    """The fact-reducing stage of :func:`slo_burn_alerts`: ONE hourly
+    aggregate (count + error count are algebraic, so the streaming
+    twin maintains the identical frame incrementally)."""
+    return (
+        bronze_deduped.groupBy(
+            (F.col("unix_ts") - F.col("unix_ts") % 3600).alias("hour_epoch")
+        )
         .agg(
             F.max("hourstamp").alias("hourstamp"),
             F.count(F.lit(1)).alias("n_1h"),
@@ -685,6 +692,15 @@ def slo_burn_alerts(bronze_deduped: DataFrame) -> DataFrame:
         )
         .withColumn("hour_idx", (F.col("hour_epoch") / 3600).cast("bigint"))
     )
+
+
+def slo_rolling(hourly: DataFrame) -> DataFrame:
+    """The dimension-sized stage of :func:`slo_burn_alerts`: RANGE
+    rolling frames + burn ratios + alert gates over the hourly frame.
+    Shared verbatim by the streaming twin (same code = bit-exact
+    batch/stream parity by construction)."""
+    from pyspark.sql import Window
+
     w6 = Window.orderBy("hour_idx").rangeBetween(-5, 0)
     w24 = Window.orderBy("hour_idx").rangeBetween(-23, 0)
     burn = lambda e, t: F.round(  # noqa: E731

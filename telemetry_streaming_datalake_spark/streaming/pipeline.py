@@ -1594,3 +1594,83 @@ def streaming_cusum(
         .awaitTermination()
     )
     return spark.read.parquet(out)
+
+
+# --------------------------------------------------------------------------
+# streaming SLO burn-rate alerting
+# --------------------------------------------------------------------------
+
+
+def streaming_slo_burn(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Streaming twin of ``operators.detect.slo_burn_alerts`` — burn
+    alerting is the canonical *streaming* concern (a page should fire
+    minutes after the condition holds, not at the next batch), and the
+    operator splits exactly along the streaming seam: the fact-heavy
+    stage (hourly count + error count) is ALGEBRAIC, so a watermarked
+    tumbling-window aggregate maintains the identical hourly frame
+    incrementally; the rolling frames / burn ratios / gates are a
+    dimension-sized view over that store, recomputed per refresh by
+    the SAME code the batch operator runs (`detect.slo_rolling` —
+    bit-exact parity by construction, not by reimplementation).
+
+    Medallion shape as in :func:`streaming_ohlc`: hop 1 drains the
+    watermarked hash-key dedup into the silver table (one stateful op
+    per query; the oracle's batch twin takes ``dedup_exact`` input so
+    the stream must dedup too), hop 2 streams that table into the
+    tumbling hourly aggregate, and the drained store feeds
+    ``slo_rolling``.  Over an ``availableNow`` drain every window
+    holds its final value, so the result equals the batch operator
+    row-for-row (pinned in pytest).
+    """
+    from telemetry_streaming_datalake_spark.operators.detect import slo_rolling
+
+    raw = normalize_nano_ts(_events_glob(spark, sf_dir, work_dir), "ts")
+    bronze = parse_bronze(raw)
+    deduped = (
+        bronze.withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
+        .withWatermark("event_time", DEDUP_WATERMARK)
+        .dropDuplicatesWithinWatermark(["unique_hash_key"])
+        .drop("event_time")
+    )
+    silver_dir = os.path.join(work_dir, "slo_silver")
+    run_stream_to_parquet(
+        deduped, silver_dir, os.path.join(work_dir, "slo_silver_ckpt"),
+        partition_by=None,
+    )
+    silver = spark.readStream.schema(
+        spark.read.parquet(silver_dir).schema
+    ).parquet(silver_dir)
+    windowed = (
+        silver.withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
+        .withWatermark("event_time", DEDUP_WATERMARK)
+        .groupBy(F.window("event_time", "1 hour"))
+        .agg(
+            F.max("hourstamp").alias("hourstamp"),
+            F.count(F.lit(1)).alias("n_1h"),
+            F.sum(F.when(F.col("metric") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("err_1h"),
+        )
+    )
+    out = os.path.join(work_dir, "slo_hourly_out")
+    ckpt = os.path.join(work_dir, "slo_ckpt")
+    (
+        windowed.writeStream.outputMode("complete")
+        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    hourly = spark.read.parquet(out).select(
+        F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+        "hourstamp",
+        "n_1h",
+        "err_1h",
+        (F.unix_timestamp(F.col("window.start")) / 3600).cast("bigint").alias(
+            "hour_idx"
+        ),
+    )
+    return slo_rolling(hourly)

@@ -1082,3 +1082,31 @@ def test_upsert_store_abort_mid_apply_keeps_committed_state(spark, tmp_path):
     )
     cur = _os.path.basename(store.current_data_dir())
     assert cur in versions and "v1" not in versions or cur == "v1"
+
+
+def test_streaming_slo_burn_equals_batch(spark, tmp_path):
+    """Drained streaming SLO burn == the batch operator row-for-row:
+    the hourly partials merge across micro-batches and the rolling
+    stage is literally the batch code (`slo_rolling`), so every burn
+    ratio and both alert gates must be bit-identical."""
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.detect import slo_burn_alerts
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_slo_burn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in streaming_slo_burn(spark, sf, str(tmp_path)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in slo_burn_alerts(
+            dedup_exact(parse_bronze(load_table(spark, sf, "events")))
+        ).collect()
+    )
+    assert got == want and len(got) > 0
