@@ -505,20 +505,26 @@ def cdc_apply(bronze_deduped: DataFrame) -> DataFrame:
     window-based replay would sort every key group for the same
     answer.
     """
-    last = F.max(
-        F.struct("unix_ts", "event_id", "op", "value")
-    ).alias("s")
-    agged = (
-        cdc_ops(bronze_deduped)
-        .groupBy("serial", "metric")
-        .agg(
-            last,
-            F.count(F.lit(1)).cast("bigint").alias("n_ops"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_deletes"),
-        )
-    )
+    agged = cdc_ops(bronze_deduped).groupBy("serial", "metric").agg(*cdc_agg_cols())
+    return cdc_project(agged)
+
+
+def cdc_agg_cols() -> list:
+    """The CDC fold's aggregate columns — ALGEBRAIC (struct max +
+    counts), so micro-batch partials merge to exactly the batch
+    answer; shared by the streaming twin for parity by construction."""
+    return [
+        F.max(F.struct("unix_ts", "event_id", "op", "value")).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+    ]
+
+
+def cdc_project(agged: DataFrame) -> DataFrame:
+    """Tombstone filter + projection over the folded state (the
+    dimension-sized tail of :func:`cdc_apply`)."""
     return agged.filter(F.col("s.op") != "D").select(
         "serial",
         "metric",

@@ -1674,3 +1674,58 @@ def streaming_slo_burn(
         ),
     )
     return slo_rolling(hourly)
+
+
+def streaming_cdc_apply(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Streaming twin of ``operators.merge.cdc_apply`` — the serving
+    store maintained live from a CDC feed, tombstones included (the
+    delete posture ``streaming_stateful_latest`` lacks).  The fold is
+    ALGEBRAIC (struct max + counts — `merge.cdc_agg_cols`, shared with
+    the batch operator), so micro-batch partials merge to exactly the
+    batch answer; the tombstone filter + projection run per refresh by
+    the batch `cdc_project` over the folded state — parity by
+    construction, drained == batch pinned in pytest.
+
+    Same medallion shape as the other twins: hop 1 drains the
+    watermarked hash-key dedup to silver (the oracle's batch twin
+    takes ``dedup_exact`` input), hop 2 streams that table through the
+    map-only op tagging into the keyed fold.  State is O(|keys|) —
+    dimension-sized by the same argument as the batch operator's
+    output.
+    """
+    from telemetry_streaming_datalake_spark.operators.merge import (
+        cdc_agg_cols,
+        cdc_ops,
+        cdc_project,
+    )
+
+    raw = normalize_nano_ts(_events_glob(spark, sf_dir, work_dir), "ts")
+    bronze = parse_bronze(raw)
+    deduped = (
+        bronze.withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
+        .withWatermark("event_time", DEDUP_WATERMARK)
+        .dropDuplicatesWithinWatermark(["unique_hash_key"])
+        .drop("event_time")
+    )
+    silver_dir = os.path.join(work_dir, "cdc_silver")
+    run_stream_to_parquet(
+        deduped, silver_dir, os.path.join(work_dir, "cdc_silver_ckpt"),
+        partition_by=None,
+    )
+    silver = spark.readStream.schema(
+        spark.read.parquet(silver_dir).schema
+    ).parquet(silver_dir)
+    folded = cdc_ops(silver).groupBy("serial", "metric").agg(*cdc_agg_cols())
+    out = os.path.join(work_dir, "cdc_state_out")
+    ckpt = os.path.join(work_dir, "cdc_ckpt")
+    (
+        folded.writeStream.outputMode("complete")
+        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return cdc_project(spark.read.parquet(out))

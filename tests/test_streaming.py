@@ -1110,3 +1110,26 @@ def test_streaming_slo_burn_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_cdc_apply_equals_batch(spark, tmp_path):
+    """Drained streaming CDC fold == the batch apply row-for-row,
+    including keys whose final op is a tombstone (absent) and the
+    audit counts."""
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.merge import cdc_apply
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_cdc_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in streaming_cdc_apply(spark, sf, str(tmp_path)).collect()
+    )
+    batch = cdc_apply(dedup_exact(parse_bronze(load_table(spark, sf, "events"))))
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 0
