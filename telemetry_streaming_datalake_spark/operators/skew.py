@@ -178,6 +178,10 @@ def bloom_prune_join(
         & (F.col("o_orderdate") >= lo)
         & (F.col("o_orderdate") < hi)
     ).select("o_orderkey", "o_orderdate")
+    # the filtered dim feeds BOTH the bloom build (a job) and the
+    # verify join — persist so the orders scan runs once (the
+    # ngram_jaccard single-scan discipline)
+    dim = dim.persist()
     bitmap = build_bloom(dim, "o_orderkey")
     pruned = bloom_prune(lineitem, "l_orderkey", bitmap)
     # exact decimal sum (the q10 discipline): a double sum can land
