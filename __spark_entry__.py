@@ -108,9 +108,9 @@ _R8_ORDER = [
     "downsample_ohlc", "approx_distinct_audit", "ts_similarity",
     "bronze_parse", "silver_dedup", "silver_metrics",
     "silver_explode", "bronze_feed_b", "bronze_jsonl",
-    "bronze_csv", "gold_enrich", "custom_metric_sum",
+    "gold_enrich", "custom_metric_sum",
     "custom_metric_join", "agg_hour", "agg_day",
-    "agg_month", "latest_metric", "serving_kv",
+    "latest_metric", "serving_kv",
     "gap_detect", "serving_latest_monitor", "orphan_usage",
     "retention_purge", "scd2_current", "agg_consistency",
     "sessionize", "counter_rate", "rolling_avg",
@@ -312,6 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             B.dedup_exact(_bronze(s, d))
         ),
         "cdc_apply": lambda s, d: M.cdc_apply(B.dedup_exact(_bronze(s, d))),
+        "trend_report": lambda s, d: DV.trend_report(B.dedup_exact(_bronze(s, d))),
+        "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
+            load_table(s, d, "documents")
+        ),
         "bloom_prune_join": lambda s, d: SKW.bloom_prune_join(
             load_table(s, d, "lineitem"), load_table(s, d, "orders")
         ),
@@ -582,7 +586,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bronze_feed_b": lambda s, d: FB.bronze_feed_b(load_table(s, d, "events")),
         "bronze_jsonl": TF.bronze_from_jsonl,
-        "bronze_csv": TF.bronze_from_csv,
         "gold_enrich": _gold,
         "custom_metric_sum": lambda s, d: CM.custom_metric_sum(
             _gold(s, d), dm.custom_metric_mapping(s)
@@ -592,7 +595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "agg_hour": lambda s, d: R.rollup_hour(_gold(s, d)),
         "agg_day": lambda s, d: R.rollup_day(_gold(s, d)),
-        "agg_month": lambda s, d: R.rollup_month(_gold(s, d)),
         "latest_metric": lambda s, d: L.latest_metric(_gold(s, d)),
         "always_on_topology": _always_on_topology,
         "serving_kv": lambda s, d: L.serving_kv(_gold(s, d)),
@@ -727,7 +729,6 @@ FROM (
         "bronze_feed_c": FB.BRONZE_FEED_C_ORACLE,
         # text connectors must land byte-identical bronze to the parquet path
         "bronze_jsonl": B.BRONZE_PARSE_ORACLE,
-        "bronze_csv": B.BRONZE_PARSE_ORACLE,
         "gold_enrich": gold,
         "custom_metric_sum": CM.custom_metric_sum_oracle(gold),
         "custom_metric_join": CM.custom_metric_join_oracle(gold),
@@ -735,7 +736,6 @@ FROM (
         # incremental partial-merge must equal the from-scratch rollup
         "incremental_rollup": R.rollup_oracle(gold, bucket_hour, "bucket_ts"),
         "agg_day": R.rollup_oracle(gold, bucket_day, "bucket_ts"),
-        "agg_month": R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
         "latest_metric": L.latest_oracle(gold),
         # serving store after a drained 4-hop run with a mid-feed
         # stop+restart == batch latest (time-split monotone overwrite)
@@ -936,6 +936,8 @@ FROM deduped GROUP BY metric, datestamp
         "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
         "slo_burn_alerts": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),
         "cdc_apply": M.cdc_apply_oracle(DEDUP_ORACLE),
+        "trend_report": DV.trend_report_oracle(DEDUP_ORACLE),
+        "fuzzy_blocking_report": DD.fuzzy_blocking_report_oracle(),
         "bloom_prune_join": SKW.bloom_prune_join_oracle(),
         "fuzzy_join": DD.fuzzy_join_oracle(),
         "dup_spans": DD.dup_spans_oracle(),

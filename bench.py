@@ -34,7 +34,6 @@ HEADLINE = [
     "gold_enrich",
     "agg_hour",
     "agg_day",
-    "agg_month",
     "custom_metric_sum",
     "latest_metric",
     "gap_detect",
@@ -169,6 +168,8 @@ HEADLINE = [
     "cdc_apply",
     "bloom_prune_join",
     "fuzzy_join",
+    "trend_report",
+    "fuzzy_blocking_report",
 ]
 
 

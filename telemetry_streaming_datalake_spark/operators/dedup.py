@@ -1438,3 +1438,69 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.tkey, b.tkey) <= {k}
 """
+
+
+def fuzzy_blocking_report(
+    documents: DataFrame, k: int = FUZZY_K, cap: int = FUZZY_CAP
+) -> DataFrame:
+    """Blocking-quality audit for :func:`fuzzy_join` — the "no silent
+    caps" discipline as a first-class relation: gram-emission volume,
+    bucket count, the hottest bucket, the candidate-expansion total
+    the pair stage will pay (Σ n·(n−1)/2), and how much the hot-bucket
+    cap would clip (`hot_buckets` / `clipped_members` non-zero means
+    near-dup recall is being traded for bounded task memory — alert).
+    Run it next to the join: it is the same single gram-keyed shuffle
+    shape, on a frame the join already computes.
+    """
+    keyed = documents.select("doc_id", fuzzy_key(F.col("text")).alias("tkey"))
+    sizes = fuzzy_grams(keyed, k).groupBy("seg", "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.sum("n").cast("bigint").alias("n_gram_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        (F.sum(F.col("n") * (F.col("n") - 1)) / 2)
+        .cast("bigint")
+        .alias("candidate_expansions"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hot_buckets"),
+        F.sum(F.when(F.col("n") > cap, F.col("n") - cap).otherwise(0))
+        .cast("bigint")
+        .alias("clipped_members"),
+    )
+
+
+def fuzzy_blocking_report_oracle(
+    k: int = FUZZY_K, w: int = FUZZY_W, cap: int = FUZZY_CAP
+) -> str:
+    """The emission is deterministic constant-position substrings, so
+    the oracle replays it as a LATERAL VALUES table of (segment,
+    substr) expressions — the same grams, engine-independently."""
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    tkey = f"rpad(substr({norm}, 1, {w}), {w}, chr(1))"
+    half = k // 2
+    cells = []
+    for i, start, ln in _fuzzy_segments(w, k):
+        for s in range(max(1, start - half), min(w - ln + 1, start + half) + 1):
+            cells.append(f"({i}, substr(tkey, {s}, {ln}))")
+    values = ", ".join(cells)
+    return f"""
+WITH keyed AS (SELECT doc_id, {tkey} AS tkey FROM documents),
+grams AS (
+    SELECT DISTINCT doc_id, v.seg, v.gram
+    FROM keyed, LATERAL (SELECT * FROM (VALUES {values}) t(seg, gram)) v
+),
+sizes AS (
+    SELECT seg, gram, count(*) AS n FROM grams GROUP BY seg, gram
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_gram_rows,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS candidate_expansions,
+       CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+       CAST(sum(CASE WHEN n > {cap} THEN n - {cap} ELSE 0 END) AS BIGINT)
+           AS clipped_members
+FROM sizes
+"""

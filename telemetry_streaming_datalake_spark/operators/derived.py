@@ -1011,3 +1011,131 @@ SELECT metric, datestamp,
 FROM deduped
 GROUP BY metric, datestamp
 """
+
+
+# --------------------------------------------------------------------------
+# per-series linear trend report
+# --------------------------------------------------------------------------
+
+#: |rounded slope| below this (per day) classifies as 'flat'
+TREND_EPS = 0.05
+
+
+def trend_report(bronze_deduped: DataFrame) -> DataFrame:
+    """Per (serial, metric) linear trend over the daily value sums —
+    the capacity-planning / drift question the point-anomaly family
+    doesn't answer: is this series going somewhere?  OLS slope per
+    day, intercept, r² and a rising/flat/falling classification.
+
+    Shape: daily sums first (ONE key-partitioned partial-agg shuffle
+    — the fact never reaches the regression), then the closed-form
+    regression aggregates (`regr_slope`/`regr_intercept` — co-moment
+    folds, map-side partial) over the dimension-sized daily frame.
+    Engine parity is the `metric_correlation` discipline: regression
+    INPUTS are the 6dp-rounded daily sums and an exact integer day
+    index, outputs round to 6dp, and the classification compares the
+    ROUNDED slope so both engines branch on identical doubles.  r² is
+    corr² with NULL (zero-variance y) coalesced to 0 — `corr` NULL
+    semantics already pinned cross-engine by `metric_correlation`.
+    Series with a single day report NULL slope/intercept and flat.
+
+    The regressor is the day index CENTERED on each series' first day
+    (a window min over the dimension-sized daily frame): with raw
+    epoch-day x ≈ 19.7k the intercept extrapolates ~2e4 days back and
+    its catastrophic cancellation overwhelms 6dp rounding (observed:
+    the two engines' intercepts differed in the 6th decimal at 1e5
+    magnitude); centered, the intercept IS the fitted value at series
+    start — small, stable, and the more useful number.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        bronze_deduped.groupBy("serial", "metric", "datestamp")
+        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+        .withColumn(
+            "day_idx",
+            (F.unix_timestamp("datestamp", "yyyy-MM-dd") / 86400).cast("bigint"),
+        )
+    )
+    w0 = Window.partitionBy("serial", "metric")
+    daily = daily.withColumn(
+        "x0", F.col("day_idx") - F.min("day_idx").over(w0)
+    )
+    x = F.col("x0").cast("double")
+    y = F.col("day_value")
+    # explicit guarded moment formulas instead of regr_* — ANSI Spark
+    # raises DIVIDE_BY_ZERO inside regr_slope on single-point groups
+    # where DuckDB returns NULL; the guards make both engines emit
+    # NULL slope/intercept (and r2 -> 0) for n=1 identically
+    sxx, syy = F.var_samp(x), F.var_samp(y)
+    sxy = F.covar_samp(x, y)
+    slope_raw = F.when(sxx > 0, sxy / sxx)
+    reg = daily.groupBy("serial", "metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(slope_raw, 6).alias("slope_per_day"),
+        F.round(F.avg(y) - slope_raw * F.avg(x), 6).alias("intercept"),
+        F.round(
+            F.coalesce(
+                F.when((sxx > 0) & (syy > 0), (sxy * sxy) / (sxx * syy)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r2"),
+    )
+    return reg.select(
+        "serial",
+        "metric",
+        "n_days",
+        "slope_per_day",
+        "intercept",
+        "r2",
+        F.when(F.col("slope_per_day").isNull(), "flat")
+        .when(F.col("slope_per_day") > TREND_EPS, "rising")
+        .when(F.col("slope_per_day") < -TREND_EPS, "falling")
+        .otherwise("flat")
+        .alias("trend"),
+    )
+
+
+def trend_report_oracle(bronze_dedup_sql: str) -> str:
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+daily AS (
+    SELECT serial, metric, datestamp,
+           round(sum(value), 6) AS day_value,
+           CAST(epoch(strptime(datestamp, '%Y-%m-%d')) // 86400 AS BIGINT)
+               AS day_idx
+    FROM deduped
+    GROUP BY serial, metric, datestamp
+),
+centered AS (
+    SELECT serial, metric, day_value,
+           CAST(day_idx - min(day_idx)
+                    OVER (PARTITION BY serial, metric) AS DOUBLE) AS x0
+    FROM daily
+),
+reg AS (
+    SELECT serial, metric,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CASE WHEN var_samp(x0) > 0
+                      THEN covar_samp(x0, day_value) / var_samp(x0) END, 6)
+               AS slope_per_day,
+           round(avg(day_value)
+                 - (CASE WHEN var_samp(x0) > 0
+                         THEN covar_samp(x0, day_value) / var_samp(x0) END)
+                   * avg(x0), 6) AS intercept,
+           round(coalesce(
+               CASE WHEN var_samp(x0) > 0 AND var_samp(day_value) > 0
+                    THEN (covar_samp(x0, day_value) * covar_samp(x0, day_value))
+                         / (var_samp(x0) * var_samp(day_value)) END, 0.0), 6)
+               AS r2
+    FROM centered
+    GROUP BY serial, metric
+)
+SELECT serial, metric, n_days, slope_per_day, intercept, r2,
+       CASE WHEN slope_per_day IS NULL THEN 'flat'
+            WHEN slope_per_day > {TREND_EPS} THEN 'rising'
+            WHEN slope_per_day < -{TREND_EPS} THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM reg
+"""

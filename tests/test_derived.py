@@ -464,3 +464,29 @@ def test_slo_burn_multiwindow_gating(spark):
     # the silent hour 7 produced no row but still aged hour 6 out of
     # hour 13's RANGE window (rows-frame would have kept it in)
     assert "2024-01-01 07" not in out
+
+
+def test_trend_report_classifies_and_fits(spark):
+    """Exact synthetic lines: slope/intercept recover the generating
+    parameters (r2 = 1), noisy-flat stays flat, and a single-day
+    series reports NULL slope + flat instead of crashing."""
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+
+    rows = []
+    days = [f"2024-01-{d:02d}" for d in range(1, 11)]
+    for i, ds in enumerate(days):
+        rows.append(("up", "m", ds, 10.0 + 2.5 * i))     # slope +2.5/day
+        rows.append(("down", "m", ds, 100.0 - 3.0 * i))  # slope -3.0/day
+        rows.append(("flat", "m", ds, 42.0))             # slope 0
+    rows.append(("single", "m", "2024-01-01", 7.0))
+    df = spark.createDataFrame(
+        rows, "serial string, metric string, datestamp string, value double"
+    )
+    out = {r.serial: r for r in DV.trend_report(df).collect()}
+    up = out["up"]
+    assert up.trend == "rising" and up.slope_per_day == 2.5
+    assert up.intercept == 10.0 and up.r2 == 1.0 and up.n_days == 10
+    assert out["down"].trend == "falling" and out["down"].slope_per_day == -3.0
+    assert out["flat"].trend == "flat" and out["flat"].slope_per_day == 0.0
+    single = out["single"]
+    assert single.trend == "flat" and single.slope_per_day is None

@@ -1263,3 +1263,36 @@ def test_fuzzy_join_bucket_cap_not_binding(spark, documents):
     grams = DD.fuzzy_grams(keyed)
     t = DD.bucket_truncation(grams, ["seg", "gram"], cap=DD.FUZZY_CAP).collect()[0]
     assert t.hot_buckets == 0 and t.clipped_members == 0
+
+
+def test_fuzzy_blocking_report_counts_known_structure(spark):
+    """Three identical docs + one disjoint: the shared doc's 25 grams
+    form 25 three-member buckets (75 expansions) and the disjoint doc
+    contributes singleton buckets only."""
+    same = "the quick brown fox jumps far"
+    other = "zzzz qqqq wwww kkkk jjjj xxxx"
+    df = spark.createDataFrame(
+        [(1, same), (2, same), (3, same), (4, other)],
+        "doc_id long, text string",
+    )
+
+    def py_grams(text):
+        key = text.lower()[: DD.FUZZY_W]
+        key = key + "\x01" * (DD.FUZZY_W - len(key))
+        half = DD.FUZZY_K // 2
+        out = set()
+        for i, start, ln in DD._fuzzy_segments():
+            for s in range(max(1, start - half),
+                           min(DD.FUZZY_W - ln + 1, start + half) + 1):
+                out.add((i, key[s - 1 : s - 1 + ln]))
+        return out
+
+    g_same, g_other = py_grams(same), py_grams(other)
+    assert not (g_same & g_other)  # disjoint corpora -> disjoint buckets
+    r = DD.fuzzy_blocking_report(df).collect()[0]
+    # identical docs share every bucket (size 3); doc 4 adds singletons
+    assert r.n_gram_rows == 3 * len(g_same) + len(g_other)
+    assert r.n_buckets == len(g_same) + len(g_other)
+    assert r.max_bucket == 3
+    assert r.candidate_expansions == 3 * len(g_same)  # C(3,2) per shared bucket
+    assert r.hot_buckets == 0 and r.clipped_members == 0

@@ -221,6 +221,12 @@ def queries():
             load_table(s, d, "lineitem"), load_table(s, d, "orders")
         ),
         "fuzzy_join": lambda s, d: DD.fuzzy_join(load_table(s, d, "documents")),
+        "trend_report": lambda s, d: DV.trend_report(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
+            load_table(s, d, "documents")
+        ),
     }
 
 
