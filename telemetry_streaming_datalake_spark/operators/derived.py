@@ -1028,16 +1028,16 @@ def trend_report(bronze_deduped: DataFrame) -> DataFrame:
     day, intercept, r² and a rising/flat/falling classification.
 
     Shape: daily sums first (ONE key-partitioned partial-agg shuffle
-    — the fact never reaches the regression), then the closed-form
-    regression aggregates (`regr_slope`/`regr_intercept` — co-moment
-    folds, map-side partial) over the dimension-sized daily frame.
-    Engine parity is the `metric_correlation` discipline: regression
-    INPUTS are the 6dp-rounded daily sums and an exact integer day
-    index, outputs round to 6dp, and the classification compares the
-    ROUNDED slope so both engines branch on identical doubles.  r² is
-    corr² with NULL (zero-variance y) coalesced to 0 — `corr` NULL
-    semantics already pinned cross-engine by `metric_correlation`.
-    Series with a single day report NULL slope/intercept and flat.
+    — the fact never reaches the regression), then closed-form
+    regression from EXACT INTEGER moment sums (map-side partial) over
+    the dimension-sized daily frame.  Engine parity goes a step
+    BEYOND the `metric_correlation` round-6dp discipline — see the
+    inline comment: regression ratios routinely land exactly ON
+    rounding boundaries, where Spark's HALF_UP and DuckDB's rounding
+    disagree, so here every moment accumulates as an exact 128-bit
+    integer and the outputs are bit-identical doubles with no
+    rounding step at all.  Zero-variance y gives r² = 0; series with
+    a single day report NULL slope/intercept and flat.
 
     The regressor is the day index CENTERED on each series' first day
     (a window min over the dimension-sized daily frame): with raw
@@ -1061,25 +1061,57 @@ def trend_report(bronze_deduped: DataFrame) -> DataFrame:
     daily = daily.withColumn(
         "x0", F.col("day_idx") - F.min("day_idx").over(w0)
     )
-    x = F.col("x0").cast("double")
-    y = F.col("day_value")
-    # explicit guarded moment formulas instead of regr_* — ANSI Spark
-    # raises DIVIDE_BY_ZERO inside regr_slope on single-point groups
-    # where DuckDB returns NULL; the guards make both engines emit
-    # NULL slope/intercept (and r2 -> 0) for n=1 identically
-    sxx, syy = F.var_samp(x), F.var_samp(y)
-    sxy = F.covar_samp(x, y)
-    slope_raw = F.when(sxx > 0, sxy / sxx)
-    reg = daily.groupBy("serial", "metric").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.round(slope_raw, 6).alias("slope_per_day"),
-        F.round(F.avg(y) - slope_raw * F.avg(x), 6).alias("intercept"),
-        F.round(
-            F.coalesce(
-                F.when((sxx > 0) & (syy > 0), (sxy * sxy) / (sxx * syy)),
-                F.lit(0.0),
-            ),
-            6,
+    # exact integer-scaled moments (the CUSUM accumulation discipline,
+    # hardened further): float co-moment aggregates (var/covar/regr_*)
+    # accumulate in engine- and partition-order-dependent ways, and
+    # 6dp output rounding cannot absorb the residue when the true
+    # value sits ON a rounding boundary — observed: an intercept of
+    # exactly 105.0390625 (a dyadic rational, typical of the
+    # small-denominator ratios regression produces) rounds HALF_UP in
+    # Spark and half-even in DuckDB.  So: y scales to exact integer
+    # micro-units, every moment is an EXACT 128-bit integer sum
+    # (DECIMAL(38,0) here, HUGEINT in the oracle), and slope /
+    # intercept / r² derive from those identical integers through
+    # identical double arithmetic — bit-equal outputs with NO output
+    # rounding to disagree on.  ANSI single-point groups are guarded
+    # (denominator 0 -> NULL slope, flat), where regr_slope would
+    # raise DIVIDE_BY_ZERO.
+    yv = F.round(F.col("day_value") * 1_000_000).cast("decimal(18,0)")
+    ivals = daily.select("serial", "metric", "x0", yv.alias("yv"))
+    n = F.count(F.lit(1))
+    moments = ivals.groupBy("serial", "metric").agg(
+        n.cast("bigint").alias("n_days"),
+        F.sum("x0").cast("bigint").alias("sx"),
+        F.sum(F.col("x0") * F.col("x0")).cast("bigint").alias("sxx"),
+        F.sum("yv").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        F.sum(F.col("yv") * F.col("x0")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n_days").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (
+        nd * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    slope_micro = F.when(denx > 0, num / denx)
+    reg = moments.select(
+        "serial",
+        "metric",
+        "n_days",
+        (slope_micro / 1e6).alias("slope_per_day"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope_micro * F.col("sx").cast("double")
+            )
+            / F.col("n_days").cast("double")
+            / 1e6
+        ).alias("intercept"),
+        F.coalesce(
+            F.when((denx > 0) & (deny > 0), (num * num) / (denx * deny)),
+            F.lit(0.0),
         ).alias("r2"),
     )
     return reg.select(
@@ -1109,28 +1141,40 @@ daily AS (
     GROUP BY serial, metric, datestamp
 ),
 centered AS (
-    SELECT serial, metric, day_value,
+    SELECT serial, metric,
            CAST(day_idx - min(day_idx)
-                    OVER (PARTITION BY serial, metric) AS DOUBLE) AS x0
+                    OVER (PARTITION BY serial, metric) AS HUGEINT) AS x0,
+           CAST(round(day_value * 1000000) AS HUGEINT) AS yv
     FROM daily
 ),
-reg AS (
+moments AS (
     SELECT serial, metric,
            CAST(count(*) AS BIGINT) AS n_days,
-           round(CASE WHEN var_samp(x0) > 0
-                      THEN covar_samp(x0, day_value) / var_samp(x0) END, 6)
-               AS slope_per_day,
-           round(avg(day_value)
-                 - (CASE WHEN var_samp(x0) > 0
-                         THEN covar_samp(x0, day_value) / var_samp(x0) END)
-                   * avg(x0), 6) AS intercept,
-           round(coalesce(
-               CASE WHEN var_samp(x0) > 0 AND var_samp(day_value) > 0
-                    THEN (covar_samp(x0, day_value) * covar_samp(x0, day_value))
-                         / (var_samp(x0) * var_samp(day_value)) END, 0.0), 6)
-               AS r2
+           CAST(count(*) AS HUGEINT) AS nh,
+           sum(x0) AS sx, sum(x0 * x0) AS sxx,
+           sum(yv) AS sy, sum(yv * yv) AS syy,
+           sum(yv * x0) AS sxy
     FROM centered
     GROUP BY serial, metric
+),
+terms AS (
+    SELECT serial, metric, n_days,
+           CAST(nh * sxy - sx * sy AS DOUBLE) AS num,
+           CAST(nh * sxx - sx * sx AS DOUBLE) AS denx,
+           CAST(nh * syy - sy * sy AS DOUBLE) AS deny,
+           CAST(sy AS DOUBLE) AS sy_d, CAST(sx AS DOUBLE) AS sx_d,
+           CAST(n_days AS DOUBLE) AS n_d
+    FROM moments
+),
+reg AS (
+    SELECT serial, metric, n_days,
+           (CASE WHEN denx > 0 THEN num / denx END) / 1000000.0
+               AS slope_per_day,
+           ((sy_d - (CASE WHEN denx > 0 THEN num / denx END) * sx_d) / n_d)
+               / 1000000.0 AS intercept,
+           coalesce(CASE WHEN denx > 0 AND deny > 0
+                         THEN (num * num) / (denx * deny) END, 0.0) AS r2
+    FROM terms
 )
 SELECT serial, metric, n_days, slope_per_day, intercept, r2,
        CASE WHEN slope_per_day IS NULL THEN 'flat'
