@@ -56,12 +56,16 @@ MERGE_CUTOFF_UNIX = 1705276800
 INCR_CUTOFF_UNIX = 1705278600
 
 #: round-8 driver rotation (SURVEY §2b): stalest-first order emitted
-#: by `python tools/rotate.py` after round 7.  Window (first 50): the
-#: 4 never-green keys (`availability_report`/`tokenize_fixed_vocab`
-#: now value-fixed via BIGINT oracle casts, `always_on_topology` and
-#: the newly-oracled `bpe_merges`) + the 15 r4-green spillover keys
-#: through `dedup_embedding` + the stalest r5 block; everything else
-#: stays within the 4-round freshness bound.
+#: by `python tools/rotate.py` after round 7.  Window (first 50) as
+#: shipped: 14 never-green keys (the 8 r8 operators + the 6
+#: continuation operators, auto-prepended because they are absent
+#: from this list; `availability_report`/`tokenize_fixed_vocab`
+#: value-fixed via BIGINT oracle casts; `always_on_topology`;
+#: `bpe_merges` newly oracled) + the 15 r4-green spillover keys
+#: through `dedup_embedding` + the stalest r5 block.  `agg_month` and
+#: `bronze_csv` were registry-retired mid-round (VERDICT r7 #7
+#: displacement) and so no longer appear.  Everything else stays
+#: within the 4-round freshness bound.
 _R8_ORDER = [
     "availability_report", "always_on_topology", "tokenize_fixed_vocab",
     "bpe_merges", "dup_clusters", "online_entities",
