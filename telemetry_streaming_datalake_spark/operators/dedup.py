@@ -1397,7 +1397,8 @@ def fuzzy_join(documents: DataFrame, k: int = FUZZY_K) -> DataFrame:
     Survivors verify with the BANDED JVM levenshtein (threshold form:
     O(k·w) per pair, −1 beyond k).
 
-    Scale: emitted rows = 25×|corpus| at (w=24, k=4), all constant-
+    Scale: emitted rows = 21×|corpus| at (w=24, k=4) — boundary
+    clamping trims the edge-segment windows — all constant-
     position substrings in one codegen pass; one gram-keyed shuffle
     (the ``bucket_pairs`` collect-explode — signatures computed once,
     no self-join re-execution); the cap bounds any pathological gram

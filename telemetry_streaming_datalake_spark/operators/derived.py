@@ -1027,17 +1027,26 @@ def trend_report(bronze_deduped: DataFrame) -> DataFrame:
     doesn't answer: is this series going somewhere?  OLS slope per
     day, intercept, r² and a rising/flat/falling classification.
 
-    Shape: daily sums first (ONE key-partitioned partial-agg shuffle
-    — the fact never reaches the regression), then closed-form
-    regression from EXACT INTEGER moment sums (map-side partial) over
-    the dimension-sized daily frame.  Engine parity goes a step
-    BEYOND the `metric_correlation` round-6dp discipline — see the
-    inline comment: regression ratios routinely land exactly ON
-    rounding boundaries, where Spark's HALF_UP and DuckDB's rounding
-    disagree, so here every moment accumulates as an exact 128-bit
-    integer and the outputs are bit-identical doubles with no
-    rounding step at all.  Zero-variance y gives r² = 0; series with
-    a single day report NULL slope/intercept and flat.
+    Shape: daily micro-unit sums first (ONE key-partitioned
+    partial-agg shuffle — the fact never reaches the regression),
+    then closed-form regression from EXACT INTEGER moment sums
+    (map-side partial) over the dimension-sized daily frame.  Engine
+    parity goes a step BEYOND the `metric_correlation` round-6dp
+    discipline — see the inline comment: regression ratios routinely
+    land exactly ON rounding boundaries, where Spark's HALF_UP and
+    DuckDB's rounding disagree, so the value quantizes to integer
+    micro-units PER ROW (row-level rounding has no accumulation order
+    to disagree on — unlike `round(sum(value), 6)`, whose float sum
+    is partition-order-dependent and can itself straddle a 6dp
+    boundary), every moment accumulates as an exact 128-bit integer,
+    and slope / intercept / r² derive from those identical integers
+    through identical double arithmetic — bit-equal outputs with no
+    rounding step at all.  The moment COMBINATION (n·Σxy − Σx·Σy
+    etc.) happens in DOUBLE over the exact sums: still deterministic
+    (identical inputs, identical expression), and immune to the
+    decimal-width overflow a 128-bit product would hit once
+    |Σy_micro| ≥ 1e19.  Zero-variance y gives r² = 0; series with a
+    single day report NULL slope/intercept and flat.
 
     The regressor is the day index CENTERED on each series' first day
     (a window min over the dimension-sized daily frame): with raw
@@ -1049,52 +1058,51 @@ def trend_report(bronze_deduped: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    daily = (
-        bronze_deduped.groupBy("serial", "metric", "datestamp")
-        .agg(F.round(F.sum("value"), 6).alias("day_value"))
-        .withColumn(
-            "day_idx",
-            (F.unix_timestamp("datestamp", "yyyy-MM-dd") / 86400).cast("bigint"),
-        )
-    )
-    w0 = Window.partitionBy("serial", "metric")
-    daily = daily.withColumn(
-        "x0", F.col("day_idx") - F.min("day_idx").over(w0)
-    )
-    # exact integer-scaled moments (the CUSUM accumulation discipline,
+    # exact integer-scaled accumulation (the CUSUM discipline,
     # hardened further): float co-moment aggregates (var/covar/regr_*)
     # accumulate in engine- and partition-order-dependent ways, and
     # 6dp output rounding cannot absorb the residue when the true
     # value sits ON a rounding boundary — observed: an intercept of
     # exactly 105.0390625 (a dyadic rational, typical of the
     # small-denominator ratios regression produces) rounds HALF_UP in
-    # Spark and half-even in DuckDB.  So: y scales to exact integer
-    # micro-units, every moment is an EXACT 128-bit integer sum
-    # (DECIMAL(38,0) here, HUGEINT in the oracle), and slope /
-    # intercept / r² derive from those identical integers through
-    # identical double arithmetic — bit-equal outputs with NO output
-    # rounding to disagree on.  ANSI single-point groups are guarded
-    # (denominator 0 -> NULL slope, flat), where regr_slope would
-    # raise DIVIDE_BY_ZERO.
-    yv = F.round(F.col("day_value") * 1_000_000).cast("decimal(18,0)")
-    ivals = daily.select("serial", "metric", "x0", yv.alias("yv"))
+    # Spark and half-even in DuckDB.  The value quantizes to micro-
+    # units at the ROW level (order-independent), daily sums and every
+    # regression moment are then EXACT integer sums (DECIMAL(38,0)
+    # here, HUGEINT in the oracle); ANSI single-point groups are
+    # guarded (denominator 0 -> NULL slope, flat), where regr_slope
+    # would raise DIVIDE_BY_ZERO.
+    row_micro = F.round(F.col("value") * 1_000_000).cast("decimal(18,0)")
+    daily = (
+        bronze_deduped.groupBy("serial", "metric", "datestamp")
+        .agg(F.sum(row_micro).cast("decimal(18,0)").alias("yv"))
+        .withColumn(
+            "day_idx",
+            (F.unix_timestamp("datestamp", "yyyy-MM-dd") / 86400).cast("bigint"),
+        )
+    )
+    w0 = Window.partitionBy("serial", "metric")
+    ivals = daily.withColumn(
+        "x0", F.col("day_idx") - F.min("day_idx").over(w0)
+    ).select("serial", "metric", "x0", "yv")
     n = F.count(F.lit(1))
     moments = ivals.groupBy("serial", "metric").agg(
         n.cast("bigint").alias("n_days"),
         F.sum("x0").cast("bigint").alias("sx"),
         F.sum(F.col("x0") * F.col("x0")).cast("bigint").alias("sxx"),
         F.sum("yv").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+        F.sum(F.col("yv") * F.col("yv")).cast("decimal(38,0)").alias("syy"),
         F.sum(F.col("yv") * F.col("x0")).cast("decimal(38,0)").alias("sxy"),
     )
-    nd = F.col("n_days").cast("decimal(38,0)")
-    num = (nd * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast(
-        "double"
-    )
-    denx = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (
-        nd * F.col("syy") - F.col("sy") * F.col("sy")
-    ).cast("double")
+    # combine the exact sums in DOUBLE: deterministic (identical
+    # inputs, identical expression both engines) and overflow-free
+    # where a decimal(38) x decimal(38) product would silently
+    # saturate once |sy| >= 1e19
+    nd = F.col("n_days").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx_d * sy_d
+    denx = nd * F.col("sxx").cast("double") - sx_d * sx_d
+    deny = nd * F.col("syy").cast("double") - sy_d * sy_d
     slope_micro = F.when(denx > 0, num / denx)
     reg = moments.select(
         "serial",
@@ -1134,23 +1142,21 @@ def trend_report_oracle(bronze_dedup_sql: str) -> str:
 WITH deduped AS ({bronze_dedup_sql}),
 daily AS (
     SELECT serial, metric, datestamp,
-           round(sum(value), 6) AS day_value,
+           CAST(sum(CAST(round(value * 1000000) AS HUGEINT)) AS HUGEINT) AS yv,
            CAST(epoch(strptime(datestamp, '%Y-%m-%d')) // 86400 AS BIGINT)
                AS day_idx
     FROM deduped
     GROUP BY serial, metric, datestamp
 ),
 centered AS (
-    SELECT serial, metric,
+    SELECT serial, metric, yv,
            CAST(day_idx - min(day_idx)
-                    OVER (PARTITION BY serial, metric) AS HUGEINT) AS x0,
-           CAST(round(day_value * 1000000) AS HUGEINT) AS yv
+                    OVER (PARTITION BY serial, metric) AS HUGEINT) AS x0
     FROM daily
 ),
 moments AS (
     SELECT serial, metric,
            CAST(count(*) AS BIGINT) AS n_days,
-           CAST(count(*) AS HUGEINT) AS nh,
            sum(x0) AS sx, sum(x0 * x0) AS sxx,
            sum(yv) AS sy, sum(yv * yv) AS syy,
            sum(yv * x0) AS sxy
@@ -1159,9 +1165,12 @@ moments AS (
 ),
 terms AS (
     SELECT serial, metric, n_days,
-           CAST(nh * sxy - sx * sy AS DOUBLE) AS num,
-           CAST(nh * sxx - sx * sx AS DOUBLE) AS denx,
-           CAST(nh * syy - sy * sy AS DOUBLE) AS deny,
+           CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+           CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+           CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
            CAST(sy AS DOUBLE) AS sy_d, CAST(sx AS DOUBLE) AS sx_d,
            CAST(n_days AS DOUBLE) AS n_d
     FROM moments

@@ -85,10 +85,12 @@ def salted_count(df: DataFrame, keys: list[str], buckets: int = 32) -> DataFrame
 # Bloom-filter join pruning (runtime row filter for non-broadcast joins)
 # --------------------------------------------------------------------------
 
-#: bloom bitmap size in bits (power of two; 1024 int64 words).  Sized
-#: for ~10k build keys at <1% fpp; scales with the build-side
-#: cardinality — the bitmap stays driver-bounded (m/64 longs) and is
-#: shipped to executors as a codegen literal either way.
+#: bloom bitmap size in bits (power of two; 1024 int64 words).  At
+#: k=5 probes this holds ~6.5k build keys at ~1% fpp (fpp =
+#: (1-e^(-kn/m))^k; 10k keys would already read ~4%) — size m with
+#: the build-side cardinality in production; the bitmap stays
+#: driver-bounded (m/64 longs) and ships to executors as a codegen
+#: literal either way.
 BLOOM_M_BITS = 1 << 16
 #: number of hash probes per key
 BLOOM_K = 5
@@ -179,9 +181,11 @@ def bloom_prune_join(
         & (F.col("o_orderdate") < hi)
     ).select("o_orderkey", "o_orderdate")
     # the filtered dim feeds BOTH the bloom build (a job) and the
-    # verify join — persist so the orders scan runs once (the
-    # ngram_jaccard single-scan discipline)
-    dim = dim.persist()
+    # verify join — localCheckpoint so the orders scan runs once
+    # (persist() would pin cache-manager storage with no unpersist
+    # hook on a lazily-returned result; checkpoint blocks are
+    # reclaimed by the ContextCleaner once the result is dropped)
+    dim = dim.localCheckpoint(eager=True)
     bitmap = build_bloom(dim, "o_orderkey")
     pruned = bloom_prune(lineitem, "l_orderkey", bitmap)
     # exact decimal sum (the q10 discipline): a double sum can land

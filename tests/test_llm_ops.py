@@ -1250,7 +1250,7 @@ def test_fuzzy_join_catches_shifting_edits(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.doc_a, r.doc_b): r.edit_distance for r in DD.fuzzy_join(df).collect()}
-    assert got[(1, 2)] >= 1 and (1, 2) in got      # shift-left pair found
+    assert (1, 2) in got and got[(1, 2)] >= 1      # shift-left pair found
     assert (1, 3) in got and (2, 3) in got
     assert got[(1, 4)] == 2
     assert not any(5 in p for p in got)

@@ -248,6 +248,10 @@ def time_queries(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tsdl_scale"
     only = set(sys.argv[2:]) or None  # focused runs: name the queries
+    if only:
+        unknown = only - set(queries())
+        if unknown:  # a typo'd key would otherwise skip silently
+            raise SystemExit(f"unknown scalecheck queries: {sorted(unknown)}")
     spark = get_spark("scalecheck")
     generate(spark, out_dir)
     # warm up scan/codegen/worker-pool like bench.py, then measure
