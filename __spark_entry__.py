@@ -113,8 +113,7 @@ _R8_ORDER = [
     "bronze_parse", "silver_dedup", "silver_metrics",
     "silver_explode", "bronze_feed_b", "bronze_jsonl",
     "gold_enrich", "custom_metric_sum",
-    "custom_metric_join", "agg_hour", "agg_day",
-    "latest_metric", "serving_kv",
+    "custom_metric_join", "latest_metric", "serving_kv",
     "gap_detect", "serving_latest_monitor", "orphan_usage",
     "retention_purge", "scd2_current", "agg_consistency",
     "sessionize", "counter_rate", "rolling_avg",
@@ -324,6 +323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "orders")
         ),
         "fuzzy_join": lambda s, d: DD.fuzzy_join(load_table(s, d, "documents")),
+        "freq_sketch_audit": lambda s, d: R.freq_sketch_audit(
+            B.dedup_exact(_bronze(s, d))
+        ),
+        "bm25_indexed": lambda s, d: TX.bm25_indexed(s, d),
         # --- block C: r3-only LLM-pipeline keys (18) ---
         "hard_negatives": lambda s, d: SIM.hard_negatives(
             load_table(s, d, "embeddings"), ANN_QUERY_IDS
@@ -597,8 +600,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_metric_join": lambda s, d: CM.custom_metric_join(
             _gold(s, d), dm.custom_metric_mapping(s)
         ),
-        "agg_hour": lambda s, d: R.rollup_hour(_gold(s, d)),
-        "agg_day": lambda s, d: R.rollup_day(_gold(s, d)),
         "latest_metric": lambda s, d: L.latest_metric(_gold(s, d)),
         "always_on_topology": _always_on_topology,
         "serving_kv": lambda s, d: L.serving_kv(_gold(s, d)),
@@ -736,10 +737,8 @@ FROM (
         "gold_enrich": gold,
         "custom_metric_sum": CM.custom_metric_sum_oracle(gold),
         "custom_metric_join": CM.custom_metric_join_oracle(gold),
-        "agg_hour": R.rollup_oracle(gold, bucket_hour, "bucket_ts"),
         # incremental partial-merge must equal the from-scratch rollup
         "incremental_rollup": R.rollup_oracle(gold, bucket_hour, "bucket_ts"),
-        "agg_day": R.rollup_oracle(gold, bucket_day, "bucket_ts"),
         "latest_metric": L.latest_oracle(gold),
         # serving store after a drained 4-hop run with a mid-feed
         # stop+restart == batch latest (time-split monotone overwrite)
@@ -944,6 +943,11 @@ FROM deduped GROUP BY metric, datestamp
         "fuzzy_blocking_report": DD.fuzzy_blocking_report_oracle(),
         "bloom_prune_join": SKW.bloom_prune_join_oracle(),
         "fuzzy_join": DD.fuzzy_join_oracle(),
+        "freq_sketch_audit": R.freq_sketch_audit_oracle(DEDUP_ORACLE),
+        # the persisted-index probe is bit-identical to bm25_search
+        # (shared scoring expressions, identical integer inputs) —
+        # one oracle covers both
+        "bm25_indexed": TX.bm25_search_oracle(),
         "dup_spans": DD.dup_spans_oracle(),
         "quality_classifier": TX.quality_classifier_oracle(),
         "text_quality": TX.text_quality_oracle(),

@@ -32,8 +32,6 @@ HEADLINE = [
     "bronze_feed_c",
     "bronze_jsonl",
     "gold_enrich",
-    "agg_hour",
-    "agg_day",
     "custom_metric_sum",
     "latest_metric",
     "gap_detect",
@@ -170,6 +168,8 @@ HEADLINE = [
     "fuzzy_join",
     "trend_report",
     "fuzzy_blocking_report",
+    "freq_sketch_audit",
+    "bm25_indexed",
 ]
 
 

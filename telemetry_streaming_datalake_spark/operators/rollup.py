@@ -516,3 +516,141 @@ SELECT metric, datestamp,
 FROM fixed
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# count-min frequency sketch (mergeable heavy-hitter counting)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+CMS_TOP_K = 20
+
+
+def _cms_positions(key_col):
+    """The ``CMS_DEPTH`` (row, column) cell coordinates a key touches:
+    independent hash rows come from ``xxhash64(key, j)`` (the seed
+    column decorrelates rows the way a CMS's pairwise-independent hash
+    family does), columns land in ``[0, CMS_WIDTH)`` via ``pmod`` —
+    all JVM codegen, no UDF."""
+    return F.posexplode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(key_col, F.lit(j)), F.lit(CMS_WIDTH)).cast("int")
+                for j in range(CMS_DEPTH)
+            ]
+        )
+    )
+
+
+def cms_sketch(keyed: DataFrame, key: str = "serial") -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of per-``key``
+    event frequencies as a ``(row_idx, col_idx, cell_count)`` relation
+    of at most ``CMS_DEPTH × CMS_WIDTH`` rows — the mergeable
+    frequency sketch that answers "how many readings did terminal X
+    ship?" in O(d·w) memory regardless of key cardinality, the
+    frequency-domain sibling of the HLL distinct sketch above.
+
+    Spark-first shape: each event explodes to ``CMS_DEPTH`` cell
+    coordinates (pure codegen hash arithmetic) and ONE partial-agg
+    shuffle reduces them — map-side combine caps every task's output
+    at d·w rows, so the shuffle is bounded by the SKETCH size, not the
+    data.  Merging two sketches is cell-wise addition (the same
+    groupBy), which is how a serving store maintains the sketch under
+    incremental appends and how micro-batch partials fold in a
+    streaming twin — pinned in ``tests/test_sketches.py``.
+    """
+    cells = keyed.select(_cms_positions(F.col(key)).alias("row_idx", "col_idx"))
+    return cells.groupBy("row_idx", "col_idx").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str = "serial") -> DataFrame:
+    """Point-query the sketch for each row of ``keys``: the estimate is
+    ``min`` over the ``CMS_DEPTH`` cells the key hashes to (one-sided:
+    never below the true count).  The sketch is at most d·w rows, so it
+    BROADCASTS — probing any number of keys is a map-side join plus a
+    key-grouped min, nothing sketch- or corpus-sized shuffles."""
+    probes = keys.select(
+        key, _cms_positions(F.col(key)).alias("row_idx", "col_idx")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+        .na.fill({"cell_count": 0})
+        .groupBy(key)
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+
+
+def freq_sketch_audit(
+    bronze_deduped: DataFrame, k: int = CMS_TOP_K
+) -> DataFrame:
+    """Driver-checkable audit of the CMS (the gate-twin shape of
+    ``approx_distinct_audit`` above): for the EXACT top-``k`` serials
+    by reading volume, assert the sketch estimate honors the CMS
+    contract — ``exact ≤ est ≤ exact + (e/w)·N`` (the ≥ side is
+    deterministic one-sidedness; the ≤ side is the ε·N error bound
+    with ε = e/w, which min-over-``d`` rows misses with probability
+    ≤ e^−d per key).  The engine-specific estimates stay OUT of the
+    output; what the driver greens is the exact top-k relation and the
+    claim every estimate is in contract (oracle emits literal TRUE —
+    one out-of-bound estimate hash-mismatches its row).
+
+    At 100 TB the exact side of this audit is itself the expensive
+    full groupBy the sketch replaces — in production the audit runs on
+    a sampled slice while the sketch serves the live dashboard; here
+    it is the correctness gate.
+    """
+    import math
+
+    exact = bronze_deduped.groupBy("serial").agg(
+        F.count(F.lit(1)).alias("n_events_exact")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_events_exact").desc(), "serial")
+    topk = (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+    sketch = cms_sketch(bronze_deduped)
+    est = cms_estimate(sketch, topk.select("serial"))
+    total = bronze_deduped.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        topk.join(est, "serial")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "serial",
+            "n_events_exact",
+            (
+                (F.col("cms_estimate") >= F.col("n_events_exact"))
+                & (
+                    (F.col("cms_estimate") - F.col("n_events_exact"))
+                    <= F.lit(math.e / CMS_WIDTH) * F.col("n_total")
+                )
+            ).alias("within_contract"),
+        )
+        .orderBy("rank")
+    )
+
+
+def freq_sketch_audit_oracle(bronze_dedup_sql: str, k: int = CMS_TOP_K) -> str:
+    """Exact top-k reading counts + literal TRUE within_contract —
+    equality holds iff every CMS estimate is inside the ε·N bound."""
+    return f"""
+WITH deduped AS ({bronze_dedup_sql}),
+exact AS (
+    SELECT serial, CAST(count(*) AS BIGINT) AS n_events_exact
+    FROM deduped GROUP BY 1
+),
+ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY n_events_exact DESC, serial) AS BIGINT) AS rank,
+           serial, n_events_exact
+    FROM exact
+)
+SELECT rank, serial, n_events_exact, TRUE AS within_contract
+FROM ranked WHERE rank <= {k}
+ORDER BY rank
+"""

@@ -1292,9 +1292,18 @@ def bm25_search(
         ],
     )
     scored = per_doc.crossJoin(F.broadcast(stats))
+    return _bm25_rank(scored, len(terms), k)
+
+
+def _bm25_rank(scored: DataFrame, n_terms: int, k: int) -> DataFrame:
+    """Okapi scoring + top-k over a frame carrying ``dl``, per-term
+    ``tf_i``, 1-row-broadcast ``n_docs``/``avgdl``/``df_i``.  Shared
+    verbatim by :func:`bm25_search` and the persisted-index probe
+    (:func:`bm25_from_index`) so both sum the per-term doubles in the
+    SAME fixed order — bit-identical scores, one shared oracle."""
     score = None
     matched = None
-    for i in range(len(terms)):
+    for i in range(n_terms):
         tf = F.col(f"tf_{i}")
         idf = F.log(
             (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
@@ -1364,3 +1373,188 @@ WHERE ({match_terms}) > 0
 ORDER BY bm25 DESC, doc_id
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# persisted inverted index (build-once / probe-many BM25)
+# --------------------------------------------------------------------------
+
+#: term-hash partition count for the postings layout — the lexical
+#: analog of the IVF cell count: probes prune to the query terms'
+#: buckets, so the knob trades partition count against bucket width
+TEXT_INDEX_BUCKETS = 64
+
+
+def _postings(documents: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf, dl, bucket) posting rows — tf from one
+    (doc, term)-keyed partial agg, dl denormalized onto every posting
+    via a window SUM over the already-compact frame (sum of a doc's
+    tfs IS its token count), bucket = pmod(xxhash64(tok)) for the
+    partition layout.  Denormalizing dl is the load-bearing choice:
+    probes never join a doc-stats table — a stopword posting list
+    scores without touching anything doc-cardinality."""
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col("text"))
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.trim(norm), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("tok"), F.lit(TEXT_INDEX_BUCKETS)).cast("int")
+    )
+
+
+def build_text_index(documents: DataFrame, index_dir: str) -> str:
+    """Materialize the BM25 inverted index as a reusable artifact —
+    the lexical twin of :func:`~…similarity.build_ivf_index`'s
+    build-once/probe-many posting lists.  Layout:
+
+    - ``postings/bucket=<b>/`` — posting rows partitioned by term
+      hash, so a probe for k query terms is a partition-pruned read of
+      ≤k buckets (``PushedFilters``/partition pruning does the work the
+      corpus rescan in :func:`bm25_search` does not need an index for);
+    - ``stats/`` — append-only 1-row ``(n_docs, sum_dl)`` partials;
+      probe-time N and avgdl are their sums, so incremental extends
+      never rewrite global state.
+
+    Per-term document frequencies are deliberately NOT stored: a probe
+    counts df from the pruned posting rows it reads anyway, which
+    keeps df/N/avgdl consistent with index content under appends —
+    the reason ``extend == rebuild`` holds exactly (pytest-pinned).
+    """
+    import os
+
+    p = _postings(documents)
+    p.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    spark = documents.sparkSession
+    stats = spark.read.parquet(os.path.join(index_dir, "postings")).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("sum_dl"),
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    return index_dir
+
+
+def extend_text_index(
+    spark: "SparkSession", index_dir: str, new_docs: DataFrame
+) -> str:
+    """Incremental index maintenance (the FAISS-``add`` posture of
+    ``extend_ivf_index``, lexical side): new docs' posting rows APPEND
+    into their term buckets and one new ``(n_docs, sum_dl)`` partial
+    row appends to ``stats/`` — O(increment), existing posting lists
+    are never read or rewritten.  Because every probe-time quantity is
+    append-additive (tf/dl ride the posting rows, df counts pruned
+    rows, N/avgdl sum the partials), the extended index answers
+    queries EXACTLY like a from-scratch rebuild over the union —
+    pinned in ``tests/test_text_index.py``."""
+    import os
+
+    p = _postings(new_docs)
+    p.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    p.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("sum_dl"),
+    ).write.mode("append").parquet(os.path.join(index_dir, "stats"))
+    return index_dir
+
+
+def _probe_pruned(
+    spark: "SparkSession", index_dir: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """The probe's postings read: bucket literals from one bounded
+    collect of a ``len(terms)``-row frame (the driver-side hash
+    evaluation the IVF probe does over its centroid table), then a
+    scan filtered to those buckets — the bucket predicate lands in the
+    scan's ``PartitionFilters`` (plan-pinned in tests/test_plans.py),
+    so only ≤|query| of the ``TEXT_INDEX_BUCKETS`` partitions read."""
+    import os
+
+    bucket_rows = spark.createDataFrame(
+        [(t,) for t in terms], "tok string"
+    ).select(
+        F.pmod(F.xxhash64("tok"), F.lit(TEXT_INDEX_BUCKETS)).cast("int").alias("b")
+    ).collect()
+    buckets = sorted({r.b for r in bucket_rows})
+    return spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("bucket").isin(buckets) & F.col("tok").isin(list(terms))
+    )
+
+
+def bm25_from_index(
+    spark: "SparkSession",
+    index_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Probe the persisted index: read ONLY the query terms' bucket
+    partitions (partition-pruned — the corpus of posting lists never
+    scans), reduce them to the same per-doc ``(dl, tf_i…)`` frame
+    :func:`bm25_search` builds from raw text, and score through the
+    SHARED :func:`_bm25_rank` expressions — tf/dl/df/N/avgdl are
+    identical integers and the doubles add in the same order, so the
+    result equals :func:`bm25_search` bit-for-bit and shares its SQL
+    oracle verbatim.
+
+    The bucket literals for pruning come from one bounded collect of a
+    ``len(terms)``-row frame (the same driver-side hash evaluation the
+    IVF probe does over its centroid table)."""
+    import os
+
+    pruned = _probe_pruned(spark, index_dir, terms).localCheckpoint(
+        # the pruned frame feeds BOTH the df reduction and the scoring
+        # agg; pin it so the bucket read doesn't run per branch
+        eager=True
+    )
+    per_doc = pruned.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, F.col("tf")).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    df_frame = pruned.agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    totals = spark.read.parquet(os.path.join(index_dir, "stats")).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").alias("sum_dl"),
+    ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    scored = per_doc.crossJoin(F.broadcast(df_frame)).crossJoin(F.broadcast(totals))
+    return _bm25_rank(scored, len(terms), k)
+
+
+#: build-once cache for the registry/bench path — keyed by corpus dir
+#: so repeated probes in one session exercise the probe-many shape
+_TEXT_INDEX_CACHE: dict = {}
+
+
+def bm25_indexed(
+    spark: "SparkSession",
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Registry entry: build the persisted index once per corpus dir
+    (tempdir artifact, exactly :func:`…similarity.ann_ivf_indexed`'s
+    caching posture), then answer through :func:`bm25_from_index`.
+    Result is bit-identical to :func:`bm25_search`, so the key shares
+    that oracle."""
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    if sf_dir not in _TEXT_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="tsdl_txtidx_")
+        build_text_index(load_table(spark, sf_dir, "documents"), d)
+        _TEXT_INDEX_CACHE[sf_dir] = d
+    return bm25_from_index(spark, _TEXT_INDEX_CACHE[sf_dir], terms, k)

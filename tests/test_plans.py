@@ -26,7 +26,7 @@ def plans(spark):
     names = [
         "gold_enrich",
         "custom_metric_sum",
-        "agg_hour",
+        "rollup_grouping_sets",
         "latest_metric",
         "orphan_usage",
         "sessionize",
@@ -83,7 +83,9 @@ def test_dimension_joins_broadcast(plans):
 def test_rollups_have_partial_aggregation(plans):
     """Map-side combine: the shuffle carries partial aggregates, not
     raw rows."""
-    for name in ["agg_hour", "latest_metric"]:
+    # agg_hour retired from the registry (covered by the grouping-sets
+    # rollup, whose Expand feeds the same partial aggregation)
+    for name in ["rollup_grouping_sets", "latest_metric"]:
         assert "partial_" in plans[name], name
 
 
@@ -653,3 +655,34 @@ def test_slo_burn_single_fact_shuffle(spark):
     p = DT.slo_burn_alerts(src)._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 1  # the hourly agg only
     assert "Join" not in p
+
+
+def test_cms_sketch_shuffle_bounded_by_sketch(spark):
+    """The CMS cell reduction must carry map-side partial counts —
+    that is the property that caps every task's shuffle output at
+    d*w cells regardless of event count — and the whole sketch must
+    be ONE hash shuffle with no join or window."""
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+
+    src = spark.createDataFrame([("s1",), ("s2",)], "serial string")
+    p = R.cms_sketch(src)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p and "Window" not in p
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """Point queries join the <=d*w-row sketch map-side: the probe
+    frame must never shuffle for the lookup."""
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+
+    src = spark.createDataFrame([("s1",), ("s2",)], "serial string")
+    sk = R.cms_sketch(src)
+    p = (
+        R.cms_estimate(sk, src)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -88,3 +88,54 @@ def test_approx_distinct_audit_all_groups_in_contract(spark):
     }
     for r in day:
         assert r.n_serials_exact == exact_day[(r.metric, r.bucket)]
+
+
+# --------------------------------------------------------------------------
+# count-min frequency sketch
+# --------------------------------------------------------------------------
+
+
+def test_cms_estimate_never_below_exact(spark):
+    """CMS one-sidedness is deterministic: min-over-rows of cells each
+    counting a superset of the key's events can never undercount —
+    checked for EVERY serial, not just the audited top-k."""
+    ded = _deduped(spark).cache()
+    try:
+        sketch = R.cms_sketch(ded)
+        exact = ded.groupBy("serial").agg(F.count(F.lit(1)).alias("n_exact"))
+        joined = R.cms_estimate(sketch, exact.select("serial")).join(exact, "serial")
+        bad = joined.filter(F.col("cms_estimate") < F.col("n_exact")).count()
+        assert bad == 0
+    finally:
+        ded.unpersist()
+
+
+def test_cms_sketch_merges_cellwise(spark):
+    """sketch(all) == cellwise sum of sketches over any split — the
+    algebraic property that lets a serving store fold micro-batch /
+    incremental partials without rescanning history."""
+    ded = _deduped(spark).cache()
+    try:
+        a = R.cms_sketch(ded.filter(F.col("event_id") % 2 == 0))
+        b = R.cms_sketch(ded.filter(F.col("event_id") % 2 == 1))
+        merged = (
+            a.unionByName(b)
+            .groupBy("row_idx", "col_idx")
+            .agg(F.sum("cell_count").alias("cell_count"))
+        )
+        full = R.cms_sketch(ded)
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
+    finally:
+        ded.unpersist()
+
+
+def test_freq_sketch_audit_all_within_contract(spark):
+    ded = _deduped(spark)
+    rows = R.freq_sketch_audit(ded).collect()
+    assert 0 < len(rows) <= R.CMS_TOP_K
+    assert all(r.within_contract for r in rows)
+    # ranks are the contiguous prefix, descending exact counts
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.n_events_exact for r in rows]
+    assert counts == sorted(counts, reverse=True)

@@ -227,6 +227,22 @@ def queries():
         "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
             load_table(s, d, "documents")
         ),
+        # round-8 late continuation: the CMS audit's exact side is the
+        # full groupBy the sketch replaces (linear is the right shape);
+        # bm25_indexed's best-of-2 takes the SECOND run — probe-only
+        # against the already-built index, i.e. the claim under test is
+        # that the partition-pruned probe stays ~flat as the corpus
+        # (and its index) grows 10x
+        "freq_sketch_audit": lambda s, d: R.freq_sketch_audit(
+            B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
+        ),
+        "bm25_indexed": lambda s, d: TX.bm25_indexed(s, d),
+        # the index BUILD side, measured as its dominant reduction (the
+        # (doc,term) partial agg + dl window) — the partitioned write
+        # itself is the same one-pass sink every bronze build pays
+        "text_index_build": lambda s, d: TX._postings(
+            load_table(s, d, "documents")
+        ),
     }
 
 
