@@ -19,7 +19,7 @@ is the one hash-partitioned exchange the dedup itself requires.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: salt prefixed into the hash key, like the reference's per-source
@@ -97,17 +97,27 @@ def dedup_exact(bronze: DataFrame) -> DataFrame:
     the first arrival; batch Spark has no arrival order, so we keep the
     lowest ``event_id`` — deterministic and oracle-checkable.
 
-    Scale: one hash-partitioned shuffle on an md5 key (uniform, no
-    skew). ``row_number`` over that partitioning sorts only within each
-    key group.  At 100 TB this is the same exchange a streaming
-    ``dropDuplicates`` state store would imply; no global sort happens.
+    Scale: ``min_by(whole-row, event_id)`` under a ``groupBy`` on the
+    md5 key (uniform, no skew) instead of a window ``row_number`` —
+    the aggregate form gets MAP-SIDE COMBINE, so on duplicate-heavy
+    input (the reference's feed replays and "load lost data" re-runs,
+    where dedup earns its keep) each task collapses its local
+    duplicates BEFORE the exchange and the shuffle carries one row per
+    (task, key), not one per input row.  The trade is sort placement,
+    not elimination: the struct buffer keeps ``min_by`` in
+    SortAggregate (local key-sorts on both sides of the exchange)
+    where the window form pays one reduce-side (key, event_id) sort —
+    a wash on clean input (measured parity at sf0.1), while the
+    combine's shuffle reduction scales with the duplication factor.
+    ``event_id`` is unique, so ``min_by`` has no ties and the result
+    is row-identical to the ``row_number``/``rn = 1`` form the oracles
+    express.
     """
-    w = Window.partitionBy("unique_hash_key").orderBy("event_id")
-    return (
-        bronze.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    cols = bronze.columns
+    picked = bronze.groupBy("unique_hash_key").agg(
+        F.min_by(F.struct(*[F.col(c) for c in cols]), F.col("event_id")).alias("_row")
     )
+    return picked.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
 
 
 #: Shared SELECT used by the DuckDB oracle for :func:`parse_bronze`.

@@ -325,3 +325,17 @@ def test_png_container_roundtrip_and_crc_validation(spark):
     idat_body = len(payload) - 12 - 16 - 4  # IEND chunk + IDAT crc+data offset
     payload[idat_body] ^= 0xFF
     assert not MM.parse_png(bytes(payload))["crc_ok"]
+
+
+def test_dedup_keeps_lowest_event_id_across_partitions(spark):
+    """Duplicates of one hash key scattered across MANY input
+    partitions must still collapse to the single lowest-event_id row
+    (the map-side partial combine merges per-task winners correctly)."""
+    rows = [(i, f"k{i % 7}") for i in range(1, 201)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "unique_hash_key"]
+    ).repartition(16)
+    kept = B.dedup_exact(df).orderBy("event_id").collect()
+    assert [(r.event_id, r.unique_hash_key) for r in kept] == [
+        (i, f"k{i % 7}") for i in range(1, 8)
+    ]

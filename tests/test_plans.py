@@ -686,3 +686,20 @@ def test_cms_estimate_broadcasts_sketch(spark):
     )
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_dedup_exact_combines_map_side(spark):
+    """dedup_exact must be the aggregate form (partial_min_by BELOW
+    the exchange): on duplicate-heavy input — the replay/reload
+    cadence dedup exists for — each task collapses its local
+    duplicates before the shuffle, so the exchange carries one row
+    per (task, key) instead of one per input row.  A window
+    row_number form (no partial) would fail this pin."""
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    src = B.parse_bronze(load_table(spark, SF, "events"))
+    p = B.dedup_exact(src)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" not in p
