@@ -111,13 +111,31 @@ def dedup_exact(bronze: DataFrame) -> DataFrame:
     combine's shuffle reduction scales with the duplication factor.
     ``event_id`` is unique, so ``min_by`` has no ties and the result
     is row-identical to the ``row_number``/``rn = 1`` form the oracles
-    express.
+    express.  NULL ``event_id``s (never produced by the feeds) sort
+    LAST via the coalesce — matching the oracles' DuckDB ``ORDER BY``
+    default and keeping a real row even for an all-NULL group, which a
+    bare ``min_by`` would collapse to a corrupt all-NULL struct.
+
+    The group key is re-selected from the ``groupBy`` column rather
+    than carried inside the struct, so the 32-char md5 doesn't ride
+    the shuffle twice.  Output column ORDER matches the input; Spark
+    marks the struct-extracted columns nullable (advisory only — the
+    values are the surviving input rows unchanged).
     """
     cols = bronze.columns
+    row = F.struct(*[F.col(c) for c in cols if c != "unique_hash_key"])
+    order = F.coalesce(F.col("event_id"), F.lit((1 << 63) - 1))
     picked = bronze.groupBy("unique_hash_key").agg(
-        F.min_by(F.struct(*[F.col(c) for c in cols]), F.col("event_id")).alias("_row")
+        F.min_by(row, order).alias("_row")
     )
-    return picked.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+    return picked.select(
+        *[
+            F.col("unique_hash_key")
+            if c == "unique_hash_key"
+            else F.col("_row").getField(c).alias(c)
+            for c in cols
+        ]
+    )
 
 
 #: Shared SELECT used by the DuckDB oracle for :func:`parse_bronze`.
