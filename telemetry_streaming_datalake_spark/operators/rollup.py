@@ -601,12 +601,27 @@ def freq_sketch_audit(
     full groupBy the sketch replaces — in production the audit runs on
     a sampled slice while the sketch serves the live dashboard; here
     it is the correctness gate.
+
+    Gate-determinism note: the ε·N side of the contract is
+    probabilistic over the hash family (violated with probability
+    ≤ e^−d per key for ADVERSARIAL data), but ``xxhash64`` is a fixed
+    function and the driver fixtures are frozen, so for the gate this
+    audit is deterministic — verified green at sf0.001/0.01/0.1.  A
+    NEW corpus could in principle red this key without a code defect;
+    the deterministic half (one-sidedness, ``est ≥ exact``) can never.
+
+    ``exact`` is computed ONCE and localCheckpoint-pinned: it feeds
+    the top-k rank, the probe keys, AND the N = Σ counts scalar (the
+    corpus is never rescanned for the total — N is a sum over the
+    serial-cardinality frame).  The sketch branch is the only other
+    corpus scan, so the audit reads the input exactly twice (once per
+    aggregation shape), not four times.
     """
     import math
 
     exact = bronze_deduped.groupBy("serial").agg(
         F.count(F.lit(1)).alias("n_events_exact")
-    )
+    ).localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("n_events_exact").desc(), "serial")
@@ -616,7 +631,7 @@ def freq_sketch_audit(
     )
     sketch = cms_sketch(bronze_deduped)
     est = cms_estimate(sketch, topk.select("serial"))
-    total = bronze_deduped.agg(F.count(F.lit(1)).alias("n_total"))
+    total = exact.agg(F.sum("n_events_exact").alias("n_total"))
     return (
         topk.join(est, "serial")
         .crossJoin(F.broadcast(total))

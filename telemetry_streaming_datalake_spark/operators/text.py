@@ -1440,9 +1440,7 @@ def build_text_index(documents: DataFrame, index_dir: str) -> str:
     return index_dir
 
 
-def extend_text_index(
-    spark: "SparkSession", index_dir: str, new_docs: DataFrame
-) -> str:
+def extend_text_index(index_dir: str, new_docs: DataFrame) -> str:
     """Incremental index maintenance (the FAISS-``add`` posture of
     ``extend_ivf_index``, lexical side): new docs' posting rows APPEND
     into their term buckets and one new ``(n_docs, sum_dl)`` partial
@@ -1451,10 +1449,15 @@ def extend_text_index(
     append-additive (tf/dl ride the posting rows, df counts pruned
     rows, N/avgdl sum the partials), the extended index answers
     queries EXACTLY like a from-scratch rebuild over the union —
-    pinned in ``tests/test_text_index.py``."""
+    pinned in ``tests/test_text_index.py``.
+
+    The increment's posting reduction is localCheckpoint-pinned so the
+    partitioned write and the stats partial both read the SAME
+    materialization — without the pin the tokenize/explode/groupBy
+    lineage would execute twice (once per sink)."""
     import os
 
-    p = _postings(new_docs)
+    p = _postings(new_docs).localCheckpoint(eager=True)
     p.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(index_dir, "postings")
     )

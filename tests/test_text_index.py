@@ -36,7 +36,7 @@ def test_extend_equals_rebuild(spark):
     second = docs.filter(F.col("doc_id") % 2 == 1)
     inc = tempfile.mkdtemp(prefix="tsdl_txtidx_i_")
     TX.build_text_index(first, inc)
-    TX.extend_text_index(spark, inc, second)
+    TX.extend_text_index(inc, second)
     full = tempfile.mkdtemp(prefix="tsdl_txtidx_f_")
     TX.build_text_index(docs, full)
     assert _rows(TX.bm25_from_index(spark, inc)) == _rows(
