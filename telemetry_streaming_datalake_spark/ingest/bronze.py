@@ -19,7 +19,7 @@ is the one hash-partitioned exchange the dedup itself requires.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: salt prefixed into the hash key, like the reference's per-source
@@ -97,44 +97,30 @@ def dedup_exact(bronze: DataFrame) -> DataFrame:
     the first arrival; batch Spark has no arrival order, so we keep the
     lowest ``event_id`` — deterministic and oracle-checkable.
 
-    Scale: ``min_by(whole-row, event_id)`` under a ``groupBy`` on the
-    md5 key (uniform, no skew) instead of a window ``row_number`` —
-    the aggregate form gets MAP-SIDE COMBINE, so on duplicate-heavy
-    input (the reference's feed replays and "load lost data" re-runs,
-    where dedup earns its keep) each task collapses its local
-    duplicates BEFORE the exchange and the shuffle carries one row per
-    (task, key), not one per input row.  The trade is sort placement,
-    not elimination: the struct buffer keeps ``min_by`` in
-    SortAggregate (local key-sorts on both sides of the exchange)
-    where the window form pays one reduce-side (key, event_id) sort —
-    a wash on clean input (measured parity at sf0.1), while the
-    combine's shuffle reduction scales with the duplication factor.
-    ``event_id`` is unique, so ``min_by`` has no ties and the result
-    is row-identical to the ``row_number``/``rn = 1`` form the oracles
-    express.  NULL ``event_id``s (never produced by the feeds) sort
-    LAST via the coalesce — matching the oracles' DuckDB ``ORDER BY``
-    default and keeping a real row even for an all-NULL group, which a
-    bare ``min_by`` would collapse to a corrupt all-NULL struct.
+    Scale: one hash-partitioned shuffle on an md5 key (uniform, no
+    skew); ``row_number`` sorts only within each key group, and —
+    decisive — Catalyst prunes columns THROUGH the window: a consumer
+    selecting 3 of the 9 bronze columns reads a 4-column scan (its 3 +
+    the key/order columns) and never evaluates the pruned expressions
+    (``get_json_object``, date formats).
 
-    The group key is re-selected from the ``groupBy`` column rather
-    than carried inside the struct, so the 32-char md5 doesn't ride
-    the shuffle twice.  Output column ORDER matches the input; Spark
-    marks the struct-extracted columns nullable (advisory only — the
-    values are the surviving input rows unchanged).
+    A ``min_by(whole-row, event_id)`` aggregate form was tried and
+    REVERTED: it gains map-side combine (a 10× full-replay union
+    dedup'd at 1.8× the clean wall because only ~unique rows cross the
+    exchange), but the whole-row struct defeats column pruning — every
+    narrow consumer pays the full 9-column parse (measured +30-95%
+    on gap_detect/ewma/trend at sf0.1, plan-verified: the struct form
+    reads all columns and keeps the JSON extraction alive for a
+    3-column projection).  Dedup runs under EVERY query; replay
+    collapse is the streaming edge's job (``dropDuplicates`` state in
+    the silver stream), so pruning wins.  The pruning property is
+    plan-pinned in tests/test_plans.py.
     """
-    cols = bronze.columns
-    row = F.struct(*[F.col(c) for c in cols if c != "unique_hash_key"])
-    order = F.coalesce(F.col("event_id"), F.lit((1 << 63) - 1))
-    picked = bronze.groupBy("unique_hash_key").agg(
-        F.min_by(row, order).alias("_row")
-    )
-    return picked.select(
-        *[
-            F.col("unique_hash_key")
-            if c == "unique_hash_key"
-            else F.col("_row").getField(c).alias(c)
-            for c in cols
-        ]
+    w = Window.partitionBy("unique_hash_key").orderBy("event_id")
+    return (
+        bronze.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
