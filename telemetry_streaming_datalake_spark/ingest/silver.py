@@ -79,7 +79,14 @@ def explode_metrics(bronze_payload: DataFrame) -> DataFrame:
         ),
         F.struct(
             F.lit("payload_k").alias("name"),
-            F.col("payload.k").cast("double").alias("reading"),
+            # payload_k (parse_bronze's get_json_object extraction) is
+            # value-identical to payload.k (the from_json struct field)
+            # and is what the oracle reads; referencing it — not the
+            # struct — lets Catalyst PRUNE the from_json evaluation out
+            # of this plan entirely (the struct remains on
+            # parse_bronze_payload's schema as the reference's explicit-
+            # schema seam, costing nothing unless selected)
+            F.col("payload_k").cast("double").alias("reading"),
         ),
         F.struct(
             F.lit("payload_k_re").alias("name"),

@@ -102,6 +102,15 @@ def test_silver_explode_broadcasts_mapping(plans):
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
 
+def test_silver_explode_prunes_from_json(plans):
+    """The payload_k reading rides parse_bronze's get_json_object
+    extraction (what the oracle reads too); the from_json struct stays
+    on parse_bronze_payload's schema as the explicit-schema seam but
+    must be PRUNED out of this plan — referencing payload.k instead of
+    payload_k re-doubles the JSON parse (measured 2.2x on the key)."""
+    assert "from_json" not in plans["silver_explode"]
+
+
 def test_map_only_ops_have_no_exchange(plans):
     """Chunking and PII redaction are pure per-row transforms — any
     exchange in their plan is a regression."""
