@@ -571,3 +571,103 @@ def test_slo_burn_matches_python_rolling(spark, events):
         for r in DT.slo_burn_alerts(df).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# count-min sketch: one-sidedness + mergeability on random key multisets
+# --------------------------------------------------------------------------
+
+_keys_strategy = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_keys_strategy)
+def test_cms_one_sided_and_merge_equals_direct(spark, keys):
+    """For EVERY key of a random multiset: estimate >= exact (the CMS
+    deterministic guarantee, independent of hash luck), and the
+    cell-wise merge of two split-half sketches equals the sketch of
+    the whole — the property that lets serving stores fold partials."""
+    from collections import Counter
+
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+
+    df = spark.createDataFrame([(k,) for k in keys], "serial string")
+    exact = Counter(keys)
+    probes = spark.createDataFrame(
+        [(k,) for k in set(keys)], "serial string"
+    )
+    est = {
+        r.serial: r.cms_estimate
+        for r in R.cms_estimate(R.cms_sketch(df), probes).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+
+    half_a = spark.createDataFrame(
+        [(k,) for k in keys[: len(keys) // 2]] or [("__none__",)],
+        "serial string",
+    )
+    half_b = spark.createDataFrame(
+        [(k,) for k in keys[len(keys) // 2 :]] or [("__none__",)],
+        "serial string",
+    )
+    merged = (
+        R.cms_sketch(half_a)
+        .unionAll(R.cms_sketch(half_b))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    direct = R.cms_sketch(
+        half_a.unionAll(half_b)
+    )
+    m = {(r.row_idx, r.col_idx): r.cell_count for r in merged.collect()}
+    d = {(r.row_idx, r.col_idx): r.cell_count for r in direct.collect()}
+    assert m == d
+
+
+# --------------------------------------------------------------------------
+# text index: extend == rebuild on random corpus splits
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="xyzq ", min_size=3, max_size=40),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=23),
+)
+def test_text_index_extend_equals_rebuild_random_split(spark, texts, cut):
+    """Random corpus, random split point: an index built on the prefix
+    then extended with the suffix must answer a probe EXACTLY like a
+    from-scratch build over everything (append-additive tf/dl/df/N)."""
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.operators import text as TX
+
+    cut = min(cut, len(texts) - 1)
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    terms = ("x", "yz")
+
+    inc = tempfile.mkdtemp(prefix="tsdl_prop_i_")
+    TX.build_text_index(docs.filter(F.col("doc_id") < cut), inc)
+    TX.extend_text_index(inc, docs.filter(F.col("doc_id") >= cut))
+    full = tempfile.mkdtemp(prefix="tsdl_prop_f_")
+    TX.build_text_index(docs, full)
+
+    got = [
+        tuple(r)
+        for r in TX.bm25_from_index(spark, inc, terms=terms, k=10).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in TX.bm25_from_index(spark, full, terms=terms, k=10).collect()
+    ]
+    assert got == want
