@@ -138,6 +138,20 @@ def _gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.enrich_gold(_silver(spark, sf_dir), history)
 
 
+def _stage_delay_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In production the medallion stages are MATERIALIZED tables; the
+    registry rebuilds them from events, so pin silver once and derive
+    gold from the pin — otherwise the silver lineage (parse + dedup +
+    normalize) executes twice, once for its own stage row and once
+    under gold's enrich (measured ~0.6 s of the key's sf0.1 wall)."""
+    silver = _silver(spark, sf_dir).localCheckpoint(eager=True)
+    history = dm.remote_history(spark, load_table(spark, sf_dir, "customer"))
+    gold = T.enrich_gold(silver, history)
+    return DT.stage_delay_report(
+        _bronze(spark, sf_dir), silver, gold, dm.metric_mapping(spark)
+    )
+
+
 def _streaming_silver_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -369,9 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- block D: new/upgraded round-5 keys ---
         "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: DD.simhash_near_dups(load_table(s, d, "documents")),
-        "stage_delay_report": lambda s, d: DT.stage_delay_report(
-            _bronze(s, d), _silver(s, d), _gold(s, d), dm.metric_mapping(s)
-        ),
+        "stage_delay_report": _stage_delay_report,
         "bronze_feed_c": lambda s, d: FB.bronze_feed_c(load_table(s, d, "events")),
         "dedup_simhash_weighted": lambda s, d: DD.simhash_weighted_near_dups(
             load_table(s, d, "documents")
