@@ -584,7 +584,9 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str = "serial") -> Dat
 
 
 def freq_sketch_audit(
-    bronze_deduped: DataFrame, k: int = CMS_TOP_K
+    bronze_deduped: DataFrame,
+    k: int = CMS_TOP_K,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Driver-checkable audit of the CMS (the gate-twin shape of
     ``approx_distinct_audit`` above): for the EXACT top-``k`` serials
@@ -610,6 +612,12 @@ def freq_sketch_audit(
     NEW corpus could in principle red this key without a code defect;
     the deterministic half (one-sidedness, ``est ≥ exact``) can never.
 
+    ``sketch`` defaults to the batch ``cms_sketch`` of the input; the
+    streaming twin passes its serving store's merged cells instead —
+    cell-wise addition over micro-batches equals the single batch
+    sketch EXACTLY, so both audits run through this one code path and
+    share the oracle verbatim.
+
     ``exact`` is computed ONCE and localCheckpoint-pinned: it feeds
     the top-k rank, the probe keys, AND the N = Σ counts scalar (the
     corpus is never rescanned for the total — N is a sum over the
@@ -629,7 +637,8 @@ def freq_sketch_audit(
         exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
-    sketch = cms_sketch(bronze_deduped)
+    if sketch is None:
+        sketch = cms_sketch(bronze_deduped)
     est = cms_estimate(sketch, topk.select("serial"))
     total = exact.agg(F.sum("n_events_exact").alias("n_total"))
     return (

@@ -1729,3 +1729,137 @@ def streaming_cdc_apply(
         .awaitTermination()
     )
     return cdc_project(spark.read.parquet(out))
+
+
+# --------------------------------------------------------------------------
+# streaming count-min frequency sketch (cell-wise-additive serving store)
+# --------------------------------------------------------------------------
+
+
+def _cms_current_dir(store: str) -> str | None:
+    """Committed version directory of a CMS store, or None when empty
+    (a ``v*`` dir without a CURRENT pointer is an uncommitted crash
+    leftover and is correctly ignored — same rule as the HLL store)."""
+    ptr = os.path.join(store, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return os.path.join(store, f.read().strip())
+
+
+def _merge_cms_store(spark: SparkSession, store: str, cells: DataFrame, batch_id: int) -> None:
+    """Fold a micro-batch's CMS cell partials into the serving store:
+    merge = cell-wise ADD (``cms_sketch`` counts are additive), so the
+    stored sketch after any batch chopping equals the single batch
+    sketch over the union EXACTLY — the frequency-domain sibling of
+    ``_merge_hll_store``.
+
+    The load-bearing difference from the HLL store: union of HLL
+    register maxima is IDEMPOTENT (replays merge with zero effect),
+    but cell-wise addition is NOT — a replayed batch would double-
+    count.  Each committed version therefore carries an applied-batch
+    ledger (``applied.json`` inside the version dir, committed by the
+    same atomic ``CURRENT`` pointer swap), and a replayed batch id is
+    skipped.  Crash before the swap: the old version and ledger stay
+    current, checkpoint replay re-delivers the batch, the merge
+    re-runs — exactly-once effect either way.
+    """
+    import json
+    import shutil
+
+    cur_dir = _cms_current_dir(store)
+    applied: set[int] = set()
+    if cur_dir is not None:
+        with open(os.path.join(cur_dir, "applied.json")) as f:
+            applied = set(json.load(f))
+        if int(batch_id) in applied:
+            return  # replay of an applied batch: adds are not idempotent
+        cur = spark.read.parquet(os.path.join(cur_dir, "cells"))
+        merged = (
+            cur.unionByName(cells)
+            .groupBy("row_idx", "col_idx")
+            .agg(F.sum("cell_count").alias("cell_count"))
+        )
+        next_v = int(os.path.basename(cur_dir)[1:]) + 1
+    else:
+        merged, next_v = cells, 0
+    new_dir = os.path.join(store, f"v{next_v}")
+    merged.write.mode("overwrite").parquet(os.path.join(new_dir, "cells"))
+    with open(os.path.join(new_dir, "applied.json"), "w") as f:
+        json.dump(sorted(applied | {int(batch_id)}), f)
+    tmp = os.path.join(store, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{next_v}")
+    os.replace(tmp, os.path.join(store, "CURRENT"))
+    for d in os.listdir(store):
+        if d.startswith("v") and d != f"v{next_v}":
+            shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+
+
+def read_cms_store(spark: SparkSession, store: str) -> DataFrame:
+    """Read the committed cell relation of a CMS store."""
+    cur = _cms_current_dir(store)
+    if cur is None:
+        raise FileNotFoundError(f"empty CMS store: {store}")
+    return spark.read.parquet(os.path.join(cur, "cells"))
+
+
+def streaming_freq_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the count-min frequency sketch: each
+    micro-batch reduces to its d×w cell partials (the same bounded
+    ``cms_sketch`` reduction as batch — per-task shuffle output capped
+    at sketch size) and ``foreachBatch`` folds them into the versioned
+    store.  Cell addition over any batch chopping equals the single
+    batch sketch exactly, so the drained store audits through
+    ``freq_sketch_audit`` — the SAME code path and relation as the
+    batch key, pinned bit-identical in ``tests/test_streaming.py``.
+
+    Cross-batch duplicate feeds are dropped by watermarked
+    ``dropDuplicates`` state on ``unique_hash_key`` BEFORE sketching
+    (per-serial multiplicities then match ``dedup_exact`` regardless
+    of which duplicate survives — the hash key pins the serial), the
+    same dedup parity discipline as the OHLC/CUSUM twins.
+    """
+    from telemetry_streaming_datalake_spark.operators.rollup import (
+        cms_sketch,
+        freq_sketch_audit,
+    )
+
+    if max_files_per_trigger:
+        path = os.path.join(work_dir, "landing")
+        schema = spark.read.parquet(path).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        raw = _events_glob(spark, sf_dir, work_dir)
+    raw = normalize_nano_ts(raw, "ts")
+    bronze = (
+        parse_bronze(raw)
+        .withColumn("event_time", F.timestamp_seconds(F.col("unix_ts")))
+        .withWatermark("event_time", DEDUP_WATERMARK)
+        .dropDuplicatesWithinWatermark(["unique_hash_key"])
+        .drop("event_time")
+    )
+    store = os.path.join(work_dir, "cms_store")
+    ckpt = os.path.join(work_dir, "cms_ckpt")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_cms_store(spark, store, cms_sketch(batch_df), batch_id)
+
+    (
+        bronze.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    ground = dedup_exact(parse_bronze(load_table(spark, sf_dir, "events")))
+    return freq_sketch_audit(ground, sketch=read_cms_store(spark, store))

@@ -1133,3 +1133,109 @@ def test_streaming_cdc_apply_equals_batch(spark, tmp_path):
     batch = cdc_apply(dedup_exact(parse_bronze(load_table(spark, sf, "events"))))
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_cms_cells_equal_batch_sketch_across_batches(spark, tmp_path):
+    """Chop the feed into two micro-batches: the store's merged cells
+    must equal the single batch sketch over the whole (deduped) feed
+    EXACTLY — cell-wise addition is lossless — and the drained audit
+    (the batch audit code path fed the store's cells) must hold for
+    every row."""
+    import glob
+    import os as _os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.rollup import cms_sketch
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        read_cms_store,
+        streaming_freq_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    halves = [
+        raw.filter(F.col("event_id") % 2 == 0),
+        raw.filter(F.col("event_id") % 2 == 1),
+    ]
+    for i, half in enumerate(halves):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(_os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    out = streaming_freq_sketch(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    rows = out.collect()
+    assert rows and all(r.within_contract for r in rows)
+    merged = {
+        (r.row_idx, r.col_idx): r.cell_count
+        for r in read_cms_store(spark, str(tmp_path / "cms_store")).collect()
+    }
+    direct = {
+        (r.row_idx, r.col_idx): r.cell_count
+        for r in cms_sketch(
+            dedup_exact(parse_bronze(raw))
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_cms_store_replay_is_skipped_by_ledger(spark, tmp_path):
+    """Cell-wise addition is NOT idempotent (unlike HLL register
+    union), so a checkpoint-replayed batch id must be skipped by the
+    store's applied-batch ledger; a NEW batch id still merges."""
+    from telemetry_streaming_datalake_spark.operators.rollup import cms_sketch
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        _merge_cms_store,
+        read_cms_store,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "serial string")
+    cells = cms_sketch(df)
+    _merge_cms_store(spark, store, cells, 0)
+    first = sorted(tuple(r) for r in read_cms_store(spark, store).collect())
+    _merge_cms_store(spark, store, cells, 0)  # replayed batch id
+    assert sorted(tuple(r) for r in read_cms_store(spark, store).collect()) == first
+    _merge_cms_store(spark, store, cells, 1)  # genuinely new batch
+    doubled = {
+        (r.row_idx, r.col_idx): r.cell_count
+        for r in read_cms_store(spark, store).collect()
+    }
+    assert doubled == {
+        (r.row_idx, r.col_idx): 2 * r.cell_count
+        for r in cells.collect()
+    }
+
+
+def test_cms_store_ignores_uncommitted_version_dir(spark, tmp_path):
+    """A v-dir without the CURRENT pointer swap (crash mid-write) must
+    be invisible: reads resolve the committed version and a subsequent
+    merge overwrites the leftover."""
+    import os as _os
+
+    from telemetry_streaming_datalake_spark.operators.rollup import cms_sketch
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        _merge_cms_store,
+        read_cms_store,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame([("a",), ("b",)], "serial string")
+    cells = cms_sketch(df)
+    _merge_cms_store(spark, store, cells, 0)
+    committed = sorted(tuple(r) for r in read_cms_store(spark, store).collect())
+    # simulate a crash: v1 data written, pointer never swapped
+    crash_dir = _os.path.join(store, "v1", "cells")
+    cells.write.mode("overwrite").parquet(crash_dir)
+    assert sorted(tuple(r) for r in read_cms_store(spark, store).collect()) == committed
+    _merge_cms_store(spark, store, cells, 1)  # recovery merge lands in v1
+    assert {
+        (r.row_idx, r.col_idx): r.cell_count
+        for r in read_cms_store(spark, store).collect()
+    } == {(r.row_idx, r.col_idx): 2 * r.cell_count for r in cells.collect()}
