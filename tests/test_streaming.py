@@ -1239,3 +1239,56 @@ def test_cms_store_ignores_uncommitted_version_dir(spark, tmp_path):
         (r.row_idx, r.col_idx): r.cell_count
         for r in read_cms_store(spark, store).collect()
     } == {(r.row_idx, r.col_idx): 2 * r.cell_count for r in cells.collect()}
+
+
+def test_streaming_cms_drops_cross_batch_duplicates(spark, tmp_path):
+    """A reading replayed VERBATIM in a later micro-batch (same
+    unique_hash_key) must not inflate the sketch: the watermarked
+    dropDuplicatesWithinWatermark state spans batches, so the store
+    still equals the batch sketch over the DEDUPED feed.  The sf
+    fixtures carry no duplicates, so this injects one — the dedup
+    parity claim gets its own red path."""
+    import glob
+    import os as _os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.ingest.bronze import (
+        dedup_exact,
+        parse_bronze,
+    )
+    from telemetry_streaming_datalake_spark.operators.rollup import cms_sketch
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        read_cms_store,
+        streaming_freq_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    first = raw.filter(F.col("event_id") % 2 == 0)
+    # batch 2 = the odd half PLUS a verbatim replay of 50 batch-1 rows
+    # (same serial/metric/ts -> same unique_hash_key, higher event_id)
+    replay = (
+        first.orderBy("event_id")
+        .limit(50)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    second = raw.filter(F.col("event_id") % 2 == 1).unionByName(replay)
+    for i, half in enumerate([first, second]):
+        tmp_out = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(_os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(part, str(landing / f"feed{i}.parquet"))
+    out = streaming_freq_sketch(spark, sf, str(tmp_path), max_files_per_trigger=1)
+    assert all(r.within_contract for r in out.collect())
+    merged = {
+        (r.row_idx, r.col_idx): r.cell_count
+        for r in read_cms_store(spark, str(tmp_path / "cms_store")).collect()
+    }
+    direct = {
+        (r.row_idx, r.col_idx): r.cell_count
+        for r in cms_sketch(dedup_exact(parse_bronze(raw))).collect()
+    }
+    assert merged == direct  # the 50 replayed rows left no trace
