@@ -116,7 +116,12 @@ def dedup_exact(bronze: DataFrame) -> DataFrame:
     the silver stream), so pruning wins.  The pruning property is
     plan-pinned in tests/test_plans.py.
     """
-    w = Window.partitionBy("unique_hash_key").orderBy("event_id")
+    # NULLS LAST matches the DuckDB oracles' ORDER BY default (Spark's
+    # is NULLS FIRST): a group holding a NULL event_id keeps a real row
+    # either way, and the survivor agrees across engines.
+    w = Window.partitionBy("unique_hash_key").orderBy(
+        F.col("event_id").asc_nulls_last()
+    )
     return (
         bronze.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -184,7 +189,11 @@ def bronze_quarantine(events: DataFrame, mapping: DataFrame) -> DataFrame:
         F.col("user_id").cast("string").alias("serial"),
         F.col("event_type").alias("metric"),
         "value",
-        F.get_json_object("props", "$.k").cast("bigint").alias("payload_k"),
+        # try_cast, not cast: a NON-INTEGER $.k must route to
+        # bad_payload — under ANSI a strict cast would crash the
+        # router on exactly the records it exists to screen (the
+        # oracle mirrors with TRY_CAST)
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("payload_k"),
         F.unix_timestamp("ts").alias("unix_ts"),
         F.date_format("ts", "yyyy-MM-dd").alias("datestamp"),
     )
@@ -220,7 +229,7 @@ WITH parsed AS (
            CAST(user_id AS VARCHAR) AS serial,
            event_type AS metric,
            value,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k,
            (epoch_us(ts) // 1000000) AS unix_ts,
            strftime(ts, '%Y-%m-%d') AS datestamp
     FROM events

@@ -79,13 +79,17 @@ def explode_metrics(bronze_payload: DataFrame) -> DataFrame:
         ),
         F.struct(
             F.lit("payload_k").alias("name"),
-            # payload_k (parse_bronze's get_json_object extraction) is
-            # value-identical to payload.k (the from_json struct field)
-            # and is what the oracle reads; referencing it — not the
-            # struct — lets Catalyst PRUNE the from_json evaluation out
-            # of this plan entirely (the struct remains on
-            # parse_bronze_payload's schema as the reference's explicit-
-            # schema seam, costing nothing unless selected)
+            # payload_k (parse_bronze's get_json_object + BIGINT cast)
+            # is what the oracle reads (json_extract_string + CAST —
+            # the engines agree, including erroring on a non-integer
+            # $.k under ANSI; the quarantine router try_casts and
+            # routes such records to bad_payload BEFORE bronze, so the
+            # strict cast here only ever sees screened feeds);
+            # referencing it — not the
+            # from_json struct — lets Catalyst PRUNE the from_json
+            # evaluation out of this plan entirely (the struct remains
+            # on parse_bronze_payload's schema as the reference's
+            # explicit-schema seam, costing nothing unless selected)
             F.col("payload_k").cast("double").alias("reading"),
         ),
         F.struct(

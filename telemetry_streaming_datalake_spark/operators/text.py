@@ -1427,12 +1427,16 @@ def build_text_index(documents: DataFrame, index_dir: str) -> str:
     """
     import os
 
-    p = _postings(documents)
+    # pinned so the partitioned write and the stats partial share one
+    # materialization (the extend path's discipline) — and so stats
+    # come from the same frame that landed, without a read-back that
+    # fails on a zero-posting corpus (an empty partitionBy dir carries
+    # no schema)
+    p = _postings(documents).localCheckpoint(eager=True)
     p.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(index_dir, "postings")
     )
-    spark = documents.sparkSession
-    stats = spark.read.parquet(os.path.join(index_dir, "postings")).agg(
+    stats = p.agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("tf").alias("sum_dl"),
     )

@@ -1336,8 +1336,6 @@ def _merge_hll_store(spark: SparkSession, store: str, agg: DataFrame) -> None:
     swap, a crash before the pointer moves leaves the old version
     intact and the replayed batch re-merges into it; stale version
     dirs are swept after a successful swap."""
-    import shutil
-
     cur_dir = _hll_current_dir(store)
     if cur_dir is not None:
         cur = spark.read.parquet(cur_dir)
@@ -1349,8 +1347,40 @@ def _merge_hll_store(spark: SparkSession, store: str, agg: DataFrame) -> None:
         next_v = int(os.path.basename(cur_dir)[1:]) + 1
     else:
         merged, next_v = agg, 0
-    new_dir = os.path.join(store, f"v{next_v}")
-    merged.write.mode("overwrite").parquet(new_dir)
+    _commit_store_version(
+        store,
+        next_v,
+        lambda new_dir: merged.write.mode("overwrite").parquet(new_dir),
+    )
+
+
+def _store_current_dir(store: str) -> str | None:
+    """Resolve a versioned store's committed directory, or None for an
+    empty store (a ``v*`` dir without a CURRENT pointer is an
+    uncommitted crash leftover and is correctly ignored).  Shared by
+    the HLL and CMS sketch stores."""
+    ptr = os.path.join(store, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return os.path.join(store, f.read().strip())
+
+
+#: the HLL store's name for the shared resolver (kept for the tests
+#: and docstrings that refer to the store by family)
+_hll_current_dir = _store_current_dir
+
+
+def _commit_store_version(store: str, next_v: int, populate) -> None:
+    """The sketch stores' shared commit protocol: ``populate`` writes
+    version ``v{next_v}``'s payload, then the ``CURRENT`` pointer
+    swaps atomically (tmp + ``os.replace``) and stale version dirs
+    sweep.  A crash before the swap leaves the previous version (and
+    everything committed with it) current; one protocol, one place to
+    harden."""
+    import shutil
+
+    populate(os.path.join(store, f"v{next_v}"))
     tmp = os.path.join(store, "CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(f"v{next_v}")
@@ -1358,17 +1388,6 @@ def _merge_hll_store(spark: SparkSession, store: str, agg: DataFrame) -> None:
     for d in os.listdir(store):
         if d.startswith("v") and d != f"v{next_v}":
             shutil.rmtree(os.path.join(store, d), ignore_errors=True)
-
-
-def _hll_current_dir(store: str) -> str | None:
-    """Resolve the committed version directory, or None for an empty
-    store (a ``v*`` dir without a CURRENT pointer is an uncommitted
-    crash leftover and is correctly ignored)."""
-    ptr = os.path.join(store, "CURRENT")
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as f:
-        return os.path.join(store, f.read().strip())
 
 
 def read_hll_store(spark: SparkSession, store: str) -> DataFrame:
@@ -1736,15 +1755,8 @@ def streaming_cdc_apply(
 # --------------------------------------------------------------------------
 
 
-def _cms_current_dir(store: str) -> str | None:
-    """Committed version directory of a CMS store, or None when empty
-    (a ``v*`` dir without a CURRENT pointer is an uncommitted crash
-    leftover and is correctly ignored — same rule as the HLL store)."""
-    ptr = os.path.join(store, "CURRENT")
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as f:
-        return os.path.join(store, f.read().strip())
+#: the CMS store resolves versions through the shared protocol
+_cms_current_dir = _store_current_dir
 
 
 def _merge_cms_store(spark: SparkSession, store: str, cells: DataFrame, batch_id: int) -> None:
@@ -1757,22 +1769,23 @@ def _merge_cms_store(spark: SparkSession, store: str, cells: DataFrame, batch_id
     The load-bearing difference from the HLL store: union of HLL
     register maxima is IDEMPOTENT (replays merge with zero effect),
     but cell-wise addition is NOT — a replayed batch would double-
-    count.  Each committed version therefore carries an applied-batch
-    ledger (``applied.json`` inside the version dir, committed by the
-    same atomic ``CURRENT`` pointer swap), and a replayed batch id is
-    skipped.  Crash before the swap: the old version and ledger stay
-    current, checkpoint replay re-delivers the batch, the merge
-    re-runs — exactly-once effect either way.
+    count.  Each committed version therefore carries the LAST applied
+    batch id (``applied.json`` inside the version dir, committed by
+    the same atomic ``CURRENT`` pointer swap), and a batch id ≤ it is
+    skipped — foreachBatch ids are monotonic per checkpoint and replay
+    only ever re-delivers the latest unfinished batch, so one id is
+    the whole ledger (bounded, unlike a full history set).  Crash
+    before the swap: the old version and its id stay current,
+    checkpoint replay re-delivers the batch, the merge re-runs —
+    exactly-once effect either way.
     """
     import json
-    import shutil
 
     cur_dir = _cms_current_dir(store)
-    applied: set[int] = set()
     if cur_dir is not None:
         with open(os.path.join(cur_dir, "applied.json")) as f:
-            applied = set(json.load(f))
-        if int(batch_id) in applied:
+            last_applied = json.load(f)["last_applied"]
+        if int(batch_id) <= last_applied:
             return  # replay of an applied batch: adds are not idempotent
         cur = spark.read.parquet(os.path.join(cur_dir, "cells"))
         merged = (
@@ -1783,17 +1796,13 @@ def _merge_cms_store(spark: SparkSession, store: str, cells: DataFrame, batch_id
         next_v = int(os.path.basename(cur_dir)[1:]) + 1
     else:
         merged, next_v = cells, 0
-    new_dir = os.path.join(store, f"v{next_v}")
-    merged.write.mode("overwrite").parquet(os.path.join(new_dir, "cells"))
-    with open(os.path.join(new_dir, "applied.json"), "w") as f:
-        json.dump(sorted(applied | {int(batch_id)}), f)
-    tmp = os.path.join(store, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(f"v{next_v}")
-    os.replace(tmp, os.path.join(store, "CURRENT"))
-    for d in os.listdir(store):
-        if d.startswith("v") and d != f"v{next_v}":
-            shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+
+    def populate(new_dir: str) -> None:
+        merged.write.mode("overwrite").parquet(os.path.join(new_dir, "cells"))
+        with open(os.path.join(new_dir, "applied.json"), "w") as f:
+            json.dump({"last_applied": int(batch_id)}, f)
+
+    _commit_store_version(store, next_v, populate)
 
 
 def read_cms_store(spark: SparkSession, store: str) -> DataFrame:

@@ -138,6 +138,11 @@ def test_bronze_quarantine_routes_with_first_match_reason(spark):
         (5, datetime.datetime(2024, 1, 10), 1, "view", 9999.0, '{"k": 1}'),    # out_of_range
         # stale AND unmapped: first rule in ladder order wins
         (6, datetime.datetime(2024, 1, 2), 1, "error", -1.0, '{"nope": 1}'),   # bad_payload
+        # NON-INTEGER k: must ROUTE (try_cast -> NULL -> bad_payload),
+        # not crash the router under ANSI — the records the router
+        # exists to screen
+        (7, datetime.datetime(2024, 1, 10), 1, "click", 5.0, '{"k": 1.5}'),    # bad_payload
+        (8, datetime.datetime(2024, 1, 10), 1, "click", 5.0, '{"k": "abc"}'),  # bad_payload
     ]
     events = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
@@ -149,7 +154,9 @@ def test_bronze_quarantine_routes_with_first_match_reason(spark):
     assert out[4].reason == "unmapped_metric"
     assert out[5].reason == "out_of_range"
     assert out[6].reason == "bad_payload"
-    assert all(out[i].route == "quarantine" for i in (2, 3, 4, 5, 6))
+    assert out[7].reason == "bad_payload"
+    assert out[8].reason == "bad_payload"
+    assert all(out[i].route == "quarantine" for i in (2, 3, 4, 5, 6, 7, 8))
 
 
 def test_medallion_operators_survive_empty_feed(spark):

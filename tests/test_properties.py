@@ -637,7 +637,12 @@ def test_cms_one_sided_and_merge_equals_direct(spark, keys):
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
-        st.text(alphabet="xyzq ", min_size=3, max_size=40),
+        # suffix guarantees every doc tokenizes to >=1 term — an
+        # all-whitespace draw would make a zero-posting corpus slice,
+        # which is not the property under test
+        st.text(alphabet="xyzq ", min_size=3, max_size=40).map(
+            lambda t: t + " q"
+        ),
         min_size=2,
         max_size=24,
     ),
