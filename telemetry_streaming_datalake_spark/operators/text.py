@@ -302,9 +302,12 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
     or near-dup explainer shows next to each document.
 
     One explode feeds BOTH frequency tables: tf = the (doc, term)
-    count aggregate, df = a second aggregate OVER THAT RESULT (term
-    document-frequency — never a second corpus scan).  The corpus size
-    N joins in as a broadcast 1-row aggregate (a single-row
+    count aggregate, df = a term-partitioned window COUNT over that
+    compact result — IN PLACE, never a join-back (the join form
+    re-executed tf's whole lineage for the probe side: the executed
+    plan showed three corpus scans and zero ReusedExchange; the window
+    form scans once for tf + once for the 1-row N count).  The corpus
+    size N joins in as a broadcast 1-row aggregate (a single-row
     nested-loop broadcast is the correct scale shape for attaching a
     global scalar — the alternative, a global window, serializes on
     one partition).  Final per-doc top-k is a window over the compact
@@ -317,10 +320,11 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
         F.length("term") > 0
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = documents.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -715,3 +715,29 @@ def test_dedup_exact_preserves_column_pruning(spark):
     assert "get_json_object" not in p  # payload_k pruned away
     assert "props" not in p.split("ReadSchema")[1].split("\n")[0]
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_single_corpus_lineage(spark):
+    """df rides a term window over the compact tf frame, not a
+    join-back: the executed plan scans documents once for tf and once
+    for the 1-row N count — a third scan means the join-back (which
+    re-executes the explode lineage for the probe side) crept back."""
+    from telemetry_streaming_datalake_spark.operators import text as TX
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = TX.tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan") <= 2
+    assert "Join" not in p.replace("BroadcastNestedLoopJoin", "")  # only the 1-row N attach
+
+
+def test_simhash_weighted_single_corpus_lineage(spark):
+    """The idf weight rides a token window over the exploded frame:
+    one corpus scan for the fingerprint votes plus the 1-row N count —
+    the former df join-back re-ran the explode."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = DD.simhash_weighted(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan") <= 2
