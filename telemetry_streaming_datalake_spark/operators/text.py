@@ -873,14 +873,18 @@ def lm_perplexity(documents: DataFrame, k: float = LM_SMOOTH_K) -> DataFrame:
     (c(a) + k·V)``; score = ``2^(-avg log2 P)`` over the doc's
     bigrams (docs with < 2 tokens are excluded — no bigram evidence).
 
-    Shape: ONE corpus scan explodes bigrams map-side (slice+zip);
-    bigram and unigram counts are token-keyed partial-agg shuffles;
-    the vocabulary size V is a 1-row broadcast crossJoin (the tfidf
-    corpus-size pattern); the probability attach joins the doc
-    bigrams to the count tables on their keys.  Everything stays in
-    codegen; exact integer counts make P identical cross-engine, and
-    the 6dp round absorbs log/avg accumulation residue.
+    Shape: TWO corpus lineages total — the bigram explode (scored in
+    place: c(a,b) is a (a,b)-partitioned window COUNT over the
+    exploded frame, never a join-back that would re-execute the
+    explode for the probe side) and the unigram explode feeding the
+    token-cardinality c(a) table; V is c(a)'s own row count (distinct
+    tokens — no third pass) riding c(a) as a global window over that
+    COMPACT frame, and c(a)+V attach by one compact-table join.
+    Everything stays in codegen;
+    exact integer counts make P identical cross-engine, and the 6dp
+    round absorbs log/avg accumulation residue.
     """
+    from pyspark.sql import Window
     norm = normalize_text(F.col("text"))
     toks = documents.select(
         "doc_id", F.split(F.trim(norm), " ").alias("ts")
@@ -895,25 +899,30 @@ def lm_perplexity(documents: DataFrame, k: float = LM_SMOOTH_K) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    c2 = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     unigrams = documents.select(
         F.explode(F.split(F.trim(norm), " ")).alias("w")
     ).filter(F.length("w") > 0)
-    c1 = unigrams.groupBy(F.col("w").alias("a")).agg(
-        F.count(F.lit(1)).alias("c_a")
+    # V rides c1 itself as a GLOBAL window count — c1 is consumed once
+    # (no vocab branch re-running the unigram explode, no pin); the
+    # single-partition window is safe precisely because c1 is the
+    # token-cardinality frame, not the corpus
+    c1 = (
+        unigrams.groupBy(F.col("w").alias("a"))
+        .agg(F.count(F.lit(1)).alias("c_a"))
+        .withColumn("v", F.count(F.lit(1)).over(Window.partitionBy()))
     )
-    vocab = unigrams.agg(F.count_distinct("w").alias("v"))
-    prob = (
-        c2.join(c1, "a")
-        .crossJoin(F.broadcast(vocab))
+    scored = (
+        bigrams.withColumn(
+            "c_ab", F.count(F.lit(1)).over(Window.partitionBy("a", "b"))
+        )
+        .join(c1, "a")
         .select(
-            "a", "b",
+            "doc_id",
             ((F.col("c_ab") + F.lit(k)) / (F.col("c_a") + F.lit(k) * F.col("v"))).alias("p"),
         )
     )
     return (
-        bigrams.join(prob, ["a", "b"])
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.pow(F.lit(2.0), -F.avg(F.log2("p"))), 6).alias("perplexity"),

@@ -741,3 +741,16 @@ def test_simhash_weighted_single_corpus_lineage(spark):
     docs = load_table(spark, SF, "documents")
     p = DD.simhash_weighted(docs)._jdf.queryExecution().executedPlan().toString()
     assert p.count("FileScan") <= 2
+
+
+def test_lm_perplexity_two_corpus_lineages(spark):
+    """c(a,b) rides an (a,b) window over the bigram explode and V
+    rides c(a) as a global window over the compact token table: the
+    plan holds exactly two corpus lineages (bigram + unigram) — more
+    means a count-table join-back or a vocab branch crept back."""
+    from telemetry_streaming_datalake_spark.operators import text as TX
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = TX.lm_perplexity(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan") <= 2
