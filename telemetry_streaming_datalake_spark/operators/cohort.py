@@ -111,13 +111,15 @@ def funnel_conversion(
     Output: (entry_date, n_entered, n_converted, conversion_pct,
     avg_seconds_to_convert).
 
-    Shape: first-touch per user is one user-keyed partial-agg shuffle
-    (conditional min — no per-step scans); conversions join the
-    ``step_b`` slice back on user_id (both sides user-partitioned,
-    the entered side user-cardinality) with the time bound applied
-    inside the join's filter; the final matrix is day-cardinality.
-    Timestamps floor to unix seconds before differencing so both
-    engines agree on boundary events (TIMESTAMP(NANOS) parquet).
+    Shape: first-touch per user is one user-keyed partial-agg shuffle;
+    the ``step_b`` slice LEFT-joins onto it ONCE (both sides
+    user-partitioned, the entered side user-cardinality) with the time
+    bound inside the conversion aggregate's ``when`` — a separate
+    inner-join branch plus a second ``entered`` consumption would
+    re-execute the step_a scan+agg lineage (it did, before r8-late);
+    the final matrix is day-cardinality.  Timestamps floor to unix
+    seconds before differencing so both engines agree on boundary
+    events (TIMESTAMP(NANOS) parquet).
     """
     e = events.select(
         "user_id",
@@ -136,17 +138,21 @@ def funnel_conversion(
     b_events = e.filter(F.col("event_type") == step_b).select(
         "user_id", F.col("unix_ts").alias("b_ts")
     )
-    converted = (
-        entered.join(b_events, "user_id")
-        .filter(
-            (F.col("b_ts") >= F.col("first_a_ts"))
-            & (F.col("b_ts") <= F.col("first_a_ts") + within_s)
+    per_user = (
+        entered.join(b_events, "user_id", "left")
+        .groupBy("user_id", "entry_date")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("b_ts") >= F.col("first_a_ts"))
+                    & (F.col("b_ts") <= F.col("first_a_ts") + within_s),
+                    F.col("b_ts") - F.col("first_a_ts"),
+                )
+            ).alias("secs_to_convert")
         )
-        .groupBy("user_id")
-        .agg(F.min(F.col("b_ts") - F.col("first_a_ts")).alias("secs_to_convert"))
     )
     return (
-        entered.join(converted, "user_id", "left")
+        per_user
         .groupBy(F.col("entry_date").cast("string").alias("entry_date"))
         .agg(
             F.count(F.lit(1)).alias("n_entered"),
