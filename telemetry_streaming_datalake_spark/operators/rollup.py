@@ -327,9 +327,14 @@ def approx_distinct_rollup(bronze: DataFrame, lg_k: int = HLL_LG_K) -> DataFrame
     pytest pins every estimate within 3% of the exact distinct at test
     scale and the day→month merge consistency.
     """
+    # pinned: the day frame feeds BOTH grains' outputs — unpinned, the
+    # raw sketch aggregation lineage would execute twice and the
+    # docstring's "raw data touched once" would be false in the
+    # executed plan; the pin materializes only (metric × day) rows
     day = (
         bronze.groupBy("metric", "datestamp")
         .agg(F.hll_sketch_agg("serial", F.lit(lg_k)).alias("sketch"))
+        .localCheckpoint(eager=True)
     )
     day_rows = day.select(
         F.lit("DAY").alias("grain"),
@@ -367,15 +372,26 @@ def approx_distinct_audit(
     its gate twin, the shape VERDICT r6 asked for in place of a
     permanently-unverifiable rows-only row."""
     approx = approx_distinct_rollup(bronze, lg_k)
+    # ONE raw pass builds the distinct (metric, day, serial) triples;
+    # both exact grains then cascade over that compact frame (month
+    # re-distincts serials over the triples, never the raw rows) —
+    # pinned because both grains consume it
+    triples = (
+        bronze.select("metric", "datestamp", "serial")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     day_exact = (
-        bronze.groupBy("metric", F.col("datestamp").alias("bucket"))
-        .agg(F.countDistinct("serial").alias("n_serials_exact"))
+        triples.groupBy("metric", F.col("datestamp").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_serials_exact"))
         .withColumn("grain", F.lit("DAY"))
     )
     month_exact = (
-        bronze.withColumn("bucket", F.substring("datestamp", 1, 7))
+        triples.withColumn("bucket", F.substring("datestamp", 1, 7))
+        .select("metric", "bucket", "serial")
+        .distinct()
         .groupBy("metric", "bucket")
-        .agg(F.countDistinct("serial").alias("n_serials_exact"))
+        .agg(F.count(F.lit(1)).alias("n_serials_exact"))
         .withColumn("grain", F.lit("MONTH"))
     )
     exact = day_exact.unionByName(month_exact)
