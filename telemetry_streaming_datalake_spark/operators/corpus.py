@@ -945,10 +945,7 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
     sum.  Output: one row — token/vocab volumes, overlap, and
     ``js_divergence`` in bits (0 = identical mix, 1 = disjoint).
     """
-    from telemetry_streaming_datalake_spark.operators.dedup import (
-    _rolling_gram_hashes_udf,
-    normalize_text,
-)
+    from telemetry_streaming_datalake_spark.operators.dedup import normalize_text
 
     toks = documents.select(
         (F.col("doc_id") % 2).alias("slice"),

@@ -1124,6 +1124,12 @@ def _rolling_gram_hashes_udf(n: int):
     def gram_hashes(norm: pd.Series) -> pd.Series:
         out = []
         for s in norm:
+            if s is None:
+                # null text: no grams (the replaced substr+xxhash64
+                # codegen form was null-safe — a null norm emitted
+                # zero rows — so a null cell must not kill the job)
+                out.append(np.empty(0, dtype=np.int64))
+                continue
             b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
                 np.uint64
             )

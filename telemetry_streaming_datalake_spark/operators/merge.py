@@ -553,7 +553,8 @@ last AS (
     SELECT serial, metric, unix_ts AS last_ts, value AS last_value, op
     FROM ops
     QUALIFY row_number() OVER (
-        PARTITION BY serial, metric ORDER BY unix_ts DESC, event_id DESC) = 1
+        PARTITION BY serial, metric
+        ORDER BY unix_ts DESC, event_id DESC, op DESC, value DESC) = 1
 )
 SELECT l.serial, l.metric, l.last_ts, l.last_value, a.n_ops, a.n_deletes
 FROM last l JOIN audit a ON l.serial = a.serial AND l.metric = a.metric

@@ -19,6 +19,8 @@ Layered strategy, in preference order (SURVEY §4):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -85,17 +87,43 @@ def salted_count(df: DataFrame, keys: list[str], buckets: int = 32) -> DataFrame
 # Bloom-filter join pruning (runtime row filter for non-broadcast joins)
 # --------------------------------------------------------------------------
 
-#: bloom bitmap size in bits (power of two; 1024 int64 words).  At
-#: k=5 probes this holds ~6.5k build keys at ~1% fpp (fpp =
-#: (1-e^(-kn/m))^k; 10k keys would already read ~4%) — size m with
-#: the build-side cardinality in production; the bitmap stays
-#: driver-bounded (m/64 longs) and ships to executors as a codegen
-#: literal either way.
+#: floor bitmap size in bits (power of two; 1024 int64 words).  At
+#: k=5 probes this holds ~6.5k build keys at ~1% fpp.  The SHIPPED
+#: size is derived per build from the key count via
+#: :func:`bloom_m_bits` — this constant is only the floor.
 BLOOM_M_BITS = 1 << 16
+#: ceiling bitmap size: 1<<22 bits = 64 Ki int64 words.  The bitmap
+#: ships to executors as a codegen array literal, so it must stay
+#: expression-tree-sized; past this a Bloom is the wrong tool (use a
+#: broadcast join or Spark's own runtime filters).
+BLOOM_MAX_M_BITS = 1 << 22
+#: default false-positive target for the derived size
+BLOOM_TARGET_FPP = 0.01
 #: number of hash probes per key
 BLOOM_K = 5
 #: per-probe xxhash64 seed base
 BLOOM_SEED = 0xB100F
+
+
+def bloom_m_bits(
+    expected_keys: int,
+    target_fpp: float = BLOOM_TARGET_FPP,
+    k: int = BLOOM_K,
+) -> int:
+    """Smallest power-of-two bitmap (in bits) that holds
+    ``expected_keys`` at ≤ ``target_fpp`` with ``k`` probes.
+
+    fpp = (1 - e^(-k·n/m))^k  →  m ≥ -k·n / ln(1 - fpp^(1/k)).
+
+    Clamped to [BLOOM_M_BITS, BLOOM_MAX_M_BITS]; at the ceiling
+    (~550k keys at 1%) the fpp degrades as n grows — the prune stays
+    CORRECT (verify join kills false positives) but stops paying, so
+    production should switch join strategy there.
+    """
+    n = max(1, int(expected_keys))
+    need = -k * n / math.log(1.0 - target_fpp ** (1.0 / k))
+    m = 1 << max(0, math.ceil(math.log2(need)))
+    return max(BLOOM_M_BITS, min(BLOOM_MAX_M_BITS, m))
 
 
 def _bloom_positions(col, k: int = BLOOM_K, m: int = BLOOM_M_BITS):
@@ -105,15 +133,20 @@ def _bloom_positions(col, k: int = BLOOM_K, m: int = BLOOM_M_BITS):
     ]
 
 
-def build_bloom(keys: DataFrame, col: str) -> list[int]:
+def build_bloom(keys: DataFrame, col: str, m: int | None = None) -> list[int]:
     """Aggregate the build side into a Bloom bitmap: explode each key's
     k bit positions, bucket them into 64-bit words, OR the masks per
-    word.  One tiny shuffle (≤ m/64 = 1024 groups); the collect is
-    bounded by the bitmap size, NEVER by the key count — 10 keys and
-    10 billion keys both land ≤1024 rows on the driver.
+    word.  One tiny shuffle (≤ m/64 groups); the collect is bounded by
+    the bitmap size, NEVER by the key count — 10 keys and 10 billion
+    keys both land ≤ m/64 rows on the driver.
+
+    ``m=None`` derives the size from the build-side key count at the
+    default fpp target (one count job over the dimension-sized build
+    side — callers localCheckpoint it, so the scan isn't repeated).
     """
-    m = BLOOM_M_BITS
-    pos = F.explode(F.array(*_bloom_positions(F.col(col)))).alias("pos")
+    if m is None:
+        m = bloom_m_bits(keys.count())
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), m=m))).alias("pos")
     words = (
         keys.select(pos)
         .select(
@@ -142,7 +175,9 @@ def bloom_prune(df: DataFrame, col: str, bitmap: list[int]) -> DataFrame:
     false positives — callers must verify with the real join."""
     out = df.withColumn("__bloom", F.array(*[F.lit(w) for w in bitmap]))
     cond = F.lit(True)
-    for i, pos in enumerate(_bloom_positions(F.col(col))):
+    # m rides implicitly in the bitmap length: probe and build agree
+    # on the modulus by construction, whatever size was derived
+    for i, pos in enumerate(_bloom_positions(F.col(col), m=64 * len(bitmap))):
         out = out.withColumn(f"__bp{i}", pos)
         bit = F.expr(
             f"shiftrightunsigned(element_at(__bloom, CAST(__bp{i} / 64 AS INT) + 1),"
@@ -164,8 +199,9 @@ def bloom_prune_join(
     dimension subset is too large to broadcast (forced sort-merge here
     to model it) but its key set still compresses into a tiny bitmap.
 
-    Two-phase: (1) fold the filtered orders' keys into a 64 Kib Bloom
-    bitmap (driver-bounded, see :func:`build_bloom`); (2) filter
+    Two-phase: (1) fold the filtered orders' keys into a Bloom bitmap
+    sized from the key count at the 1% fpp target (driver-bounded,
+    see :func:`build_bloom` / :func:`bloom_m_bits`); (2) filter
     lineitem map-side with :func:`bloom_might_contain` — at this
     window's ~1% key selectivity, ~99% of the 100 TB fact never enters
     the exchange — then verify with the real equi-join (false

@@ -295,10 +295,17 @@ class ParquetUpsertStore(ServingStoreWriter):
             ).parquet(new_dir)
             # carry untouched partitions by hardlink: same inode, so
             # bytes/mtimes are literally the previous version's —
-            # O(#files) metadata, no data copied or rewritten
+            # O(#files) metadata, no data copied or rewritten.
+            # "Untouched" is decided by directory-name set difference
+            # against what the merged write just produced — NOT by
+            # comparing raw values to dir suffixes, because Spark
+            # URL-escapes special characters (space, colon, %) in
+            # partition dir names and a raw-value compare would
+            # hardlink stale files into a just-rewritten partition.
             prefix = f"{self.partition_col}="
+            written = set(os.listdir(new_dir))
             for entry in os.listdir(cur):
-                if not entry.startswith(prefix) or entry[len(prefix):] in parts:
+                if not entry.startswith(prefix) or entry in written:
                     continue
                 src_dir = os.path.join(cur, entry)
                 dst_dir = os.path.join(new_dir, entry)

@@ -15,6 +15,7 @@ def test_bucketed_join_has_no_exchange(spark):
     import contextlib
     import io
 
+    spark.catalog.clearCache()  # plan pin: assert the uncached shape
     df = BK.bucketed_join(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -38,6 +38,7 @@ def test_minhash_finds_near_duplicates_not_distinct_docs(spark):
 
 
 def test_minhash_plan_has_no_cartesian_product(spark, documents):
+    spark.catalog.clearCache()  # plan pin: assert the uncached shape
     plan = DD.dedup_minhash(documents)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

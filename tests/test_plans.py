@@ -11,6 +11,17 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _uncached_catalog(spark):
+    """Plan pins assert the shape of the UNCACHED plan.  An
+    InMemoryRelation persisted by an earlier test file keeps its full
+    projection (e.g. the parse_bronze get_json_object columns) alive
+    and defeats the very pruning these pins guard — the r8 suite ran
+    312/313 because of exactly that leak.  Clearing the cache before
+    every pin makes the module order-independent."""
+    spark.catalog.clearCache()
+
+
 def _plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -43,6 +43,7 @@ def test_purge_scan_prunes_partitions(spark, tmp_path):
     src = str(tmp_path / "src")
     _frame(spark).write.partitionBy("datestamp").parquet(src)
     lake = spark.read.parquet(src)
+    spark.catalog.clearCache()  # plan pin: assert the uncached shape
     plan = (
         RT.purge_keep(lake, "2024-01-10")
         ._jdf.queryExecution().executedPlan().toString()

@@ -60,6 +60,30 @@ def test_bloom_prune_no_false_negatives(spark):
     assert len(kept_keys - present) < 1000
 
 
+def test_bloom_m_scales_with_key_count_holding_fpp(spark):
+    """The bitmap is sized from the build cardinality, not fixed: at
+    10x the old fixed bitmap's ~6.5k-key capacity the derived m keeps
+    the measured false-positive rate at the 1% target (the fixed
+    64 Kib bitmap read ~4% at 10k keys and saturated at 100x)."""
+    import math
+
+    # analytic bound: fpp(n, derived m) <= target across the range
+    for n in (100, 6_500, 65_000, 300_000):
+        m = SK.bloom_m_bits(n)
+        k = SK.BLOOM_K
+        fpp = (1.0 - math.exp(-k * n / m)) ** k
+        assert fpp <= SK.BLOOM_TARGET_FPP, (n, m, fpp)
+        assert m <= SK.BLOOM_MAX_M_BITS
+    # measured: 65k build keys (10x), disjoint probes
+    n = 65_000
+    build = spark.range(n).select((F.col("id") * 2 + 1).alias("k"))
+    bitmap = SK.build_bloom(build, "k")
+    assert 64 * len(bitmap) == SK.bloom_m_bits(n) > SK.BLOOM_M_BITS
+    probe = spark.range(40_000).select((F.col("id") * 2).alias("k"))  # all even: disjoint
+    survivors = SK.bloom_prune(probe, "k", bitmap).count()
+    assert survivors / 40_000 <= 2 * SK.BLOOM_TARGET_FPP  # sampling slack
+
+
 def test_bloom_prune_join_equals_plain_join(spark, lineitem, orders):
     got = SK.bloom_prune_join(lineitem, orders)
     revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (

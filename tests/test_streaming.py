@@ -72,6 +72,34 @@ def test_upsert_store_rewrites_only_touched_partitions(spark, tmp_path):
     assert final == {"a": 1, "b": 20, "c": 3}
 
 
+def test_upsert_store_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark URL-escapes in directory names (space,
+    colon) must still be recognized as TOUCHED: the untouched-carry is
+    decided by dir-name set difference against the merged write, not a
+    raw-value string compare, so a touched escaped partition never has
+    its stale files hardlinked back in (duplicate/stale rows)."""
+    path = str(tmp_path / "store")
+    store = ParquetUpsertStore(spark, path, key="id", partition_col="datestamp")
+    schema = "id string, datestamp string, v int"
+    weird = "2024-01-02 10:00"  # space + colon -> escaped dir name
+    b0 = spark.createDataFrame(
+        [("a", "2024-01-01", 1), ("b", weird, 2)], schema
+    )
+    store.apply_batch(b0, 0)
+    b1 = spark.createDataFrame([("b", weird, 20), ("c", weird, 3)], schema)
+    store.apply_batch(b1, 1)
+    rows = [(r.id, r.datestamp, r.v) for r in store.read().collect()]
+    assert sorted(rows) == [
+        ("a", "2024-01-01", 1),
+        ("b", weird, 20),
+        ("c", weird, 3),
+    ]
+    # the untouched plain partition was still carried by hardlink
+    assert os.path.isdir(
+        os.path.join(store.current_data_dir(), "datestamp=2024-01-01")
+    )
+
+
 def test_purge_and_compact_rewrite(spark, events, tmp_path):
     bronze = B.parse_bronze(events)
     path = str(tmp_path / "lake")

@@ -51,6 +51,7 @@ def test_probe_reads_only_query_buckets(spark):
     docs = load_table(spark, SF, "documents")
     idx = tempfile.mkdtemp(prefix="tsdl_txtidx_p_")
     TX.build_text_index(docs, idx)
+    spark.catalog.clearCache()  # plan pin: assert the uncached shape
     pruned = TX._probe_pruned(spark, idx, TX.BM25_QUERY_TERMS)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # the bucket predicate must land in PartitionFilters (directory
