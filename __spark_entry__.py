@@ -55,40 +55,29 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
-#: round-8 driver rotation (SURVEY §2b): stalest-first order emitted
-#: by `python tools/rotate.py` after round 7.  Window (first 50) as
-#: shipped: 14 never-green keys (the 8 r8 operators + the 6
-#: continuation operators, auto-prepended because they are absent
-#: from this list; `availability_report`/`tokenize_fixed_vocab`
-#: value-fixed via BIGINT oracle casts; `always_on_topology`;
-#: `bpe_merges` newly oracled) + the 15 r4-green spillover keys
-#: through `dedup_embedding` + the stalest r5 block.  `agg_month` and
-#: `bronze_csv` were registry-retired mid-round (VERDICT r7 #7
-#: displacement) and so no longer appear.  Everything else stays
-#: within the 4-round freshness bound.
-_R8_ORDER = [
-    "availability_report", "always_on_topology", "tokenize_fixed_vocab",
-    "bpe_merges", "dup_clusters", "online_entities",
-    "q1_pricing", "q3_shipping", "q5_supplier",
-    "adhoc_gold_slice", "q6_forecast", "q10_returns",
-    "q12_priority", "q14_promo", "q7_nation_volume",
-    "q18_large_orders", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_embedding", "top_ngrams", "tfidf_top_terms",
-    "repetition_stats", "char_entropy", "stratified_sample",
-    "label_centroids", "centroid_confusion", "streaming_sliding_counts",
-    "streaming_interval_join", "streaming_publish_jsonl", "streaming_counter_rate",
-    "streaming_silver_dedup", "streaming_upsert", "streaming_stateful_latest",
-    "ann_cosine_topk", "ann_lsh", "ann_ivf",
-    "text_quality", "token_count", "lang_id",
-    "doc_fingerprint", "multimodal_meta", "multimodal_features",
-    "frame_sample", "multimodal_thumb", "pii_redact",
-    "doc_chunks", "train_val_split", "corpus_stats",
-    "decontaminate", "heavy_hitters", "quantize_embeddings",
-    "dedup_minhash", "dedup_simhash", "stage_delay_report",
-    "bronze_feed_c", "dedup_simhash_weighted", "q4_priority_check",
-    "q13_order_distribution", "q16_supplier_variety", "q19_disjunctive_revenue",
-    "q22_dormant_value", "boilerplate_ngrams", "semantic_dedup",
-    "pack_sequences", "mixture_weights", "bronze_quarantine",
+#: round-9 driver rotation (SURVEY §2b): stalest-first order emitted
+#: by `python tools/rotate.py` after round 8, minus the five keys
+#: registry-retired this round by shared-oracle displacement
+#: (`bronze_quarantine` -> `streaming_quarantine_split` verbatim
+#: oracle; `bronze_orc` -> `bronze_parse` verbatim oracle;
+#: `streaming_two_hop` -> `streaming_three_hop` strictly-deeper drain
+#: + the silver oracles; `serving_kv` -> `latest_metric` latest-state
+#: semantics; `counter_rate` -> `streaming_counter_rate` verbatim
+#: oracle — all five operators + pytest coverage remain).  Window
+#: (first 50) as shipped: the 5 new r9 keys (3 streaming twins +
+#: `ann_ivfpq` + `domain_cap_sample`, auto-prepended because absent
+#: from this list) + the 30 remaining stalest r5 keys + the 15
+#: stalest r6 keys.  Budget arithmetic in SURVEY §2b.
+_R9_ORDER = [
+    "lang_id", "doc_fingerprint", "multimodal_meta",
+    "multimodal_features", "frame_sample", "multimodal_thumb",
+    "pii_redact", "doc_chunks", "train_val_split",
+    "corpus_stats", "decontaminate", "heavy_hitters",
+    "quantize_embeddings", "dedup_minhash", "dedup_simhash",
+    "stage_delay_report", "bronze_feed_c", "dedup_simhash_weighted",
+    "q4_priority_check", "q13_order_distribution", "q16_supplier_variety",
+    "q19_disjunctive_revenue", "q22_dormant_value", "boilerplate_ngrams",
+    "semantic_dedup", "pack_sequences", "mixture_weights",
     "kmeans_refine", "streaming_quarantine_split", "table_profile",
     "bronze_kafka", "token_budget_plan", "packing_efficiency",
     "ann_ivf_indexed", "gopher_filter", "audio_features",
@@ -102,24 +91,39 @@ _R8_ORDER = [
     "importance_sample", "source_reputation", "metric_rank_report",
     "time_travel_read", "compaction_plan", "value_histogram",
     "rolling_active_users", "zorder_layout", "event_transitions",
-    "streaming_grouping_sets", "metric_correlation", "bronze_orc",
-    "bucketed_join", "lm_perplexity", "canonical_docs",
-    "rollup_restate", "cumulative_metric", "streaming_two_hop",
-    "streaming_three_hop", "ewma_smooth", "cusum_changepoint",
-    "png_meta", "streaming_ewma", "streaming_ohlc",
-    "streaming_approx_distinct", "streaming_cusum", "approx_percentile_audit",
-    "bm25_search", "hybrid_search", "ann_ivf_incremental",
-    "downsample_ohlc", "approx_distinct_audit", "ts_similarity",
-    "bronze_parse", "silver_dedup", "silver_metrics",
-    "silver_explode", "bronze_feed_b", "bronze_jsonl",
-    "gold_enrich", "custom_metric_sum",
-    "custom_metric_join", "latest_metric", "serving_kv",
-    "gap_detect", "serving_latest_monitor", "orphan_usage",
-    "retention_purge", "scd2_current", "agg_consistency",
-    "sessionize", "counter_rate", "rolling_avg",
-    "anomaly_zscore", "percentile_rollup", "pivot_metrics",
-    "gapfill_hourly", "asof_latest_order", "order_window_activity",
-    "partition_stats", "merge_upsert_latest", "incremental_rollup",
+    "streaming_grouping_sets", "metric_correlation", "bucketed_join",
+    "lm_perplexity", "canonical_docs", "rollup_restate",
+    "cumulative_metric", "streaming_three_hop", "ewma_smooth",
+    "cusum_changepoint", "png_meta", "streaming_ewma",
+    "streaming_ohlc", "streaming_approx_distinct", "streaming_cusum",
+    "approx_percentile_audit", "bm25_search", "hybrid_search",
+    "ann_ivf_incremental", "downsample_ohlc", "approx_distinct_audit",
+    "ts_similarity", "bronze_parse", "silver_dedup",
+    "silver_metrics", "silver_explode", "bronze_feed_b",
+    "bronze_jsonl", "gold_enrich", "custom_metric_sum",
+    "custom_metric_join", "latest_metric", "gap_detect",
+    "serving_latest_monitor", "orphan_usage", "retention_purge",
+    "scd2_current", "agg_consistency", "sessionize",
+    "rolling_avg", "anomaly_zscore", "percentile_rollup",
+    "pivot_metrics", "gapfill_hourly", "asof_latest_order",
+    "order_window_activity", "partition_stats", "merge_upsert_latest",
+    "incremental_rollup", "slo_burn_alerts", "cdc_apply",
+    "trend_report", "fuzzy_blocking_report", "bloom_prune_join",
+    "fuzzy_join", "freq_sketch_audit", "bm25_indexed",
+    "hard_negatives", "seasonal_baseline", "dup_spans",
+    "quality_classifier", "availability_report", "always_on_topology",
+    "tokenize_fixed_vocab", "bpe_merges", "dup_clusters",
+    "online_entities", "q1_pricing", "q3_shipping",
+    "q5_supplier", "adhoc_gold_slice", "q6_forecast",
+    "q10_returns", "q12_priority", "q14_promo",
+    "q7_nation_volume", "q18_large_orders", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_embedding", "top_ngrams",
+    "tfidf_top_terms", "repetition_stats", "char_entropy",
+    "stratified_sample", "label_centroids", "centroid_confusion",
+    "streaming_sliding_counts", "streaming_interval_join", "streaming_publish_jsonl",
+    "streaming_counter_rate", "streaming_silver_dedup", "streaming_upsert",
+    "streaming_stateful_latest", "ann_cosine_topk", "ann_lsh",
+    "ann_ivf", "text_quality", "token_count",
 ]
 
 
@@ -301,6 +305,27 @@ def _streaming_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.streaming_corpus_gate(spark, sf_dir, work)
 
 
+def _streaming_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_sburn_")
+    return SP.streaming_slo_burn(spark, sf_dir, work)
+
+
+def _streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_scdc_")
+    return SP.streaming_cdc_apply(spark, sf_dir, work)
+
+
+def _streaming_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_scms_")
+    return SP.streaming_freq_sketch(spark, sf_dir, work)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full telemetry pipeline (bronze→silver→gold→day rollup)."""
     return R.rollup_day(_gold(spark, SF_SMOKE))
@@ -312,15 +337,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
     no) driver-green CORRECTNESS row come first; with 134+ keys and a
     50-key window the sustainable cycle is 3 rounds.  The dict below is
-    grouped by topic for readability; `_R8_ORDER` (from
+    grouped by topic for readability; `_R9_ORDER` (from
     `python tools/rotate.py`) dictates the actual driver-visible order.
-    Keys added mid-round and absent from `_R8_ORDER` are prepended so
+    Keys added mid-round and absent from `_R9_ORDER` are prepended so
     they land inside the driver window immediately (VERDICT r5 item
     10) — as shipped, the round-6 window is the 14 new r6 keys plus the
     36 never-driver-checked keys — exactly 50 (SURVEY §2b holds the
     full 3-round schedule and the 150-key sustainability ceiling).
     """
     base = {
+        # --- r9 additions (absent from _R9_ORDER -> auto-prepended to
+        # the driver window): the three formerly pytest-only streaming
+        # twins (drained == batch parity is pinned in tests, so each
+        # oracle is its batch twin's SQL verbatim) + the two new LLM
+        # operators, displacement-funded per SURVEY §2b ---
+        "streaming_slo_burn": _streaming_slo_burn,
+        "streaming_cdc_apply": _streaming_cdc_apply,
+        "streaming_freq_sketch": _streaming_freq_sketch,
+        "ann_ivfpq": lambda s, d: SIM.ann_ivfpq(s, d, ANN_QUERY_IDS),
+        "domain_cap_sample": lambda s, d: CP.domain_cap_sample(
+            load_table(s, d, "documents")
+        ),
         # --- block A: never driver-checked before round 5 (11 keys) ---
         "top_ngrams": lambda s, d: TX.top_ngrams(load_table(s, d, "documents")),
         "tfidf_top_terms": lambda s, d: TX.tfidf_top_terms(load_table(s, d, "documents")),
@@ -343,7 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
-        # --- r8 continuation additions (absent from _R8_ORDER ->
+        # --- r8 continuation additions (absent from _R9_ORDER ->
         # auto-prepended to the driver window) ---
         "slo_burn_alerts": lambda s, d: DT.slo_burn_alerts(
             B.dedup_exact(_bronze(s, d))
@@ -433,15 +470,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pack_sequences": lambda s, d: CP.pack_sequences(load_table(s, d, "documents")),
         "mixture_weights": lambda s, d: CP.mixture_weights(load_table(s, d, "documents")),
-        "bronze_quarantine": lambda s, d: B.bronze_quarantine(
-            load_table(s, d, "events"), dm.metric_mapping(s)
-        ),
         "kmeans_refine": lambda s, d: SIM.kmeans_refine(load_table(s, d, "embeddings")),
         "streaming_quarantine_split": _streaming_quarantine,
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (absent from _R8_ORDER -> auto-prepended to the window)
+        # round-6 additions (absent from _R9_ORDER -> auto-prepended to the window)
         "bronze_kafka": KF.bronze_from_kafka_analog,
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
@@ -565,7 +599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_correlation": lambda s, d: DV.metric_correlation(
             B.dedup_exact(_bronze(s, d))
         ),
-        "bronze_orc": TF.bronze_from_orc,
         "bucketed_join": BK.bucketed_join,
         "lm_perplexity": lambda s, d: TX.lm_perplexity(
             load_table(s, d, "documents")
@@ -578,7 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
         ),
         "rollup_restate": _rollup_restate,
-        # r7 additions (absent from _R8_ORDER -> auto-prepended to the window)
+        # r7 additions (absent from _R9_ORDER -> auto-prepended to the window)
         "ewma_smooth": lambda s, d: DV.ewma_smooth(B.dedup_exact(_bronze(s, d))),
         "cusum_changepoint": lambda s, d: DV.cusum_changepoint(
             B.dedup_exact(_bronze(s, d))
@@ -607,7 +640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_metric": lambda s, d: DV.cumulative_metric(
             B.dedup_exact(_bronze(s, d))
         ),
-        "streaming_two_hop": _streaming_two_hop,
         "streaming_three_hop": _streaming_three_hop,
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
@@ -629,7 +661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "latest_metric": lambda s, d: L.latest_metric(_gold(s, d)),
         "always_on_topology": _always_on_topology,
-        "serving_kv": lambda s, d: L.serving_kv(_gold(s, d)),
         "gap_detect": lambda s, d: DT.gap_detect(_silver(s, d)),
         "serving_latest_monitor": lambda s, d: DT.serving_latest_monitor(
             L.latest_metric(_gold(s, d))
@@ -651,7 +682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_consistency": _agg_consistency,
         "sessionize": lambda s, d: SES.sessionize(load_table(s, d, "events")),
         # --- derived-signal operators (rate / rolling / anomaly / pctl / pivot) ---
-        "counter_rate": lambda s, d: DV.counter_rate(B.dedup_exact(_bronze(s, d))),
         "rolling_avg": lambda s, d: DV.rolling_avg(B.dedup_exact(_bronze(s, d))),
         "anomaly_zscore": lambda s, d: DV.anomaly_zscore(B.dedup_exact(_bronze(s, d))),
         "percentile_rollup": lambda s, d: DV.percentile_rollup(
@@ -720,12 +750,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
-    fresh = {k: v for k, v in base.items() if k not in set(_R8_ORDER)}
-    ordered = fresh | {k: base[k] for k in _R8_ORDER if k in base}
+    fresh = {k: v for k, v in base.items() if k not in set(_R9_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R9_ORDER if k in base}
     # a typo'd rotation entry would silently fall out of the schedule
     # and its real key masquerade as "fresh" — fail loudly instead
-    missing = set(_R8_ORDER) - set(base)
-    assert not missing, f"_R8_ORDER names unknown keys: {sorted(missing)}"
+    missing = set(_R9_ORDER) - set(base)
+    assert not missing, f"_R9_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 
@@ -773,7 +803,6 @@ FROM (
         # serving store after a drained 4-hop run with a mid-feed
         # stop+restart == batch latest (time-split monotone overwrite)
         "always_on_topology": RN.always_on_topology_oracle(gold),
-        "serving_kv": L.serving_kv_oracle(gold),
         "gap_detect": DT.gap_detect_oracle(silver),
         "stage_delay_report": DT.stage_delay_report_oracle(
             B.BRONZE_PARSE_ORACLE, silver, gold
@@ -806,7 +835,6 @@ FROM (
             R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
         ),
         "sessionize": SES.sessionize_oracle(),
-        "counter_rate": DV.counter_rate_oracle(DEDUP_ORACLE),
         "rolling_avg": DV.rolling_avg_oracle(DEDUP_ORACLE),
         "anomaly_zscore": DV.anomaly_zscore_oracle(DEDUP_ORACLE),
         "percentile_rollup": DV.percentile_rollup_oracle(DEDUP_ORACLE),
@@ -844,7 +872,6 @@ FROM (
         "semantic_dedup": SIM.semantic_dedup_oracle(),
         "pack_sequences": CP.pack_sequences_oracle(),
         "mixture_weights": CP.mixture_weights_oracle(),
-        "bronze_quarantine": B.bronze_quarantine_oracle(),
         "kmeans_refine": SIM.kmeans_refine_oracle(),
         # two-sink streaming split unioned back == the batch router
         "streaming_quarantine_split": B.bronze_quarantine_oracle(),
@@ -910,7 +937,6 @@ FROM deduped GROUP BY metric, datestamp
         "ann_ivf_incremental": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
         "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
-        "bronze_orc": B.BRONZE_PARSE_ORACLE,
         # kafka wire analog lands byte-identical bronze to the parquet path
         "bronze_kafka": B.BRONZE_PARSE_ORACLE,
         "token_budget_plan": CP.token_budget_plan_oracle(),
@@ -944,11 +970,6 @@ FROM deduped GROUP BY metric, datestamp
             "WHERE event_id % 97 = 0",
         ),
         # drained multi-hop lakes == the batch silver / gold relations
-        "streaming_two_hop": (
-            "SELECT event_id, serial, metric, value, payload_k, unix_ts, "
-            "datestamp, hourstamp, metric_id, provider_id, agg_type, "
-            f"category_id FROM ({silver})"
-        ),
         "streaming_three_hop": (
             "SELECT event_id, serial, remote_id, unix_ts, datestamp, "
             "hourstamp, metric, metric_id, provider_id, category_id, "
@@ -969,6 +990,13 @@ FROM deduped GROUP BY metric, datestamp
         "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
         "slo_burn_alerts": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),
         "cdc_apply": M.cdc_apply_oracle(DEDUP_ORACLE),
+        # streaming twins: availableNow drains are pinned == batch in
+        # pytest, so each audits against its batch twin's oracle
+        "streaming_slo_burn": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),
+        "streaming_cdc_apply": M.cdc_apply_oracle(DEDUP_ORACLE),
+        "streaming_freq_sketch": R.freq_sketch_audit_oracle(DEDUP_ORACLE),
+        "ann_ivfpq": SIM.ann_ivfpq_oracle(ANN_QUERY_IDS),
+        "domain_cap_sample": CP.domain_cap_sample_oracle(),
         "trend_report": DV.trend_report_oracle(DEDUP_ORACLE),
         "fuzzy_blocking_report": DD.fuzzy_blocking_report_oracle(),
         "bloom_prune_join": SKW.bloom_prune_join_oracle(),

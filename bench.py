@@ -38,7 +38,6 @@ HEADLINE = [
     "stage_delay_report",
     "orphan_usage",
     "sessionize",
-    "counter_rate",
     "rolling_avg",
     "gapfill_hourly",
     "anomaly_zscore",
@@ -100,7 +99,6 @@ HEADLINE = [
     "semantic_dedup",
     "pack_sequences",
     "mixture_weights",
-    "bronze_quarantine",
     "kmeans_refine",
     "table_profile",
     "length_trim",
@@ -140,7 +138,6 @@ HEADLINE = [
     "metric_correlation",
     "rollup_restate",
     "canonical_docs",
-    "bronze_orc",
     "bucketed_join",
     "ts_similarity",
     "lm_perplexity",
@@ -170,6 +167,8 @@ HEADLINE = [
     "fuzzy_blocking_report",
     "freq_sketch_audit",
     "bm25_indexed",
+    "ann_ivfpq",
+    "domain_cap_sample",
 ]
 
 

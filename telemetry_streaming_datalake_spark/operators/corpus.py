@@ -380,6 +380,85 @@ SELECT source, rank, doc_id, n_toks FROM (
 
 
 # --------------------------------------------------------------------------
+# per-domain frequency cap (web-curation downsampling)
+# --------------------------------------------------------------------------
+
+#: max documents any single domain may contribute downstream
+DOMAIN_CAP = 18
+
+
+def domain_cap_sample(documents: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Per-domain document cap — the web-curation downsampler (C4 /
+    RefinedWeb posture): a handful of mega-domains otherwise dominate
+    a crawl-derived training mix, so any domain contributing more than
+    ``cap`` docs is cut to exactly ``cap``.
+
+    Survivor selection is a DETERMINISTIC hash rank, not RNG:
+    ``md5(doc_id)`` lexicographic order within the domain (ties on
+    doc_id) — reruns, restatements, and both engines pick the same
+    survivor set with no seed state, and the hash order is uniform
+    within a domain so the kept subset is an unbiased sample.
+
+    Skew-aware two-phase shape for the 100 TB crawl: the domain
+    counts aggregate is one map-side-combined shuffle to
+    dimension-sized output; UNDER-cap domains (the long tail — almost
+    all rows) pass through with a broadcast-semi-join membership test
+    and are NEVER sorted; only the few over-cap hot domains pay the
+    per-domain rank window.  A single global window over every domain
+    would sort the whole crawl to keep rows the tail keeps anyway.
+    """
+    from pyspark.sql import Window
+
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_domain")
+    )
+    over = counts.filter(F.col("n_domain") > cap)  # dimension-sized
+    under_kept = documents.join(
+        F.broadcast(over.select("source")), "source", "left_anti"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    over_kept = (
+        documents.join(F.broadcast(over.select("source")), "source", "left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    kept = under_kept.unionByName(over_kept)
+    return (
+        kept.join(F.broadcast(counts), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_domain",
+            F.least(F.col("n_domain"), F.lit(cap).cast("bigint")).alias("n_kept"),
+        )
+    )
+
+
+def domain_cap_sample_oracle(cap: int = DOMAIN_CAP) -> str:
+    return f"""
+WITH counts AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_domain
+    FROM documents GROUP BY source
+),
+ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT r.doc_id, r.source, c.n_domain,
+       least(c.n_domain, {cap}) AS n_kept
+FROM ranked r JOIN counts c USING (source)
+WHERE c.n_domain <= {cap} OR r.rk <= {cap}
+"""
+
+
+# --------------------------------------------------------------------------
 # cross-document boilerplate n-grams (MassiveText/C4-style dup-span signal)
 # --------------------------------------------------------------------------
 

@@ -1135,6 +1135,234 @@ def probe_ivf_index(
 
 
 # --------------------------------------------------------------------------
+# IVF + int8 quantized posting lists (FAISS IVF-PQ regime, SQ8 codes)
+# --------------------------------------------------------------------------
+
+_IVFPQ_INDEX_CACHE: dict[tuple[str, int], str] = {}
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame, index_dir: str, n_cells: int = IVF_CELLS
+) -> str:
+    """Materialize the quantized IVF index: posting lists store int8
+    CODES + a per-vector scale instead of the float vectors — the
+    memory-bound regime FAISS IVFPQ targets at 100 TB, where the probe
+    cost is dominated by reading posting lists and a 4× narrower code
+    (tinyint vs float32) is a 4× probe-I/O cut before any CPU work.
+
+    Codes are the symmetric per-vector int8 quantization of
+    :func:`quantize_embeddings` (``scale = 127/max|v|``,
+    ``q_i = floor(v_i*scale+0.5)``) — SCALAR quantization, not true PQ
+    sub-space codebooks, deliberately: PQ codebooks come out of a
+    k-means whose result depends on partitioning and seeding, so the
+    probe would not be reproducible in ANSI SQL; the scalar code has
+    the identical storage/IO shape, is bit-deterministic on both
+    engines, and slots a trained PQ codebook in later without touching
+    the layout (swap the code column + the reconstruction expression).
+
+    Cell assignment stays FULL precision (the standard IVF coarse
+    quantizer); the whole build is codegen expressions (abs/array_max/
+    floor transforms) around the shared Arrow centroid matmul — one
+    corpus pass, no extra shuffle beyond the partitioned write.
+    """
+    emb = embeddings.filter(F.col("embedding").isNotNull())
+    cent_norm = _centroid_matrix(emb, n_cells)
+    embd = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    assigned = (
+        embd.withColumn("cell", _nearest_cell_udf(cent_norm)(F.col("emb")))
+        .withColumn(
+            "scale",
+            F.lit(127.0)
+            / F.greatest(
+                F.array_max(F.transform("emb", F.abs)), F.lit(_QUANT_EPS)
+            ),
+        )
+        .withColumn(
+            "codes",
+            F.transform(
+                "emb",
+                lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("tinyint"),
+            ),
+        )
+        .select("vec_id", "scale", "codes", "cell")
+    )
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent_norm[i]]) for i in range(cent_norm.shape[0])],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    return index_dir
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    index_dir: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 4,
+) -> DataFrame:
+    """Probe the quantized index: bounded centroid read, driver-side
+    probe-cell selection over the tiny centroid matrix, then a
+    partition-pruned read of ≤nprobe posting lists whose candidates
+    are scored ASYMMETRICALLY (FAISS ADC): the full-precision query
+    against the code-reconstructed candidate ``v̂_i = q_i/scale`` —
+    reconstruction and cosine are pure codegen transforms, no Python
+    in the per-candidate path except the shared Arrow cosine."""
+    cent_rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    cent_norm = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe = []
+    for r in q.collect():
+        v = np.array(r.q_emb, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        for cell in np.argsort(-(cent_norm @ v), kind="stable")[:nprobe]:
+            probe.append((int(r.query_id), int(cell)))
+    probe_df = spark.createDataFrame(probe, "query_id int, cell int")
+    probe_cells = sorted({c for _, c in probe})
+    cells = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("cell").isin(probe_cells)  # partition-pruned posting-list read
+    )
+    recon = cells.select(
+        "vec_id",
+        "cell",
+        F.transform(
+            "codes", lambda c: c.cast("double") / F.col("scale")
+        ).alias("remb"),
+    )
+    cands = (
+        recon.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(pair_cosine(F.col("q_emb"), F.col("remb")), round_to).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 4,
+) -> DataFrame:
+    """Build-once/probe-many entry for the quantized IVF index (the
+    `ann_ivf_indexed` pattern over int8 posting lists)."""
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    if query_ids is None:
+        query_ids = list(range(8))
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    cache_key = (sf_dir, n_cells)
+    if cache_key not in _IVFPQ_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="tsdl_ivfpq_")
+        build_ivfpq_index(embeddings, d, n_cells)
+        _IVFPQ_INDEX_CACHE[cache_key] = d
+    return probe_ivfpq_index(
+        spark, _IVFPQ_INDEX_CACHE[cache_key], embeddings, query_ids, k, nprobe,
+        round_to,
+    )
+
+
+def ann_ivfpq_oracle(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin: identical IVF skeleton to `ann_ivf_topk_oracle`,
+    but candidates are scored against the int8-code reconstruction
+    (the exact `quantize_embeddings` formula — floor(x*scale+0.5),
+    then /scale)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _cosine_sql("e.emb", "c.cvec")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < {n_cells}
+),
+sims AS (
+    SELECT e.vec_id, e.emb, c.cell, {cos} AS sim
+    FROM e CROSS JOIN c
+),
+assigned AS (
+    SELECT vec_id, emb, cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cell
+        ) AS rn FROM sims
+    ) WHERE rn = 1
+),
+recon AS (
+    SELECT a.vec_id, a.cell,
+           list_transform(
+               a.emb,
+               x -> floor(x * (127.0 / greatest(
+                        list_max(list_transform(a.emb, y -> abs(y))),
+                        {_QUANT_EPS})) + 0.5)
+                    / (127.0 / greatest(
+                        list_max(list_transform(a.emb, y -> abs(y))),
+                        {_QUANT_EPS}))
+           ) AS remb
+    FROM assigned a
+),
+probe AS (
+    SELECT vec_id AS query_id, emb AS q_emb, cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cell
+        ) AS rn FROM sims WHERE vec_id IN ({ids})
+    ) WHERE rn <= {nprobe}
+),
+scored AS (
+    SELECT p.query_id, r.vec_id,
+           round({_cosine_sql('p.q_emb', 'r.remb')}, {round_to}) AS cosine
+    FROM probe p JOIN recon r USING (cell)
+    WHERE r.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
 # ANN recall report (index quality monitoring)
 # --------------------------------------------------------------------------
 

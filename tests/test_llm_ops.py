@@ -1076,6 +1076,73 @@ def test_hybrid_search_rrf_properties(spark):
         assert abs(d.rrf_score - round(expect, 6)) < 1e-9
 
 
+def test_ivfpq_codes_int8_reconstruction_bounded(spark, tmp_path, embeddings):
+    """The persisted posting lists hold tinyint codes + one scale, and
+    the ADC reconstruction error is the scalar-quantization bound:
+    |v_i - q_i/scale| <= max|v|/254 per component (half a step)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, ByteType
+
+    idx = str(tmp_path / "pq")
+    SIM.build_ivfpq_index(embeddings, idx, SIM.IVF_CELLS)
+    cells = spark.read.parquet(idx + "/cells")
+    codes_field = cells.schema["codes"].dataType
+    assert isinstance(codes_field, ArrayType) and isinstance(
+        codes_field.elementType, ByteType
+    )
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in embeddings.limit(50).collect()}
+    for r in cells.filter(F.col("vec_id").isin(list(orig))).collect():
+        v = orig[r.vec_id]
+        recon = np.array(r.codes, dtype=np.float64) / r.scale
+        assert np.all(np.abs(v - recon) <= np.abs(v).max() / 254 + 1e-12)
+
+
+def test_ivfpq_ranking_tracks_full_precision_ivf(spark, embeddings):
+    """Asymmetric int8 scoring is an approximation of the exact-cosine
+    IVF probe over the SAME cells — recall@5 against it stays high
+    (int8 perturbs cosines by ~1e-3; only near-ties can reorder)."""
+    qids = list(range(8))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.ann_ivf_topk(embeddings, qids, k=5).collect()
+    }
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="tsdl_pqtest_")
+    SIM.build_ivfpq_index(embeddings, idx, SIM.IVF_CELLS)
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in SIM.probe_ivfpq_index(spark, idx, embeddings, qids, k=5).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_domain_cap_sample_caps_hot_domain_deterministically(spark):
+    """Over-cap domains are cut to exactly cap by md5 hash rank; the
+    long tail passes through untouched; survivor choice is a pure
+    function of doc_id (no RNG) so reruns agree."""
+    from telemetry_streaming_datalake_spark.operators.corpus import (
+        domain_cap_sample,
+    )
+
+    rows = [(i, f"text {i}", "en", "hot", 10) for i in range(30)]
+    rows += [(100 + i, f"t {i}", "en", f"tail{i % 4}", 5) for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out1 = {(r.doc_id, r.source, r.n_domain, r.n_kept)
+            for r in domain_cap_sample(docs, cap=10).collect()}
+    out2 = {(r.doc_id, r.source, r.n_domain, r.n_kept)
+            for r in domain_cap_sample(docs, cap=10).collect()}
+    assert out1 == out2  # deterministic
+    hot = [t for t in out1 if t[1] == "hot"]
+    assert len(hot) == 10 and all(t[2] == 30 and t[3] == 10 for t in hot)
+    assert all(0 <= t[0] < 30 for t in hot)  # survivors from the domain
+    tail = [t for t in out1 if t[1] != "hot"]
+    assert len(tail) == 12 and all(t[2] == 3 and t[3] == 3 for t in tail)
+
+
 def test_extend_ivf_index_equals_full_rebuild(spark, tmp_path, embeddings):
     """Frozen-centroid add: building on a prefix then extending with
     the rest must produce probe results identical to a from-scratch

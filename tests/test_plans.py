@@ -244,9 +244,13 @@ def test_quarantine_router_is_map_only_with_broadcast_vocab(spark):
     """The dead-letter router must add no exchange: a when ladder over
     the scan plus a broadcast vocabulary join — same plan at any
     ingest rate."""
-    import __spark_entry__ as E
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.session import load_table
 
-    p = _plan(E.queries()["bronze_quarantine"](spark, SF))
+    p = _plan(
+        B.bronze_quarantine(load_table(spark, SF, "events"), dm.metric_mapping(spark))
+    )
     assert "hashpartitioning" not in p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
@@ -435,6 +439,28 @@ def test_ann_ivf_indexed_partition_pruned_probe(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "cell" in m.group(1)
+
+
+def test_ann_ivfpq_partition_pruned_probe(spark):
+    """The quantized-index probe keeps the IVF pin's contract: the
+    posting-list scan is partition-pruned on `cell`, and the scanned
+    columns are the CODES (+scale), never a float embedding column —
+    the 4x probe-I/O cut is the point of the layout."""
+    import re
+
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+
+    df = SIM.ann_ivfpq(spark, SF, list(range(8)))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "cell" in m.group(1)
+    cells_scan = next(
+        seg.split("\n")[0]
+        for seg in p.split("FileScan")
+        if "/cells" in seg.split("\n")[0]
+    )
+    assert "codes" in cells_scan and "embedding" not in cells_scan
 
 
 def test_incremental_dedup_prunes_index_sides(spark):
