@@ -45,6 +45,7 @@ from telemetry_streaming_datalake_spark.operators import temporal as T
 from telemetry_streaming_datalake_spark.operators import tseries as TS
 from telemetry_streaming_datalake_spark.operators import curation as CU
 from telemetry_streaming_datalake_spark.operators import text as TX
+from telemetry_streaming_datalake_spark.operators import similarity as SIM
 from telemetry_streaming_datalake_spark.operators import skew as SKW
 
 #: same cutoff the driver key uses (mid-corpus)
@@ -132,6 +133,37 @@ def generate(spark, out_dir: str) -> None:
         os.path.join(out_dir, "customer.parquet")
     )
     open(os.path.join(out_dir, "_DONE"), "w").close()
+
+
+def generate_embeddings(spark, out_dir: str) -> None:
+    """x10 embeddings for the ANN-index rows: replica 0 keeps the
+    original vec_ids (so the deterministic lowest-vec_id centroid seed
+    is IDENTICAL to sf0.1 — the probe does the same cell selection),
+    replicas k>0 shift vec_id and perturb each component by a tiny
+    deterministic per-replica offset so cells fill 10x without exact
+    ties dominating the top-k sort.  Guarded per-table (added after
+    the original _DONE marker shipped)."""
+    if os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+        return
+    emb = load_table(spark, SRC, "embeddings")
+    parts = [emb]
+    for k in range(1, REPLICAS):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: (x + F.lit(k * 1e-4)).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
 
 
 def queries():
@@ -243,6 +275,16 @@ def queries():
         "text_index_build": lambda s, d: TX._postings(
             load_table(s, d, "documents")
         ),
+        # round-9 additions: the quantized-index probe's claim is the
+        # same as bm25_indexed's — best-of-2 takes the SECOND (probe-
+        # only) run, flat-ish as the corpus and its posting lists grow
+        # 10x because the probe reads only nprobe cell partitions of
+        # int8 codes; domain_cap is one dimension-sized count aggregate
+        # plus a window over only the over-cap subset
+        "ann_ivfpq": lambda s, d: SIM.ann_ivfpq(s, d, list(range(8))),
+        "domain_cap_sample": lambda s, d: CP.domain_cap_sample(
+            load_table(s, d, "documents")
+        ),
     }
 
 
@@ -270,6 +312,7 @@ def main() -> None:
             raise SystemExit(f"unknown scalecheck queries: {sorted(unknown)}")
     spark = get_spark("scalecheck")
     generate(spark, out_dir)
+    generate_embeddings(spark, out_dir)
     # warm up scan/codegen/worker-pool like bench.py, then measure
     load_table(spark, SRC, "events").count()
     small = time_queries(spark, SRC, only)
