@@ -56,7 +56,6 @@ def plans(spark):
         "order_window_activity",
         "anomaly_zscore",
         "pivot_metrics",
-        "counter_rate",
         "top_ngrams",
         "label_centroids",
         "stratified_sample",
@@ -71,7 +70,17 @@ def plans(spark):
         "compaction_plan",
         "event_transitions",
     ]
-    return {n: _plan(qs[n](spark, SF)) for n in names}
+    out = {n: _plan(qs[n](spark, SF)) for n in names}
+    # registry-retired keys (SURVEY §2b displacement): the operators
+    # remain and their plan pins stay — build the frames directly
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+    from telemetry_streaming_datalake_spark.operators import derived as DV
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    out["counter_rate"] = _plan(
+        DV.counter_rate(B.dedup_exact(B.parse_bronze(load_table(spark, SF, "events"))))
+    )
+    return out
 
 
 def test_no_cartesian_or_nested_loop_anywhere(plans):
