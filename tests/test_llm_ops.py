@@ -388,6 +388,28 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert out == {10}
 
 
+def test_decontaminate_and_dup_spans_survive_null_text(spark):
+    """A null text cell must not kill the job: the rolling-hash UDF
+    emits zero grams for None (the replaced substr+xxhash64 codegen
+    form was null-safe the same way), so null docs simply contribute
+    no rows anywhere downstream."""
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    rows = [
+        (0, "the secret benchmark passage that must never leak", "en", "s", 1),
+        (10, "prefix the secret benchmark passage that must never leak", "en", "s", 1),
+        (20, None, "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id for r in CP.decontaminate(docs, bench_ids=(0,)).collect()}
+    assert out == {10}
+    spans = DD.dup_spans(docs, w=8, min_len=10).collect()
+    assert all(r.doc_i != 20 and r.doc_j != 20 for r in spans)
+
+
 def test_quantization_roundtrip_error_bounded(spark, embeddings):
     """int8 symmetric quantization must reconstruct every component
     within half a quantization step (scale is per-vector)."""
