@@ -1210,6 +1210,7 @@ def probe_ivfpq_index(
     k: int = 5,
     nprobe: int = IVF_NPROBE,
     round_to: int = 4,
+    rerank: int = 0,
 ) -> DataFrame:
     """Probe the quantized index: bounded centroid read, driver-side
     probe-cell selection over the tiny centroid matrix, then a
@@ -1217,7 +1218,18 @@ def probe_ivfpq_index(
     are scored ASYMMETRICALLY (FAISS ADC): the full-precision query
     against the code-reconstructed candidate ``v̂_i = q_i/scale`` —
     reconstruction and cosine are pure codegen transforms, no Python
-    in the per-candidate path except the shared Arrow cosine."""
+    in the per-candidate path except the shared Arrow cosine.
+
+    ``rerank > 0`` adds the FAISS refine stage (IndexRefineFlat): the
+    top-``rerank`` code-scored candidates per query are re-scored at
+    FULL precision and the final top-k is taken from the exact
+    cosines.  The refine set is (queries × rerank) rows — dimension-
+    sized — so it broadcasts into a semi-probe of the full-vector
+    table; the 100 TB shape is "codes decide who gets read, full
+    vectors are touched only for ~rerank rows per query".  With
+    ``rerank`` ≥ the probed-candidate count this EQUALS the
+    full-precision IVF probe exactly (pytest-pinned), which is the
+    correctness contract a refine stage must satisfy."""
     cent_rows = (
         spark.read.parquet(os.path.join(index_dir, "centroids"))
         .orderBy("cell")
@@ -1260,8 +1272,34 @@ def probe_ivfpq_index(
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank")
+        )
+    # refine stage: exact re-score of the code-selected shortlist
+    shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    refined = (
+        embeddings.select("vec_id", "embedding")
+        # shortlist is (queries x rerank) rows — broadcast it so the
+        # full-vector table is semi-probed, never shuffled
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                pair_cosine(F.col("q_emb"), F.col("embedding")), round_to
+            ).alias("cosine"),
+        )
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )

@@ -1140,6 +1140,28 @@ def test_ivfpq_ranking_tracks_full_precision_ivf(spark, embeddings):
     assert len(approx & exact) / len(exact) >= 0.8
 
 
+def test_ivfpq_rerank_equals_full_precision_ivf(spark, embeddings):
+    """The refine stage's correctness contract: with rerank >= the
+    probed-candidate count, exact re-scoring of the code-selected
+    shortlist must equal the full-precision IVF probe row-for-row
+    (same cells, same exact cosine, same tie-break)."""
+    import tempfile
+
+    qids = list(range(8))
+    idx = tempfile.mkdtemp(prefix="tsdl_pqrr_")
+    SIM.build_ivfpq_index(embeddings, idx, SIM.IVF_CELLS)
+    got = sorted(
+        tuple(r)
+        for r in SIM.probe_ivfpq_index(
+            spark, idx, embeddings, qids, k=5, rerank=10**6
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in SIM.ann_ivf_topk(embeddings, qids, k=5).collect()
+    )
+    assert got == want
+
+
 def test_domain_cap_sample_caps_hot_domain_deterministically(spark):
     """Over-cap domains are cut to exactly cap by md5 hash rank; the
     long tail passes through untouched; survivor choice is a pure
