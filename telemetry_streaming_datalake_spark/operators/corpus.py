@@ -409,8 +409,15 @@ def domain_cap_sample(documents: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    counts = documents.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_domain")
+    # the domain-count aggregate feeds THREE consumers (the anti-join
+    # tail filter, the semi-join hot-domain filter, and the final
+    # n_domain attach); it is dimension-sized, so localCheckpoint it
+    # once instead of re-running the full-corpus aggregate per branch
+    # (measured: 5 corpus scans -> 3, the bloom_prune_join dim rule)
+    counts = (
+        documents.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_domain"))
+        .localCheckpoint(eager=True)
     )
     over = counts.filter(F.col("n_domain") > cap)  # dimension-sized
     under_kept = documents.join(

@@ -472,6 +472,25 @@ def test_ann_ivfpq_partition_pruned_probe(spark):
     assert "codes" in cells_scan and "embedding" not in cells_scan
 
 
+def test_domain_cap_tail_never_shuffles(spark):
+    """domain_cap_sample's scale contract: the corpus appears twice
+    (tail anti-join branch + hot-domain window branch — the
+    dimension-sized counts ride a localCheckpoint, not a third
+    re-aggregation), the ONLY hash exchange is the over-cap window,
+    and Spark's rank-limit pushdown (WindowGroupLimit) caps the sort."""
+    from telemetry_streaming_datalake_spark.operators.corpus import (
+        domain_cap_sample,
+    )
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    df = domain_cap_sample(load_table(spark, SF, "documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan") <= 2
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" in p
+
+
 def test_incremental_dedup_prunes_index_sides(spark):
     """The corpus-cardinality index tables must never broadcast: the
     batch key sets broadcast INTO LeftSemi prunes of the index, and
