@@ -63,11 +63,15 @@ INCR_CUTOFF_UNIX = 1705278600
 #: `streaming_two_hop` -> `streaming_three_hop` strictly-deeper drain
 #: + the silver oracles; `serving_kv` -> `latest_metric` latest-state
 #: semantics; `counter_rate` -> `streaming_counter_rate` verbatim
-#: oracle — all five operators + pytest coverage remain).  Window
-#: (first 50) as shipped: the 5 new r9 keys (3 streaming twins +
-#: `ann_ivfpq` + `domain_cap_sample`, auto-prepended because absent
-#: from this list) + the 30 remaining stalest r5 keys + the 15
-#: stalest r6 keys.  Budget arithmetic in SURVEY §2b.
+#: oracle — all five operators + pytest coverage remain; the r9
+#: continuation added two more identical-oracle retirements,
+#: `ewma_smooth` -> `streaming_ewma` and `downsample_ohlc` ->
+#: `streaming_ohlc`, funding `semantic_decontaminate` +
+#: `quality_percentile_gate`).  Window (first 50) as shipped: the 7
+#: new r9 keys (3 streaming twins + `ann_ivfpq` + `domain_cap_sample`
+#: + the 2 continuation keys, auto-prepended because absent from this
+#: list) + the 30 remaining stalest r5 keys + the 13 stalest r6 keys.
+#: Budget arithmetic in SURVEY §2b.
 _R9_ORDER = [
     "lang_id", "doc_fingerprint", "multimodal_meta",
     "multimodal_features", "frame_sample", "multimodal_thumb",
@@ -93,11 +97,10 @@ _R9_ORDER = [
     "rolling_active_users", "zorder_layout", "event_transitions",
     "streaming_grouping_sets", "metric_correlation", "bucketed_join",
     "lm_perplexity", "canonical_docs", "rollup_restate",
-    "cumulative_metric", "streaming_three_hop", "ewma_smooth",
-    "cusum_changepoint", "png_meta", "streaming_ewma",
+    "cumulative_metric", "streaming_three_hop", "cusum_changepoint", "png_meta", "streaming_ewma",
     "streaming_ohlc", "streaming_approx_distinct", "streaming_cusum",
     "approx_percentile_audit", "bm25_search", "hybrid_search",
-    "ann_ivf_incremental", "downsample_ohlc", "approx_distinct_audit",
+    "ann_ivf_incremental", "approx_distinct_audit",
     "ts_similarity", "bronze_parse", "silver_dedup",
     "silver_metrics", "silver_explode", "bronze_feed_b",
     "bronze_jsonl", "gold_enrich", "custom_metric_sum",
@@ -358,6 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": lambda s, d: CP.domain_cap_sample(
             load_table(s, d, "documents")
         ),
+        "semantic_decontaminate": lambda s, d: SIM.semantic_decontaminate(
+            load_table(s, d, "embeddings")
+        ),
+        "quality_percentile_gate": lambda s, d: TX.quality_percentile_gate(
+            load_table(s, d, "documents")
+        ),
         # --- block A: never driver-checked before round 5 (11 keys) ---
         "top_ngrams": lambda s, d: TX.top_ngrams(load_table(s, d, "documents")),
         "tfidf_top_terms": lambda s, d: TX.tfidf_top_terms(load_table(s, d, "documents")),
@@ -612,7 +621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rollup_restate": _rollup_restate,
         # r7 additions (absent from _R9_ORDER -> auto-prepended to the window)
-        "ewma_smooth": lambda s, d: DV.ewma_smooth(B.dedup_exact(_bronze(s, d))),
         "cusum_changepoint": lambda s, d: DV.cusum_changepoint(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -633,9 +641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_ivf_incremental": lambda s, d: SIM.ann_ivf_incremental(
             s, d, ANN_QUERY_IDS
-        ),
-        "downsample_ohlc": lambda s, d: DV.downsample_ohlc(
-            B.dedup_exact(_bronze(s, d))
         ),
         "cumulative_metric": lambda s, d: DV.cumulative_metric(
             B.dedup_exact(_bronze(s, d))
@@ -906,7 +911,6 @@ FROM (
         # incrementally-maintained partials store == the batch rollup
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
-        "ewma_smooth": DV.ewma_smooth_oracle(DEDUP_ORACLE),
         "cusum_changepoint": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
         # frozen limits + integer drift state: drained stream == batch
         "streaming_cusum": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
@@ -935,7 +939,6 @@ FROM deduped GROUP BY metric, datestamp
         # frozen centroids make extend == rebuild, so the incremental
         # index probe shares the from-scratch IVF oracle verbatim
         "ann_ivf_incremental": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
-        "downsample_ohlc": DV.downsample_ohlc_oracle(DEDUP_ORACLE),
         "metric_correlation": DV.metric_correlation_oracle(DEDUP_ORACLE),
         # kafka wire analog lands byte-identical bronze to the parquet path
         "bronze_kafka": B.BRONZE_PARSE_ORACLE,
@@ -997,6 +1000,8 @@ FROM deduped GROUP BY metric, datestamp
         "streaming_freq_sketch": R.freq_sketch_audit_oracle(DEDUP_ORACLE),
         "ann_ivfpq": SIM.ann_ivfpq_oracle(ANN_QUERY_IDS),
         "domain_cap_sample": CP.domain_cap_sample_oracle(),
+        "semantic_decontaminate": SIM.semantic_decontaminate_oracle(),
+        "quality_percentile_gate": TX.quality_percentile_gate_oracle(),
         "trend_report": DV.trend_report_oracle(DEDUP_ORACLE),
         "fuzzy_blocking_report": DD.fuzzy_blocking_report_oracle(),
         "bloom_prune_join": SKW.bloom_prune_join_oracle(),

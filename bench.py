@@ -125,7 +125,6 @@ HEADLINE = [
     "zorder_layout",
     "event_transitions",
     "cumulative_metric",
-    "ewma_smooth",
     "cusum_changepoint",
     "png_meta",
     "approx_percentile_audit",
@@ -133,7 +132,6 @@ HEADLINE = [
     "bm25_search",
     "hybrid_search",
     "ann_ivf_incremental",
-    "downsample_ohlc",
     "bpe_merges",
     "metric_correlation",
     "rollup_restate",
@@ -169,6 +167,8 @@ HEADLINE = [
     "bm25_indexed",
     "ann_ivfpq",
     "domain_cap_sample",
+    "semantic_decontaminate",
+    "quality_percentile_gate",
 ]
 
 

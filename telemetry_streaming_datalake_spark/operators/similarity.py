@@ -860,6 +860,97 @@ FROM assigned GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# semantic decontamination (embedding-level eval-set leakage check)
+# --------------------------------------------------------------------------
+
+#: default benchmark vector ids for the contamination check
+SEMDECON_BENCH_IDS = tuple(range(16))
+#: max-cosine at or above this flags a training vector as contaminated.
+#: Production uses ~0.95+ (phi-style embedding decontamination); the
+#: synthetic embeddings are near-orthogonal (max pair ≈ 0.51), so the
+#: demo threshold sits where the operator has observable output.
+SEMDECON_THRESHOLD = 0.42
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    bench_ids: tuple[int, ...] = SEMDECON_BENCH_IDS,
+    threshold: float = SEMDECON_THRESHOLD,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination — the semantic twin of
+    the n-gram :func:`..corpus.decontaminate`: n-gram overlap misses a
+    PARAPHRASED benchmark item, so modern curation (phi-series,
+    GPT-3-style fuzzy decontamination done right) also drops training
+    docs whose embedding sits too close to any benchmark embedding.
+
+    Per train vector: the max cosine against the whole benchmark set,
+    plus the threshold flag.  The benchmark is dimension-sized by
+    definition, so it broadcasts as a normalized numpy matrix inside
+    one Arrow-batched map-only pass (matmul per batch, rowwise max) —
+    NO shuffle, NO join, the whole corpus is touched exactly once; at
+    100 TB this is the same scan shape as `quality_classifier`.  The
+    flag compares the ROUNDED max (both engines), so the gate is
+    boundary-stable.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    emb = embeddings.filter(F.col("embedding").isNotNull())
+    bench_rows = (
+        emb.filter(F.col("vec_id").isin(list(bench_ids)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    bmat = np.array(
+        [r.embedding for r in sorted(bench_rows, key=lambda r: r.vec_id)],
+        dtype=np.float64,
+    )
+    bnorm = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("double")
+    def max_bench_cos(col: pd.Series) -> pd.Series:
+        m = np.array(col.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ bnorm.T).max(axis=1))
+
+    train = emb.filter(~F.col("vec_id").isin(list(bench_ids)))
+    scored = train.select(
+        "vec_id",
+        F.round(max_bench_cos(F.col("embedding")), round_to).alias(
+            "max_bench_cosine"
+        ),
+    )
+    return scored.withColumn(
+        "contaminated", F.col("max_bench_cosine") >= threshold
+    )
+
+
+def semantic_decontaminate_oracle(
+    bench_ids: tuple[int, ...] = SEMDECON_BENCH_IDS,
+    threshold: float = SEMDECON_THRESHOLD,
+    round_to: int = 4,
+) -> str:
+    ids = ", ".join(str(i) for i in bench_ids)
+    cos = _cosine_sql("e.emb", "b.emb")
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL
+),
+b AS (SELECT emb FROM e WHERE vec_id IN ({ids})),
+s AS (
+    SELECT e.vec_id, round(max({cos}), {round_to}) AS max_bench_cosine
+    FROM e CROSS JOIN b
+    WHERE e.vec_id NOT IN ({ids})
+    GROUP BY e.vec_id
+)
+SELECT vec_id, max_bench_cosine,
+       max_bench_cosine >= {threshold} AS contaminated
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style: cluster-blocked in-cell cosine pairs)
 # --------------------------------------------------------------------------
 

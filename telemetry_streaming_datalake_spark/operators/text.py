@@ -155,6 +155,53 @@ FROM documents
 """
 
 
+#: default keep fraction for the percentile gate (keep the top half)
+QUALITY_GATE_Q = 0.5
+
+
+def quality_percentile_gate(documents: DataFrame, q: float = QUALITY_GATE_Q) -> DataFrame:
+    """Per-language percentile quality gate — the curation stage that
+    keeps the top ``(1-q)`` quality fraction of EACH language instead
+    of one global cutoff (a global threshold starves low-resource
+    languages whose score distribution sits lower; per-language
+    percentile gating is the CC-net / fineweb posture).
+
+    Two map-friendly passes, NO per-row rank window: (1) the per-lang
+    threshold is one exact interpolated percentile aggregate over the
+    6dp-rounded scores — language cardinality output, broadcast back;
+    (2) the gate is a map-only filter against the broadcast threshold.
+    A percent_rank window would shuffle-and-sort the whole corpus into
+    |languages| partitions (catastrophic skew at 2-20 languages); the
+    aggregate form keeps map-side partials and never sorts the corpus.
+    At 100 TB swap `percentile` for `percentile_approx` — same plan
+    shape, documented epsilon.
+    """
+    tq = text_quality(documents).select("doc_id", "lang", "quality_score")
+    thr = tq.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(quality_score, {q})"), 6).alias(
+            "lang_threshold"
+        )
+    )
+    return (
+        tq.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality_score") >= F.col("lang_threshold"))
+        .select("doc_id", "lang", "quality_score", "lang_threshold")
+    )
+
+
+def quality_percentile_gate_oracle(q: float = QUALITY_GATE_Q) -> str:
+    return f"""
+WITH tq AS ({text_quality_oracle()}),
+thr AS (
+    SELECT lang, round(quantile_cont(quality_score, {q}), 6) AS lang_threshold
+    FROM tq GROUP BY lang
+)
+SELECT tq.doc_id, tq.lang, tq.quality_score, thr.lang_threshold
+FROM tq JOIN thr USING (lang)
+WHERE tq.quality_score >= thr.lang_threshold
+"""
+
+
 def lang_id_oracle() -> str:
     norm = _NORM_SQL
     padded = f"(' ' || {norm} || ' ')"

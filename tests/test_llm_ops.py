@@ -1187,6 +1187,92 @@ def test_domain_cap_sample_caps_hot_domain_deterministically(spark):
     assert len(tail) == 12 and all(t[2] == 3 and t[3] == 3 for t in tail)
 
 
+def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
+    """A train vector pointing (nearly) the same way as a benchmark
+    vector is flagged; an orthogonal one is not; bench vectors are
+    excluded from the output; the score column is the max over the
+    WHOLE bench set."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # bench
+        (1, [0.0, 1.0, 0.0, 0.0], 0),   # bench
+        (100, [0.9, 0.1, 0.0, 0.0], 1),  # near bench 0 -> contaminated
+        (200, [0.0, 0.0, 1.0, 0.0], 1),  # orthogonal -> clean
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r.vec_id: (r.max_bench_cosine, r.contaminated)
+        for r in SIM.semantic_decontaminate(
+            emb, bench_ids=(0, 1), threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {100, 200}
+    assert out[100][1] is True and out[100][0] > 0.99  # 0.9/|v| vs e_0
+    assert out[200][1] is False and abs(out[200][0]) < 1e-9
+
+
+def test_semantic_decontaminate_is_map_only(spark, embeddings):
+    """The bench matrix broadcasts inside the Arrow scorer: the plan
+    has NO exchange and NO join — one corpus scan, period."""
+    spark.catalog.clearCache()  # plan pin: assert the uncached shape
+    p = (
+        SIM.semantic_decontaminate(embeddings)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p and "Join" not in p
+    assert p.count("FileScan") == 1
+
+
+def test_quality_percentile_gate_per_lang_threshold(spark):
+    """Each language is gated at ITS OWN percentile: a low-scoring
+    language keeps its top half even though every one of its docs
+    scores below the other language's threshold."""
+    from telemetry_streaming_datalake_spark.operators.text import (
+        quality_percentile_gate,
+        text_quality,
+    )
+
+    # lang A: rich stopword-y docs; lang B: terse docs (lower scores)
+    rows = [(i, "the of and to in " * (5 + i), "en", "s", 1) for i in range(4)]
+    rows += [(100 + i, "zz qq " * (1 + i), "xx", "s", 1) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = quality_percentile_gate(docs, q=0.5).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    # both langs keep rows despite B's scores all being under A's cut
+    assert by_lang.get("xx"), "low-scoring language starved by the gate"
+    scores = {
+        r.doc_id: r.quality_score for r in text_quality(docs).collect()
+    }
+    for lang, ids in by_lang.items():
+        lang_ids = [d for d in scores if (d < 100) == (lang == "en")]
+        dropped = set(lang_ids) - ids
+        # every kept doc scores >= every dropped doc within its lang
+        if dropped:
+            assert min(scores[d] for d in ids) >= max(scores[d] for d in dropped)
+
+
+def test_quality_percentile_gate_no_corpus_sort(spark, documents):
+    """The gate never rank-windows the corpus: the threshold is a
+    lang-cardinality aggregate broadcast back — no Window, no
+    SortMergeJoin in the plan."""
+    from telemetry_streaming_datalake_spark.operators.text import (
+        quality_percentile_gate,
+    )
+
+    spark.catalog.clearCache()  # plan pin: assert the uncached shape
+    p = (
+        quality_percentile_gate(documents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in p and "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_extend_ivf_index_equals_full_rebuild(spark, tmp_path, embeddings):
     """Frozen-centroid add: building on a prefix then extending with
     the rest must produce probe results identical to a from-scratch

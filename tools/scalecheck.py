@@ -285,6 +285,15 @@ def queries():
         "domain_cap_sample": lambda s, d: CP.domain_cap_sample(
             load_table(s, d, "documents")
         ),
+        # r9 continuation: one map-only Arrow pass (bench matrix
+        # broadcast) and one lang-cardinality aggregate + broadcast
+        # filter — both should ride data growth linearly or better
+        "semantic_decontaminate": lambda s, d: SIM.semantic_decontaminate(
+            load_table(s, d, "embeddings")
+        ),
+        "quality_percentile_gate": lambda s, d: TX.quality_percentile_gate(
+            load_table(s, d, "documents")
+        ),
     }
 
 
