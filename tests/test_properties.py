@@ -676,3 +676,67 @@ def test_text_index_extend_equals_rebuild_random_split(spark, texts, cut):
         for r in TX.bm25_from_index(spark, full, terms=terms, k=10).collect()
     ]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),          # doc_id pool
+            st.sampled_from(["a", "b", "c", "hot"]),             # domain
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=8),                       # cap
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_domain_cap_sample_matches_brute_force(spark, rows, cap):
+    """Random corpora: every domain keeps exactly min(n_domain, cap)
+    docs, survivors are the brute-force md5-rank winners, and the
+    result is invariant to input partitioning (rerun stability)."""
+    import hashlib
+
+    from telemetry_streaming_datalake_spark.operators.corpus import (
+        domain_cap_sample,
+    )
+
+    data = [(i, f"t{i}", "en", dom, 1) for i, dom in rows]
+    docs = spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r.doc_id, r.source, r.n_domain, r.n_kept)
+           for r in domain_cap_sample(docs, cap=cap).collect()}
+    # brute force
+    by_dom = {}
+    for i, dom in rows:
+        by_dom.setdefault(dom, []).append(i)
+    want = set()
+    for dom, ids in by_dom.items():
+        keep = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:cap]
+        for i in keep:
+            want.add((i, dom, len(ids), min(len(ids), cap)))
+    assert got == want
+    got2 = {(r.doc_id, r.source, r.n_domain, r.n_kept)
+            for r in domain_cap_sample(docs.repartition(5), cap=cap).collect()}
+    assert got2 == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True),
+    st.lists(st.integers(min_value=2**41, max_value=2**42), min_size=1, max_size=300, unique=True),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_never_false_negative_random_keys(spark, build_keys, probe_extra):
+    """Bloom membership over random disjoint key ranges: every build
+    key survives the prune (zero false negatives — the correctness
+    half of the contract; fp rate is the sized-m test's job)."""
+    from telemetry_streaming_datalake_spark.operators import skew as SK
+
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    bitmap = SK.build_bloom(build, "k")
+    probe = spark.createDataFrame(
+        [(k,) for k in build_keys + probe_extra], "k long"
+    )
+    kept = {r.k for r in SK.bloom_prune(probe, "k", bitmap).collect()}
+    assert set(build_keys) <= kept
