@@ -294,6 +294,20 @@ def queries():
         "quality_percentile_gate": lambda s, d: TX.quality_percentile_gate(
             load_table(s, d, "documents")
         ),
+        # r9 evidence widening: heavy LLM keys that never had a 10x row
+        "hard_negatives": lambda s, d: SIM.hard_negatives(
+            load_table(s, d, "embeddings"), list(range(8))
+        ),
+        "bm25_search": lambda s, d: TX.bm25_search(load_table(s, d, "documents")),
+        "hybrid_search": lambda s, d: SIM.hybrid_search(
+            load_table(s, d, "documents"), load_table(s, d, "embeddings")
+        ),
+        "lm_perplexity": lambda s, d: TX.lm_perplexity(
+            load_table(s, d, "documents")
+        ),
+        "tokenize_fixed_vocab": lambda s, d: TX.tokenize_fixed_vocab(
+            load_table(s, d, "documents")
+        ),
     }
 
 
