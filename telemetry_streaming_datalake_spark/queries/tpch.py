@@ -20,15 +20,20 @@ from pyspark.sql import functions as F
 def q1_pricing(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-style pricing summary (scan + single agg shuffle)."""
     li = lineitem.filter(F.col("l_shipdate") <= cutoff)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # decimal sums (the q10 discipline): the big double sums here are
+    # order-dependent in the last ulp — exact at any partitioning
+    ep = F.col("l_extendedprice").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    disc_price = ep * (one - F.col("l_discount").cast("decimal(18,4)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(18,4)"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -44,12 +49,17 @@ def q3_shipping(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
     c = F.broadcast(customer.filter(F.col("c_mktsegment") == segment))
     o = orders.filter(F.col("o_orderdate") < date)
     l = lineitem.filter(F.col("l_shipdate") > date)
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal arithmetic (the q10 discipline): a double sum can land
+    # either side of a cent boundary depending on partitioning/engine —
+    # passes at sf0.01 by luck, diverged at sf0.1 (measured, r9)
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
 
 
@@ -62,7 +72,9 @@ def q5_supplier_volume(region: DataFrame, nation: DataFrame, customer: DataFrame
     r = region.filter(F.col("r_name") == region_name)
     n = nation.join(F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"])
     o = orders.filter((F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi))
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
     return (
         lineitem.join(o, lineitem["l_orderkey"] == o["o_orderkey"])
         .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
@@ -72,16 +84,19 @@ def q5_supplier_volume(region: DataFrame, nation: DataFrame, customer: DataFrame
               (supplier["s_nationkey"] == F.col("n_nationkey"))
               & (F.col("c_nationkey") == F.col("n_nationkey")))
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
 
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                   AS sum_qty,
-       round(sum(l_extendedprice), 2)                              AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 6)                                   AS avg_qty,
        round(avg(l_extendedprice), 6)                              AS avg_price,
        round(avg(l_discount), 6)                                   AS avg_disc,
@@ -93,7 +108,9 @@ GROUP BY ALL
 
 Q3_ORACLE = """
 SELECT l_orderkey, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -105,7 +122,9 @@ GROUP BY ALL
 
 Q5_ORACLE = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
