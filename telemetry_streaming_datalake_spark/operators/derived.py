@@ -46,6 +46,23 @@ ROLLING_WINDOW_SECS = 3600
 Z_THRESHOLD = 3.0
 
 
+def floor_round(col, k: int):
+    """Deterministic decimal rounding via ``floor(x*10^k + 0.5)/10^k``.
+
+    ``F.round`` (Java HALF_UP on the shortest decimal repr), Python's
+    ``round`` (banker's), and DuckDB's ``round`` disagree on decimal
+    MIDPOINTS — measured at sf0.1 as single-row crosscheck flips on
+    division-derived columns (rate, MAD score).  The floor form is
+    pure IEEE multiply/add/floor/divide, which every engine evaluates
+    bit-identically given bit-identical input, so the output survives
+    any data scale.  (Negative midpoints round toward +inf instead of
+    away from zero — both engines shift together, and the same form
+    is the quantize_embeddings convention already.)
+    """
+    m = F.lit(float(10 ** k))
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
 def counter_rate(bronze_deduped: DataFrame) -> DataFrame:
     """Per-series first difference: (Δvalue / Δt) between consecutive
     readings of the same (serial, metric).
@@ -65,7 +82,8 @@ def counter_rate(bronze_deduped: DataFrame) -> DataFrame:
         # rounds to -0.0, whose textual form differs across engines)
         .withColumn(
             "rate_per_sec",
-            F.round((F.col("value") - prev_v) / (F.col("unix_ts") - prev_ts), 6) + 0.0,
+            floor_round((F.col("value") - prev_v) / (F.col("unix_ts") - prev_ts), 6)
+            + 0.0,
         )
         .filter(F.col("prev_ts").isNotNull())
         .select("serial", "metric", "unix_ts", "value", "delta_secs", "rate_per_sec")
@@ -78,8 +96,9 @@ WITH deduped AS ({bronze_dedup_sql})
 SELECT serial, metric, unix_ts, value, delta_secs, rate_per_sec FROM (
     SELECT serial, metric, unix_ts, value,
            unix_ts - lag(unix_ts) OVER w AS delta_secs,
-           round((value - lag(value) OVER w)
-                 / (unix_ts - lag(unix_ts) OVER w), 6) + 0.0 AS rate_per_sec
+           floor((value - lag(value) OVER w)
+                 / (unix_ts - lag(unix_ts) OVER w) * 1000000.0 + 0.5)
+             / 1000000.0 + 0.0 AS rate_per_sec
     FROM deduped
     WINDOW w AS (PARTITION BY serial, metric ORDER BY unix_ts)
 ) WHERE delta_secs IS NOT NULL
@@ -345,14 +364,14 @@ def anomaly_mad(bronze_deduped: DataFrame, threshold: float = MAD_THRESHOLD) -> 
     """
     b = bronze_deduped.select("event_id", "metric", "value")
     med = b.groupBy("metric").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med_value")
+        floor_round(F.percentile("value", F.lit(0.5)), 6).alias("med_value")
     )
     mad = (
         b.join(F.broadcast(med), "metric")
         .groupBy("metric")
         .agg(
             F.min("med_value").alias("med_value"),
-            F.round(
+            floor_round(
                 F.percentile(F.abs(F.col("value") - F.col("med_value")), F.lit(0.5)), 6
             ).alias("mad_value"),
         )
@@ -369,8 +388,8 @@ def anomaly_mad(bronze_deduped: DataFrame, threshold: float = MAD_THRESHOLD) -> 
         "value",
         "med_value",
         "mad_value",
-        F.round(score, 4).alias("robust_z"),
-        (F.abs(F.round(score, 4)) > threshold).alias("is_anomaly"),
+        floor_round(score, 4).alias("robust_z"),
+        (F.abs(floor_round(score, 4)) > threshold).alias("is_anomaly"),
     )
 
 
@@ -378,20 +397,24 @@ def anomaly_mad_oracle(bronze_dedup_sql: str, threshold: float = MAD_THRESHOLD) 
     return f"""
 WITH deduped AS ({bronze_dedup_sql}),
 med AS (
-    SELECT metric, round(quantile_cont(value, 0.5), 6) AS med_value
+    SELECT metric,
+           floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0
+               AS med_value
     FROM deduped GROUP BY metric
 ),
 mad AS (
     SELECT d.metric, min(m.med_value) AS med_value,
-           round(quantile_cont(abs(d.value - m.med_value), 0.5), 6) AS mad_value
+           floor(quantile_cont(abs(d.value - m.med_value), 0.5) * 1000000.0 + 0.5)
+               / 1000000.0 AS mad_value
     FROM deduped d JOIN med m USING (metric)
     GROUP BY d.metric
 )
 SELECT d.event_id, d.metric, d.value, s.med_value, s.mad_value,
-       round({MAD_K} * (d.value - s.med_value)
-             / greatest(s.mad_value, 1e-9), 4) AS robust_z,
-       abs(round({MAD_K} * (d.value - s.med_value)
-                 / greatest(s.mad_value, 1e-9), 4)) > {threshold} AS is_anomaly
+       floor({MAD_K} * (d.value - s.med_value)
+             / greatest(s.mad_value, 1e-9) * 10000.0 + 0.5) / 10000.0 AS robust_z,
+       abs(floor({MAD_K} * (d.value - s.med_value)
+                 / greatest(s.mad_value, 1e-9) * 10000.0 + 0.5) / 10000.0)
+           > {threshold} AS is_anomaly
 FROM deduped d JOIN mad s USING (metric)
 """
 

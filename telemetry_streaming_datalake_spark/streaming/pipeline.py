@@ -238,7 +238,12 @@ def _rate_state_fn(key, pdfs, state):
                 continue
             if last_ts is not None:
                 dt = ts - last_ts
-                rate = round((val - last_val) / dt, 6) + 0.0
+                # floor-form rounding (see derived.floor_round): Python
+                # round() is banker's — a decimal-midpoint rate would
+                # diverge from the batch/oracle HALF-UP form
+                import math
+
+                rate = math.floor((val - last_val) / dt * 1e6 + 0.5) / 1e6 + 0.0
                 out.append([key[0], key[1], ts, val, dt, rate])
             last_ts, last_id, last_val = ts, int(r.event_id), val
     state.update((last_ts if last_ts is not None else -1, last_id, last_val))
