@@ -724,7 +724,11 @@ def ewma_smooth(bronze_deduped: DataFrame) -> DataFrame:
         "metric",
         "unix_ts",
         "value",
-        F.round(terms, 6).alias("ewma"),
+        # floor-form rounding (see floor_round): the summed terms are
+        # bit-identical on both engines (same literals, same add
+        # order), so the only cross-engine risk was the round()
+        # midpoint convention — measured as a 1-row sf0.1 flip
+        floor_round(terms, 6).alias("ewma"),
     )
 
 
@@ -757,7 +761,8 @@ sub AS (
            ) AS rn
     FROM deduped
 )
-SELECT serial, metric, unix_ts, value, round({expr}, 6) AS ewma FROM sub
+SELECT serial, metric, unix_ts, value,
+       floor(({expr}) * 1000000.0 + 0.5) / 1000000.0 AS ewma FROM sub
 """
 
 

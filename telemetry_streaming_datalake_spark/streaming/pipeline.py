@@ -1109,8 +1109,9 @@ def _ewma_state_fn(key, pdfs, state):
     K-1 readings carried as state — the bounded-state form IS the
     batch operator's semantics, so the drained stream equals
     ``operators.derived.ewma_smooth`` row for row (same weight
-    literals, same multiply/add order, HALF_UP rounding replicated via
-    Decimal-over-shortest-repr exactly as Spark's ``round`` does).
+    literals, same multiply/add order, and the same floor-form
+    rounding — `derived.floor_round` is plain IEEE arithmetic, so
+    `math.floor` here IS the batch expression bit-for-bit).
 
     DELIVERY-ORDER CONTRACT: rows at or before the last processed
     timestamp of their series are dropped (within a micro-batch that
@@ -1124,7 +1125,7 @@ def _ewma_state_fn(key, pdfs, state):
     feeds here deliver time-ordered files, so the precondition holds;
     an out-of-order production feed should land through the
     watermarked bronze dedup first and recompute from silver."""
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
 
     import pandas as pd
 
@@ -1163,9 +1164,7 @@ def _ewma_state_fn(key, pdfs, state):
                 )
                 t = win[i - 1] * w
                 s = t if s is None else s + t
-            ewma = float(
-                Decimal(repr(s)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-            )
+            ewma = math.floor(s * 1e6 + 0.5) / 1e6
             out.append([key[0], key[1], ts, v, ewma])
             tail = (tail + [v])[-(K - 1):]
             last_ts = ts
