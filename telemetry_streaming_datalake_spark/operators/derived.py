@@ -152,8 +152,8 @@ def anomaly_zscore(bronze_deduped: DataFrame, z_threshold: float = Z_THRESHOLD) 
     summation orders.
     """
     moments = bronze_deduped.groupBy("metric").agg(
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        floor_round(F.avg("value"), 6).alias("mean_value"),
+        floor_round(F.stddev_samp("value"), 6).alias("std_value"),
     )
     j = bronze_deduped.select("event_id", "metric", "value").join(
         F.broadcast(moments), "metric"
@@ -165,7 +165,7 @@ def anomaly_zscore(bronze_deduped: DataFrame, z_threshold: float = Z_THRESHOLD) 
         "value",
         "mean_value",
         "std_value",
-        F.round(z, 4).alias("zscore"),
+        floor_round(z, 4).alias("zscore"),
         (F.abs(F.col("value") - F.col("mean_value")) > z_threshold * F.col("std_value")).alias(
             "is_anomaly"
         ),
@@ -177,12 +177,13 @@ def anomaly_zscore_oracle(bronze_dedup_sql: str, z_threshold: float = Z_THRESHOL
 WITH deduped AS ({bronze_dedup_sql}),
 moments AS (
     SELECT metric,
-           round(avg(value), 6) AS mean_value,
-           round(stddev_samp(value), 6) AS std_value
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+           floor(stddev_samp(value) * 1000000.0 + 0.5) / 1000000.0 AS std_value
     FROM deduped GROUP BY metric
 )
 SELECT d.event_id, d.metric, d.value, m.mean_value, m.std_value,
-       round((d.value - m.mean_value) / m.std_value, 4) AS zscore,
+       floor((d.value - m.mean_value) / m.std_value * 10000.0 + 0.5) / 10000.0
+           AS zscore,
        abs(d.value - m.mean_value) > {z_threshold} * m.std_value AS is_anomaly
 FROM deduped d JOIN moments m USING (metric)
 """
@@ -200,9 +201,9 @@ def percentile_rollup(bronze_deduped: DataFrame) -> DataFrame:
     """
     return bronze_deduped.groupBy("metric", "datestamp").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.percentile("value", 0.5), 6).alias("p50"),
-        F.round(F.percentile("value", 0.95), 6).alias("p95"),
-        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        floor_round(F.percentile("value", 0.5), 6).alias("p50"),
+        floor_round(F.percentile("value", 0.95), 6).alias("p95"),
+        floor_round(F.percentile("value", 0.99), 6).alias("p99"),
     )
 
 
@@ -211,9 +212,9 @@ def percentile_rollup_oracle(bronze_dedup_sql: str) -> str:
 WITH deduped AS ({bronze_dedup_sql})
 SELECT metric, datestamp,
        count(*) AS n_points,
-       round(quantile_cont(value, 0.5), 6) AS p50,
-       round(quantile_cont(value, 0.95), 6) AS p95,
-       round(quantile_cont(value, 0.99), 6) AS p99
+       floor(quantile_cont(value, 0.5)  * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+       floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99
 FROM deduped
 GROUP BY metric, datestamp
 """
@@ -843,8 +844,8 @@ def cusum_changepoint(bronze_deduped: DataFrame) -> DataFrame:
     accumulate identical doubles in identical order.
     """
     moments = bronze_deduped.groupBy("metric").agg(
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        floor_round(F.avg("value"), 6).alias("mean_value"),
+        floor_round(F.stddev_samp("value"), 6).alias("std_value"),
     )
     j = bronze_deduped.select("serial", "metric", "unix_ts", "value").join(
         F.broadcast(moments), "metric"
@@ -908,8 +909,8 @@ def cusum_changepoint_oracle(bronze_dedup_sql: str) -> str:
 WITH deduped AS ({bronze_dedup_sql}),
 moments AS (
     SELECT metric,
-           round(avg(value), 6) AS mean_value,
-           round(stddev_samp(value), 6) AS std_value
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+           floor(stddev_samp(value) * 1000000.0 + 0.5) / 1000000.0 AS std_value
     FROM deduped GROUP BY metric
 ),
 staged AS (

@@ -1571,6 +1571,8 @@ def streaming_cusum(
     pins the cross-batch drift carry."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
     if max_files_per_trigger:
         path = os.path.join(work_dir, "landing")
         schema = spark.read.parquet(path).schema
@@ -1591,8 +1593,8 @@ def streaming_cusum(
         for r in dedup_exact(parse_bronze(normalize_nano_ts(base, "ts") if base.schema["ts"].dataType.typeName() == "long" else base))
         .groupBy("metric")
         .agg(
-            F.round(F.avg("value"), 6).alias("mean_value"),
-            F.round(F.stddev_samp("value"), 6).alias("std_value"),
+            floor_round(F.avg("value"), 6).alias("mean_value"),
+            floor_round(F.stddev_samp("value"), 6).alias("std_value"),
         )
         .collect()
     }
