@@ -588,6 +588,43 @@ def simhash_weighted_near_dups(
     return _hamming_block_pairs(simhash_weighted(documents), chunks, hamming_max)
 
 
+def _banded_pairs_tail_sql(hamming_max: int) -> str:
+    """Shared oracle tail replicating the ENGINE's chunk banding + the
+    BUCKET_CAP hot-bucket bound over an ``fp(doc_id, f)`` CTE.
+
+    Until r9 the oracles closed with uncapped ALL-PAIRS hamming — a
+    completeness proof of the pigeonhole banding, but only equal to
+    the engine while the cap is slack (true at the sf0.01 gate; at
+    sf0.1 the synthetic corpus has ~700-doc near-dup clusters and the
+    cap binds: 3,699 members clipped, measured).  Modeling the cap
+    makes the contract exact at ANY scale — the same choice
+    ``dup_spans_oracle`` already makes — while pigeonhole completeness
+    is pinned separately in pytest against brute force on a cap-slack
+    corpus (tests/test_llm_ops.py).  Cap order matches bucket_pairs:
+    the full payload tuple (doc_id, simhash)."""
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    return f"""
+banded AS (
+    SELECT doc_id, f, b.b AS band_idx,
+           (f >> (b.b * {chunk_bits})) & {mask} AS chunk
+    FROM fp, unnest(range(0, {SIMHASH_CHUNKS})) AS b(b)
+),
+capped AS (
+    SELECT band_idx, chunk, doc_id, f FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY band_idx, chunk ORDER BY doc_id, f) AS rn
+        FROM banded
+    ) WHERE rn <= {BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.f, b.f))::INT AS hamming
+FROM capped a JOIN capped b
+  ON a.band_idx = b.band_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {hamming_max}
+"""
+
+
 def simhash_weighted_oracle(hamming_max: int = HAMMING_MAX) -> str:
     """DuckDB twin of :func:`simhash_weighted_near_dups`: identical
     integer idf weights, identical vote sums, all-pairs hamming."""
@@ -623,11 +660,8 @@ fp AS (
     SELECT doc_id,
            sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS f
     FROM votes GROUP BY 1
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.f, b.f))::INT AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.f, b.f)) <= {hamming_max}
+),
+{_banded_pairs_tail_sql(hamming_max)}
 """
 
 
@@ -662,11 +696,8 @@ fp AS (
     SELECT doc_id,
            sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS f
     FROM votes GROUP BY 1
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.f, b.f))::INT AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.f, b.f)) <= {hamming_max}
+),
+{_banded_pairs_tail_sql(hamming_max)}
 """
 
 

@@ -44,6 +44,27 @@ def test_minhash_plan_has_no_cartesian_product(spark, documents):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_banding_complete_vs_brute_force(spark, documents):
+    """Pigeonhole completeness where the cap is slack: chunk-blocked
+    candidate generation finds EXACTLY the all-pairs hamming<=3 set on
+    the sf0.001 corpus (since r9 the ORACLE models BUCKET_CAP — the
+    exact-at-any-scale contract — so this pin carries the completeness
+    proof the uncapped oracle used to)."""
+    import itertools
+
+    fps = {r.doc_id: r.simhash for r in DD.simhash(documents).collect()}
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= DD.HAMMING_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DD.simhash_near_dups(documents).collect()
+    }
+    assert got == want
+
+
 def test_simhash_hamming_small_for_near_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     near = base.replace("kappa", "lambda")
