@@ -334,8 +334,6 @@ def dedup_minhash(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
     scans instead of one.  The persisted form is the compact long-array
     set (~8 bytes/shingle), the cheapest representation to hold.
     """
-    from pyspark import StorageLevel
-
     # sets AND signatures come out of ONE groupBy over the exploded
     # shingles: collect_set rides with the 128 codegen min-aggregates,
     # so the corpus is scanned once, shuffled once, and no Python
@@ -348,11 +346,16 @@ def dedup_minhash(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
+    # localCheckpoint (not persist): the fused frame feeds three
+    # subtrees, but cacheManager-pinned blocks would outlive every
+    # call with no unpersist path for the caller (the ADVICE-r5 leak
+    # class); checkpoint blocks are released by the ContextCleaner
+    # once the result frame is dropped
     fused = (
         exploded_shingles(documents)
         .groupBy("doc_id")
         .agg(F.collect_set(F.xxhash64("s")).alias("sh"), *mins)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     sets = fused.select("doc_id", "sh")
     sigs = fused.select(
@@ -429,6 +432,10 @@ def simhash(documents: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    # NULL text must DROP the doc (the oracle's unnest emits no token
+    # rows for it) — without this the map-only path would keep it with
+    # fingerprint 0, and two NULL-text docs would pair at hamming 0
+    documents = documents.filter(F.col("text").isNotNull())
     spread = documents.select("doc_id", toks.alias("toks")).repartition(
         documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
@@ -713,7 +720,15 @@ def dedup_minhash_oracle(threshold: float = 0.7) -> str:
     seeded, and every above-threshold pair in the test corpora has
     J >= 0.92, where a 16-band/8-row miss has probability ~2e-5 per
     pair (verified exact at sf0.001 and sf0.01).  All-pairs is
-    oracle-side only; the engine never does it."""
+    oracle-side only; the engine never does it.
+
+    Deliberate boundary: unlike the md5-keyed simhash/ngram/embedding
+    oracles, this one CANNOT model the engine's ``BUCKET_CAP`` — the
+    band keys are xxhash64 folds with no DuckDB twin — so it asserts
+    the cap-slack regime.  The cap binds only when >256 docs share a
+    band hash (post-exact-dedup, that means 257+ DISTINCT docs with
+    identical 8-permutation minima — a corpus `bucket_truncation`
+    flags loudly); at both gate scales the cap is measured slack."""
     return f"""
 WITH norm AS (
     SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
@@ -799,11 +814,10 @@ def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.3) -> DataFra
     read the same cached frame.  Exactly ONE scan of the corpus —
     pinned by ``tests/test_plans.py``.
     """
-    from pyspark import StorageLevel
-
-    base = _fingerprint_and_shingle_sets(documents).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # localCheckpoint (not persist) — same leak-class reasoning as
+    # dedup_minhash: no caller-side unpersist exists, so cache pins
+    # would accumulate across calls; checkpoint blocks are reclaimed
+    base = _fingerprint_and_shingle_sets(documents).localCheckpoint(eager=True)
     pairs = (
         bucket_pairs(base.select("doc_id", "fingerprint"), ["fingerprint"], ["doc_id"])
         .select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
@@ -822,6 +836,13 @@ def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.3) -> DataFra
 
 
 def ngram_jaccard_oracle(threshold: float = 0.3, window: int = 16, n: int = 5) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_dedup`, modeling the
+    engine's :data:`BUCKET_CAP` hot-bucket bound (the
+    `_banded_pairs_tail_sql` convention): per fingerprint bucket, only
+    the first ``cap`` docs by doc_id enter pair expansion, so the
+    contract stays exact even on a corpus where the cap binds.
+    Pigeonhole/recall completeness is pinned separately in pytest on a
+    cap-slack corpus."""
     norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
     return f"""
 WITH d AS (
@@ -839,11 +860,17 @@ sh AS (
                           for i in range(1, greatest(length(norm) - {n - 1}, 1) + 1)]) AS s
     FROM fp
 ),
+capped AS (
+    SELECT doc_id, f, s FROM (
+        SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM sh
+    ) WHERE rn <= {BUCKET_CAP}
+),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(list_intersect(a.s, b.s)) AS inter,
            len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-    FROM sh a JOIN sh b ON a.f = b.f AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, jaccard FROM (
     SELECT doc_a, doc_b, round(inter * 1.0 / uni, 6) AS jaccard FROM pairs

@@ -188,7 +188,7 @@ def hard_negatives_oracle(
     return f"""
 WITH q AS (
     SELECT vec_id AS query_id, label AS query_label, embedding AS q_emb
-    FROM embeddings WHERE vec_id IN ({ids})
+    FROM embeddings WHERE embedding IS NOT NULL AND vec_id IN ({ids})
 ),
 scored AS (
     SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
@@ -198,7 +198,7 @@ scored AS (
               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
              {round_to}) AS cosine
     FROM embeddings e, q
-    WHERE e.label <> q.query_label
+    WHERE e.embedding IS NOT NULL AND e.label <> q.query_label
 )
 SELECT query_id, query_label, vec_id, neg_label, cosine, rank FROM (
     SELECT *, row_number() OVER (
@@ -214,7 +214,7 @@ def cosine_topk_oracle(query_ids: list[int], k: int = 5, round_to: int = 4) -> s
     return f"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-    WHERE vec_id IN ({ids})
+    WHERE embedding IS NOT NULL AND vec_id IN ({ids})
 ),
 scored AS (
     SELECT q.query_id, e.vec_id,
@@ -224,7 +224,7 @@ scored AS (
               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
              {round_to}) AS cosine
     FROM embeddings e, q
-    WHERE e.vec_id <> q.query_id
+    WHERE e.embedding IS NOT NULL AND e.vec_id <> q.query_id
 )
 SELECT query_id, vec_id, cosine, rank FROM (
     SELECT *, row_number() OVER (
@@ -250,16 +250,6 @@ def _hyperplanes(dim: int, planes: int = LSH_PLANES, seed: int = 42) -> list[lis
     rng = np.random.default_rng(seed)
     m = rng.standard_normal((planes, dim))
     return [[float(x) for x in row] for row in m]
-
-
-def lsh_signature(embedding_col, planes: list[list[float]]):
-    """Sign-bit signature array (one 0/1 per hyperplane), computed as
-    JVM dot products against literal hyperplane arrays."""
-    sig_bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(v) for v in p])
-        sig_bits.append(F.when(_dot(embedding_col, plane) >= 0, 1).otherwise(0))
-    return F.array(*sig_bits)
 
 
 def ann_lsh_topk(
@@ -349,6 +339,7 @@ def ann_lsh_topk_oracle(
     return f"""
 WITH n AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 banded AS (
     SELECT vec_id, emb,
@@ -458,6 +449,14 @@ def _plane_sql(p: list[float]) -> str:
 def embedding_near_dups_oracle(
     threshold: float = NEARDUP_THRESHOLD, dim: int = 64, round_to: int = 4
 ) -> str:
+    """DuckDB twin of :func:`embedding_near_dups`, modeling the
+    engine's ``BUCKET_CAP`` hot-bucket bound (the
+    `_banded_pairs_tail_sql` convention in ``dedup``): per band
+    bucket, only the first ``cap`` vectors by vec_id enter pair
+    expansion — exact even when near-identical vectors flood one
+    band bucket past the cap."""
+    from telemetry_streaming_datalake_spark.operators.dedup import BUCKET_CAP
+
     planes = _hyperplanes(dim)
     bits = [
         f"CASE WHEN list_dot_product(emb, {_plane_sql(p)}) >= 0 THEN 1 ELSE 0 END"
@@ -470,16 +469,24 @@ def embedding_near_dups_oracle(
     return f"""
 WITH n AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 banded AS (
     SELECT vec_id, emb, unnest([{band_exprs}]) AS band_key FROM n
+),
+capped AS (
+    SELECT vec_id, emb, band_key FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY band_key ORDER BY vec_id) AS rn
+        FROM banded
+    ) WHERE rn <= {BUCKET_CAP}
 ),
 pairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.emb, b.emb)
                  / (sqrt(list_dot_product(a.emb, a.emb))
                   * sqrt(list_dot_product(b.emb, b.emb))), {round_to}) AS cosine
-    FROM banded a JOIN banded b
+    FROM capped a JOIN capped b
       ON a.band_key = b.band_key AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
@@ -613,6 +620,7 @@ def ann_ivf_topk_oracle(
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 c AS (
     SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < {n_cells}
@@ -685,7 +693,11 @@ def quantize_embeddings(embeddings: DataFrame, round_to: int = 6) -> DataFrame:
             }
         )
 
-    s = embeddings.select("vec_id", quant(F.col("embedding")).alias("s"))
+    # NULL embeddings would reach np.array as None cells and crash the
+    # Arrow batch — same input contract as every other vector op here
+    s = embeddings.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", quant(F.col("embedding")).alias("s")
+    )
     return s.select(
         "vec_id",
         F.round(F.col("s.scale"), round_to).alias("scale"),
@@ -697,6 +709,7 @@ def quantize_embeddings_oracle(round_to: int = 6) -> str:
     return f"""
 WITH n AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 s AS (
     SELECT vec_id, emb,
@@ -901,6 +914,18 @@ def semantic_decontaminate(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not bench_rows:
+        # no benchmark vectors present (ids absent or all NULL): nothing
+        # can be contaminated, and an empty matrix would AxisError the
+        # norm below — return the typed empty-max shape instead
+        return (
+            emb.filter(~F.col("vec_id").isin(list(bench_ids)))
+            .select(
+                "vec_id",
+                F.lit(None).cast("double").alias("max_bench_cosine"),
+                F.lit(False).alias("contaminated"),
+            )
+        )
     bmat = np.array(
         [r.embedding for r in sorted(bench_rows, key=lambda r: r.vec_id)],
         dtype=np.float64,
@@ -1014,6 +1039,7 @@ def semantic_dedup_oracle(
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 c AS (
     SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < {n_cells}
@@ -1073,6 +1099,7 @@ def kmeans_refine_oracle(n_cells: int = IVF_CELLS) -> str:
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 c AS (
     SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < {n_cells}
@@ -1441,6 +1468,7 @@ def ann_ivfpq_oracle(
     return f"""
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE embedding IS NOT NULL
 ),
 c AS (
     SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < {n_cells}

@@ -729,22 +729,30 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     return spark.read.parquet(out)
 
 
-#: batch twin of the drained click→error interval join
+#: batch twin of the drained click→error interval join.  The range
+#: condition compares MICROSECOND epochs — the engine joins the raw
+#: event-time timestamps (sub-second precision), so an oracle that
+#: compared the floored-second projection columns would disagree on
+#: any sub-second or exact-hour-boundary pair; only the OUTPUT
+#: click_ts/error_ts columns floor to seconds, matching the engine's
+#: unix_timestamp projection.
 STREAMING_INTERVAL_JOIN_ORACLE = """
 WITH c AS (
     SELECT event_id AS click_event_id, user_id,
+           epoch_us(ts) AS click_us,
            (epoch_us(ts) // 1000000) AS click_ts
     FROM events WHERE event_type = 'click'
 ),
 e AS (
-    SELECT user_id, (epoch_us(ts) // 1000000) AS error_ts, value AS error_value
+    SELECT user_id, epoch_us(ts) AS error_us,
+           (epoch_us(ts) // 1000000) AS error_ts, value AS error_value
     FROM events WHERE event_type = 'error'
 )
 SELECT c.click_event_id, c.user_id, c.click_ts, e.error_ts, e.error_value
 FROM c JOIN e
   ON c.user_id = e.user_id
- AND e.error_ts >= c.click_ts
- AND e.error_ts < c.click_ts + 3600
+ AND e.error_us >= c.click_us
+ AND e.error_us < c.click_us + 3600000000
 """
 
 
@@ -810,6 +818,15 @@ def streaming_quarantine_split(spark: SparkSession, sf_dir: str, work_dir: str) 
     these records on the floor — `Part2 ….scala:52`).  Batch==stream
     code: the router is the identical function.
 
+    Replay idempotency (the `gate_and_land_batch` contract): each
+    micro-batch lands under a batchId-scoped subdirectory in OVERWRITE
+    mode, so a checkpoint restart that re-delivers a partially
+    committed batch rewrites its own directories instead of
+    double-appending to shared sinks.  The DLQ keeps its
+    reason-partitioned layout inside each batch directory via a
+    duplicated ``reason_dir`` partition column (the data column rides
+    in the files, so the recursive read-back loses nothing).
+
     Returns both sinks read back and unioned — the driver oracle is
     the batch `bronze_quarantine` SQL, proving the split is lossless
     and the routing deterministic.
@@ -820,22 +837,26 @@ def streaming_quarantine_split(spark: SparkSession, sf_dir: str, work_dir: str) 
     ok_dir = os.path.join(work_dir, "bronze_ok")
     dlq_dir = os.path.join(work_dir, "dead_letter")
     ckpt = os.path.join(work_dir, "quarantine_ckpt")
+    os.makedirs(ok_dir, exist_ok=True)
+    os.makedirs(dlq_dir, exist_ok=True)
     mapping = dm.metric_mapping(spark)
     raw = normalize_nano_ts(_events_glob(spark, sf_dir, work_dir), "ts")
 
     def split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sub = f"batch-{batch_id:08d}"
         routed = bronze_quarantine(batch_df, mapping).persist()
         try:
             (
                 routed.filter(F.col("route") == "bronze")
-                .write.mode("append")
-                .parquet(ok_dir)
+                .write.mode("overwrite")
+                .parquet(os.path.join(ok_dir, sub))
             )
             (
                 routed.filter(F.col("route") == "quarantine")
-                .write.partitionBy("reason")
-                .mode("append")
-                .parquet(dlq_dir)
+                .withColumn("reason_dir", F.col("reason"))
+                .write.partitionBy("reason_dir")
+                .mode("overwrite")
+                .parquet(os.path.join(dlq_dir, sub))
             )
         finally:
             routed.unpersist()
@@ -848,8 +869,24 @@ def streaming_quarantine_split(spark: SparkSession, sf_dir: str, work_dir: str) 
         .awaitTermination()
     )
     cols = ["event_id", "serial", "metric", "value", "unix_ts", "datestamp", "reason", "route"]
-    ok = spark.read.parquet(ok_dir).select(*cols)
-    dlq = spark.read.parquet(dlq_dir).select(*cols)
+    # explicit-schema recursive reads: an all-ok (or all-quarantine)
+    # drain leaves the other lake with no parquet footers to infer from
+    static0 = normalize_nano_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(0), "ts"
+    )
+    q_schema = bronze_quarantine(static0, mapping).schema
+    ok = (
+        spark.read.schema(q_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(ok_dir)
+        .select(*cols)
+    )
+    dlq = (
+        spark.read.schema(q_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(dlq_dir)
+        .select(*cols)
+    )
     return ok.unionByName(dlq)
 
 
@@ -882,12 +919,19 @@ def streaming_grouping_sets(
       :func:`~..operators.rollup.rollup_grouping_sets` row-for-row
       (pytest-pinned; the driver checks against the same SQL oracle).
 
-    Store swap here is whole-file (tmp + rename — simplest correct
-    single-writer move at test scale); the partition-pruned variant is
+    The store commits like the CMS sketch store (and for the same
+    reason): sum/count partials are additive, NOT idempotent, so a
+    checkpoint replay of an already-merged batch would double-count —
+    each committed version carries the last applied batch id
+    (``applied.json``) and replays of applied ids are skipped; the
+    version itself publishes via the atomic ``CURRENT`` pointer swap
+    (``_commit_store_version``), so a crash mid-rewrite leaves the
+    previous version intact for the replay to merge into.  The
+    partition-pruned variant is
     :class:`~.sinks.ParquetUpsertStore`, already proven by
     ``streaming_upsert``.
     """
-    import shutil
+    import json
 
     from telemetry_streaming_datalake_spark.datamodel import (
         metric_mapping,
@@ -953,21 +997,31 @@ def streaming_grouping_sets(
             "p_sum", "p_min", "p_max", "p_n",
         )
         spark_l = batch_df.sparkSession
-        if os.path.exists(store_path):
-            merged = spark_l.read.parquet(store_path).unionByName(delta)
+        cur_dir = _store_current_dir(store_path)
+        if cur_dir is not None:
+            with open(os.path.join(cur_dir, "applied.json")) as f:
+                last_applied = json.load(f)["last_applied"]
+            if int(batch_id) <= last_applied:
+                return  # replay of an applied batch: adds are not idempotent
+            merged = spark_l.read.parquet(
+                os.path.join(cur_dir, "partials")
+            ).unionByName(delta)
+            next_v = int(os.path.basename(cur_dir)[1:]) + 1
         else:
-            merged = delta
+            merged, next_v = delta, 0
         merged = merged.groupBy(*_GS_KEYS).agg(
             F.sum("p_sum").alias("p_sum"),
             F.min("p_min").alias("p_min"),
             F.max("p_max").alias("p_max"),
             F.sum("p_n").alias("p_n"),
         )
-        tmp = store_path + f"__tmp{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(store_path):
-            shutil.rmtree(store_path)
-        os.rename(tmp, store_path)
+
+        def populate(new_dir: str) -> None:
+            merged.write.mode("overwrite").parquet(os.path.join(new_dir, "partials"))
+            with open(os.path.join(new_dir, "applied.json"), "w") as f:
+                json.dump({"last_applied": int(batch_id)}, f)
+
+        _commit_store_version(store_path, next_v, populate)
 
     (
         raw.writeStream.foreachBatch(merge_batch)
@@ -976,7 +1030,7 @@ def streaming_grouping_sets(
         .start()
         .awaitTermination()
     )
-    st = spark.read.parquet(store_path)
+    st = spark.read.parquet(os.path.join(_store_current_dir(store_path), "partials"))
     return st.select(
         "grain", "bucket", "remote_id", "metric_id", "provider_id", "category_id",
         F.round(F.col("p_sum"), 6).alias("sum_value"),
@@ -1590,7 +1644,7 @@ def streaming_cusum(
     # shift mean/std away from the oracle's
     moments = {
         r.metric: (r.mean_value, r.std_value)
-        for r in dedup_exact(parse_bronze(normalize_nano_ts(base, "ts") if base.schema["ts"].dataType.typeName() == "long" else base))
+        for r in dedup_exact(parse_bronze(normalize_nano_ts(base, "ts")))
         .groupBy("metric")
         .agg(
             floor_round(F.avg("value"), 6).alias("mean_value"),

@@ -407,9 +407,34 @@ def test_streaming_quarantine_split_matches_batch_router(spark, tmp_path):
     assert out.count() == batch.count()
     assert out.exceptAll(batch).count() == 0 and batch.exceptAll(out).count() == 0
     # the dead-letter sink is reason-partitioned (replayable by cause)
+    # inside each batchId-scoped commit directory
     dlq = os.path.join(str(tmp_path), "dead_letter")
-    reasons = {d.split("=", 1)[1] for d in os.listdir(dlq) if d.startswith("reason=")}
+    reasons = {
+        d.split("=", 1)[1]
+        for b in os.listdir(dlq)
+        if b.startswith("batch-")
+        for d in os.listdir(os.path.join(dlq, b))
+        if d.startswith("reason_dir=")
+    }
     assert reasons and reasons <= {"bad_payload", "stale_ts", "unmapped_metric", "out_of_range"}
+
+
+def test_streaming_quarantine_split_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint replay must not double-append: re-draining the same
+    feed into the same sinks with a WIPED checkpoint re-delivers every
+    batch under the same ids, and the batchId-scoped overwrite dirs
+    must leave the union unchanged (the pre-r9 append form doubled
+    every row here)."""
+    import os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.streaming import pipeline as SP
+
+    sf = "/root/testdata/sf0.001"
+    first = SP.streaming_quarantine_split(spark, sf, str(tmp_path)).collect()
+    shutil.rmtree(os.path.join(str(tmp_path), "quarantine_ckpt"))
+    replayed = SP.streaming_quarantine_split(spark, sf, str(tmp_path)).collect()
+    assert sorted(map(tuple, replayed)) == sorted(map(tuple, first))
 
 
 def test_streaming_grouping_sets_matches_batch(spark, tmp_path):
@@ -491,6 +516,26 @@ def test_streaming_grouping_sets_merges_across_batches(spark, tmp_path):
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
 
+
+
+def test_streaming_grouping_sets_replay_skips_applied_batches(spark, tmp_path):
+    """sum/count partials are additive, not idempotent: a replayed
+    batch id must be SKIPPED by the store's applied-batch ledger, not
+    re-merged (the pre-r9 form double-counted every partial here).
+    Wiping the checkpoint re-delivers all batches under their original
+    ids; the drained store must be byte-identical to the first run."""
+    import os
+    import shutil
+
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_grouping_sets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    first = streaming_grouping_sets(spark, sf, str(tmp_path)).collect()
+    shutil.rmtree(os.path.join(str(tmp_path), "gs_ckpt"))
+    replayed = streaming_grouping_sets(spark, sf, str(tmp_path)).collect()
+    assert sorted(map(tuple, replayed)) == sorted(map(tuple, first))
 
 
 def test_watermark_late_within_horizon_merges(spark, tmp_path):
