@@ -1500,7 +1500,16 @@ def fuzzy_join(documents: DataFrame, k: int = FUZZY_K) -> DataFrame:
 
 def fuzzy_join_oracle(k: int = FUZZY_K, w: int = FUZZY_W) -> str:
     """Ground truth is the quadratic join — fine at the driver's sf,
-    and exactly what the lossless blocking must reproduce."""
+    and exactly what the lossless blocking must reproduce.
+
+    Deliberate boundary (the `dedup_minhash_oracle` stance): this
+    oracle asserts the ``FUZZY_CAP``-slack regime ON PURPOSE — its
+    whole value is proving the pigeonhole blocking misses nothing, so
+    modeling the engine's hot-gram clip would hollow the check out.
+    The cap binds only when >``FUZZY_CAP`` keys share one (seg, gram)
+    bucket — `bucket_truncation` reports it, and
+    `fuzzy_blocking_report` is the registry's auditable face of the
+    same budget."""
     norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
     tkey = f"rpad(substr({norm}, 1, {w}), {w}, chr(1))"
     return f"""

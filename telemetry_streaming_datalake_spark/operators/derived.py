@@ -124,7 +124,7 @@ def rolling_avg(bronze_deduped: DataFrame, window_secs: int = ROLLING_WINDOW_SEC
         "metric",
         "unix_ts",
         "value",
-        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+        floor_round(F.avg("value").over(w), 6).alias("rolling_avg"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
 
@@ -133,7 +133,7 @@ def rolling_avg_oracle(bronze_dedup_sql: str, window_secs: int = ROLLING_WINDOW_
     return f"""
 WITH deduped AS ({bronze_dedup_sql})
 SELECT serial, metric, unix_ts, value,
-       round(avg(value) OVER w, 6) AS rolling_avg,
+       floor(avg(value) OVER w * 1000000.0 + 0.5) / 1000000.0 AS rolling_avg,
        count(*) OVER w AS n_in_window
 FROM deduped
 WINDOW w AS (PARTITION BY serial, metric ORDER BY unix_ts
@@ -607,11 +607,10 @@ def metric_correlation(bronze_deduped: DataFrame) -> DataFrame:
     absorb accumulation-order residue.  NULL days (metric absent for a
     terminal) are skipped pairwise by corr in both engines.
     """
-    wide = (
-        bronze_deduped.groupBy("serial", "datestamp")
-        .pivot("metric", list(METRIC_NAMES))
-        .agg(F.round(F.sum("value"), 6))
-    )
+    # the serving pivot IS the wide frame — one definition, so a change
+    # to the pivot (vocabulary, rounding form) can't silently diverge
+    # the correlation inputs from the served table
+    wide = pivot_metrics(bronze_deduped)
     names = list(METRIC_NAMES)
     aggs, stack_parts = [], []
     for i, a in enumerate(names):
@@ -1100,6 +1099,14 @@ def trend_report(bronze_deduped: DataFrame) -> DataFrame:
     # here, HUGEINT in the oracle); ANSI single-point groups are
     # guarded (denominator 0 -> NULL slope, flat), where regr_slope
     # would raise DIVIDE_BY_ZERO.
+    # CAPACITY BOUND (explicit, not accidental): yv must stay within
+    # DECIMAL(18,0) because the syy moment squares it — (18,0)×(18,0)
+    # is the widest product Spark's 38-digit decimals hold exactly, so
+    # a per-series-DAY value sum is bounded at |sum| < 1e12 (1e18
+    # micro-units).  Beyond it Spark nulls the cast (non-ANSI) while
+    # the oracle's HUGEINT keeps going — if a deployment's daily sums
+    # can cross 1e12, pre-scale `value` or aggregate at a finer grain;
+    # exactness (bit-identical moments) is the contract being bought.
     row_micro = F.round(F.col("value") * 1_000_000).cast("decimal(18,0)")
     daily = (
         bronze_deduped.groupBy("serial", "metric", "datestamp")

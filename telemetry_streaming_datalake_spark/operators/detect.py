@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
 from telemetry_streaming_datalake_spark.datamodel import (
     METRIC_MAPPING_CTE,
     REMOTE_HISTORY_CTE,
@@ -578,10 +580,10 @@ def seasonal_baseline(bronze_deduped: DataFrame) -> DataFrame:
         "metric", hod.alias("hour_of_day"), "value"
     )
     moments = fact.groupBy("metric", "hour_of_day").agg(
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        floor_round(F.avg("value"), 6).alias("mean_value"),
+        floor_round(F.stddev_samp("value"), 6).alias("std_value"),
     )
-    z = F.round(
+    z = floor_round(
         F.abs(F.col("value") - F.col("mean_value")) / F.col("std_value"), 6
     )
     # the second aggregate carries the (group-constant) moments through
@@ -615,14 +617,15 @@ fact AS (
 moments AS (
     SELECT metric, hour_of_day,
            count(*) AS n_readings,
-           round(avg(value), 6) AS mean_value,
-           round(stddev_samp(value), 6) AS std_value
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+           floor(stddev_samp(value) * 1000000.0 + 0.5) / 1000000.0 AS std_value
     FROM fact GROUP BY metric, hour_of_day
 ),
 counts AS (
     SELECT f.metric, f.hour_of_day,
            CAST(sum(CASE WHEN m.std_value > 0
-                          AND round(abs(f.value - m.mean_value) / m.std_value, 6)
+                          AND floor(abs(f.value - m.mean_value) / m.std_value
+                                    * 1000000.0 + 0.5) / 1000000.0
                               > {SEASONAL_Z}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
     FROM fact f JOIN moments m USING (metric, hour_of_day)
@@ -703,7 +706,7 @@ def slo_rolling(hourly: DataFrame) -> DataFrame:
 
     w6 = Window.orderBy("hour_idx").rangeBetween(-5, 0)
     w24 = Window.orderBy("hour_idx").rangeBetween(-23, 0)
-    burn = lambda e, t: F.round(  # noqa: E731
+    burn = lambda e, t: floor_round(  # noqa: E731
         F.col(e).cast("double") / F.col(t) / F.lit(SLO_ERROR_BUDGET), 6
     )
     out = (
@@ -756,11 +759,11 @@ rolled AS (
 ),
 burns AS (
     SELECT hourstamp, n_1h, err_1h,
-           round(CAST(err_1h AS DOUBLE) / n_1h / {SLO_ERROR_BUDGET}, 6)
+           floor(CAST(err_1h AS DOUBLE) / n_1h / {SLO_ERROR_BUDGET} * 1000000.0 + 0.5) / 1000000.0
                AS burn_1h,
-           round(CAST(err_6h AS DOUBLE) / tot_6h / {SLO_ERROR_BUDGET}, 6)
+           floor(CAST(err_6h AS DOUBLE) / tot_6h / {SLO_ERROR_BUDGET} * 1000000.0 + 0.5) / 1000000.0
                AS burn_6h,
-           round(CAST(err_24h AS DOUBLE) / tot_24h / {SLO_ERROR_BUDGET}, 6)
+           floor(CAST(err_24h AS DOUBLE) / tot_24h / {SLO_ERROR_BUDGET} * 1000000.0 + 0.5) / 1000000.0
                AS burn_24h
     FROM rolled
 )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
 _GROUP = ("remote_id", "metric_id", "provider_id", "category_id")
 
 
@@ -35,7 +37,7 @@ def _rollup(gold: DataFrame, bucket_expr, bucket_name: str) -> DataFrame:
         .groupBy(bucket_name, *_GROUP)
         .agg(
             F.round(F.sum(v), 6).alias("sum_value"),
-            F.round(F.avg(v), 6).alias("avg_value"),
+            floor_round(F.avg(v), 6).alias("avg_value"),
             F.round(F.min(v), 6).alias("min_value"),
             F.round(F.max(v), 6).alias("max_value"),
             F.count(F.lit(1)).alias("n_points"),
@@ -77,7 +79,8 @@ SELECT
     {bucket_sql} AS {bucket_name},
     remote_id, metric_id, provider_id, category_id,
     round(sum(CAST(value_double AS DOUBLE)), 6) AS sum_value,
-    round(avg(CAST(value_double AS DOUBLE)), 6) AS avg_value,
+    floor(avg(CAST(value_double AS DOUBLE)) * 1000000.0 + 0.5)
+        / 1000000.0 AS avg_value,
     round(min(CAST(value_double AS DOUBLE)), 6) AS min_value,
     round(max(CAST(value_double AS DOUBLE)), 6) AS max_value,
     count(*) AS n_points,
@@ -151,7 +154,7 @@ def incremental_rollup_hour(gold: DataFrame, cutoff_unix: int) -> DataFrame:
         "bucket_ts",
         *_GROUP,
         F.round("p_sum", 6).alias("sum_value"),
-        F.round(F.col("p_sum") / F.col("p_n"), 6).alias("avg_value"),
+        floor_round(F.col("p_sum") / F.col("p_n"), 6).alias("avg_value"),
         F.round("p_min", 6).alias("min_value"),
         F.round("p_max", 6).alias("max_value"),
         F.col("p_n").alias("n_points"),
@@ -209,7 +212,7 @@ def rollup_grouping_sets(gold: DataFrame) -> DataFrame:
         "hour_ts", "day_ts", "month_key", *_GROUP,
     ).agg(
         F.round(F.sum(v), 6).alias("sum_value"),
-        F.round(F.avg(v), 6).alias("avg_value"),
+        floor_round(F.avg(v), 6).alias("avg_value"),
         F.round(F.min(v), 6).alias("min_value"),
         F.round(F.max(v), 6).alias("max_value"),
         F.count(F.lit(1)).alias("n_points"),
@@ -266,7 +269,7 @@ g AS (
     SELECT hour_ts, day_ts, month_key,
            remote_id, metric_id, provider_id, category_id,
            round(sum(v), 6) AS sum_value,
-           round(avg(v), 6) AS avg_value,
+           floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
            round(min(v), 6) AS min_value,
            round(max(v), 6) AS max_value,
            count(*)         AS n_points,

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.operators.dedup import normalize_text
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
 
 
 def _count_occurrences(col, needle: str):
@@ -30,32 +31,90 @@ LANG_MARKERS = {
 }
 
 
+def _doc_features() -> dict:
+    """The shared C4/Gopher document-feature expressions (ONE
+    definition): normalized text, word list, word/char/space counts,
+    mean word length, alphabetic-word fraction, and English stopword
+    hits.  `text_quality`, `gopher_filter`, and `quality_classifier`
+    all derive from this dict — a feature change lands once instead of
+    drifting across three copies (and three oracle twins, via
+    :func:`_doc_features_sql`)."""
+    norm = normalize_text(F.col("text"))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    words = F.split(F.trim(norm), " ")
+    n_words = F.size(words)
+    n_chars = F.length(norm)
+    n_spaces = n_chars - F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    stop_hits = None
+    for m in LANG_MARKERS["en"]:
+        c = _count_occurrences(padded, m)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return {
+        "norm": norm,
+        "padded": padded,
+        "words": words,
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "n_spaces": n_spaces,
+        "mean_word_len": (n_chars - n_spaces) / n_words,
+        "alpha_frac": F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        / n_words,
+        "stop_hits": stop_hits,
+    }
+
+
+def _doc_features_sql() -> dict:
+    """DuckDB twin of :func:`_doc_features` (same one-definition
+    discipline for the oracle side)."""
+    norm = _NORM_SQL
+    padded = f"(' ' || {norm} || ' ')"
+    words = f"string_split(trim({norm}), ' ')"
+    n_words = f"len({words})"
+    n_chars = f"length({norm})"
+    n_spaces = f"(length({norm}) - length(replace({norm}, ' ', '')))"
+    return {
+        "norm": norm,
+        "padded": padded,
+        "words": words,
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "n_spaces": n_spaces,
+        "mean_word_len": f"(({n_chars} - {n_spaces}) * 1.0 / {n_words})",
+        "alpha_frac": (
+            f"(len(list_filter({words}, w -> regexp_matches(w, '[a-z]')))"
+            f" * 1.0 / {n_words})"
+        ),
+        "stop_hits": "("
+        + " + ".join(_count_sql(padded, m) for m in LANG_MARKERS["en"])
+        + ")",
+    }
+
+
+def _floor6_sql(expr: str) -> str:
+    """Floor-form 6dp rounding (SURVEY §6) as oracle SQL."""
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
 def text_quality(documents: DataFrame) -> DataFrame:
     """Token count, char stats, alpha/space ratios, quality score.
 
     Mirrors the length/punctuation/stopword quality filters used by
     public LLM-corpus pipelines (C4/Gopher-style rules).
     """
-    norm = normalize_text(F.col("text"))
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    n_tokens = F.size(F.split(F.trim(norm), " "))
-    n_chars = F.length(norm)
-    n_spaces = (n_chars - F.length(F.replace(norm, F.lit(" "), F.lit(""))))
-    stop_hits = None
-    for m in LANG_MARKERS["en"]:
-        c = _count_occurrences(padded, m)
-        stop_hits = c if stop_hits is None else stop_hits + c
-    avg_token_len = F.round((n_chars - n_spaces) / n_tokens, 6)
-    stop_ratio = F.round(stop_hits / n_tokens, 6)
+    ft = _doc_features()
+    n_tokens, stop_hits = ft["n_words"], ft["stop_hits"]
+    # floor_round (SURVEY §6): every output here is division-derived,
+    # and quality_score additionally gates row membership downstream
+    # (quality_percentile_gate) — the worst midpoint-flip class
     return documents.select(
         "doc_id",
         "lang",
         "source",
         n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars_norm"),
-        avg_token_len.alias("avg_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        F.round(
+        ft["n_chars"].alias("n_chars_norm"),
+        floor_round(ft["mean_word_len"], 6).alias("avg_token_len"),
+        floor_round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        floor_round(
             F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5
             + F.least(stop_hits / n_tokens * 5.0, F.lit(1.0)) * 0.5,
             6,
@@ -137,20 +196,19 @@ def _count_sql(padded_sql: str, needle: str) -> str:
 
 
 def text_quality_oracle() -> str:
-    norm = _NORM_SQL
-    padded = f"(' ' || {norm} || ' ')"
-    stop = " + ".join(_count_sql(padded, m) for m in LANG_MARKERS["en"])
-    n_tokens = f"len(string_split(trim({norm}), ' '))"
-    n_chars = f"length({norm})"
-    n_spaces = f"(length({norm}) - length(replace({norm}, ' ', '')))"
+    ft = _doc_features_sql()
+    n_tokens, stop = ft["n_words"], ft["stop_hits"]
+    score = (
+        f"least({n_tokens} / 100.0, 1.0) * 0.5"
+        f" + least({stop} / {n_tokens} * 5.0, 1.0) * 0.5"
+    )
     return f"""
 SELECT doc_id, lang, source,
        {n_tokens} AS n_tokens,
-       {n_chars} AS n_chars_norm,
-       round(({n_chars} - {n_spaces}) / {n_tokens}, 6) AS avg_token_len,
-       round(({stop}) / {n_tokens}, 6) AS stopword_ratio,
-       round(least({n_tokens} / 100.0, 1.0) * 0.5
-           + least(({stop}) / {n_tokens} * 5.0, 1.0) * 0.5, 6) AS quality_score
+       {ft["n_chars"]} AS n_chars_norm,
+       {_floor6_sql(ft["mean_word_len"])} AS avg_token_len,
+       {_floor6_sql(f"{stop} * 1.0 / {n_tokens}")} AS stopword_ratio,
+       {_floor6_sql(score)} AS quality_score
 FROM documents
 """
 
@@ -177,8 +235,11 @@ def quality_percentile_gate(documents: DataFrame, q: float = QUALITY_GATE_Q) -> 
     shape, documented epsilon.
     """
     tq = text_quality(documents).select("doc_id", "lang", "quality_score")
+    # floor_round, not F.round: the threshold is INTERPOLATION-derived
+    # (midpoints of 6dp scores are reachable) and it gates row
+    # membership — the exact SURVEY §6 midpoint-lottery class
     thr = tq.groupBy("lang").agg(
-        F.round(F.expr(f"percentile(quality_score, {q})"), 6).alias(
+        floor_round(F.expr(f"percentile(quality_score, {q})"), 6).alias(
             "lang_threshold"
         )
     )
@@ -193,7 +254,9 @@ def quality_percentile_gate_oracle(q: float = QUALITY_GATE_Q) -> str:
     return f"""
 WITH tq AS ({text_quality_oracle()}),
 thr AS (
-    SELECT lang, round(quantile_cont(quality_score, {q}), 6) AS lang_threshold
+    SELECT lang,
+           floor(quantile_cont(quality_score, {q}) * 1000000.0 + 0.5)
+               / 1000000.0 AS lang_threshold
     FROM tq GROUP BY lang
 )
 SELECT tq.doc_id, tq.lang, tq.quality_score, thr.lang_threshold
@@ -435,7 +498,13 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     per-doc aggregate computes total vs distinct to yield the repeated
     fraction.  Two partial-agg shuffles over compact (doc_id, hash)
     rows; token-level and char-level variants would be the same shape.
-    Empty docs yield dup_line_frac 0.0.
+
+    Contract: docs with NO non-empty lines (empty/whitespace-only/NULL
+    text) are ABSENT from the output — both engines drop them at the
+    line filter, there is no zero-row to divide.  A consumer that must
+    see every doc left-joins on doc_id and coalesces dup_line_frac to
+    0.0; emitting those rows here would cost a corpus-wide join for a
+    degenerate case the Gopher gate already rejects on length.
     """
     lines = documents.select(
         "doc_id",
@@ -1035,18 +1104,12 @@ def gopher_filter(documents: DataFrame, extra_cols: list | None = None) -> DataF
     codegen stage, zero shuffles — the 100 TB shape of a gate that
     runs before anything expensive.
     """
-    norm = normalize_text(F.col("text"))
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    words = F.split(F.trim(norm), " ")
-    n_words = F.size(words)
-    n_chars = F.length(norm)
-    n_spaces = n_chars - F.length(F.replace(norm, F.lit(" "), F.lit("")))
-    mean_word_len = (n_chars - n_spaces) / n_words
-    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
-    stop_hits = None
-    for m in LANG_MARKERS["en"]:
-        c = _count_occurrences(padded, m)
-        stop_hits = c if stop_hits is None else stop_hits + c
+    ft = _doc_features()
+    n_words, stop_hits = ft["n_words"], ft["stop_hits"]
+    mean_word_len, alpha_frac = ft["mean_word_len"], ft["alpha_frac"]
+    # the GATES compare the UNROUNDED divisions (bit-identical IEEE on
+    # both engines); only the reported columns round — floor-form per
+    # SURVEY §6 since both are division-derived
     r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     r_wlen = (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
         mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN
@@ -1057,8 +1120,8 @@ def gopher_filter(documents: DataFrame, extra_cols: list | None = None) -> DataF
         "doc_id",
         "source",
         n_words.cast("long").alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        floor_round(mean_word_len, 6).alias("mean_word_len"),
+        floor_round(alpha_frac, 6).alias("alpha_word_frac"),
         stop_hits.cast("long").alias("stop_hits"),
         r_words.alias("pass_word_count"),
         r_wlen.alias("pass_word_len"),
@@ -1073,23 +1136,14 @@ def gopher_filter(documents: DataFrame, extra_cols: list | None = None) -> DataF
 
 
 def gopher_filter_oracle() -> str:
-    norm = _NORM_SQL
-    padded = f"(' ' || {norm} || ' ')"
-    stop = " + ".join(_count_sql(padded, m) for m in LANG_MARKERS["en"])
-    words = f"string_split(trim({norm}), ' ')"
-    n_words = f"len({words})"
-    n_chars = f"length({norm})"
-    n_spaces = f"(length({norm}) - length(replace({norm}, ' ', '')))"
-    mean_wlen = f"(({n_chars} - {n_spaces}) * 1.0 / {n_words})"
-    alpha_frac = (
-        f"(len(list_filter({words}, w -> regexp_matches(w, '[a-z]')))"
-        f" * 1.0 / {n_words})"
-    )
+    ft = _doc_features_sql()
+    stop, n_words = ft["stop_hits"], ft["n_words"]
+    mean_wlen, alpha_frac = ft["mean_word_len"], ft["alpha_frac"]
     return f"""
 SELECT doc_id, source,
        CAST({n_words} AS BIGINT) AS n_words,
-       round({mean_wlen}, 6) AS mean_word_len,
-       round({alpha_frac}, 6) AS alpha_word_frac,
+       {_floor6_sql(mean_wlen)} AS mean_word_len,
+       {_floor6_sql(alpha_frac)} AS alpha_word_frac,
        CAST({stop} AS BIGINT) AS stop_hits,
        {n_words} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
            AS pass_word_count,
@@ -1135,28 +1189,21 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
     cross-engine float surface is one exp on an identical 6dp input.
     """
     w = QUALITY_CLF_WEIGHTS
-    norm = normalize_text(F.col("text"))
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
-    words = F.split(F.trim(norm), " ")
-    n_words = F.size(words)
-    n_chars = F.length(norm)
-    n_spaces = n_chars - F.length(F.replace(norm, F.lit(" "), F.lit("")))
-    mean_word_len = (n_chars - n_spaces) / n_words
-    alpha_frac = F.size(F.filter(words, lambda x: x.rlike("[a-z]"))) / n_words
-    stop_hits = None
-    for m in LANG_MARKERS["en"]:
-        c = _count_occurrences(padded, m)
-        stop_hits = c if stop_hits is None else stop_hits + c
-    stop_density = stop_hits / n_words
-    z = F.round(
+    ft = _doc_features()
+    n_words = ft["n_words"]
+    stop_density = ft["stop_hits"] / n_words
+    # floor_round per SURVEY §6: the logit mixes division-derived
+    # features and the ROUNDED z both gates `keep` and feeds the
+    # sigmoid, so the rounding form must be engine-identical
+    z = floor_round(
         F.lit(w["bias"])
         + F.lit(w["ln_words"]) * F.log(n_words.cast("double"))
-        + F.lit(w["mean_word_len"]) * mean_word_len
-        + F.lit(w["alpha_frac"]) * alpha_frac
+        + F.lit(w["mean_word_len"]) * ft["mean_word_len"]
+        + F.lit(w["alpha_frac"]) * ft["alpha_frac"]
         + F.lit(w["stop_density"]) * stop_density,
         6,
     )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    score = floor_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     return documents.select(
         "doc_id",
         "source",
@@ -1168,28 +1215,18 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
 
 def quality_classifier_oracle() -> str:
     w = QUALITY_CLF_WEIGHTS
-    norm = _NORM_SQL
-    padded = f"(' ' || {norm} || ' ')"
-    stop = " + ".join(_count_sql(padded, m) for m in LANG_MARKERS["en"])
-    words = f"string_split(trim({norm}), ' ')"
-    n_words = f"len({words})"
-    n_chars = f"length({norm})"
-    n_spaces = f"(length({norm}) - length(replace({norm}, ' ', '')))"
-    mean_wlen = f"(({n_chars} - {n_spaces}) * 1.0 / {n_words})"
-    alpha_frac = (
-        f"(len(list_filter({words}, x -> regexp_matches(x, '[a-z]')))"
-        f" * 1.0 / {n_words})"
-    )
-    z = (
-        f"round({w['bias']} + {w['ln_words']} * ln({n_words}) "
-        f"+ {w['mean_word_len']} * {mean_wlen} "
-        f"+ {w['alpha_frac']} * {alpha_frac} "
-        f"+ {w['stop_density']} * (({stop}) * 1.0 / {n_words}), 6)"
+    ft = _doc_features_sql()
+    n_words, stop = ft["n_words"], ft["stop_hits"]
+    z = _floor6_sql(
+        f"{w['bias']} + {w['ln_words']} * ln({n_words}) "
+        f"+ {w['mean_word_len']} * {ft['mean_word_len']} "
+        f"+ {w['alpha_frac']} * {ft['alpha_frac']} "
+        f"+ {w['stop_density']} * ({stop} * 1.0 / {n_words})"
     )
     return f"""
 SELECT doc_id, source,
        {z} AS logit,
-       round(1.0 / (1.0 + exp(-{z})), 6) AS quality_prob,
+       {_floor6_sql(f"1.0 / (1.0 + exp(-({z})))")} AS quality_prob,
        {z} >= 0.0 AS keep
 FROM documents
 """

@@ -243,11 +243,24 @@ class VersionedParquetStore:
         ``keep_predicate``); every other file is carried by reference —
         the Delta ``DELETE WHERE partition IN (...)`` cost shape."""
         base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"nothing to delete at {self.path}")
         cur = self._read_manifest(base)
         str_vals = {str(v) for v in values}
 
         def is_touched(relpath: str) -> bool:
-            return any(f"{partition_col}={v}" in relpath for v in str_vals)
+            # exact path-SEGMENT compare, unescaping Spark's URL-style
+            # partition-name encoding: a raw substring test both
+            # over-matches prefixes (serial=T1 hits serial=T10 — the
+            # carried manifest would silently drop live partitions) and
+            # under-matches any value Spark escaped on write (space,
+            # colon, % — the sinks.py:299 trap)
+            from urllib.parse import unquote
+
+            for seg in relpath.split(os.sep):
+                if seg.startswith(partition_col + "="):
+                    return unquote(seg[len(partition_col) + 1 :]) in str_vals
+            return False
 
         carried = [f for f in cur["files"] if not is_touched(f)]
         touched = [f for f in cur["files"] if is_touched(f)]
@@ -393,7 +406,13 @@ class VersionedParquetStore:
                 n.endswith(".parquet") for _r, _d, ns in os.walk(full) for n in ns
             )
             if not has_parquet:
-                shutil.rmtree(full)
+                # a parquet-less commit dir is USUALLY an aborted write,
+                # but a concurrent writer that created its staging dir
+                # and hasn't landed a task file yet looks identical —
+                # the retention clock applies here too, or vacuum would
+                # rmtree an in-flight write from under it
+                if now - os.path.getmtime(full) >= orphan_retention_s:
+                    shutil.rmtree(full)
             elif d not in live_dirs and now - os.path.getmtime(full) >= orphan_retention_s:
                 for root, _dirs, names in os.walk(full):
                     for n in names:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.ingest.bronze import dedup_exact, parse_bronze
 from telemetry_streaming_datalake_spark.ingest.silver import to_silver
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
 from telemetry_streaming_datalake_spark.session import load_table, normalize_nano_ts
 
 #: watermark delay for dedup state (reference uses 48 h)
@@ -1034,7 +1035,7 @@ def streaming_grouping_sets(
     return st.select(
         "grain", "bucket", "remote_id", "metric_id", "provider_id", "category_id",
         F.round(F.col("p_sum"), 6).alias("sum_value"),
-        F.round(F.col("p_sum") / F.col("p_n"), 6).alias("avg_value"),
+        floor_round(F.col("p_sum") / F.col("p_n"), 6).alias("avg_value"),
         F.round(F.col("p_min"), 6).alias("min_value"),
         F.round(F.col("p_max"), 6).alias("max_value"),
         F.col("p_n").alias("n_points"),

@@ -185,6 +185,16 @@ class ParquetUpsertStore(ServingStoreWriter):
     degrades to a documented full rewrite (only acceptable for tiny
     key-value stores).
 
+    CONTRACT required by the pruned path: the partition value must be
+    functionally determined by the key (every caller here embeds the
+    datestamp in ``id``).  The same constraint governs any
+    partition-pruned MERGE (Delta included): if a key could MIGRATE
+    partitions between batches, its stale row would sit in an
+    untouched partition the prune never reads, and the store would
+    serve two rows for the key.  Keys that can move partitions must
+    use ``partition_col=None`` (full winner rewrite) or a partition
+    scheme keyed off the key itself.
+
     Durability (r8): every apply lands in a fresh ``v{n}`` directory
     and becomes visible only via an atomic ``CURRENT`` pointer swap
     (tmp + ``os.replace``) — the pre-r8 layout overwrote the store

@@ -156,10 +156,15 @@ def test_decontaminate_broadcasts_benchmark_side(plans):
 
 def test_ngram_jaccard_single_corpus_scan(spark):
     """The fingerprint-blocked Jaccard pass must scan `documents`
-    exactly once: fingerprints + shingle sets come from one persisted
-    frame, candidates from bucket_pairs (no self-join re-execution).
-    All plan references to the parquet scan must be the SAME node
-    (inside the one InMemoryRelation)."""
+    exactly once: fingerprints + shingle sets come from one shared
+    frame (eager localCheckpoint since the r9 leak fix — checkpoint
+    blocks are ContextCleaner-reclaimed, unlike caller-unreleasable
+    cache pins), candidates from bucket_pairs (no self-join
+    re-execution).  The checkpoint materializes the ONE corpus scan up
+    front, so the executed plan must contain ZERO parquet scans — all
+    three consumers read the same checkpointed RDD, making a rescan
+    structurally impossible (strictly stronger than the old
+    one-InMemoryRelation pin)."""
     import re
 
     import __spark_entry__ as E
@@ -167,8 +172,8 @@ def test_ngram_jaccard_single_corpus_scan(spark):
     df = E.queries()["dedup_ngram_jaccard"](spark, SF)
     p = _plan(df)
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
-    assert len(scan_ids) == 1, f"expected one distinct documents scan node: {scan_ids}"
-    assert "InMemoryTableScan" in p
+    assert not scan_ids, f"corpus must come from the checkpoint, not a rescan: {scan_ids}"
+    assert "ExistingRDD" in p
 
 
 def test_scan_prunes_columns(spark):

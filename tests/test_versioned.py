@@ -222,3 +222,27 @@ def test_racing_writers_never_collide_on_staged_data(spark, tmp_path):
     assert removed  # the two orphan staging dirs' files
     assert {r.id for r in w1.read().collect()} == {0, 2}
     assert {r.id for r in w1.read(version=0).collect()} == {0}
+
+
+def test_delete_partitions_exact_segment_match(spark, tmp_path):
+    """A raw substring compare would classify serial=T10 as touched by
+    a delete of serial=T1 (prefix overmatch — permanent loss of the
+    carried partition) and would MISS values Spark URL-escapes in the
+    directory name (space/colon).  Both must route correctly."""
+    store = VersionedParquetStore(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "T1", 1.0), (2, "T10", 2.0), (3, "has space", 3.0)],
+        "id long, serial string, v double",
+    )
+    store.write(df, mode="overwrite", partition_col="serial")
+    store.delete_partitions("serial", ["T1"])
+    left = {r.serial for r in store.read().collect()}
+    assert left == {"T10", "has space"}  # T10 carried, not deleted
+    store.delete_partitions("serial", ["has space"])
+    assert {r.serial for r in store.read().collect()} == {"T10"}
+
+
+def test_delete_partitions_empty_store_raises_cleanly(spark, tmp_path):
+    store = VersionedParquetStore(spark, str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        store.delete_partitions("serial", ["T1"])
