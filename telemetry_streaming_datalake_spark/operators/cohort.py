@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
 FUNNEL_WITHIN_S = 3600
 
 
@@ -66,7 +68,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             F.datediff("activity_date", "cohort_date").cast("long").alias("days_since"),
             "n_active",
             "cohort_size",
-            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            floor_round(F.col("n_active") / F.col("cohort_size"), 6).alias(
                 "retention_pct"
             ),
         )
@@ -91,9 +93,9 @@ SELECT CAST(cohort_date AS VARCHAR)   AS cohort_date,
        n_active,
        max(CASE WHEN activity_date = cohort_date THEN n_active END)
            OVER (PARTITION BY cohort_date) AS cohort_size,
-       round(n_active * 1.0 /
+       floor(n_active * 1.0 /
              max(CASE WHEN activity_date = cohort_date THEN n_active END)
-                 OVER (PARTITION BY cohort_date), 6) AS retention_pct
+                 OVER (PARTITION BY cohort_date) * 1000000.0 + 0.5) / 1000000.0 AS retention_pct
 FROM matrix
 """
 
@@ -157,10 +159,10 @@ def funnel_conversion(
         .agg(
             F.count(F.lit(1)).alias("n_entered"),
             F.count("secs_to_convert").alias("n_converted"),
-            F.round(F.count("secs_to_convert") / F.count(F.lit(1)), 6).alias(
+            floor_round(F.count("secs_to_convert") / F.count(F.lit(1)), 6).alias(
                 "conversion_pct"
             ),
-            F.round(F.avg("secs_to_convert"), 6).alias("avg_seconds_to_convert"),
+            floor_round(F.avg("secs_to_convert"), 6).alias("avg_seconds_to_convert"),
         )
     )
 
@@ -191,8 +193,8 @@ converted AS (
 SELECT CAST(entry_date AS VARCHAR) AS entry_date,
        count(*) AS n_entered,
        count(secs_to_convert) AS n_converted,
-       round(count(secs_to_convert) * 1.0 / count(*), 6) AS conversion_pct,
-       round(avg(secs_to_convert), 6) AS avg_seconds_to_convert
+       floor(count(secs_to_convert) * 1.0 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS conversion_pct,
+       floor(avg(secs_to_convert) * 1000000.0 + 0.5) / 1000000.0 AS avg_seconds_to_convert
 FROM entered LEFT JOIN converted USING (user_id)
 GROUP BY 1
 """
@@ -307,7 +309,7 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "from_type",
         "to_type",
         "n_transitions",
-        F.round(
+        floor_round(
             F.col("n_transitions") / F.sum("n_transitions").over(from_w), 6
         ).alias("share_from"),
     )
@@ -333,8 +335,9 @@ matrix AS (
     GROUP BY 1, 2
 )
 SELECT from_type, to_type, n_transitions,
-       round(n_transitions * 1.0 /
-             sum(n_transitions) OVER (PARTITION BY from_type), 6)
+       floor(n_transitions * 1.0 /
+             sum(n_transitions) OVER (PARTITION BY from_type)
+             * 1000000.0 + 0.5) / 1000000.0
            AS share_from
 FROM matrix
 """

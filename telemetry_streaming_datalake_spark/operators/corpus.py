@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
 from telemetry_streaming_datalake_spark.operators.dedup import (
     _rolling_gram_hashes_udf,
     normalize_text,
@@ -186,7 +188,7 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("total_tokens"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+        floor_round(F.avg("n_toks"), 6).alias("avg_tokens"),
     )
 
 
@@ -197,7 +199,8 @@ SELECT lang, source,
        count(*) AS n_docs,
        CAST(sum(len(string_split(trim({norm}), ' '))) AS BIGINT) AS total_tokens,
        CAST(sum(octet_length(encode({norm}))) AS BIGINT) AS total_bytes,
-       round(avg(len(string_split(trim({norm}), ' '))), 6) AS avg_tokens
+       floor(avg(len(string_split(trim({norm}), ' '))) * 1000000.0 + 0.5)
+           / 1000000.0 AS avg_tokens
 FROM documents
 GROUP BY ALL
 """
@@ -520,7 +523,7 @@ def boilerplate_ngrams(
             "doc_id",
             "n_ngrams",
             "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_ngrams"), 6).alias("boiler_frac"),
+            floor_round(F.col("n_boiler") / F.col("n_ngrams"), 6).alias("boiler_frac"),
         )
     )
 
@@ -545,8 +548,8 @@ freq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
 SELECT doc_id,
        count(*) AS n_ngrams,
        CAST(sum(CASE WHEN df >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-       round(CAST(sum(CASE WHEN df >= {min_docs} THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS boiler_frac
+       floor(CAST(sum(CASE WHEN df >= {min_docs} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS boiler_frac
 FROM grams JOIN freq USING (g)
 GROUP BY doc_id
 """
@@ -668,8 +671,8 @@ def mixture_weights(documents: DataFrame, alpha: float = MIXTURE_ALPHA) -> DataF
         "source",
         "n_docs",
         "n_tokens",
-        F.round(raw_share, 6).alias("raw_share"),
-        F.round(temp_share, 6).alias("temp_share"),
+        floor_round(raw_share, 6).alias("raw_share"),
+        floor_round(temp_share, 6).alias("temp_share"),
     )
 
 
@@ -682,9 +685,10 @@ WITH per_source AS (
     FROM documents GROUP BY source
 )
 SELECT source, n_docs, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS raw_share,
-       round(pow(n_tokens, {alpha}) / sum(pow(n_tokens, {alpha})) OVER (), 6)
-           AS temp_share
+       floor(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()
+             * 1000000.0 + 0.5) / 1000000.0 AS raw_share,
+       floor(pow(n_tokens, {alpha}) / sum(pow(n_tokens, {alpha})) OVER ()
+             * 1000000.0 + 0.5) / 1000000.0 AS temp_share
 FROM per_source
 """
 
@@ -725,8 +729,8 @@ def length_trim(
         .select(
             "doc_id",
             "n_tokens",
-            F.round("lo", 6).alias("p_lo_tokens"),
-            F.round("hi", 6).alias("p_hi_tokens"),
+            floor_round(F.col("lo"), 6).alias("p_lo_tokens"),
+            floor_round(F.col("hi"), 6).alias("p_hi_tokens"),
             ((F.col("n_tokens") < F.col("lo")) | (F.col("n_tokens") > F.col("hi"))).alias(
                 "trimmed"
             ),
@@ -747,8 +751,8 @@ bounds AS (
     FROM per_doc
 )
 SELECT doc_id, n_tokens,
-       round(lo, 6) AS p_lo_tokens,
-       round(hi, 6) AS p_hi_tokens,
+       floor(lo * 1000000.0 + 0.5) / 1000000.0 AS p_lo_tokens,
+       floor(hi * 1000000.0 + 0.5) / 1000000.0 AS p_hi_tokens,
        (n_tokens < lo OR n_tokens > hi) AS trimmed
 FROM per_doc, bounds
 """
@@ -835,10 +839,10 @@ def source_reputation(documents: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            floor_round(F.avg("n_chars"), 6).alias("avg_chars"),
             F.count_distinct("lang").alias("n_langs"),
             F.count_distinct(F.col("content_hash")).alias("n_unique"),
-            F.round(
+            floor_round(
                 1.0 - F.count_distinct(F.col("content_hash")) / F.count(F.lit(1)), 6
             ).alias("dup_rate"),
         )
@@ -851,10 +855,11 @@ def source_reputation_oracle() -> str:
 SELECT source,
        count(*)                           AS n_docs,
        CAST(sum(n_chars) AS BIGINT)       AS total_chars,
-       round(avg(n_chars), 6)             AS avg_chars,
+       floor(avg(n_chars) * 1000000.0 + 0.5) / 1000000.0 AS avg_chars,
        count(DISTINCT lang)               AS n_langs,
        count(DISTINCT md5({norm}))        AS n_unique,
-       round(1.0 - count(DISTINCT md5({norm})) * 1.0 / count(*), 6) AS dup_rate
+       floor((1.0 - count(DISTINCT md5({norm})) * 1.0 / count(*))
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
 FROM documents
 GROUP BY 1
 """
@@ -915,11 +920,11 @@ def token_budget_plan(
     return per_source.select(
         "source",
         "avail_tokens",
-        F.round(share, 6).alias("temp_share"),
-        F.round(planned, 2).alias("planned_tokens"),
-        F.round(epochs, 6).alias("epochs"),
-        F.round(capped, 6).alias("capped_epochs"),
-        F.round(capped * F.col("avail_tokens"), 2).alias("achieved_tokens"),
+        floor_round(share, 6).alias("temp_share"),
+        floor_round(planned, 2).alias("planned_tokens"),
+        floor_round(epochs, 6).alias("epochs"),
+        floor_round(capped, 6).alias("capped_epochs"),
+        floor_round(capped * F.col("avail_tokens"), 2).alias("achieved_tokens"),
     )
 
 
@@ -941,13 +946,14 @@ shared AS (
     FROM per_source
 )
 SELECT source, avail_tokens,
-       round(share, 6) AS temp_share,
-       round(share * {target_tokens}, 2) AS planned_tokens,
-       round(share * {target_tokens} / avail_tokens, 6) AS epochs,
-       round(least(share * {target_tokens} / avail_tokens, {epoch_cap}), 6)
-           AS capped_epochs,
-       round(least(share * {target_tokens} / avail_tokens, {epoch_cap})
-             * avail_tokens, 2) AS achieved_tokens
+       floor(share * 1000000.0 + 0.5) / 1000000.0 AS temp_share,
+       floor(share * {target_tokens} * 100.0 + 0.5) / 100.0 AS planned_tokens,
+       floor(share * {target_tokens} / avail_tokens * 1000000.0 + 0.5)
+           / 1000000.0 AS epochs,
+       floor(least(share * {target_tokens} / avail_tokens, {epoch_cap})
+             * 1000000.0 + 0.5) / 1000000.0 AS capped_epochs,
+       floor(least(share * {target_tokens} / avail_tokens, {epoch_cap})
+             * avail_tokens * 100.0 + 0.5) / 100.0 AS achieved_tokens
 FROM shared
 """
 
@@ -987,7 +993,7 @@ def packing_efficiency(documents: DataFrame, budget: int = PACK_BUDGET) -> DataF
             "n_docs",
             "total_tokens",
             F.ceil(F.col("total_tokens") / budget).alias("bins_used"),
-            F.round(
+            floor_round(
                 F.col("total_tokens")
                 / (F.ceil(F.col("total_tokens") / budget) * budget),
                 6,
@@ -1003,8 +1009,9 @@ WITH packed AS ({pack_sequences_oracle(budget)})
 SELECT lang, shard, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(ceil(sum(n_tokens) * 1.0 / {budget}) AS BIGINT) AS bins_used,
-       round(sum(n_tokens) * 1.0
-             / (ceil(sum(n_tokens) * 1.0 / {budget}) * {budget}), 6) AS fill_rate,
+       floor(sum(n_tokens) * 1.0
+             / (ceil(sum(n_tokens) * 1.0 / {budget}) * {budget})
+             * 1000000.0 + 0.5) / 1000000.0 AS fill_rate,
        CAST(sum(CASE WHEN spans_bins THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
 FROM packed
 GROUP BY 1, 2
@@ -1031,8 +1038,6 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
     sum.  Output: one row — token/vocab volumes, overlap, and
     ``js_divergence`` in bits (0 = identical mix, 1 = disjoint).
     """
-    from telemetry_streaming_datalake_spark.operators.dedup import normalize_text
-
     toks = documents.select(
         (F.col("doc_id") % 2).alias("slice"),
         F.explode(F.split(F.trim(normalize_text(F.col("text"))), " ")).alias("tok"),
@@ -1077,7 +1082,7 @@ def corpus_drift(documents: DataFrame) -> DataFrame:
             # this input (ANSI mode errors on x/0)
             F.when(
                 (F.max("t_ref") > 0) & (F.max("t_new") > 0),
-                F.round(0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), 6),
+                floor_round(0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), 6),
             ).alias("js_divergence"),
         )
     )
@@ -1105,7 +1110,7 @@ SELECT CAST(max(t.t_ref) AS BIGINT) AS n_ref_tokens,
        CAST(sum(CASE WHEN c_ref > 0 AND c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS vocab_shared,
        CASE WHEN max(t.t_ref) > 0 AND max(t.t_new) > 0 THEN
-       round(0.5 * sum(CASE WHEN c_ref > 0 THEN
+       floor((0.5 * sum(CASE WHEN c_ref > 0 THEN
                  (c_ref * 1.0 / t.t_ref)
                  * log2((c_ref * 1.0 / t.t_ref)
                         / (((c_ref * 1.0 / t.t_ref) + (c_new * 1.0 / t.t_new)) / 2))
@@ -1114,6 +1119,6 @@ SELECT CAST(max(t.t_ref) AS BIGINT) AS n_ref_tokens,
                  (c_new * 1.0 / t.t_new)
                  * log2((c_new * 1.0 / t.t_new)
                         / (((c_ref * 1.0 / t.t_ref) + (c_new * 1.0 / t.t_new)) / 2))
-                 ELSE 0 END), 6) END AS js_divergence
+                 ELSE 0 END)) * 1000000.0 + 0.5) / 1000000.0 END AS js_divergence
 FROM counts, tot t
 """

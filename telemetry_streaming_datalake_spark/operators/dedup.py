@@ -835,7 +835,9 @@ def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.3) -> DataFra
     )
 
 
-def ngram_jaccard_oracle(threshold: float = 0.3, window: int = 16, n: int = 5) -> str:
+def ngram_jaccard_oracle(
+    threshold: float = 0.3, window: int = 16, n: int = 5, src: str = "documents"
+) -> str:
     """DuckDB twin of :func:`ngram_jaccard_dedup`, modeling the
     engine's :data:`BUCKET_CAP` hot-bucket bound (the
     `_banded_pairs_tail_sql` convention): per fingerprint bucket, only
@@ -846,7 +848,7 @@ def ngram_jaccard_oracle(threshold: float = 0.3, window: int = 16, n: int = 5) -
     norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
     return f"""
 WITH d AS (
-    SELECT doc_id, {norm} AS norm FROM documents
+    SELECT doc_id, {norm} AS norm FROM {src}
 ),
 fp AS (
     SELECT doc_id, norm,

@@ -442,14 +442,14 @@ def canonical_docs(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     )
 
 
-def canonical_docs_oracle(pairs_sql: str) -> str:
+def canonical_docs_oracle(pairs_sql: str, src: str = "documents") -> str:
     clusters = dup_clusters_oracle(pairs_sql).strip()
     return f"""
 WITH clusters AS ({clusters}),
 labeled AS (
     SELECT d.doc_id, d.n_chars,
            coalesce(c.cluster_id, d.doc_id) AS cluster_id
-    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    FROM {src} d LEFT JOIN clusters c USING (doc_id)
 ),
 ranked AS (
     SELECT doc_id, cluster_id,

@@ -227,7 +227,11 @@ def feature_histogram(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFram
             out = {k: [] for k in ("doc_id", "media_type", "width", "height", "bin", "bin_count")}
             for doc_id, mt, raw in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 img = decode_image(raw)
-                counts = np.bincount(img.reshape(-1) // (256 // bins), minlength=bins)
+                # clamp: for bins that don't divide 256 evenly, byte
+                # 255 would index past bins-1 and the ragged bincount
+                # would break the column lengths below
+                idx = np.minimum(img.reshape(-1) // (256 // bins), bins - 1)
+                counts = np.bincount(idx, minlength=bins)
                 out["doc_id"].extend([doc_id] * bins)
                 out["media_type"].extend([mt] * bins)
                 out["width"].extend([img.shape[1]] * bins)

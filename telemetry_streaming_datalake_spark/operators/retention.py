@@ -36,23 +36,55 @@ def purge_rewrite(df: DataFrame, cutoff_datestamp: str, path: str) -> None:
     )
 
 
+def _partition_cols_of(path: str) -> list[str]:
+    """Hive-layout partition columns of a parquet directory, read off
+    the directory names (``col=value`` levels, outermost first)."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d
+            for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
 def compact(spark: SparkSession, path: str, target_file_mb: int = 128) -> None:
     """OPTIMIZE-analog: rewrite a parquet directory into ~target-sized
     files.  File count is derived from the on-disk bytes, mirroring
-    what Delta's OPTIMIZE bin-packing converges to."""
+    what Delta's OPTIMIZE bin-packing converges to.
+
+    Partition layout is PRESERVED: a datestamp-partitioned lake must
+    come out datestamp-partitioned, or every downstream partition-
+    pruned read (``purge_keep``'s PartitionFilters pin) degrades to a
+    full scan.  The swap is rename-based — the old copy stays intact
+    on disk until the compacted rewrite is fully written, so a crash
+    at any point leaves a complete copy under either the live path or
+    the staging suffix (the in-place overwrite this replaces deleted
+    the only full copy first)."""
+    import shutil
+
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    parts = _partition_cols_of(path)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    # best-effort cleanup of the staging dir
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    writer = df.repartition(n_files, *parts) if parts else df.repartition(n_files)
+    w = writer.write.mode("overwrite")
+    if parts:
+        w = w.partitionBy(*parts)
+    w.parquet(tmp)
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover of a crash
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def zorder_value(col_a, col_b, bits: int = 16):

@@ -109,7 +109,11 @@ def asof_join(
     # single most recent right ROW — carrying each column independently
     # would let a legitimately-NULL column fall back to an older
     # observation while its siblings take the newest (not as-of semantics)
-    rhs = right.select(
+    # a NULL right_ts row must match NOTHING (as-of needs a real
+    # observation time): ascending sort puts NULLS FIRST, so without
+    # this filter such a row would carry its attributes into every
+    # left row that precedes the first real right observation
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias(key),
         F.col(right_ts).alias(left_ts),
         F.struct(*right_cols).alias("__r"),

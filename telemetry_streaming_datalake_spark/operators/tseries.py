@@ -31,6 +31,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
 #: default query pattern: one rise-and-fall pulse (shape is what
 #: matters — z-normalization removes scale and offset)
 TS_QUERY_PATTERN = [0.0, 1.0, 3.0, 6.0, 6.0, 3.0, 1.0, 0.0]
@@ -66,6 +68,11 @@ def ts_similarity(
         bronze_deduped.select(
             "serial", "metric", "unix_ts", "event_id", "value"
         )
+        # NULL readings must leave the series BEFORE windowing on both
+        # engines: Spark's collect_list silently DROPS NULLs while
+        # DuckDB's list() keeps them, so an unfiltered NULL would
+        # misalign every window that spans it
+        .filter(F.col("value").isNotNull())
         .withColumn("win", F.collect_list("value").over(w))
         .filter(F.size("win") == L)
     )
@@ -91,10 +98,10 @@ def ts_similarity(
             ",",
             F.transform(
                 F.col("win"),
-                lambda v: F.round(v, 6).cast("decimal(18,6)").cast("string"),
+                lambda v: floor_round(v, 6).cast("decimal(18,6)").cast("string"),
             ),
         ).alias("window_values"),
-        F.round(F.sqrt(terms), 6).alias("zdist"),
+        floor_round(F.sqrt(terms), 6).alias("zdist"),
     )
     return scored.orderBy("zdist", "serial", "metric", "start_ts").limit(k)
 
@@ -120,7 +127,7 @@ sub AS (
                PARTITION BY serial, metric ORDER BY unix_ts, event_id
                ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING
            ) AS win
-    FROM deduped
+    FROM deduped WHERE value IS NOT NULL
 ),
 full_wins AS (SELECT * FROM sub WHERE len(win) = {L}),
 stats AS (
@@ -131,10 +138,10 @@ stats AS (
 scored AS (
     SELECT serial, metric, unix_ts AS start_ts,
            array_to_string(
-               list_transform(win, v -> CAST(CAST(round(v, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+               list_transform(win, v -> CAST(CAST(floor(v * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS VARCHAR)),
                ','
            ) AS window_values,
-           round(sqrt({dist}), 6) AS zdist
+           floor(sqrt({dist}) * 1000000.0 + 0.5) / 1000000.0 AS zdist
     FROM (
         SELECT *, greatest(sqrt(({var}) / {L}), 1e-12) AS s FROM stats
     )

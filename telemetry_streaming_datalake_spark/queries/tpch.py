@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
 
 def q1_pricing(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-style pricing summary (scan + single agg shuffle)."""
@@ -34,9 +36,9 @@ def q1_pricing(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
             F.round(F.sum(ep), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            floor_round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            floor_round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            floor_round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -97,9 +99,9 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                       * (1 - CAST(l_discount AS DECIMAL(18,4)))
                       * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
-       round(avg(l_quantity), 6)                                   AS avg_qty,
-       round(avg(l_extendedprice), 6)                              AS avg_price,
-       round(avg(l_discount), 6)                                   AS avg_disc,
+       floor(avg(l_quantity) * 1000000.0 + 0.5) / 1000000.0       AS avg_qty,
+       floor(avg(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0   AS avg_price,
+       floor(avg(l_discount) * 1000000.0 + 0.5) / 1000000.0        AS avg_disc,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -327,21 +329,27 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame,
         F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
     )
     j = l.join(F.broadcast(part), l["l_partkey"] == part["p_partkey"])
+    # the ratio computes in DOUBLE over the exact decimal sums with
+    # the same op order as the oracle (100.0 * p / r), floor-form
+    # rounded — a decimal-division path would follow each engine's own
+    # scale rules and a round() would follow its midpoint convention
     return j.agg(
-        F.round(
-            (F.lit(100.0) * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev))
-             / F.sum(rev)).cast("double"),
+        floor_round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).cast("double")
+            / F.sum(rev).cast("double"),
             4,
         ).alias("promo_revenue_pct")
     )
 
 
 Q14_ORACLE = """
-SELECT round(CAST(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+SELECT floor(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                      THEN CAST(l_extendedprice AS DECIMAL(18,4))
-                          * (1 - CAST(l_discount AS DECIMAL(18,4))) END)
-       / sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+                          * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+       * 10000.0 + 0.5) / 10000.0
     AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -811,7 +819,13 @@ def q8_market_share(part: DataFrame, supplier: DataFrame, nation: DataFrame,
     o = orders.filter(
         (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal arithmetic (the q10 discipline, r9 review): raw double
+    # sums are partial-aggregated in Spark but sequential in DuckDB —
+    # the same class q3 measured flipping at sf0.1.  The share ratio
+    # then computes in DOUBLE over the exact sums, floor-form rounded.
+    volume = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
     return (
         lineitem.join(F.broadcast(p), lineitem["l_partkey"] == F.col("p_partkey"))
         .join(o, lineitem["l_orderkey"] == o["o_orderkey"])
@@ -820,22 +834,31 @@ def q8_market_share(part: DataFrame, supplier: DataFrame, nation: DataFrame,
         .join(F.broadcast(supp_n), supplier["s_nationkey"] == F.col("sn_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == share_nation, volume).otherwise(F.lit(0.0)))
-                / F.sum(volume),
+            floor_round(
+                F.sum(
+                    F.when(F.col("supp_nation") == share_nation, volume)
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(volume).cast("double"),
                 6,
             ).alias("mkt_share"),
-            F.round(F.sum(volume), 2).alias("total_volume"),
+            F.round(F.sum(volume), 2).cast("double").alias("total_volume"),
         )
     )
 
 
 Q8_ORACLE = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_volume
+       floor(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS mkt_share,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+           AS total_volume
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey

@@ -839,6 +839,39 @@ def test_curation_manifest_precedence_and_composition(spark):
         assert r.final_keep == (r.gate_keep and r.is_exact_keeper and r.is_canonical)
 
 
+def test_curation_manifest_gate_failing_canonical_does_not_sink_content(spark):
+    """Stage ordering (r9 review): near-dup clustering must run over
+    GATE SURVIVORS.  A near-dup cluster whose longest member (the
+    n_chars-DESC canonical pick) FAILS the gate used to erase the
+    content entirely: the long copy dropped as `gate`, every clean
+    near-dup copy as `near_dup`.  (The analogous exact-dup scenario is
+    impossible by construction — identical normalized text implies an
+    identical gate verdict — so the near-dup leg is where the ordering
+    bites.)"""
+    from telemetry_streaming_datalake_spark.operators import curation as CU
+
+    stop = (
+        "the cat and the dog of a mat sat on the hat with a bat near the "
+        "rat and the fox ran to the den of the owl in a tree by the lake"
+    )
+    # doc 1: clean copy (all-alpha, stopword-rich) — passes the gate
+    # doc 0: the SAME text plus a numeric tail — longer (old canonical
+    # pick) but alpha_word_frac < 0.8 fails the gate
+    numeric_tail = " ".join(str(1000 + i) for i in range(14))
+    rows = [
+        (0, stop + " " + numeric_tail, "en", "s", 1),
+        (1, stop, "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in CU.curation_manifest(docs).collect()}
+    assert out[0].drop_reason == "gate" and not out[0].gate_keep
+    # the clean near-dup copy SURVIVES as its own canonical
+    assert out[1].final_keep and out[1].drop_reason is None
+    assert sum(1 for r in out.values() if r.final_keep) == 1
+
+
 def test_incremental_dedup_against_index(spark, tmp_path):
     """Incoming batch dedups against a persisted corpus index: exact
     dups of indexed docs flagged regardless of id ordering, in-batch
