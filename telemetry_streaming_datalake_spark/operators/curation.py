@@ -70,6 +70,12 @@ def curation_manifest(documents: DataFrame) -> DataFrame:
     min_keep = F.min(
         F.when(F.col("gate_keep"), F.col("doc_id"))
     ).over(Window.partitionBy("content_hash"))
+    # eager localCheckpoint: the gate+window subtree feeds BOTH the
+    # survivor semi-join (under the near-dup leg) and the final
+    # manifest — without the checkpoint the text-heavy gate features
+    # would compute twice (one extra corpus scan); checkpointed, the
+    # corpus text is scanned once and this narrow (id, bool, bool,
+    # hex4) frame serves both consumers (ContextCleaner reclaims it)
     gate_exact = gate.select(
         "doc_id",
         "gate_keep",
@@ -77,7 +83,7 @@ def curation_manifest(documents: DataFrame) -> DataFrame:
             "is_exact_keeper"
         ),
         F.substring("content_hash", 1, 4).alias("__h4"),
-    )
+    ).localCheckpoint(eager=True)
     # near-dup clustering over gate∧exact survivors only (the
     # gate-then-dedup order; see module docstring)
     surv_ids = gate_exact.filter(
