@@ -501,7 +501,12 @@ def boilerplate_ngrams(
     from pyspark.sql import Window
 
     norm = normalize_text(F.col("text"))
-    base = documents.select("doc_id", F.split(norm, " ").alias("toks"))
+    # NULL text emits zero rows (the decontaminate/dup_spans convention);
+    # without the filter the NULL-token chain survives as one phantom
+    # NULL gram (size(NULL) is NULL, greatest skips it → sequence(1,1))
+    base = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split(norm, " ").alias("toks")
+    )
     grams_arr = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(size(toks) - {n_words - 1}, 1)), "

@@ -75,7 +75,10 @@ def attach_image_payload(documents: DataFrame) -> DataFrame:
     everything the decode path computes.
     """
     pixels = F.unhex(F.repeat(F.md5("text"), _MD5_REPS))
-    return documents.select(
+    # a NULL text has no media twin (md5(NULL) is NULL — the payload
+    # would be a NULL blob every decoder downstream must dodge); drop
+    # it here, exactly like a corpus row whose media file is missing
+    return documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.concat(F.encode(F.lit(PPM_HEADER), "UTF-8"), pixels).alias("payload"),
         F.lit("image/x-portable-pixmap").alias("media_type"),
@@ -226,6 +229,8 @@ def feature_histogram(payloads: DataFrame, bins: int = FEATURE_BINS) -> DataFram
         for pdf in it:
             out = {k: [] for k in ("doc_id", "media_type", "width", "height", "bin", "bin_count")}
             for doc_id, mt, raw in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if raw is None:  # missing media: skip, never crash the job
+                    continue
                 img = decode_image(raw)
                 # clamp: for bins that don't divide 256 evenly, byte
                 # 255 would index past bins-1 and the ragged bincount
@@ -249,6 +254,7 @@ _ORACLE_PIXELS = f"""
 SELECT doc_id,
        ('0x' || substr(repeat(md5(text), {_MD5_REPS}), 2 * i - 1, 2))::INT AS px
 FROM documents, unnest(range(1, {IMG_W * IMG_H * 3} + 1)) AS u(i)
+WHERE text IS NOT NULL
 """
 
 
@@ -262,7 +268,8 @@ counts AS (
     FROM px GROUP BY 1, 2
 ),
 grid AS (
-    SELECT doc_id, unnest(range({bins})) AS bin FROM documents
+    SELECT doc_id, unnest(range({bins})) AS bin
+    FROM documents WHERE text IS NOT NULL
 )
 SELECT g.doc_id,
        'image/x-portable-pixmap' AS media_type,
@@ -306,6 +313,8 @@ def frame_sample(documents: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
         for pdf in it:
             ids, totals, hashes = [], [], []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                if raw is None:  # missing media: skip, never crash the job
+                    continue
                 img = decode_image(raw)
                 digests = [
                     hashlib.md5(bytes(img[r].reshape(-1)).hex().encode()).hexdigest()
@@ -324,7 +333,8 @@ def frame_sample(documents: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
 def frame_sample_oracle(stride: int = FRAME_STRIDE) -> str:
     row_hex = IMG_W * 3 * 2  # hex chars per scanline
     return f"""
-WITH rep AS (SELECT doc_id, repeat(md5(text), {_MD5_REPS}) AS hx FROM documents)
+WITH rep AS (SELECT doc_id, repeat(md5(text), {_MD5_REPS}) AS hx
+             FROM documents WHERE text IS NOT NULL)
 SELECT doc_id,
        {IMG_H}::INT AS n_frames_total,
        array_to_string(
@@ -365,6 +375,8 @@ def thumbnail_digest(documents: DataFrame) -> DataFrame:
         for pdf in it:
             out = {k: [] for k in ("doc_id", "media_type", "byte_len", "thumb_w", "thumb_h", "thumb_md5")}
             for doc_id, mt, raw in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if raw is None:  # missing media: skip, never crash the job
+                    continue
                 thumb = resize_image(raw, THUMB_W, THUMB_H)
                 pixel_hex = thumb[header_len:].hex()
                 out["doc_id"].append(doc_id)
@@ -379,7 +391,8 @@ def thumbnail_digest(documents: DataFrame) -> DataFrame:
 
 
 THUMBNAIL_ORACLE = f"""
-WITH rep AS (SELECT doc_id, repeat(md5(text), {_MD5_REPS}) AS hx FROM documents),
+WITH rep AS (SELECT doc_id, repeat(md5(text), {_MD5_REPS}) AS hx
+             FROM documents WHERE text IS NOT NULL),
 thumb AS (
     SELECT doc_id,
            array_to_string(
@@ -436,6 +449,8 @@ def attach_audio_payload(documents: DataFrame) -> DataFrame:
     """
     header = _wav_header(AUDIO_N_SAMPLES, AUDIO_SAMPLE_RATE)
     samples = F.unhex(F.repeat(F.md5("text"), _AUDIO_MD5_REPS))
+    # NULL text ⇒ no synthesized media (see attach_image_payload)
+    documents = documents.filter(F.col("text").isNotNull())
     return documents.select(
         "doc_id",
         F.concat(F.lit(bytearray(header)), samples).alias("payload"),
@@ -508,6 +523,8 @@ def audio_features(documents: DataFrame) -> DataFrame:
                 "duration_ms", "peak_abs", "rms", "zero_crossings",
             )}
             for doc_id, mt, raw in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if raw is None:  # missing media: skip, never crash the job
+                    continue
                 rate, s = decode_wav(raw)
                 s64 = s.astype(np.int64)
                 nz = ((s64[1:] >= 0) != (s64[:-1] >= 0)).sum()
@@ -530,7 +547,8 @@ def audio_features_oracle() -> str:
     (little-endian: low byte first), then the same statistics."""
     return f"""
 WITH rep AS (
-    SELECT doc_id, repeat(md5(text), {_AUDIO_MD5_REPS}) AS hx FROM documents
+    SELECT doc_id, repeat(md5(text), {_AUDIO_MD5_REPS}) AS hx
+    FROM documents WHERE text IS NOT NULL
 ),
 samples AS (
     SELECT doc_id, i,
@@ -620,7 +638,8 @@ def attach_png_payload(documents: DataFrame) -> DataFrame:
         _chunk(b"IDAT", F.unhex(h)),
         _chunk(b"IEND", F.lit(bytearray(b""))),
     )
-    return documents.select(
+    # NULL text ⇒ no synthesized media (see attach_image_payload)
+    return documents.filter(F.col("text").isNotNull()).select(
         "doc_id", payload.alias("payload"), F.lit("image/png").alias("media_type")
     )
 
@@ -687,6 +706,8 @@ def png_meta(documents: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # missing media: skip, never crash the job
+                    continue
                 m = parse_png(bytes(payload))
                 rows.append(
                     (
@@ -722,4 +743,5 @@ SELECT doc_id,
        8 AS bit_depth, 2 AS color_type, 0 AS interlace,
        3 AS n_chunks, 16 AS idat_bytes, TRUE AS crc_ok
 FROM documents
+WHERE text IS NOT NULL
 """

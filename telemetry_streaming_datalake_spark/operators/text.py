@@ -565,9 +565,13 @@ def char_entropy(documents: DataFrame) -> DataFrame:
     only per-char counts, no per-char probabilities (keeps the
     arithmetic associative for the partial agg).
     """
+    # regexp_extract_all('(?s).') yields CODE POINTS (a zero-width
+    # split pattern breaks astral-plane chars into lone surrogate
+    # halves — the DuckDB oracle counts codepoints, so emoji/CJK-ext
+    # text would diverge)
     chars = documents.select(
         "doc_id",
-        F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"),
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("(?s)."), 0)).alias("ch"),
     ).filter(F.length("ch") > 0)
     per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -739,10 +743,9 @@ def _bpe_learn(
         )
     words = words.select(
         "word",
-        # the zero-width split emits a trailing "" — drop empties
-        F.filter(
-            F.split("word", "(?!^)"), lambda s: F.length(s) > 0
-        ).alias("syms"),
+        # codepoint-true symbol alphabet (see char_entropy: a
+        # zero-width split would break surrogate pairs)
+        F.regexp_extract_all("word", F.lit("(?s)."), 0).alias("syms"),
         "freq",
     )
     vocab = words.localCheckpoint(eager=True)
@@ -916,9 +919,8 @@ def tokenize_fixed_vocab(
         .distinct()
         .select(
             "word",
-            F.filter(
-                F.split("word", "(?!^)"), lambda s: F.length(s) > 0
-            ).alias("syms"),
+            # codepoint-true symbols (see char_entropy)
+            F.regexp_extract_all("word", F.lit("(?s)."), 0).alias("syms"),
         )
     )
     for a, b in rules:
