@@ -1033,7 +1033,7 @@ WITH bronze AS ({B.BRONZE_PARSE_ORACLE})
 SELECT metric || '|' || datestamp || '|' || hourstamp AS id,
        metric, datestamp, hourstamp,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
        min(value) AS min_value,
        max(value) AS max_value
 FROM bronze

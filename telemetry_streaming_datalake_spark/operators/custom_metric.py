@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.datamodel import CUSTOM_METRIC_CTE
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
 
 
 def custom_metric_sum(gold: DataFrame, custom_mapping: DataFrame) -> DataFrame:
@@ -30,7 +31,7 @@ def custom_metric_sum(gold: DataFrame, custom_mapping: DataFrame) -> DataFrame:
     joined = gold.join(m, gold["metric_id"] == m["mapping_metric_id"])
     return (
         joined.groupBy("unix_ts", "remote_id", "provider_id", "category_id", "custom_metric_id")
-        .agg(F.round(F.sum(F.col("value_double").cast("double")), 6).alias("value_double"))
+        .agg(floor_round(F.sum(F.col("value_double").cast("double")), 6).alias("value_double"))
         .withColumnRenamed("custom_metric_id", "metric_id")
     )
 
@@ -45,12 +46,12 @@ def custom_metric_join(gold: DataFrame, custom_mapping: DataFrame) -> DataFrame:
     return (
         joined.groupBy("remote_id", "datestamp", "custom_metric_id")
         .agg(
-            F.round(F.sum(F.when(F.col("metric") == "purchase", v)), 6).alias("purchase_value"),
-            F.round(F.sum(F.when(F.col("metric") == "click", v)), 6).alias("click_value"),
+            floor_round(F.sum(F.when(F.col("metric") == "purchase", v)), 6).alias("purchase_value"),
+            floor_round(F.sum(F.when(F.col("metric") == "click", v)), 6).alias("click_value"),
         )
         .withColumn(
             "pair_ratio",
-            F.round(
+            floor_round(
                 F.when(
                     F.col("click_value").isNotNull() & (F.col("click_value") != 0),
                     F.col("purchase_value") / F.col("click_value"),
@@ -69,7 +70,7 @@ def custom_metric_sum_oracle(gold_cte: str) -> str:
         + """
 SELECT unix_ts, remote_id, provider_id, category_id,
        custom_metric_id AS metric_id,
-       round(sum(CAST(value_double AS DOUBLE)), 6) AS value_double
+       floor(sum(CAST(value_double AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS value_double
 FROM gold g
 JOIN custom_metric_mapping m
   ON g.metric_id = m.mapping_metric_id AND m.mapping_type = 'SUM'
@@ -84,12 +85,12 @@ def custom_metric_join_oracle(gold_cte: str) -> str:
         + CUSTOM_METRIC_CTE.strip()
         + """
 SELECT remote_id, datestamp, custom_metric_id AS metric_id,
-       round(sum(CASE WHEN metric = 'purchase' THEN CAST(value_double AS DOUBLE) END), 6) AS purchase_value,
-       round(sum(CASE WHEN metric = 'click'    THEN CAST(value_double AS DOUBLE) END), 6) AS click_value,
-       round(CASE WHEN sum(CASE WHEN metric = 'click' THEN CAST(value_double AS DOUBLE) END) <> 0
-             THEN round(sum(CASE WHEN metric = 'purchase' THEN CAST(value_double AS DOUBLE) END), 6)
-                / round(sum(CASE WHEN metric = 'click'    THEN CAST(value_double AS DOUBLE) END), 6)
-             END, 6) AS pair_ratio
+       floor(sum(CASE WHEN metric = 'purchase' THEN CAST(value_double AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS purchase_value,
+       floor(sum(CASE WHEN metric = 'click'    THEN CAST(value_double AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS click_value,
+       floor(CASE WHEN sum(CASE WHEN metric = 'click' THEN CAST(value_double AS DOUBLE) END) <> 0
+             THEN (floor(sum(CASE WHEN metric = 'purchase' THEN CAST(value_double AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0)
+                / (floor(sum(CASE WHEN metric = 'click'    THEN CAST(value_double AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0)
+             END * 1000000.0 + 0.5) / 1000000.0 AS pair_ratio
 FROM gold g
 JOIN custom_metric_mapping m
   ON g.metric_id = m.mapping_metric_id AND m.mapping_type = 'JOIN'

@@ -232,13 +232,13 @@ def pivot_metrics(bronze_deduped: DataFrame) -> DataFrame:
     return (
         bronze_deduped.groupBy("serial", "datestamp")
         .pivot("metric", list(METRIC_NAMES))
-        .agg(F.round(F.sum("value"), 6))
+        .agg(floor_round(F.sum("value"), 6))
     )
 
 
 def pivot_metrics_oracle(bronze_dedup_sql: str) -> str:
     cols = ",\n       ".join(
-        f"round(sum(CASE WHEN metric = '{m}' THEN value END), 6) AS {m}"
+        f"floor(sum(CASE WHEN metric = '{m}' THEN value END) * 1000000.0 + 0.5) / 1000000.0 AS {m}"
         for m in METRIC_NAMES
     )
     return f"""
@@ -277,7 +277,7 @@ def gapfill_hourly(bronze_deduped: DataFrame, bucket_secs: int = GAPFILL_BUCKET_
         bronze_deduped.select("serial", "metric", b, "value")
         .groupBy("serial", "metric", "bucket_ts")
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            floor_round(F.avg("value"), 6).alias("avg_value"),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
@@ -311,7 +311,7 @@ def gapfill_hourly_oracle(bronze_dedup_sql: str, bucket_secs: int = GAPFILL_BUCK
 WITH deduped AS ({bronze_dedup_sql}),
 per_bucket AS (
     SELECT serial, metric, unix_ts - unix_ts % {bucket_secs} AS bucket_ts,
-           round(avg(value), 6) AS avg_value, count(*) AS n_obs
+           floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value, count(*) AS n_obs
     FROM deduped GROUP BY 1, 2, 3
 ),
 bounds AS (
@@ -443,7 +443,7 @@ def metric_rank_report(bronze_deduped: DataFrame, n_tiles: int = RANK_NTILES) ->
     from pyspark.sql import Window
 
     per_entity = bronze_deduped.groupBy("metric", "serial").agg(
-        F.round(F.sum("value"), 6).alias("total_value"),
+        floor_round(F.sum("value"), 6).alias("total_value"),
         F.count(F.lit(1)).alias("n_readings"),
     )
     w = Window.partitionBy("metric").orderBy(F.col("total_value").desc(), "serial")
@@ -453,7 +453,7 @@ def metric_rank_report(bronze_deduped: DataFrame, n_tiles: int = RANK_NTILES) ->
         "total_value",
         "n_readings",
         F.dense_rank().over(w).cast("long").alias("rank_in_metric"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        floor_round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.ntile(n_tiles).over(w).cast("long").alias("quartile"),
     )
 
@@ -463,13 +463,13 @@ def metric_rank_report_oracle(bronze_dedup_sql: str, n_tiles: int = RANK_NTILES)
 WITH deduped AS ({bronze_dedup_sql}),
 per_entity AS (
     SELECT metric, serial,
-           round(sum(value), 6) AS total_value,
+           floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS total_value,
            count(*) AS n_readings
     FROM deduped GROUP BY 1, 2
 )
 SELECT metric, serial, total_value, n_readings,
        CAST(dense_rank() OVER w AS BIGINT) AS rank_in_metric,
-       round(percent_rank() OVER w, 6)     AS pct_rank,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
        CAST(ntile({n_tiles}) OVER w AS BIGINT) AS quartile
 FROM per_entity
 WINDOW w AS (PARTITION BY metric ORDER BY total_value DESC, serial)
@@ -495,8 +495,8 @@ def value_histogram(bronze_deduped: DataFrame, n_buckets: int = HIST_BUCKETS) ->
     One partial-agg shuffle per pass; the fact never sorts.
     """
     bounds = bronze_deduped.groupBy("metric").agg(
-        F.round(F.min("value"), 6).alias("lo"),
-        F.round(F.max("value"), 6).alias("hi"),
+        floor_round(F.min("value"), 6).alias("lo"),
+        floor_round(F.max("value"), 6).alias("hi"),
     )
     j = bronze_deduped.select("metric", "value").join(F.broadcast(bounds), "metric")
     width = (F.col("hi") - F.col("lo")) / n_buckets
@@ -511,8 +511,8 @@ def value_histogram(bronze_deduped: DataFrame, n_buckets: int = HIST_BUCKETS) ->
         .groupBy("metric", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            F.round(F.min("value"), 6).alias("bucket_min"),
-            F.round(F.max("value"), 6).alias("bucket_max"),
+            floor_round(F.min("value"), 6).alias("bucket_min"),
+            floor_round(F.max("value"), 6).alias("bucket_max"),
         )
     )
 
@@ -521,7 +521,8 @@ def value_histogram_oracle(bronze_dedup_sql: str, n_buckets: int = HIST_BUCKETS)
     return f"""
 WITH deduped AS ({bronze_dedup_sql}),
 bounds AS (
-    SELECT metric, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    SELECT metric, floor(min(value) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+           floor(max(value) * 1000000.0 + 0.5) / 1000000.0 AS hi
     FROM deduped GROUP BY 1
 )
 SELECT d.metric,
@@ -529,8 +530,8 @@ SELECT d.metric,
             ELSE greatest(least(floor((d.value - b.lo) / ((b.hi - b.lo) / {n_buckets})),
                           {n_buckets - 1}), 0) END AS BIGINT) AS bucket,
        count(*) AS n_points,
-       round(min(d.value), 6) AS bucket_min,
-       round(max(d.value), 6) AS bucket_max
+       floor(min(d.value) * 1000000.0 + 0.5) / 1000000.0 AS bucket_min,
+       floor(max(d.value) * 1000000.0 + 0.5) / 1000000.0 AS bucket_max
 FROM deduped d JOIN bounds b USING (metric)
 GROUP BY 1, 2
 """
@@ -566,7 +567,7 @@ def cumulative_metric(bronze_deduped: DataFrame) -> DataFrame:
         "event_id",
         "unix_ts",
         "value",
-        F.round(F.sum("value").over(w), 6).alias("running_total"),
+        floor_round(F.sum("value").over(w), 6).alias("running_total"),
         F.row_number()
         .over(Window.partitionBy("serial", "metric").orderBy("unix_ts", "event_id"))
         .cast("long")
@@ -578,7 +579,7 @@ def cumulative_metric_oracle(bronze_dedup_sql: str) -> str:
     return f"""
 WITH deduped AS ({bronze_dedup_sql})
 SELECT serial, metric, event_id, unix_ts, value,
-       round(sum(value) OVER w, 6) AS running_total,
+       floor(sum(value) OVER w * 1000000.0 + 0.5) / 1000000.0 AS running_total,
        CAST(row_number() OVER w2 AS BIGINT) AS reading_seq
 FROM deduped
 WINDOW w AS (PARTITION BY serial, metric ORDER BY unix_ts, event_id
@@ -616,7 +617,7 @@ def metric_correlation(bronze_deduped: DataFrame) -> DataFrame:
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             key = f"{a}__{b}"
-            aggs.append(F.round(F.corr(a, b), 6).alias(f"c_{key}"))
+            aggs.append(floor_round(F.corr(a, b), 6).alias(f"c_{key}"))
             aggs.append(
                 F.count(
                     F.when(F.col(a).isNotNull() & F.col(b).isNotNull(), 1)
@@ -635,7 +636,7 @@ def metric_correlation(bronze_deduped: DataFrame) -> DataFrame:
 def metric_correlation_oracle(bronze_dedup_sql: str) -> str:
     names = list(METRIC_NAMES)
     cols = ",\n       ".join(
-        f"round(sum(CASE WHEN metric = '{m}' THEN value END), 6) AS {m}"
+        f"floor(sum(CASE WHEN metric = '{m}' THEN value END) * 1000000.0 + 0.5) / 1000000.0 AS {m}"
         for m in names
     )
     selects = []
@@ -643,7 +644,7 @@ def metric_correlation_oracle(bronze_dedup_sql: str) -> str:
         for b in names[i + 1:]:
             selects.append(
                 f"SELECT '{a}' AS metric_a, '{b}' AS metric_b, "
-                f"round(corr({a}, {b}), 6) AS corr, "
+                f"floor(corr({a}, {b}) * 1000000.0 + 0.5) / 1000000.0 AS corr, "
                 f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END) AS n_days "
                 f"FROM wide"
             )
@@ -793,7 +794,7 @@ def downsample_ohlc(bronze_deduped: DataFrame, bucket_secs: int = 3600) -> DataF
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.max_by("value", "unix_ts").alias("close"),
-            F.round(F.avg("value"), 6).alias("mean"),
+            floor_round(F.avg("value"), 6).alias("mean"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -808,7 +809,7 @@ SELECT serial, metric,
        max(value) AS high,
        min(value) AS low,
        arg_max(value, unix_ts) AS close,
-       round(avg(value), 6) AS mean,
+       floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean,
        count(*) AS n
 FROM deduped
 GROUP BY 1, 2, 3

@@ -316,7 +316,13 @@ def agg_consistency(day_rollup: DataFrame, month_rollup: DataFrame) -> DataFrame
     def stage(df: DataFrame, label: str) -> DataFrame:
         return (
             df.groupBy("metric_id", "provider_id")
-            .agg(F.round(F.sum("sum_value"), 6).alias("sum_of_sum"))
+            # sum_value is 6dp by contract → the decimal re-sum is
+            # EXACT (see rollup._rollup), immune to accumulation order
+            .agg(
+                floor_round(
+                    F.sum(F.col("sum_value").cast("decimal(38,6)")).cast("double"), 6
+                ).alias("sum_of_sum")
+            )
             .select(
                 F.lit(label).alias("stage"), "metric_id", "provider_id", "sum_of_sum"
             )
@@ -330,11 +336,13 @@ def agg_consistency_oracle(day_cte: str, month_cte: str) -> str:
 WITH day_agg AS ({day_cte}),
 month_agg AS ({month_cte})
 SELECT 'agg_day' AS stage, metric_id, provider_id,
-       round(sum(sum_value), 6) AS sum_of_sum
+       floor(CAST(sum(CAST(sum_value AS DECIMAL(38,6))) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS sum_of_sum
 FROM day_agg GROUP BY ALL
 UNION ALL
 SELECT 'agg_month' AS stage, metric_id, provider_id,
-       round(sum(sum_value), 6) AS sum_of_sum
+       floor(CAST(sum(CAST(sum_value AS DECIMAL(38,6))) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS sum_of_sum
 FROM month_agg GROUP BY ALL
 """
 
@@ -513,7 +521,7 @@ def availability_report(
             "datestamp",
             "n_readings",
             "downtime_secs",
-            F.round(1.0 - F.col("downtime_secs") / F.lit(86400.0), 6).alias(
+            floor_round(1.0 - F.col("downtime_secs") / F.lit(86400.0), 6).alias(
                 "availability"
             ),
         )
@@ -539,8 +547,9 @@ SELECT serial, datestamp,
        CAST(sum(greatest(gap - {slack_s}, 0))
            + greatest(max(day0) + 86400 - max(unix_ts) - {slack_s}, 0) AS BIGINT)
            AS downtime_secs,
-       round(1.0 - (sum(greatest(gap - {slack_s}, 0))
-           + greatest(max(day0) + 86400 - max(unix_ts) - {slack_s}, 0)) / 86400.0, 6)
+       floor((1.0 - (sum(greatest(gap - {slack_s}, 0))
+           + greatest(max(day0) + 86400 - max(unix_ts) - {slack_s}, 0)) / 86400.0)
+           * 1000000.0 + 0.5) / 1000000.0
            AS availability
 FROM gaps
 GROUP BY serial, datestamp

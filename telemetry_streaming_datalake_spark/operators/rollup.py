@@ -32,14 +32,23 @@ def _rollup(gold: DataFrame, bucket_expr, bucket_name: str) -> DataFrame:
         F.col("agg_type").isin("SUM", "AVG") & (F.col("value_double") != 0)
     )
     v = F.col("value_double").cast("double")
+    # value_double is a 6dp decimal by construction (enrich_gold rounds
+    # at the edge), so summing DECIMAL(38,6) is EXACT — the sum (and
+    # the avg derived from it) no longer depends on partitioning or
+    # accumulation order, which double sums do in the last ulp (a
+    # boundary-straddling group then flips the 6dp floor between
+    # engines — caught by the dyadic fuzz corpus).  The reference
+    # itself aggregates Decimal (Step 05 casts Decimal(30,15)).
+    vd = F.col("value_double").cast("decimal(38,6)")
+    sd = F.sum(vd).cast("double")
     out = (
         eligible.withColumn(bucket_name, bucket_expr)
         .groupBy(bucket_name, *_GROUP)
         .agg(
-            F.round(F.sum(v), 6).alias("sum_value"),
-            floor_round(F.avg(v), 6).alias("avg_value"),
-            F.round(F.min(v), 6).alias("min_value"),
-            F.round(F.max(v), 6).alias("max_value"),
+            floor_round(sd, 6).alias("sum_value"),
+            floor_round(sd / F.count(F.lit(1)), 6).alias("avg_value"),
+            floor_round(F.min(v), 6).alias("min_value"),
+            floor_round(F.max(v), 6).alias("max_value"),
             F.count(F.lit(1)).alias("n_points"),
         )
     )
@@ -78,11 +87,14 @@ WITH gold AS ({gold_cte})
 SELECT
     {bucket_sql} AS {bucket_name},
     remote_id, metric_id, provider_id, category_id,
-    round(sum(CAST(value_double AS DOUBLE)), 6) AS sum_value,
-    floor(avg(CAST(value_double AS DOUBLE)) * 1000000.0 + 0.5)
+    floor(CAST(sum(CAST(value_double AS DECIMAL(38,6))) AS DOUBLE) * 1000000.0 + 0.5)
+        / 1000000.0 AS sum_value,
+    floor(CAST(sum(CAST(value_double AS DECIMAL(38,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
         / 1000000.0 AS avg_value,
-    round(min(CAST(value_double AS DOUBLE)), 6) AS min_value,
-    round(max(CAST(value_double AS DOUBLE)), 6) AS max_value,
+    floor(min(CAST(value_double AS DOUBLE)) * 1000000.0 + 0.5)
+        / 1000000.0 AS min_value,
+    floor(max(CAST(value_double AS DOUBLE)) * 1000000.0 + 0.5)
+        / 1000000.0 AS max_value,
     count(*) AS n_points,
     CAST(remote_id AS VARCHAR) || '|' || CAST({bucket_sql} AS VARCHAR) || '|' ||
     CAST(metric_id AS VARCHAR) || '|' || CAST(provider_id AS VARCHAR) || '|' ||
@@ -106,11 +118,14 @@ def _partial_hour(gold: DataFrame) -> DataFrame:
         F.col("agg_type").isin("SUM", "AVG") & (F.col("value_double") != 0)
     )
     v = F.col("value_double").cast("double")
+    # p_sum is an EXACT decimal partial (value_double is 6dp — see
+    # _rollup): merge order can never move the 6dp edge round
+    vd = F.col("value_double").cast("decimal(38,6)")
     return (
         eligible.withColumn("bucket_ts", F.col("unix_ts") - F.col("unix_ts") % 3600)
         .groupBy("bucket_ts", *_GROUP)
         .agg(
-            F.sum(v).alias("p_sum"),
+            F.sum(vd).alias("p_sum"),
             F.min(v).alias("p_min"),
             F.max(v).alias("p_max"),
             F.count(F.lit(1)).alias("p_n"),
@@ -138,7 +153,7 @@ def incremental_rollup_hour(gold: DataFrame, cutoff_unix: int) -> DataFrame:
     b = base.select(*keys, *[F.col(c).alias(f"b_{c}") for c in ("p_sum", "p_min", "p_max", "p_n")])
     d = delta.select(*keys, *[F.col(c).alias(f"d_{c}") for c in ("p_sum", "p_min", "p_max", "p_n")])
     m = b.join(d, keys, "full_outer")
-    zero = F.lit(0.0)
+    zero = F.lit(0).cast("decimal(38,6)")
     merged = m.select(
         *keys,
         (F.coalesce("b_p_sum", zero) + F.coalesce("d_p_sum", zero)).alias("p_sum"),
@@ -153,10 +168,10 @@ def incremental_rollup_hour(gold: DataFrame, cutoff_unix: int) -> DataFrame:
     out = merged.select(
         "bucket_ts",
         *_GROUP,
-        F.round("p_sum", 6).alias("sum_value"),
-        floor_round(F.col("p_sum") / F.col("p_n"), 6).alias("avg_value"),
-        F.round("p_min", 6).alias("min_value"),
-        F.round("p_max", 6).alias("max_value"),
+        floor_round(F.col("p_sum").cast("double"), 6).alias("sum_value"),
+        floor_round(F.col("p_sum").cast("double") / F.col("p_n"), 6).alias("avg_value"),
+        floor_round(F.col("p_min"), 6).alias("min_value"),
+        floor_round(F.col("p_max"), 6).alias("max_value"),
         F.col("p_n").alias("n_points"),
     )
     return out.withColumn(
@@ -207,14 +222,17 @@ def rollup_grouping_sets(gold: DataFrame) -> DataFrame:
         .withColumn("day_ts", F.col("unix_ts") - F.col("unix_ts") % 86400)
         .withColumn("month_key", F.substring("datestamp", 1, 7))
     )
+    # exact decimal sum — see _rollup: deterministic at any partitioning
+    vd = F.col("value_double").cast("decimal(38,6)")
+    sd = F.sum(vd).cast("double")
     grouped = pre.groupingSets(
         [["hour_ts", *_GROUP], ["day_ts", *_GROUP], ["month_key", *_GROUP]],
         "hour_ts", "day_ts", "month_key", *_GROUP,
     ).agg(
-        F.round(F.sum(v), 6).alias("sum_value"),
-        floor_round(F.avg(v), 6).alias("avg_value"),
-        F.round(F.min(v), 6).alias("min_value"),
-        F.round(F.max(v), 6).alias("max_value"),
+        floor_round(sd, 6).alias("sum_value"),
+        floor_round(sd / F.count(F.lit(1)), 6).alias("avg_value"),
+        floor_round(F.min(v), 6).alias("min_value"),
+        floor_round(F.max(v), 6).alias("max_value"),
         F.count(F.lit(1)).alias("n_points"),
         F.grouping("hour_ts").alias("_g_hour"),
         F.grouping("day_ts").alias("_g_day"),
@@ -268,10 +286,12 @@ pre AS (
 g AS (
     SELECT hour_ts, day_ts, month_key,
            remote_id, metric_id, provider_id, category_id,
-           round(sum(v), 6) AS sum_value,
-           floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
-           round(min(v), 6) AS min_value,
-           round(max(v), 6) AS max_value,
+           floor(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
+           floor(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
+           floor(min(v) * 1000000.0 + 0.5) / 1000000.0 AS min_value,
+           floor(max(v) * 1000000.0 + 0.5) / 1000000.0 AS max_value,
            count(*)         AS n_points,
            GROUPING(hour_ts) AS g_hour,
            GROUPING(day_ts)  AS g_day
@@ -503,11 +523,11 @@ def rollup_restate(bronze_deduped: DataFrame, corrections: DataFrame) -> DataFra
         .select(
             "metric",
             "datestamp",
-            F.round(F.col("p_sum") + F.coalesce("d_sum", F.lit(0.0)), 6).alias(
+            floor_round(F.col("p_sum") + F.coalesce("d_sum", F.lit(0.0)), 6).alias(
                 "sum_value"
             ),
-            F.round(F.coalesce("f_min", "p_min"), 6).alias("min_value"),
-            F.round(F.coalesce("f_max", "p_max"), 6).alias("max_value"),
+            floor_round(F.coalesce("f_min", "p_min"), 6).alias("min_value"),
+            floor_round(F.coalesce("f_max", "p_max"), 6).alias("max_value"),
             F.col("p_n").alias("n_points"),
         )
     )
@@ -528,9 +548,9 @@ fixed AS (
     FROM deduped d LEFT JOIN corr c USING (event_id)
 )
 SELECT metric, datestamp,
-       round(sum(value), 6) AS sum_value,
-       round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value,
+       floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
+       floor(min(value) * 1000000.0 + 0.5) / 1000000.0 AS min_value,
+       floor(max(value) * 1000000.0 + 0.5) / 1000000.0 AS max_value,
        count(*) AS n_points
 FROM fixed
 GROUP BY 1, 2

@@ -763,6 +763,7 @@ WITH dims AS (
 ex AS (
     SELECT e.label, t.i AS dim_idx, e.embedding[t.i] AS component
     FROM embeddings e, dims, unnest(range(1, dims.d + 1)) AS t(i)
+    WHERE e.embedding IS NOT NULL
 )
 SELECT label, dim_idx,
        round(avg(component), 6) AS centroid_val,
@@ -838,6 +839,7 @@ WITH dims AS (SELECT max(len(embedding)) AS d FROM embeddings),
 ex AS (
     SELECT e.label, t.i AS dim_idx, e.embedding[t.i] AS component
     FROM embeddings e, dims, unnest(range(1, dims.d + 1)) AS t(i)
+    WHERE e.embedding IS NOT NULL
 ),
 cent AS (
     SELECT label, dim_idx, round(avg(component), 6) AS c
@@ -854,6 +856,7 @@ vec_norm AS (
                sqrt(sum(e.embedding[t.i] * e.embedding[t.i])
                     OVER (PARTITION BY e.vec_id)), 1e-12) AS vn
     FROM embeddings e, dims, unnest(range(1, dims.d + 1)) AS t(i)
+    WHERE e.embedding IS NOT NULL
 ),
 scores AS (
     SELECT v.vec_id, v.label, c.label AS cand,

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 
 from telemetry_streaming_datalake_spark.datamodel import REMOTE_HISTORY_CTE
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
 from telemetry_streaming_datalake_spark.ingest.bronze import BRONZE_PARSE_ORACLE
 from telemetry_streaming_datalake_spark.ingest.silver import SILVER_ORACLE_TEMPLATE
 
@@ -221,7 +222,7 @@ def order_window_activity(events: DataFrame, orders: DataFrame) -> DataFrame:
     j = o.join(ev, cond, "left")
     return j.groupBy(o["o_orderkey"]).agg(
         F.count(ev["ev_ts"]).alias("n_events"),
-        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
+        floor_round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
     )
 
 
@@ -235,7 +236,7 @@ o AS (
 )
 SELECT o.o_orderkey,
        count(ev.ev_ts) AS n_events,
-       round(coalesce(sum(ev.value), 0.0), 6) AS sum_value
+       floor(coalesce(sum(ev.value), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
 FROM o LEFT JOIN ev
   ON o.o_custkey = ev.o_custkey
  AND ev.ev_ts >= o.order_ts

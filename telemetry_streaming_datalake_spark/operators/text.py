@@ -861,7 +861,7 @@ def tokenize_bpe(
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("word_tokens").alias("n_bpe_tokens"),
-        F.round(F.sum("word_tokens") / F.count(F.lit(1)), 6).alias(
+        floor_round(F.sum("word_tokens") / F.count(F.lit(1)), 6).alias(
             "tokens_per_word"
         ),
         # the char-fallback approximation made visible (ADVICE r6): how
@@ -930,7 +930,7 @@ def tokenize_fixed_vocab(
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("word_tokens").alias("n_bpe_tokens"),
-        F.round(F.sum("word_tokens") / F.count(F.lit(1)), 6).alias(
+        floor_round(F.sum("word_tokens") / F.count(F.lit(1)), 6).alias(
             "tokens_per_word"
         ),
     )
@@ -967,7 +967,7 @@ seg AS (
 SELECT doc_id,
        count(*) AS n_words,
        CAST(sum(word_tokens) AS BIGINT) AS n_bpe_tokens,
-       round(sum(word_tokens) * 1.0 / count(*), 6) AS tokens_per_word
+       floor(sum(word_tokens) * 1.0 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS tokens_per_word
 FROM nonempty JOIN seg USING (word)
 GROUP BY doc_id
 """

@@ -161,7 +161,7 @@ def adhoc_gold_slice(gold: DataFrame) -> DataFrame:
     return (
         sliced.select(day, "remote_id", "metric_id", "provider_id", "category_id", "value_double")
         .groupBy("unix_day", "remote_id", "metric_id", "provider_id", "category_id")
-        .agg(F.round(F.sum("value_double"), 6).alias("sum_value"))
+        .agg(floor_round(F.sum("value_double"), 6).alias("sum_value"))
         .filter(F.col("sum_value") != 0)
     )
 
@@ -171,12 +171,12 @@ def adhoc_gold_slice_oracle(gold_cte: str) -> str:
 WITH gold AS ({gold_cte})
 SELECT unix_ts - unix_ts % 86400 AS unix_day,
        remote_id, metric_id, provider_id, category_id,
-       round(sum(value_double), 6) AS sum_value
+       floor(sum(value_double) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
 FROM gold
 WHERE provider_id = 1 AND metric_id IN (100, 101, 102)
   AND datestamp >= '2024-01-08' AND datestamp < '2024-01-15'
 GROUP BY ALL
-HAVING round(sum(value_double), 6) <> 0
+HAVING floor(sum(value_double) * 1000000.0 + 0.5) / 1000000.0 <> 0
 """
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.session import load_table
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
 
 N_BUCKETS = 8
 
@@ -61,7 +62,7 @@ def setup_bucketed_tables(
     )
     profile = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("lifetime_value"),
+        floor_round(F.sum("value"), 6).alias("lifetime_value"),
     )
     (
         ev.write.mode("overwrite")
@@ -107,7 +108,7 @@ def bucketed_join_oracle() -> str:
     return """
 WITH profile AS (
     SELECT user_id, count(*) AS n_events,
-           round(sum(value), 6) AS lifetime_value
+           floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS lifetime_value
     FROM events GROUP BY 1
 )
 SELECT event_id, user_id, value AS purchase_value, n_events, lifetime_value

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
 
 def partition_stats(bronze: DataFrame) -> DataFrame:
     """Per-datestamp stats footer: row count, unix_ts / value ranges,
@@ -28,8 +30,8 @@ def partition_stats(bronze: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("unix_ts").alias("min_unix_ts"),
         F.max("unix_ts").alias("max_unix_ts"),
-        F.round(F.min("value"), 6).alias("min_value"),
-        F.round(F.max("value"), 6).alias("max_value"),
+        floor_round(F.min("value"), 6).alias("min_value"),
+        floor_round(F.max("value"), 6).alias("max_value"),
         F.count_distinct("serial").alias("n_serials"),
     )
 
@@ -41,8 +43,8 @@ SELECT datestamp,
        count(*) AS n_rows,
        min(unix_ts) AS min_unix_ts,
        max(unix_ts) AS max_unix_ts,
-       round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value,
+       floor(min(value) * 1000000.0 + 0.5) / 1000000.0 AS min_value,
+       floor(max(value) * 1000000.0 + 0.5) / 1000000.0 AS max_value,
        count(DISTINCT serial) AS n_serials
 FROM bronze
 GROUP BY datestamp

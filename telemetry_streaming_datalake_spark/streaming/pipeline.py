@@ -23,6 +23,7 @@ analog of a keyed MERGE.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -138,7 +139,9 @@ def streaming_upsert_rollup(spark: SparkSession, sf_dir: str, work_dir: str) -> 
         F.count(F.lit(1)).alias("n_events"),
         # rounded at the edge like the batch rollups: summation order
         # varies with partitioning, 6dp makes results engine-stable
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        # (floor-form — a dyadic-value sum can land exactly on a 6dp
+        # midpoint, where engine round() modes disagree)
+        floor_round(F.sum("value"), 6).alias("sum_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     ).withColumn(
@@ -192,8 +195,9 @@ def _latest_state_fn(key, pdfs, state):
         if (ts, eid) > (last_ts, last_id):
             last_ts, last_id, last_val = ts, eid, float(pdf["value"][idx])
     state.update((n, total, last_ts, last_id, last_val))
+    # floor-form 6dp (Python round() is banker's — see derived.floor_round)
     yield pd.DataFrame(
-        [[key[0], key[1], n, round(total, 6), last_ts, last_val]],
+        [[key[0], key[1], n, math.floor(total * 1e6 + 0.5) / 1e6, last_ts, last_val]],
         columns=["serial", "metric", "n_events", "sum_value", "last_ts", "last_value"],
     )
 
@@ -389,7 +393,7 @@ last AS (
     FROM bronze
 )
 SELECT b.serial, b.metric, count(*) AS n_events,
-       round(sum(b.value), 6) AS sum_value,
+       floor(sum(b.value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
        l.last_ts, l.last_value
 FROM bronze b
 JOIN last l ON b.serial = l.serial AND b.metric = l.metric AND l.rn = 1
@@ -610,7 +614,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str, work_dir: str) ->
         .groupBy(F.window("event_time", SLIDE_WINDOW, SLIDE_STEP), "metric")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            floor_round(F.sum("value"), 6).alias("sum_value"),
         )
     )
     out = os.path.join(work_dir, "slide_out")
@@ -649,7 +653,7 @@ expanded AS (
 )
 SELECT window_start, metric,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
 FROM expanded
 GROUP BY 1, 2
 """
@@ -977,7 +981,9 @@ def streaming_grouping_sets(
             "hour_ts", "day_ts", "month_key",
             "remote_id", "metric_id", "provider_id", "category_id",
         ).agg(
-            F.sum(v).alias("p_sum"),
+            # exact decimal partial (see operators.rollup._rollup):
+            # batch-merge order can never move the 6dp edge round
+            F.sum(F.col("value_double").cast("decimal(38,6)")).alias("p_sum"),
             F.min(v).alias("p_min"),
             F.max(v).alias("p_max"),
             F.count(F.lit(1)).alias("p_n"),
@@ -1034,10 +1040,10 @@ def streaming_grouping_sets(
     st = spark.read.parquet(os.path.join(_store_current_dir(store_path), "partials"))
     return st.select(
         "grain", "bucket", "remote_id", "metric_id", "provider_id", "category_id",
-        F.round(F.col("p_sum"), 6).alias("sum_value"),
-        floor_round(F.col("p_sum") / F.col("p_n"), 6).alias("avg_value"),
-        F.round(F.col("p_min"), 6).alias("min_value"),
-        F.round(F.col("p_max"), 6).alias("max_value"),
+        floor_round(F.col("p_sum").cast("double"), 6).alias("sum_value"),
+        floor_round(F.col("p_sum").cast("double") / F.col("p_n"), 6).alias("avg_value"),
+        floor_round(F.col("p_min"), 6).alias("min_value"),
+        floor_round(F.col("p_max"), 6).alias("max_value"),
         F.col("p_n").alias("n_points"),
         F.concat_ws(
             "|", "grain",

@@ -266,6 +266,79 @@ _MAIN_KEYS = [
     "trend_report",
 ]
 
+#: round-9 continuation extension: the classes the first fuzz list
+#: missed — each of these found (or now pins) a real divergence class:
+#: NULL-media decode crashes, astral-plane surrogate splits, dyadic
+#: 6dp-midpoint sums, NULL-embedding oracle asymmetries, phantom NULL
+#: grams.  Everything here PASSed a full 120-key hostile sweep after
+#: the round's fixes; keep the list broad so the next hostile class
+#: fails HERE, not on a regenerated driver feed.
+_MAIN_KEYS_EXT = [
+    # medallion + rollup family (decimal-exact sums under dyadic values)
+    "bronze_parse",
+    "silver_explode",
+    "bronze_feed_b",
+    "bronze_feed_c",
+    "latest_metric",
+    "rollup_grouping_sets",
+    "incremental_rollup",
+    "agg_consistency",
+    "rollup_restate",
+    "custom_metric_sum",
+    "custom_metric_join",
+    "merge_upsert_latest",
+    "scd2_current",
+    "partition_stats",
+    "table_profile",
+    "stage_delay_report",
+    # temporal / detect over boundary timestamps
+    "sessionize",
+    "cusum_changepoint",
+    "availability_report",
+    "cdc_apply",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transitions",
+    "cumulative_metric",
+    "metric_correlation",
+    "freq_sketch_audit",
+    "asof_latest_order",
+    "order_window_activity",
+    "gapfill_hourly",
+    "pivot_metrics",
+    "approx_percentile_audit",
+    # text / corpus over hostile unicode + NULL text
+    "boilerplate_ngrams",
+    "lm_perplexity",
+    "bm25_search",
+    "tokenize_fixed_vocab",
+    "bpe_merges",
+    "pii_redact",
+    "doc_chunks",
+    "corpus_stats",
+    "zipf_fit",
+    "domain_cap_sample",
+    "canonical_docs",
+    "curation_manifest",
+    "fuzzy_join",
+    "char_entropy",
+    "top_ngrams",
+    "tfidf_top_terms",
+    # multimodal over NULL-text (missing-media) rows
+    "multimodal_meta",
+    "multimodal_features",
+    "frame_sample",
+    "multimodal_thumb",
+    "audio_features",
+    "png_meta",
+    # embeddings with NULL rows
+    "label_centroids",
+    "centroid_confusion",
+    "hard_negatives",
+    "ann_ivf_indexed",
+    "kmeans_refine",
+]
+
 #: keys whose oracles MODEL the hot-bucket cap — run on the binding flood
 _HOT_KEYS = [
     "dedup_ngram_jaccard",
@@ -277,6 +350,11 @@ _HOT_KEYS = [
 
 @pytest.mark.parametrize("key", _MAIN_KEYS)
 def test_fuzz_main(spark, fuzz_main, key):
+    _run_key(spark, fuzz_main, key)
+
+
+@pytest.mark.parametrize("key", _MAIN_KEYS_EXT)
+def test_fuzz_main_ext(spark, fuzz_main, key):
     _run_key(spark, fuzz_main, key)
 
 
