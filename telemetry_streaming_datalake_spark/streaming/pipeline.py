@@ -1072,11 +1072,16 @@ def gate_and_land_batch(
 
     sub = f"batch-{batch_id:08d}"
     gated = gopher_filter(batch_df).persist()
+    # the split must PARTITION the batch: a NULL keep (text-less doc —
+    # every rule comparison is NULL) matches neither `keep` nor
+    # `~keep`, so without the coalesce such docs vanished from both
+    # lakes (caught by the NULL-text fuzz corpus); they are rejects
+    keep_eff = F.coalesce(F.col("keep"), F.lit(False))
     try:
-        gated.filter(F.col("keep")).write.mode("overwrite").parquet(
+        gated.filter(keep_eff).write.mode("overwrite").parquet(
             os.path.join(keep_dir, sub)
         )
-        gated.filter(~F.col("keep")).write.mode("overwrite").parquet(
+        gated.filter(~keep_eff).write.mode("overwrite").parquet(
             os.path.join(rej_dir, sub)
         )
     finally:
@@ -1345,7 +1350,7 @@ def streaming_ohlc(
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.max_by("value", "unix_ts").alias("close"),
-            F.round(F.avg("value"), 6).alias("mean"),
+            floor_round(F.avg("value"), 6).alias("mean"),
             F.count(F.lit(1)).alias("n"),
         )
     )

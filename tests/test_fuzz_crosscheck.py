@@ -339,6 +339,20 @@ _MAIN_KEYS_EXT = [
     "kmeans_refine",
 ]
 
+#: streaming twins over the hostile corpus — the full streaming sweep
+#: runs once per round out-of-band (every key PASSed after the round's
+#: fixes); this in-suite subset pins the two classes that actually
+#:  diverged (the gate's NULL-keep partition, the OHLC mean floor
+#: round) plus the stateful/store paths, at ~6 s/key
+_STREAMING_KEYS = [
+    "streaming_corpus_gate",
+    "streaming_ohlc",
+    "streaming_quarantine_split",
+    "streaming_stateful_latest",
+    "streaming_grouping_sets",
+    "streaming_cdc_apply",
+]
+
 #: keys whose oracles MODEL the hot-bucket cap — run on the binding flood
 _HOT_KEYS = [
     "dedup_ngram_jaccard",
@@ -355,6 +369,11 @@ def test_fuzz_main(spark, fuzz_main, key):
 
 @pytest.mark.parametrize("key", _MAIN_KEYS_EXT)
 def test_fuzz_main_ext(spark, fuzz_main, key):
+    _run_key(spark, fuzz_main, key)
+
+
+@pytest.mark.parametrize("key", _STREAMING_KEYS)
+def test_fuzz_streaming(spark, fuzz_main, key):
     _run_key(spark, fuzz_main, key)
 
 
