@@ -159,6 +159,37 @@ def test_bronze_quarantine_routes_with_first_match_reason(spark):
     assert all(out[i].route == "quarantine" for i in (2, 3, 4, 5, 6, 7, 8))
 
 
+def test_bronze_quarantine_screens_non_finite_values(spark):
+    """NaN/±Inf readings must route to out_of_range — the router is the
+    engine's documented screen for non-finite values (downstream stats
+    assume finite inputs).  Spark SQL orders NaN ABOVE every value
+    (`NaN > 450.0` is TRUE — unlike raw IEEE), and DuckDB uses the same
+    total order, so both engines route identically; -Inf fails `<= 0`.
+    This pin keeps that cross-engine agreement from regressing."""
+    import datetime
+
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest import bronze as B
+
+    ts = datetime.datetime(2024, 1, 10)
+    rows = [
+        (1, ts, 1, "click", float("nan"), '{"k": 1}'),
+        (2, ts, 1, "click", float("inf"), '{"k": 1}'),
+        (3, ts, 1, "click", float("-inf"), '{"k": 1}'),
+        (4, ts, 1, "click", 5.0, '{"k": 1}'),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.event_id: r for r in B.bronze_quarantine(events, dm.metric_mapping(spark)).collect()}
+    assert out[1].reason == "out_of_range" and out[1].route == "quarantine"
+    assert out[2].reason == "out_of_range" and out[2].route == "quarantine"
+    assert out[3].reason == "out_of_range" and out[3].route == "quarantine"
+    assert out[4].reason == "ok" and out[4].route == "bronze"
+
+
 def test_medallion_operators_survive_empty_feed(spark):
     """An empty micro-batch / filtered-to-empty backfill window must
     flow through the whole medallion graph and produce empty outputs."""
