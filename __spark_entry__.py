@@ -103,7 +103,7 @@ _R9_ORDER = [
     "ann_ivf_incremental", "approx_distinct_audit",
     "ts_similarity", "bronze_parse", "silver_dedup",
     "silver_metrics", "silver_explode", "bronze_feed_b",
-    "bronze_jsonl", "gold_enrich", "custom_metric_sum",
+    "gold_enrich", "custom_metric_sum",
     "custom_metric_join", "latest_metric", "gap_detect",
     "serving_latest_monitor", "orphan_usage", "retention_purge",
     "scd2_current", "agg_consistency", "sessionize",
@@ -357,6 +357,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_slo_burn": _streaming_slo_burn,
         "streaming_cdc_apply": _streaming_cdc_apply,
         "streaming_freq_sketch": _streaming_freq_sketch,
+        # r9 third-continuation addition (funded by retiring
+        # `bronze_jsonl`, whose oracle is BRONZE_PARSE_ORACLE verbatim
+        # — the bronze_orc/bronze_csv connector-twin precedent; the
+        # connector + its equality pytest remain in sources/ and
+        # tests/test_sources.py): distributed stupid-backoff n-gram LM
+        # estimation (Brants et al. 2007)
+        "ngram_lm": lambda s, d: TX.ngram_lm(load_table(s, d, "documents")),
         "ann_ivfpq": lambda s, d: SIM.ann_ivfpq(s, d, ANN_QUERY_IDS),
         "domain_cap_sample": lambda s, d: CP.domain_cap_sample(
             load_table(s, d, "documents")
@@ -656,7 +663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dm.metric_mapping(s),
         ),
         "bronze_feed_b": lambda s, d: FB.bronze_feed_b(load_table(s, d, "events")),
-        "bronze_jsonl": TF.bronze_from_jsonl,
         "gold_enrich": _gold,
         "custom_metric_sum": lambda s, d: CM.custom_metric_sum(
             _gold(s, d), dm.custom_metric_mapping(s)
@@ -798,7 +804,7 @@ FROM (
         "bronze_feed_b": FB.BRONZE_FEED_B_ORACLE,
         "bronze_feed_c": FB.BRONZE_FEED_C_ORACLE,
         # text connectors must land byte-identical bronze to the parquet path
-        "bronze_jsonl": B.BRONZE_PARSE_ORACLE,
+        "ngram_lm": TX.ngram_lm_oracle(),
         "gold_enrich": gold,
         "custom_metric_sum": CM.custom_metric_sum_oracle(gold),
         "custom_metric_join": CM.custom_metric_join_oracle(gold),

@@ -30,7 +30,7 @@ HEADLINE = [
     "silver_explode",
     "bronze_feed_b",
     "bronze_feed_c",
-    "bronze_jsonl",
+    "ngram_lm",
     "gold_enrich",
     "custom_metric_sum",
     "latest_metric",

@@ -1664,3 +1664,200 @@ def bm25_indexed(
         build_text_index(load_table(spark, sf_dir, "documents"), d)
         _TEXT_INDEX_CACHE[sf_dir] = d
     return bm25_from_index(spark, _TEXT_INDEX_CACHE[sf_dir], terms, k)
+
+
+# --------------------------------------------------------------------------
+# distributed n-gram language-model estimation (stupid backoff)
+# --------------------------------------------------------------------------
+
+#: Brants et al. 2007 backoff weight ("Large Language Models in
+#: Machine Translation" §4 — fixed alpha = 0.4, no normalization:
+#: at web scale relative frequencies + a constant backoff beat
+#: Kneser-Ney trained on less data)
+LM_BACKOFF_ALPHA = 0.4
+#: how many of the most frequent bigram contexts the report scores
+LM_TOP_CONTEXTS = 20
+#: continuations kept per context
+LM_TOP_K = 5
+
+
+def _all_order_grams():
+    """One map-side emission of every order-1/2/3 gram per document —
+    the Brants map step: a single corpus scan feeds ONE gram-keyed
+    partial-agg shuffle for all orders at once (never one scan per
+    order).  1-based element_at everywhere so the DuckDB oracle's
+    list indexing matches positionally; the CASE-to-NULL + filter
+    construction sidesteps sequence()'s descending-range trap for
+    docs shorter than the gram order."""
+    g1 = "transform(t, w -> struct(1 as order, w as gram))"
+    g2 = (
+        "filter(transform(sequence(1, size(t)), i -> CASE WHEN i + 1 <= size(t) "
+        "THEN struct(2 as order, concat_ws(' ', element_at(t, i), element_at(t, i + 1)) as gram) END), "
+        "x -> x IS NOT NULL)"
+    )
+    g3 = (
+        "filter(transform(sequence(1, size(t)), i -> CASE WHEN i + 2 <= size(t) "
+        "THEN struct(3 as order, concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+        "element_at(t, i + 2)) as gram) END), x -> x IS NOT NULL)"
+    )
+    return f"concat({g1}, {g2}, {g3})"
+
+
+def ngram_lm(
+    documents: DataFrame,
+    top_contexts: int = LM_TOP_CONTEXTS,
+    top_k: int = LM_TOP_K,
+    alpha: float = LM_BACKOFF_ALPHA,
+) -> DataFrame:
+    """Corpus-trained stupid-backoff n-gram LM, reported as the top-k
+    continuations of the most frequent bigram contexts — the
+    distributed LM-estimation workload of Brants et al. 2007 (the
+    MapReduce job that trained the original web-scale MT language
+    models), Spark-first:
+
+    - ONE corpus scan emits all order-1/2/3 grams map-side and ONE
+      gram-keyed partial-agg shuffle counts them (the canonical
+      map-side-combine job — gram keys are near-uniform, skew-free);
+      everything after operates on the VOCAB-cardinality counts frame,
+      never the corpus (`localCheckpoint` per the dup_clusters
+      discipline, since four branches consume it).
+    - Scoring is the paper's exact recurrence: ``S(w|a,b) =
+      c(abw)/c(ab)`` when the trigram was seen, else ``alpha *
+      c(bw)/c(b)`` (tier 2; the constant ``alpha^2 * c(w)/N`` tail can
+      never enter a top-k while >=k observed continuations exist, so
+      the relation reports observed-continuation tiers — documented
+      contract, not a silent cap).
+    - Counts are exact integers, scores single IEEE divisions of
+      identical operands → bit-identical cross-engine; floor-form 6dp
+      per SURVEY §6.
+
+    Output: (context, word, score, level) — top_k rows per context,
+    fully deterministic (ties: score desc, word asc; contexts: count
+    desc, context asc).
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col("text"))
+    base = (
+        documents.filter(F.col("text").isNotNull())
+        .select(
+            F.filter(
+                F.split(F.trim(norm), " "), lambda t: F.length(t) > 0
+            ).alias("t")
+        )
+        .filter(F.size("t") >= 1)
+    )
+    grams = base.select(F.explode(F.expr(_all_order_grams())).alias("g")).select(
+        F.col("g.order").alias("order"), F.col("g.gram").alias("gram")
+    )
+    counts = (
+        grams.groupBy("order", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    sp = F.split("gram", " ")
+    uni = counts.filter(F.col("order") == 1).select(
+        F.col("gram").alias("w"), F.col("c").alias("c_w")
+    )
+    big = counts.filter(F.col("order") == 2).select(
+        sp.getItem(0).alias("a"), sp.getItem(1).alias("b"), F.col("c").alias("c_ab")
+    )
+    tri = counts.filter(F.col("order") == 3).select(
+        sp.getItem(0).alias("a"),
+        sp.getItem(1).alias("b"),
+        sp.getItem(2).alias("w"),
+        F.col("c").alias("c_abw"),
+    )
+    # top contexts: global window over the VOCAB-cardinality bigram
+    # frame (the lm_perplexity c1 precedent — compact by construction)
+    wc = Window.orderBy(F.col("c_ab").desc(), "a", "b")
+    contexts = (
+        big.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= top_contexts)
+        .select("a", "b", "c_ab", F.concat_ws(" ", "a", "b").alias("context"))
+    )
+    tier1 = tri.join(F.broadcast(contexts), ["a", "b"]).select(
+        "context",
+        "w",
+        (F.col("c_abw") / F.col("c_ab")).alias("score"),
+        F.lit(1).alias("level"),
+    )
+    # tier 2: continuations OF b (bigrams starting with b), backed off
+    cont_b = big.select(
+        F.col("a").alias("b"), F.col("b").alias("w"), F.col("c_ab").alias("c_bw")
+    )
+    tier2 = (
+        cont_b.join(F.broadcast(contexts.select("b", "context")), "b")
+        .join(uni.withColumnRenamed("w", "b"), "b")
+        .select(
+            "context",
+            "w",
+            (F.lit(alpha) * F.col("c_bw") / F.col("c_w")).alias("score"),
+            F.lit(2).alias("level"),
+        )
+        .join(tier1.select("context", "w"), ["context", "w"], "left_anti")
+    )
+    wk = Window.partitionBy("context").orderBy(F.col("score").desc(), "w")
+    return (
+        tier1.unionByName(tier2)
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "context",
+            F.col("w").alias("word"),
+            floor_round(F.col("score"), 6).alias("score"),
+            "level",
+        )
+    )
+
+
+def ngram_lm_oracle(
+    top_contexts: int = LM_TOP_CONTEXTS,
+    top_k: int = LM_TOP_K,
+    alpha: float = LM_BACKOFF_ALPHA,
+) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH d AS (
+    SELECT list_filter(string_split(trim({norm}), ' '), x -> len(x) > 0) AS t
+    FROM documents WHERE text IS NOT NULL
+),
+d2 AS (SELECT t FROM d WHERE len(t) >= 1),
+uni AS (
+    SELECT u.x AS w, count(*) AS c_w FROM d2, unnest(t) AS u(x) GROUP BY 1
+),
+big AS (
+    SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c_ab
+    FROM d2, unnest(range(1, len(t))) AS r(i)
+    GROUP BY 1, 2
+),
+tri AS (
+    SELECT t[i] AS a, t[i + 1] AS b, t[i + 2] AS w, count(*) AS c_abw
+    FROM d2, unnest(range(1, len(t) - 1)) AS r(i)
+    GROUP BY 1, 2, 3
+),
+contexts AS (
+    SELECT a, b, c_ab, a || ' ' || b AS context
+    FROM big
+    QUALIFY row_number() OVER (ORDER BY c_ab DESC, a, b) <= {top_contexts}
+),
+tier1 AS (
+    SELECT ctx.context, t.w, t.c_abw * 1.0 / ctx.c_ab AS score, 1 AS level
+    FROM tri t JOIN contexts ctx ON t.a = ctx.a AND t.b = ctx.b
+),
+tier2 AS (
+    SELECT ctx.context, bg.b AS w, {alpha} * bg.c_ab / u.c_w AS score, 2 AS level
+    FROM big bg
+    JOIN contexts ctx ON bg.a = ctx.b
+    JOIN uni u ON u.w = ctx.b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM tier1 t1 WHERE t1.context = ctx.context AND t1.w = bg.b
+    )
+),
+unioned AS (SELECT * FROM tier1 UNION ALL SELECT * FROM tier2)
+SELECT context, w AS word,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+       level
+FROM unioned
+QUALIFY row_number() OVER (PARTITION BY context ORDER BY score DESC, w) <= {top_k}
+"""

@@ -324,6 +324,7 @@ _MAIN_KEYS_EXT = [
     "char_entropy",
     "top_ngrams",
     "tfidf_top_terms",
+    "ngram_lm",
     # multimodal over NULL-text (missing-media) rows
     "multimodal_meta",
     "multimodal_features",

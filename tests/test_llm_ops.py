@@ -1548,3 +1548,27 @@ def test_fuzzy_blocking_report_counts_known_structure(spark):
     assert r.max_bucket == 3
     assert r.candidate_expansions == 3 * len(g_same)  # C(3,2) per shared bucket
     assert r.hot_buckets == 0 and r.clipped_members == 0
+
+
+def test_ngram_lm_stupid_backoff_hand_computed(spark):
+    """Brants-recurrence check on a corpus small enough to score by
+    hand: trigram tier S(w|a,b) = c(abw)/c(ab); unseen-trigram
+    continuations back off to alpha * c(bw)/c(b); a context whose
+    words never continue emits nothing (no invented mass)."""
+    from telemetry_streaming_datalake_spark.operators.text import ngram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c"), (4, "a b d"), (5, "x b e")],
+        "doc_id long, text string",
+    )
+    # contexts: (a b) c_ab=4, then (b c) c=3; top_k wide enough for all
+    out = ngram_lm(docs, top_contexts=2, top_k=5).collect()
+    rows = {(r.context, r.word): (r.score, r.level) for r in out}
+    # tier 1: c(abc)=3 / c(ab)=4 ; c(abd)=1 / 4
+    assert rows[("a b", "c")] == (0.75, 1)
+    assert rows[("a b", "d")] == (0.25, 1)
+    # tier 2: e continues b (c(be)=1, c(b)=5) -> 0.4 * 1/5 = 0.08
+    assert rows[("a b", "e")] == (0.08, 2)
+    # context "b c": no trigram starts (b, c), no bigram starts with c
+    assert all(ctx != "b c" for ctx, _ in rows)
+    assert len(rows) == 3

@@ -308,6 +308,9 @@ def queries():
         "tokenize_fixed_vocab": lambda s, d: TX.tokenize_fixed_vocab(
             load_table(s, d, "documents")
         ),
+        # r9 third continuation: one corpus scan -> one gram-keyed
+        # partial-agg shuffle for all orders; scoring is vocab-sized
+        "ngram_lm": lambda s, d: TX.ngram_lm(load_table(s, d, "documents")),
     }
 
 
