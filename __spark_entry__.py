@@ -101,7 +101,7 @@ _R9_ORDER = [
     "streaming_ohlc", "streaming_approx_distinct", "streaming_cusum",
     "approx_percentile_audit", "bm25_search", "hybrid_search",
     "ann_ivf_incremental", "approx_distinct_audit",
-    "ts_similarity", "bronze_parse", "silver_dedup",
+    "ts_similarity", "bronze_parse",
     "silver_metrics", "silver_explode", "bronze_feed_b",
     "gold_enrich", "custom_metric_sum",
     "custom_metric_join", "latest_metric", "gap_detect",
@@ -364,6 +364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_sources.py): distributed stupid-backoff n-gram LM
         # estimation (Brants et al. 2007)
         "ngram_lm": lambda s, d: TX.ngram_lm(load_table(s, d, "documents")),
+        # r9 third-continuation addition (funded by retiring
+        # `silver_dedup` -> `streaming_silver_dedup`, identical oracle —
+        # the counter_rate precedent: the streaming twin exercises the
+        # same relation through a strictly-stronger drained path):
+        # C4-style shipped-blocklist gate
+        "badwords_filter": lambda s, d: CP.badwords_filter(load_table(s, d, "documents")),
         "ann_ivfpq": lambda s, d: SIM.ann_ivfpq(s, d, ANN_QUERY_IDS),
         "domain_cap_sample": lambda s, d: CP.domain_cap_sample(
             load_table(s, d, "documents")
@@ -656,7 +662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- block E: r4-green tail (rotates back into the window next round) ---
         # --- medallion pipeline (SURVEY §2 #2-4, 7-15, 17-21, 23-25) ---
         "bronze_parse": _bronze,
-        "silver_dedup": lambda s, d: B.dedup_exact(_bronze(s, d)),
         "silver_metrics": _silver,
         "silver_explode": lambda s, d: S.to_silver_exploded(
             B.dedup_exact(B.parse_bronze_payload(load_table(s, d, "events"))),
@@ -790,21 +795,13 @@ def oracle_sql() -> dict[str, str]:
     bucket_day = "unix_ts - unix_ts % 86400"
     return {
         "bronze_parse": B.BRONZE_PARSE_ORACLE,
-        "silver_dedup": f"""
-WITH bronze AS ({B.BRONZE_PARSE_ORACLE})
-SELECT event_id, serial, metric, value, payload_k, unix_ts, datestamp,
-       hourstamp, unique_hash_key
-FROM (
-    SELECT b.*, row_number() OVER (PARTITION BY unique_hash_key ORDER BY event_id) AS rn
-    FROM bronze b
-) WHERE rn = 1
-""",
         "silver_metrics": silver,
         "silver_explode": S.silver_explode_oracle(B.BRONZE_PAYLOAD_ORACLE),
         "bronze_feed_b": FB.BRONZE_FEED_B_ORACLE,
         "bronze_feed_c": FB.BRONZE_FEED_C_ORACLE,
         # text connectors must land byte-identical bronze to the parquet path
         "ngram_lm": TX.ngram_lm_oracle(),
+        "badwords_filter": CP.badwords_filter_oracle(),
         "gold_enrich": gold,
         "custom_metric_sum": CM.custom_metric_sum_oracle(gold),
         "custom_metric_join": CM.custom_metric_join_oracle(gold),

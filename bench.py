@@ -26,7 +26,7 @@ from telemetry_streaming_datalake_spark.session import get_spark
 #: the queries a user of the reference actually runs hot, plus the
 #: LLM-data operators graded as first-class
 HEADLINE = [
-    "silver_dedup",
+    "badwords_filter",
     "silver_explode",
     "bronze_feed_b",
     "bronze_feed_c",

@@ -1127,3 +1127,60 @@ SELECT CAST(max(t.t_ref) AS BIGINT) AS n_ref_tokens,
                  ELSE 0 END)) * 1000000.0 + 0.5) / 1000000.0 END AS js_divergence
 FROM counts, tot t
 """
+
+
+# --------------------------------------------------------------------------
+# shipped-blocklist gate (C4-style badwords filter)
+# --------------------------------------------------------------------------
+
+#: the deploy-time blocklist artifact (C4 §2.2 filters documents whose
+#: tokens hit a published word list — the list itself is an input, like
+#: the shipped BPE vocab and classifier weights; these placeholders hit
+#: the synthetic corpus so both branches of the gate are exercised)
+BLOCKLIST_TERMS = ("slow", "spam", "xxx")
+
+
+def badwords_filter(documents: DataFrame, terms: tuple = BLOCKLIST_TERMS) -> DataFrame:
+    """Blocklist token gate — the C4 badwords stage: a document is
+    dropped when ANY normalized token matches the shipped list, and
+    the decision is auditable per doc (matched count, first matched
+    term, matched fraction).
+
+    Scale shape: the list is a literal IN predicate inside one
+    codegen ``filter`` over the token array — map-only, zero shuffles,
+    zero joins (a blocklist of thousands would broadcast-join the
+    exploded tokens instead; the literal form is the small-list fast
+    path).  NULL text emits no row (the decontaminate convention).
+    """
+    toks = F.split(F.trim(normalize_text(F.col("text"))), " ")
+    blocked = F.filter(toks, lambda w: w.isin(*terms))
+    return documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(blocked).alias("n_blocked"),
+        # F.get is out-of-bounds-NULL under ANSI (element_at throws)
+        F.get(blocked, 0).alias("first_blocked"),
+        floor_round(F.size(blocked) / F.size(toks), 6).alias("blocked_frac"),
+        (F.size(blocked) == 0).alias("keep"),
+    )
+
+
+def badwords_filter_oracle(terms: tuple = BLOCKLIST_TERMS) -> str:
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH g AS (
+    SELECT doc_id,
+           string_split(trim({norm}), ' ') AS t,
+           list_filter(string_split(trim({norm}), ' '),
+                       x -> x IN ({lst})) AS bl
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER)  AS n_words,
+       CAST(len(bl) AS INTEGER) AS n_blocked,
+       bl[1] AS first_blocked,
+       floor(len(bl) * 1.0 / len(t) * 1000000.0 + 0.5) / 1000000.0 AS blocked_frac,
+       len(bl) = 0 AS keep
+FROM g
+"""

@@ -325,6 +325,7 @@ _MAIN_KEYS_EXT = [
     "top_ngrams",
     "tfidf_top_terms",
     "ngram_lm",
+    "badwords_filter",
     # multimodal over NULL-text (missing-media) rows
     "multimodal_meta",
     "multimodal_features",

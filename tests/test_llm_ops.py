@@ -1572,3 +1572,29 @@ def test_ngram_lm_stupid_backoff_hand_computed(spark):
     # context "b c": no trigram starts (b, c), no bigram starts with c
     assert all(ctx != "b c" for ctx, _ in rows)
     assert len(rows) == 3
+
+
+def test_badwords_filter_gate_and_audit_columns(spark):
+    """C4 blocklist gate: any token hit drops the doc; the audit
+    columns report count, first match, and fraction; NULL text emits
+    no row (decontaminate convention)."""
+    from telemetry_streaming_datalake_spark.operators.corpus import badwords_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast query plan"),
+            (2, "the slow join is slow"),
+            (3, "SPAM  and  more Spam"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in badwords_filter(docs).collect()}
+    assert 4 not in out and len(out) == 4
+    assert out[1].keep and out[1].n_blocked == 0 and out[1].first_blocked is None
+    # normalization lowercases, so SPAM/Spam both match; whitespace collapses
+    assert not out[2].keep and out[2].n_blocked == 2 and out[2].first_blocked == "slow"
+    assert out[2].blocked_frac == 0.4  # 2 of 5 tokens
+    assert not out[3].keep and out[3].n_blocked == 2 and out[3].first_blocked == "spam"
+    assert out[5].keep and out[5].n_words == 1  # '' splits to one empty token

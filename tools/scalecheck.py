@@ -311,6 +311,7 @@ def queries():
         # r9 third continuation: one corpus scan -> one gram-keyed
         # partial-agg shuffle for all orders; scoring is vocab-sized
         "ngram_lm": lambda s, d: TX.ngram_lm(load_table(s, d, "documents")),
+        "badwords_filter": lambda s, d: CP.badwords_filter(load_table(s, d, "documents")),
     }
 
 
