@@ -39,6 +39,10 @@ def _rollup(gold: DataFrame, bucket_expr, bucket_name: str) -> DataFrame:
     # boundary-straddling group then flips the 6dp floor between
     # engines — caught by the dyadic fuzz corpus).  The reference
     # itself aggregates Decimal (Step 05 casts Decimal(30,15)).
+    # Capacity: |value| ≥ 1e32 overflows the cast and FAILS LOUDLY —
+    # identically on both engines (verified) — which is the right
+    # outcome for a corrupt reading; the quarantine range gate screens
+    # plausible values (≤450) long before this bound.
     vd = F.col("value_double").cast("decimal(38,6)")
     sd = F.sum(vd).cast("double")
     out = (
