@@ -204,6 +204,55 @@ def fuzz_hot(tmp_path_factory):
     return _write_dir(tmp_path_factory.mktemp("fuzz"), "hot", _FLOOD_HOT)
 
 
+def _extreme_ts_rows() -> pd.DataFrame:
+    """Events at epoch extremes: negative epochs (pre-1970), the
+    int32-epoch rollover (2038+), a far-future stamp, leap day, and
+    epoch zero — the class where engines could disagree on datestamp
+    formatting or sub-second flooring of negative seconds."""
+    stamps = [
+        pd.Timestamp("1969-12-31 23:59:59.5"),
+        pd.Timestamp("1969-06-01 00:00:00"),
+        pd.Timestamp("2038-01-19 03:14:08"),
+        pd.Timestamp("2100-06-15 12:00:00.25"),
+        pd.Timestamp("2024-02-29 10:00:00"),
+        pd.Timestamp("1970-01-01 00:00:00"),
+    ]
+    rows = []
+    for i, ts in enumerate(stamps * 20):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": i % 5,
+                "event_type": ["click", "view", "purchase", "signup", "error"][i % 5],
+                "value": float(i % 37) / 8.0,
+                "props": json.dumps({"k": i % 10}),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+@pytest.fixture(scope="module")
+def fuzz_extreme_ts(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("fuzz") / "ts")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(_extreme_ts_rows()), os.path.join(d, "events.parquet")
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
 def _run_key(spark, sf_dir: str, key: str) -> None:
     import duckdb
 
@@ -377,6 +426,22 @@ def test_fuzz_main_ext(spark, fuzz_main, key):
 @pytest.mark.parametrize("key", _STREAMING_KEYS)
 def test_fuzz_streaming(spark, fuzz_main, key):
     _run_key(spark, fuzz_main, key)
+
+
+#: time-derivation representatives over the epoch-extreme corpus
+_EXTREME_TS_KEYS = [
+    "bronze_parse",
+    "sessionize",
+    "gapfill_hourly",
+    "availability_report",
+    "rollup_grouping_sets",
+    "seasonal_baseline",
+]
+
+
+@pytest.mark.parametrize("key", _EXTREME_TS_KEYS)
+def test_fuzz_extreme_timestamps(spark, fuzz_extreme_ts, key):
+    _run_key(spark, fuzz_extreme_ts, key)
 
 
 @pytest.mark.parametrize("key", _HOT_KEYS)
