@@ -978,7 +978,9 @@ def approx_percentile_audit(
     aggs = [F.count(F.lit(1)).alias("n_points")]
     for q in qs:
         tag = f"p{int(q * 100)}"
-        aggs.append(F.round(F.percentile("value", q), 6).alias(f"{tag}_exact"))
+        # floor-form: dyadic values interpolated at g = k/100 reach
+        # exact 6dp midpoints, where engine round() modes diverge
+        aggs.append(floor_round(F.percentile("value", q), 6).alias(f"{tag}_exact"))
         aggs.append(
             F.approx_percentile("value", q, accuracy).alias(f"_{tag}_approx")
         )
@@ -1033,9 +1035,9 @@ def approx_percentile_audit_oracle(bronze_dedup_sql: str) -> str:
 WITH deduped AS ({bronze_dedup_sql})
 SELECT metric, datestamp,
        count(*) AS n_points,
-       round(quantile_cont(value, 0.5), 6) AS p50_exact,
-       round(quantile_cont(value, 0.95), 6) AS p95_exact,
-       round(quantile_cont(value, 0.99), 6) AS p99_exact,
+       floor(quantile_cont(value, 0.5)  * 1000000.0 + 0.5) / 1000000.0 AS p50_exact,
+       floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS p95_exact,
+       floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99_exact,
        TRUE AS within_tol
 FROM deduped
 GROUP BY metric, datestamp
