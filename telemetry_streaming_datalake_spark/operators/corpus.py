@@ -1151,8 +1151,14 @@ def badwords_filter(documents: DataFrame, terms: tuple = BLOCKLIST_TERMS) -> Dat
     zero joins (a blocklist of thousands would broadcast-join the
     exploded tokens instead; the literal form is the small-list fast
     path).  NULL text emits no row (the decontaminate convention).
+    Zero-length tokens are dropped before counting (the ``ngram_lm``
+    convention — r10, ADVICE r9: an empty/whitespace-only doc has
+    n_words=0 and a NULL blocked_frac, not a phantom empty token).
     """
-    toks = F.split(F.trim(normalize_text(F.col("text"))), " ")
+    toks = F.filter(
+        F.split(F.trim(normalize_text(F.col("text"))), " "),
+        lambda w: F.length(w) > 0,
+    )
     blocked = F.filter(toks, lambda w: w.isin(*terms))
     return documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
@@ -1160,7 +1166,9 @@ def badwords_filter(documents: DataFrame, terms: tuple = BLOCKLIST_TERMS) -> Dat
         F.size(blocked).alias("n_blocked"),
         # F.get is out-of-bounds-NULL under ANSI (element_at throws)
         F.get(blocked, 0).alias("first_blocked"),
-        floor_round(F.size(blocked) / F.size(toks), 6).alias("blocked_frac"),
+        F.when(
+            F.size(toks) > 0, floor_round(F.size(blocked) / F.size(toks), 6)
+        ).alias("blocked_frac"),
         (F.size(blocked) == 0).alias("keep"),
     )
 
@@ -1171,16 +1179,19 @@ def badwords_filter_oracle(terms: tuple = BLOCKLIST_TERMS) -> str:
     return f"""
 WITH g AS (
     SELECT doc_id,
-           string_split(trim({norm}), ' ') AS t,
            list_filter(string_split(trim({norm}), ' '),
-                       x -> x IN ({lst})) AS bl
+                       x -> length(x) > 0) AS t,
+           list_filter(string_split(trim({norm}), ' '),
+                       x -> length(x) > 0 AND x IN ({lst})) AS bl
     FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(len(t) AS INTEGER)  AS n_words,
        CAST(len(bl) AS INTEGER) AS n_blocked,
        bl[1] AS first_blocked,
-       floor(len(bl) * 1.0 / len(t) * 1000000.0 + 0.5) / 1000000.0 AS blocked_frac,
+       CASE WHEN len(t) > 0 THEN
+           floor(len(bl) * 1.0 / len(t) * 1000000.0 + 0.5) / 1000000.0
+       END AS blocked_frac,
        len(bl) = 0 AS keep
 FROM g
 """

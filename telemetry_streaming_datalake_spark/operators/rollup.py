@@ -493,6 +493,11 @@ def rollup_restate(bronze_deduped: DataFrame, corrections: DataFrame) -> DataFra
         F.max("value").alias("p_max"),
         F.count(F.lit(1)).alias("p_n"),
     )
+    # Raw bronze `value` is an arbitrary double, so the DECIMAL(38,6)
+    # exact-sum treatment _rollup uses on 6dp-by-construction gold
+    # values would QUANTIZE these summands rather than sum them
+    # exactly — deliberately exempt; see SURVEY §6 "Exact-decimal sum
+    # scope" for the full argument.
     corr = F.broadcast(
         corrections.select(
             "event_id", F.col("new_value").cast("double").alias("new_value")

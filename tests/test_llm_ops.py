@@ -1597,4 +1597,6 @@ def test_badwords_filter_gate_and_audit_columns(spark):
     assert not out[2].keep and out[2].n_blocked == 2 and out[2].first_blocked == "slow"
     assert out[2].blocked_frac == 0.4  # 2 of 5 tokens
     assert not out[3].keep and out[3].n_blocked == 2 and out[3].first_blocked == "spam"
-    assert out[5].keep and out[5].n_words == 1  # '' splits to one empty token
+    # r10: zero-length tokens filtered (ngram_lm convention) — an empty
+    # doc has no words and an undefined blocked fraction, but keeps
+    assert out[5].keep and out[5].n_words == 0 and out[5].blocked_frac is None

@@ -68,7 +68,18 @@ def main() -> None:
     only = set(args)
 
     TF.SEED = seed
-    base = f"/tmp/tsdl_fuzzcheck_{seed}"
+    # cache dir keyed on the corpus BUILDER SOURCE, not just the seed
+    # (ADVICE r9): any edit to the generators invalidates the cached
+    # parquet instead of silently re-certifying against a stale corpus
+    import hashlib
+    import inspect
+
+    builder_src = "".join(
+        inspect.getsource(f)
+        for f in (TF._doc_rows, TF._emb_rows, TF._event_rows, TF._write_dir)
+    )
+    tag = hashlib.md5(builder_src.encode()).hexdigest()[:10]
+    base = f"/tmp/tsdl_fuzzcheck_{seed}_{tag}"
     os.makedirs(base, exist_ok=True)
     d = os.path.join(base, "main")
     if not os.path.exists(os.path.join(d, "documents.parquet")):
