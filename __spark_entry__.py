@@ -55,78 +55,186 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
-#: round-9 driver rotation (SURVEY §2b): stalest-first order emitted
-#: by `python tools/rotate.py` after round 8, minus the five keys
-#: registry-retired this round by shared-oracle displacement
-#: (`bronze_quarantine` -> `streaming_quarantine_split` verbatim
-#: oracle; `bronze_orc` -> `bronze_parse` verbatim oracle;
-#: `streaming_two_hop` -> `streaming_three_hop` strictly-deeper drain
-#: + the silver oracles; `serving_kv` -> `latest_metric` latest-state
-#: semantics; `counter_rate` -> `streaming_counter_rate` verbatim
-#: oracle — all five operators + pytest coverage remain; the r9
-#: continuation added two more identical-oracle retirements,
-#: `ewma_smooth` -> `streaming_ewma` and `downsample_ohlc` ->
-#: `streaming_ohlc`, funding `semantic_decontaminate` +
-#: `quality_percentile_gate`).  Window (first 50) as shipped: the 7
-#: new r9 keys (3 streaming twins + `ann_ivfpq` + `domain_cap_sample`
-#: + the 2 continuation keys, auto-prepended because absent from this
-#: list) + the 30 remaining stalest r5 keys + the 13 stalest r6 keys.
+#: round-10 driver rotation (SURVEY §2b): the FULL stalest-first order
+#: emitted by `python tools/rotate.py` at r10 open (170 keys).  The
+#: r10 window (first 50) = the 33 r6-cohort keys at their 4-round
+#: deadline (`zipf_fit` ... `streaming_three_hop`) + the 17 stalest r7
+#: keys (`cusum_changepoint` ... `gold_enrich`).  Keys added this round
+#: are absent from this list and auto-prepend to the window, each
+#: displacing one r7 fill slot toward r11; registry-retired keys are
+#: deleted from this list when their queries()/oracle_sql() rows go.
 #: Budget arithmetic in SURVEY §2b.
-_R9_ORDER = [
-    "lang_id", "doc_fingerprint", "multimodal_meta",
-    "multimodal_features", "frame_sample", "multimodal_thumb",
-    "pii_redact", "doc_chunks", "train_val_split",
-    "corpus_stats", "decontaminate", "heavy_hitters",
-    "quantize_embeddings", "dedup_minhash", "dedup_simhash",
-    "stage_delay_report", "bronze_feed_c", "dedup_simhash_weighted",
-    "q4_priority_check", "q13_order_distribution", "q16_supplier_variety",
-    "q19_disjunctive_revenue", "q22_dormant_value", "boilerplate_ngrams",
-    "semantic_dedup", "pack_sequences", "mixture_weights",
-    "kmeans_refine", "streaming_quarantine_split", "table_profile",
-    "bronze_kafka", "token_budget_plan", "packing_efficiency",
-    "ann_ivf_indexed", "gopher_filter", "audio_features",
-    "curation_manifest", "incremental_dedup", "streaming_corpus_gate",
-    "ann_recall_report", "corpus_drift", "zipf_fit",
-    "embedding_drift", "length_trim", "anomaly_mad",
-    "latest_state_diff", "q15_top_supplier", "q17_small_quantity",
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q11_important_stock", "q20_excess_shippers", "q21_waiting_supplier",
-    "rollup_grouping_sets", "cohort_retention", "funnel_conversion",
-    "importance_sample", "source_reputation", "metric_rank_report",
-    "time_travel_read", "compaction_plan", "value_histogram",
-    "rolling_active_users", "zorder_layout", "event_transitions",
-    "streaming_grouping_sets", "metric_correlation", "bucketed_join",
-    "lm_perplexity", "canonical_docs", "rollup_restate",
-    "cumulative_metric", "streaming_three_hop", "cusum_changepoint", "png_meta", "streaming_ewma",
-    "streaming_ohlc", "streaming_approx_distinct", "streaming_cusum",
-    "approx_percentile_audit", "bm25_search", "hybrid_search",
-    "ann_ivf_incremental", "approx_distinct_audit",
-    "ts_similarity", "bronze_parse",
-    "silver_metrics", "silver_explode", "bronze_feed_b",
-    "gold_enrich", "custom_metric_sum",
-    "custom_metric_join", "latest_metric", "gap_detect",
-    "serving_latest_monitor", "orphan_usage", "retention_purge",
-    "scd2_current", "agg_consistency", "sessionize",
-    "rolling_avg", "anomaly_zscore", "percentile_rollup",
-    "pivot_metrics", "gapfill_hourly", "asof_latest_order",
-    "order_window_activity", "partition_stats", "merge_upsert_latest",
-    "incremental_rollup", "slo_burn_alerts", "cdc_apply",
-    "trend_report", "fuzzy_blocking_report", "bloom_prune_join",
-    "fuzzy_join", "freq_sketch_audit", "bm25_indexed",
-    "hard_negatives", "seasonal_baseline", "dup_spans",
-    "quality_classifier", "availability_report", "always_on_topology",
-    "tokenize_fixed_vocab", "bpe_merges", "dup_clusters",
-    "online_entities", "q1_pricing", "q3_shipping",
-    "q5_supplier", "adhoc_gold_slice", "q6_forecast",
-    "q10_returns", "q12_priority", "q14_promo",
-    "q7_nation_volume", "q18_large_orders", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_embedding", "top_ngrams",
-    "tfidf_top_terms", "repetition_stats", "char_entropy",
-    "stratified_sample", "label_centroids", "centroid_confusion",
-    "streaming_sliding_counts", "streaming_interval_join", "streaming_publish_jsonl",
-    "streaming_counter_rate", "streaming_silver_dedup", "streaming_upsert",
-    "streaming_stateful_latest", "ann_cosine_topk", "ann_lsh",
-    "ann_ivf", "text_quality", "token_count",
+_R10_ORDER = [
+    "zipf_fit",
+    "embedding_drift",
+    "length_trim",
+    "anomaly_mad",
+    "latest_state_diff",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "rollup_grouping_sets",
+    "cohort_retention",
+    "funnel_conversion",
+    "importance_sample",
+    "source_reputation",
+    "metric_rank_report",
+    "time_travel_read",
+    "compaction_plan",
+    "value_histogram",
+    "rolling_active_users",
+    "zorder_layout",
+    "event_transitions",
+    "streaming_grouping_sets",
+    "metric_correlation",
+    "bucketed_join",
+    "lm_perplexity",
+    "canonical_docs",
+    "rollup_restate",
+    "cumulative_metric",
+    "streaming_three_hop",
+    "cusum_changepoint",
+    "png_meta",
+    "streaming_ewma",
+    "streaming_ohlc",
+    "streaming_approx_distinct",
+    "streaming_cusum",
+    "approx_percentile_audit",
+    "bm25_search",
+    "hybrid_search",
+    "ann_ivf_incremental",
+    "approx_distinct_audit",
+    "ts_similarity",
+    "bronze_parse",
+    "silver_metrics",
+    "silver_explode",
+    "bronze_feed_b",
+    "gold_enrich",
+    "custom_metric_sum",
+    "custom_metric_join",
+    "latest_metric",
+    "gap_detect",
+    "serving_latest_monitor",
+    "orphan_usage",
+    "retention_purge",
+    "scd2_current",
+    "agg_consistency",
+    "sessionize",
+    "rolling_avg",
+    "anomaly_zscore",
+    "percentile_rollup",
+    "pivot_metrics",
+    "gapfill_hourly",
+    "asof_latest_order",
+    "order_window_activity",
+    "partition_stats",
+    "merge_upsert_latest",
+    "incremental_rollup",
+    "slo_burn_alerts",
+    "cdc_apply",
+    "trend_report",
+    "fuzzy_blocking_report",
+    "bloom_prune_join",
+    "fuzzy_join",
+    "freq_sketch_audit",
+    "bm25_indexed",
+    "hard_negatives",
+    "seasonal_baseline",
+    "dup_spans",
+    "quality_classifier",
+    "availability_report",
+    "always_on_topology",
+    "tokenize_fixed_vocab",
+    "bpe_merges",
+    "dup_clusters",
+    "online_entities",
+    "q1_pricing",
+    "q3_shipping",
+    "q5_supplier",
+    "adhoc_gold_slice",
+    "q6_forecast",
+    "q10_returns",
+    "q12_priority",
+    "q14_promo",
+    "q7_nation_volume",
+    "q18_large_orders",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "top_ngrams",
+    "tfidf_top_terms",
+    "repetition_stats",
+    "char_entropy",
+    "stratified_sample",
+    "label_centroids",
+    "centroid_confusion",
+    "streaming_sliding_counts",
+    "streaming_interval_join",
+    "streaming_publish_jsonl",
+    "streaming_counter_rate",
+    "streaming_silver_dedup",
+    "streaming_upsert",
+    "streaming_stateful_latest",
+    "ann_cosine_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "text_quality",
+    "token_count",
+    "streaming_slo_burn",
+    "streaming_cdc_apply",
+    "streaming_freq_sketch",
+    "ngram_lm",
+    "badwords_filter",
+    "ann_ivfpq",
+    "domain_cap_sample",
+    "semantic_decontaminate",
+    "quality_percentile_gate",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "multimodal_features",
+    "frame_sample",
+    "multimodal_thumb",
+    "pii_redact",
+    "doc_chunks",
+    "train_val_split",
+    "corpus_stats",
+    "decontaminate",
+    "heavy_hitters",
+    "quantize_embeddings",
+    "dedup_minhash",
+    "dedup_simhash",
+    "stage_delay_report",
+    "bronze_feed_c",
+    "dedup_simhash_weighted",
+    "q4_priority_check",
+    "q13_order_distribution",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_dormant_value",
+    "boilerplate_ngrams",
+    "semantic_dedup",
+    "pack_sequences",
+    "mixture_weights",
+    "kmeans_refine",
+    "streaming_quarantine_split",
+    "table_profile",
+    "bronze_kafka",
+    "token_budget_plan",
+    "packing_efficiency",
+    "ann_ivf_indexed",
+    "gopher_filter",
+    "audio_features",
+    "curation_manifest",
+    "incremental_dedup",
+    "streaming_corpus_gate",
+    "ann_recall_report",
+    "corpus_drift",
 ]
 
 
@@ -340,16 +448,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
     no) driver-green CORRECTNESS row come first; with 134+ keys and a
     50-key window the sustainable cycle is 3 rounds.  The dict below is
-    grouped by topic for readability; `_R9_ORDER` (from
+    grouped by topic for readability; `_R10_ORDER` (from
     `python tools/rotate.py`) dictates the actual driver-visible order.
-    Keys added mid-round and absent from `_R9_ORDER` are prepended so
+    Keys added mid-round and absent from `_R10_ORDER` are prepended so
     they land inside the driver window immediately (VERDICT r5 item
     10) — as shipped, the round-6 window is the 14 new r6 keys plus the
     36 never-driver-checked keys — exactly 50 (SURVEY §2b holds the
     full 3-round schedule and the 150-key sustainability ceiling).
     """
     base = {
-        # --- r9 additions (absent from _R9_ORDER -> auto-prepended to
+        # --- r9 additions (absent from _R10_ORDER -> auto-prepended to
         # the driver window): the three formerly pytest-only streaming
         # twins (drained == batch parity is pinned in tests, so each
         # oracle is its batch twin's SQL verbatim) + the two new LLM
@@ -402,7 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
-        # --- r8 continuation additions (absent from _R9_ORDER ->
+        # --- r8 continuation additions (absent from _R10_ORDER ->
         # auto-prepended to the driver window) ---
         "slo_burn_alerts": lambda s, d: DT.slo_burn_alerts(
             B.dedup_exact(_bronze(s, d))
@@ -497,7 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (absent from _R9_ORDER -> auto-prepended to the window)
+        # round-6 additions (absent from _R10_ORDER -> auto-prepended to the window)
         "bronze_kafka": KF.bronze_from_kafka_analog,
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
@@ -633,7 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
         ),
         "rollup_restate": _rollup_restate,
-        # r7 additions (absent from _R9_ORDER -> auto-prepended to the window)
+        # r7 additions (absent from _R10_ORDER -> auto-prepended to the window)
         "cusum_changepoint": lambda s, d: DV.cusum_changepoint(
             B.dedup_exact(_bronze(s, d))
         ),
@@ -766,12 +874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
-    fresh = {k: v for k, v in base.items() if k not in set(_R9_ORDER)}
-    ordered = fresh | {k: base[k] for k in _R9_ORDER if k in base}
+    fresh = {k: v for k, v in base.items() if k not in set(_R10_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R10_ORDER if k in base}
     # a typo'd rotation entry would silently fall out of the schedule
     # and its real key masquerade as "fresh" — fail loudly instead
-    missing = set(_R9_ORDER) - set(base)
-    assert not missing, f"_R9_ORDER names unknown keys: {sorted(missing)}"
+    missing = set(_R10_ORDER) - set(base)
+    assert not missing, f"_R10_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 
