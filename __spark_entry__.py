@@ -194,7 +194,6 @@ _R10_ORDER = [
     "domain_cap_sample",
     "semantic_decontaminate",
     "quality_percentile_gate",
-    "lang_id",
     "doc_fingerprint",
     "multimodal_meta",
     "multimodal_features",
@@ -457,8 +456,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full 3-round schedule and the 150-key sustainability ceiling).
     """
     base = {
-        # --- r9 additions (absent from _R10_ORDER -> auto-prepended to
-        # the driver window): the three formerly pytest-only streaming
+        # --- r10 additions (absent from _R10_ORDER -> auto-prepended
+        # to the driver window), displacement-funded per SURVEY §2b ---
+        # model-based language ID with a shipped char-bigram log-odds
+        # artifact (funded by retiring the stopword-heuristic `lang_id`
+        # key — the tokenize_bpe -> tokenize_fixed_vocab
+        # strictly-stronger-replacement precedent; the heuristic
+        # operator + its pytest remain as the zero-artifact fallback)
+        "lang_id_model": lambda s, d: TX.lang_id_model(load_table(s, d, "documents")),
+        # --- r9 additions: the three formerly pytest-only streaming
         # twins (drained == batch parity is pinned in tests, so each
         # oracle is its batch twin's SQL verbatim) + the two new LLM
         # operators, displacement-funded per SURVEY §2b ---
@@ -550,7 +556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_quality": lambda s, d: TX.text_quality(load_table(s, d, "documents")),
         "token_count": lambda s, d: TX.token_count(load_table(s, d, "documents")),
-        "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
         "multimodal_meta": lambda s, d: MM.multimodal_meta(load_table(s, d, "documents")),
         "multimodal_features": lambda s, d: MM.feature_histogram(
@@ -1126,7 +1131,7 @@ FROM deduped GROUP BY metric, datestamp
         "quality_classifier": TX.quality_classifier_oracle(),
         "text_quality": TX.text_quality_oracle(),
         "token_count": TX.token_count_oracle(),
-        "lang_id": TX.lang_id_oracle(),
+        "lang_id_model": TX.lang_id_model_oracle(),
         "doc_fingerprint": TX.doc_fingerprint_oracle(),
         "multimodal_meta": MM.MULTIMODAL_META_ORACLE,
         "frame_sample": MM.frame_sample_oracle(),

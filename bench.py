@@ -73,7 +73,7 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "token_count",
-    "lang_id",
+    "lang_id_model",
     "text_quality",
     "doc_fingerprint",
     "frame_sample",

@@ -146,6 +146,221 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# model-based language ID (shipped char-bigram log-odds model)
+# --------------------------------------------------------------------------
+
+#: per-language seed text the shipped model is trained from at import
+#: time: the language's highest-frequency function words (the classic
+#: stopword-profile signal — public frequency-list knowledge), space
+#: joined so the padded bigrams capture word boundaries.  Function
+#: words are the strongest short-context discriminator a char-n-gram
+#: model can learn (Cavnar & Trenkle 1994); a single-sentence seed
+#: (the first cut of this operator) generalized too poorly — common
+#: words that never appeared in the sentence scored zero.  In
+#: production this seed is replaced by a real training corpus; the
+#: TRAINING procedure below (Laplace log-odds over padded character
+#: bigrams) and the APPLY path are what this operator ships — the
+#: langid.py / fastText char-n-gram posture reduced to its
+#: deterministic core.
+_LANGID_SEED = {
+    "en": (
+        "the of and to in is was he for it with as his on be at by i "
+        "this had not are but from or have an they which one you were "
+        "her all she there would their we him been has when who will "
+        "more no if out so said what up its about into than them can "
+        "only other new some could time these two may then do first any "
+        "my now such like our over man me even most made after also did "
+        "many before must through back years where much your way well"
+    ),
+    "de": (
+        "der die und in den von zu das mit sich des auf für ist im dem "
+        "nicht ein eine als auch es an werden aus er hat dass sie nach "
+        "wird bei einer um am sind noch wie einem über einen so zum war "
+        "haben nur oder aber vor zur bis mehr durch man sein wurde sei "
+        "schon wenn haben seine ihre dann unter wir soll ich jahr zwei "
+        "diese wieder uhr allem während können müssen sagte machen"
+    ),
+    "fr": (
+        "de la le et les des en un du une est que dans qui par pour sur "
+        "se plus pas au sont avec ne son ses mais comme il aux ce cette "
+        "ont être fait été aussi leur bien où sans peut cela ces deux "
+        "nous comme mais pouvoir autre après votre notre toujours entre "
+        "encore tous jamais très quand même faire voir donner chez"
+    ),
+    "es": (
+        "de la que el en y a los se del las un por con no una su para "
+        "es al lo como más pero sus le ya o este sí porque esta entre "
+        "cuando muy sin sobre también me hasta hay donde quien desde "
+        "todo nos durante todos uno les ni contra otros ese eso ante "
+        "ellos e esto mí antes algunos qué unos yo otro otras otra él"
+    ),
+    "zh": (
+        "的 一 是 了 我 不 人 在 他 有 这 个 上 们 来 到 时 大 地 为 子 "
+        "中 你 说 生 国 年 着 就 那 和 要 她 出 也 得 里 后 自 以 会 家 "
+        "可 下 而 过 天 去 能 对 小 多 然 于 心 学 么 之 都 好 看 起 发 "
+        "当 没 成 只 如 事 把 还 用 第 样 道 想 作 种 开"
+    ),
+}
+
+#: grams kept per language — big enough to separate the Romance pair
+#: (fr/es share many bigrams; 32 bigram-only left fr→es errors on the
+#: validation snippets, 40 mixed-order is clean), small enough that
+#: the apply stays a bounded codegen expression (5×40 = 200 count
+#: terms in one projection)
+LANGID_TOP_K = 40
+
+#: char-gram orders pooled into one feature space: unigrams for the
+#: script regimes (a single CJK char is near-proof of Chinese, whose
+#: space-joined seed would otherwise only yield space-flanked bigrams
+#: that never fire inside real unspaced Chinese text; accented
+#: unigrams é ü ñ split the European pairs), bigrams for volume,
+#: trigrams for word-shape (les/des/que vs los/del/qué)
+LANGID_ORDERS = (1, 2, 3)
+
+
+def _train_langid(
+    seed: dict[str, str] = _LANGID_SEED,
+    top_k: int = LANGID_TOP_K,
+    orders: tuple[int, ...] = LANGID_ORDERS,
+) -> dict[str, dict[str, float]]:
+    """Train the shipped model: per-language padded-char n-gram counts
+    (orders pooled into one feature space) → Laplace-smoothed log-odds
+    vs the pooled background → keep the ``top_k`` most discriminative
+    positive-weight grams per language, weights rounded to 6dp so both
+    engines apply identical literals.  Pure deterministic Python at
+    import time (no RNG, no I/O)."""
+    import math
+    from collections import Counter
+
+    per: dict[str, Counter] = {}
+    bg: Counter = Counter()
+    for lang, txt in seed.items():
+        padded = f" {txt} "
+        c: Counter = Counter()
+        for o in orders:
+            if o == 1:
+                c.update(ch for ch in padded if ch != " ")
+            else:
+                c.update(padded[i : i + o] for i in range(len(padded) - o + 1))
+        per[lang] = c
+        bg.update(c)
+    vocab = len(bg)
+    n_bg = sum(bg.values())
+    model: dict[str, dict[str, float]] = {}
+    for lang, c in per.items():
+        n = sum(c.values())
+        scored = {
+            g: round(
+                math.log((k + 1) / (n + vocab)) - math.log((bg[g] + 1) / (n_bg + vocab)),
+                6,
+            )
+            for g, k in c.items()
+        }
+        # tie-break: shorter gram first — at equal evidence the more
+        # general feature (a bare CJK char vs the same char flanked by
+        # the seed's artificial spaces) fires on more real text
+        top = sorted(
+            ((g, w) for g, w in scored.items() if w > 0),
+            key=lambda kv: (-kv[1], len(kv[0]), kv[0]),
+        )[:top_k]
+        # gram-sorted insertion order → both engines build the score
+        # sum in the same syntactic (hence IEEE-identical) order
+        model[lang] = dict(sorted(top))
+    return model
+
+
+#: the shipped artifact: {lang: {bigram: 6dp log-odds weight}}
+LANGID_NGRAM_WEIGHTS = _train_langid()
+
+
+def lang_id_model(documents: DataFrame) -> DataFrame:
+    """Model-based language ID with a SHIPPED character-bigram
+    log-odds model — the fastText/langid.py posture (upgrading the
+    stopword heuristic :func:`lang_id`, which stays as the
+    zero-artifact fallback): score(lang) = Σ count(g)·w(lang,g) over
+    the model's bigrams, argmax with deterministic first-wins
+    tie-break, NULL/empty text → 'und'.
+
+    Scale shape: map-only — the model is literal weights inside ONE
+    codegen projection (replace-based substring counts, the
+    `_count_occurrences` trick), zero shuffles, zero joins, zero
+    Python in the row path.  A model with 10⁵+ grams would switch to
+    gram-explode + broadcast weight join; at this artifact size the
+    literal form is strictly cheaper (no explode blow-up of the 100 TB
+    corpus).  Engine parity: counts are exact integers, weights are
+    6dp literals, and both engines sum in the same syntactic order —
+    bit-identical scores, floor-formed only at the output edge.
+    """
+    norm = normalize_text(F.col("text"))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    base = documents.select("doc_id", "lang", padded.alias("padded"))
+    scores = {}
+    for lang, grams in LANGID_NGRAM_WEIGHTS.items():
+        s = F.lit(0.0)
+        for g, w in grams.items():
+            s = s + _count_occurrences(F.col("padded"), g) * F.lit(w)
+        scores[lang] = s
+    scored = base.select(
+        "doc_id", "lang", *[scores[lang].alias(f"s_{lang}") for lang in scores]
+    )
+    cols = {lang: F.col(f"s_{lang}") for lang in LANGID_NGRAM_WEIGHTS}
+    best = F.greatest(*cols.values())
+    undetermined = F.col("s_en").isNull() | (best == 0.0)
+    pred = F.when(undetermined, F.lit("und"))
+    margin = F.when(undetermined, F.lit(None).cast("double"))
+    langs = list(cols)
+    for lang in langs:  # insertion order = tie-break priority
+        others = [cols[o] for o in langs if o != lang]
+        pred = pred.when(cols[lang] == best, F.lit(lang))
+        margin = margin.when(cols[lang] == best, best - F.greatest(*others))
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[floor_round(cols[lang], 6).alias(f"score_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+        floor_round(margin, 6).alias("margin"),
+        (pred == F.col("lang")).alias("matches_label"),
+    )
+
+
+def lang_id_model_oracle() -> str:
+    norm = _NORM_SQL
+    padded = "padded"
+    score_sql = {}
+    for lang, grams in LANGID_NGRAM_WEIGHTS.items():
+        terms = " + ".join(f"{_count_sql(padded, g)} * {w}" for g, w in grams.items())
+        score_sql[lang] = f"(0.0 + {terms})"
+    langs = list(LANGID_NGRAM_WEIGHTS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    und = f"(s_en IS NULL OR {best} = 0.0)"
+    pred_cases = " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs)
+    margin_cases = " ".join(
+        f"WHEN s_{lang} = {best} THEN {best} - greatest("
+        + ", ".join(f"s_{o}" for o in langs if o != lang)
+        + ")"
+        for lang in langs
+    )
+    score_cols = ", ".join(
+        _floor6_sql(f"s_{lang}") + f" AS score_{lang}" for lang in langs
+    )
+    return f"""
+WITH g AS (
+    SELECT doc_id, lang, (' ' || {norm} || ' ') AS padded FROM documents
+),
+c AS (
+    SELECT doc_id, lang,
+           {", ".join(f"{score_sql[lang]} AS s_{lang}" for lang in langs)}
+    FROM g
+)
+SELECT doc_id, lang, {score_cols},
+       CASE WHEN {und} THEN 'und' {pred_cases} END AS lang_pred,
+       CASE WHEN {und} THEN NULL {margin_cases} END AS margin,
+       (CASE WHEN {und} THEN 'und' {pred_cases} END) = lang AS matches_label
+FROM c
+"""
+
+
 def doc_fingerprint(documents: DataFrame, window: int = 16) -> DataFrame:
     """Winnowing-style fingerprint: the minimum md5 over all
     ``window``-char shingles of the normalized text, plus the content

@@ -300,7 +300,7 @@ _MAIN_KEYS = [
     "dedup_simhash",
     "dedup_simhash_weighted",
     "doc_fingerprint",
-    "lang_id",
+    "lang_id_model",
     "token_count",
     "text_quality",
     "gopher_filter",

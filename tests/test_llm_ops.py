@@ -201,6 +201,49 @@ def test_lang_id_marks_english_and_undetermined(spark):
     assert out == {1: "en", 2: "und", 3: "de"}
 
 
+def test_lang_id_model_fidelity_all_five_languages(spark):
+    """The shipped char-n-gram log-odds model must classify held-out
+    snippets (none appear in the function-word seed) in all five
+    corpus languages, return 'und' for signal-free text, and carry a
+    positive margin on every correct call."""
+    snippets = [
+        (1, "she said that they would have been there by now if the train was late", "en"),
+        (2, "die regierung hat gestern eine neue verordnung für daten beschlossen", "de"),
+        (3, "il ne pouvait pas comprendre pourquoi elle était encore en retard", "fr"),
+        (4, "los resultados de este estudio son muy interesantes para la ciencia", "es"),
+        (5, "他不明白为什么她又一次上班迟到了", "zh"),
+        (6, "0192 3847 5650", "en"),  # no model gram fires -> und
+        (7, None, "en"),  # NULL text -> und
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lg, "s", 1) for i, t, lg in snippets],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.doc_id: r for r in TX.lang_id_model(docs).collect()}
+    for i, _, lg in snippets[:5]:
+        assert rows[i].lang_pred == lg, f"doc {i}: {rows[i].lang_pred} != {lg}"
+        assert rows[i].margin > 0
+        assert rows[i].matches_label
+    assert rows[6].lang_pred == "und" and rows[6].margin is None
+    assert rows[7].lang_pred == "und" and rows[7].margin is None
+
+
+def test_lang_id_model_artifact_shape():
+    """The shipped artifact is bounded (top_k per language), 6dp
+    literal weights, positive, and covers all five corpus languages —
+    the contract that keeps the apply a fixed-size codegen projection
+    on both engines."""
+    W = TX.LANGID_NGRAM_WEIGHTS
+    assert set(W) == {"en", "de", "fr", "es", "zh"}
+    for lang, grams in W.items():
+        assert 0 < len(grams) <= TX.LANGID_TOP_K
+        for g, w in grams.items():
+            assert 1 <= len(g) <= max(TX.LANGID_ORDERS)
+            assert w > 0
+            assert w == round(w, 6)
+            assert "'" not in g and "\\" not in g  # SQL-literal safe
+
+
 def test_fingerprint_stable_under_whitespace(spark):
     docs = spark.createDataFrame(
         [(1, "some  document   text here", "en", "s", 1),
