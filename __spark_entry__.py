@@ -58,8 +58,8 @@ INCR_CUTOFF_UNIX = 1705278600
 #: round-10 driver rotation (SURVEY §2b): the FULL stalest-first order
 #: emitted by `python tools/rotate.py` at r10 open (170 keys).  The
 #: r10 window (first 50) = the 33 r6-cohort keys at their 4-round
-#: deadline (`zipf_fit` ... `streaming_three_hop`) + the 17 stalest r7
-#: keys (`cusum_changepoint` ... `gold_enrich`).  Keys added this round
+#: deadline (`zipf_fit` ... `streaming_three_hop`) + the stalest r7
+#: keys (`png_meta` ... `gold_enrich`).  Keys added this round
 #: are absent from this list and auto-prepend to the window, each
 #: displacing one r7 fill slot toward r11; registry-retired keys are
 #: deleted from this list when their queries()/oracle_sql() rows go.
@@ -98,7 +98,6 @@ _R10_ORDER = [
     "rollup_restate",
     "cumulative_metric",
     "streaming_three_hop",
-    "cusum_changepoint",
     "png_meta",
     "streaming_ewma",
     "streaming_ohlc",
@@ -464,6 +463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strictly-stronger-replacement precedent; the heuristic
         # operator + its pytest remain as the zero-artifact fallback)
         "lang_id_model": lambda s, d: TX.lang_id_model(load_table(s, d, "documents")),
+        # real RIFF/AVI container walk with verified idx1 seek index
+        # (funded by retiring the batch `cusum_changepoint` key —
+        # `streaming_cusum` runs the IDENTICAL oracle against the
+        # drained stream, the counter_rate/silver_dedup precedent; the
+        # batch operator, its plan pin, and the drained==batch pytest
+        # all remain)
+        "video_meta": lambda s, d: MM.video_meta(load_table(s, d, "documents")),
         # --- r9 additions: the three formerly pytest-only streaming
         # twins (drained == batch parity is pinned in tests, so each
         # oracle is its batch twin's SQL verbatim) + the two new LLM
@@ -747,9 +753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rollup_restate": _rollup_restate,
         # r7 additions (absent from _R10_ORDER -> auto-prepended to the window)
-        "cusum_changepoint": lambda s, d: DV.cusum_changepoint(
-            B.dedup_exact(_bronze(s, d))
-        ),
         "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
         "streaming_ewma": _streaming_ewma,
         "streaming_ohlc": _streaming_ohlc,
@@ -1027,10 +1030,10 @@ FROM (
         # incrementally-maintained partials store == the batch rollup
         "streaming_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cumulative_metric": DV.cumulative_metric_oracle(DEDUP_ORACLE),
-        "cusum_changepoint": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
         # frozen limits + integer drift state: drained stream == batch
         "streaming_cusum": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
         "png_meta": MM.png_meta_oracle(),
+        "video_meta": MM.video_meta_oracle(),
         # bounded-horizon EWMA is the SAME semantics batch and stream,
         # so the drained stream shares the batch oracle
         "streaming_ewma": DV.ewma_smooth_oracle(DEDUP_ORACLE),

@@ -125,7 +125,8 @@ HEADLINE = [
     "zorder_layout",
     "event_transitions",
     "cumulative_metric",
-    "cusum_changepoint",
+    "streaming_cusum",
+    "video_meta",
     "png_meta",
     "approx_percentile_audit",
     "availability_report",

@@ -358,7 +358,6 @@ _MAIN_KEYS_EXT = [
     "stage_delay_report",
     # temporal / detect over boundary timestamps
     "sessionize",
-    "cusum_changepoint",
     "availability_report",
     "cdc_apply",
     "funnel_conversion",
@@ -414,6 +413,9 @@ _MAIN_KEYS_EXT = [
 _STREAMING_KEYS = [
     "streaming_corpus_gate",
     "streaming_ohlc",
+    # cusum-over-boundary-timestamps coverage moved here when the batch
+    # key retired (r10): identical oracle, drained-stream path
+    "streaming_cusum",
     "streaming_quarantine_split",
     "streaming_stateful_latest",
     "streaming_grouping_sets",

@@ -365,6 +365,60 @@ def test_png_container_roundtrip_and_crc_validation(spark):
     assert not MM.parse_png(bytes(payload))["crc_ok"]
 
 
+def test_avi_container_roundtrip_index_and_codec_seam(spark):
+    """The emitted AVI containers parse back exactly (geometry/frames
+    from md5 nibbles, fps from the timing literals), the idx1 index
+    verifies entry-by-entry against the real '00db' chunk positions,
+    a tampered index offset is CAUGHT, a tampered RIFF length is
+    CAUGHT, and a compressed biCompression raises through the guarded
+    codec seam."""
+    import hashlib
+    import struct
+
+    from telemetry_streaming_datalake_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "some other text")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in MM.video_meta(docs).collect()}
+    for doc_id, text in [(1, "alpha doc"), (2, "some other text")]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        w, ht, nf = int(h[0], 16) + 1, int(h[1], 16) + 1, int(h[2], 16) + 1
+        r = out[doc_id]
+        assert (r.width, r.height, r.n_frames) == (w, ht, nf)
+        assert r.frame_bytes == w * ht * 3
+        assert r.n_index_entries == nf
+        assert r.index_ok and r.size_ok
+        assert r.fps == round(1_000_000 / (1_000_000 // MM.VIDEO_FPS), 6)
+        pad = r.frame_bytes % 2
+        assert r.movi_bytes == 4 + nf * (8 + r.frame_bytes + pad)
+        assert r.riff_bytes == 228 + r.movi_bytes + 16 * nf
+
+    payload = bytes(
+        MM.attach_avi_payload(docs.filter("doc_id = 1")).collect()[0].payload
+    )
+    assert MM.parse_avi(payload)["index_ok"]
+
+    # tamper the first idx1 entry's offset field: index_ok must drop
+    idx1_pos = payload.rindex(b"idx1")
+    bad = bytearray(payload)
+    # idx1(4) + size(4) + entry ckid(4) + flags(4) -> offset field
+    bad[idx1_pos + 16] ^= 0xFF
+    assert not MM.parse_avi(bytes(bad))["index_ok"]
+
+    # tamper the RIFF length field: size_ok must drop
+    bad = bytearray(payload)
+    bad[4] ^= 0xFF
+    assert not MM.parse_avi(bytes(bad))["size_ok"]
+
+    # flip biCompression to a codec fourcc: the guarded seam raises
+    strf_pos = payload.index(b"strf")
+    bad = bytearray(payload)
+    bad[strf_pos + 8 + 16 : strf_pos + 8 + 20] = struct.pack("<I", 0x44495643)
+    with pytest.raises(NotImplementedError):
+        MM.parse_avi(bytes(bad))
+
+
 def test_dedup_keeps_lowest_event_id_across_partitions(spark):
     """Duplicates of one hash key scattered across MANY input
     partitions must still collapse to the single lowest-event_id row

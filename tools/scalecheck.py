@@ -76,8 +76,20 @@ def generate_tpch(spark, out_dir: str) -> None:
         )
 
 
+def generate_dims(spark, out_dir: str) -> None:
+    """Dimensions copy unchanged into the 10x dir (the honest 100 TB
+    posture: facts grow, dimensions don't) so every registry key —
+    including the dim-joining TPC-H shapes — runs at both scales."""
+    for tbl in ("region", "nation", "supplier", "part"):
+        dst = os.path.join(out_dir, f"{tbl}.parquet")
+        if os.path.exists(dst):
+            continue
+        load_table(spark, SRC, tbl).write.mode("overwrite").parquet(dst)
+
+
 def generate(spark, out_dir: str) -> None:
     generate_tpch(spark, out_dir)
+    generate_dims(spark, out_dir)
     if os.path.exists(os.path.join(out_dir, "_DONE")):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -330,7 +342,89 @@ def time_queries(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, 
     return out
 
 
+def _timed_with_rows(spark, fn, sf_dir: str) -> tuple[float, int]:
+    """Best-of-2 wall (bench.py convention: clearCache between runs so
+    run 2 re-does all data work) + output row count via an Observation
+    on the SECOND run (no extra execution; the count aggregate is
+    output-cardinality work, negligible next to the plan itself)."""
+    from pyspark.sql import Observation
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    first = time.perf_counter() - t0
+
+    obs = Observation()
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    second = time.perf_counter() - t0
+    return round(min(first, second), 3), int(obs.get["rows"])
+
+
+def auto_sweep(spark, out_dir: str, threshold: float = 1.0) -> None:
+    """The STANDING per-round scale sweep (VERDICT r9 #3): every
+    registry key whose sf0.1 wall is >= ``threshold`` seconds gets a
+    10x row — wall at sf0.1 and at the synthesized 10x corpus, plus
+    output rows at both scales as the generic work-growth metric
+    (pair/gram-bounded operators surface their work product directly;
+    fixed-cardinality aggregates show ~1x rows, where the argument is
+    the 10x fact-input growth itself).  Prints JSON then a markdown
+    table ready to append to BASELINE.md."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    # pass 1: one timed run per key at sf0.1 to find the hot set (the
+    # first run overpays codegen compile, which only makes the cut
+    # INCLUSIVE — pass 2's best-of-2 is the reported number)
+    walls: dict[str, float] = {}
+    for name, fn in qs.items():
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, SRC).write.format("noop").mode("overwrite").save()
+        walls[name] = round(time.perf_counter() - t0, 3)
+    hot = sorted(k for k, v in walls.items() if v >= threshold)
+    print(
+        json.dumps({"pass1_hot": {k: walls[k] for k in hot}, "threshold": threshold}),
+        flush=True,
+    )
+
+    rows: dict[str, dict] = {}
+    for name in hot:
+        small, small_rows = _timed_with_rows(spark, qs[name], SRC)
+        big, big_rows = _timed_with_rows(spark, qs[name], out_dir)
+        rows[name] = {
+            "sf0.1_s": small,
+            "sf1x_s": big,
+            "wall_ratio": round(big / small, 2),
+            "rows_sf0.1": small_rows,
+            "rows_sf1x": big_rows,
+            "row_growth": round(big_rows / small_rows, 2) if small_rows else None,
+        }
+        print(json.dumps({name: rows[name]}), flush=True)
+
+    print(json.dumps({"auto_sweep": rows}))
+    print("\n| key | sf0.1 s | sf1x s | wall x | rows sf0.1 | rows sf1x | rows x |")
+    print("|---|---|---|---|---|---|---|")
+    for name in sorted(rows, key=lambda k: -rows[k]["sf1x_s"]):
+        r = rows[name]
+        print(
+            f"| {name} | {r['sf0.1_s']} | {r['sf1x_s']} | {r['wall_ratio']} "
+            f"| {r['rows_sf0.1']} | {r['rows_sf1x']} | {r['row_growth']} |"
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--auto":
+        out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/tsdl_scale"
+        spark = get_spark("scalecheck")
+        generate(spark, out_dir)
+        generate_embeddings(spark, out_dir)
+        load_table(spark, SRC, "events").count()  # warm scan/codegen
+        auto_sweep(spark, out_dir)
+        return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tsdl_scale"
     only = set(sys.argv[2:]) or None  # focused runs: name the queries
     if only:
