@@ -134,13 +134,11 @@ _R10_ORDER = [
     "partition_stats",
     "merge_upsert_latest",
     "incremental_rollup",
-    "slo_burn_alerts",
     "cdc_apply",
     "trend_report",
     "fuzzy_blocking_report",
     "bloom_prune_join",
     "fuzzy_join",
-    "freq_sketch_audit",
     "bm25_indexed",
     "hard_negatives",
     "seasonal_baseline",
@@ -470,6 +468,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch operator, its plan pin, and the drained==batch pytest
         # all remain)
         "video_meta": lambda s, d: MM.video_meta(load_table(s, d, "documents")),
+        # retrieval-quality curve pricing the hybrid DEPTH knob
+        # (funded by retiring the batch `slo_burn_alerts` key —
+        # `streaming_slo_burn` runs the IDENTICAL oracle against the
+        # drained stream; batch operator + pytest remain)
+        "retrieval_quality_report": lambda s, d: SIM.retrieval_quality_report(
+            load_table(s, d, "documents"), load_table(s, d, "embeddings")
+        ),
+        # per-cluster keep-rate audit (funded by retiring the batch
+        # `freq_sketch_audit` key — `streaming_freq_sketch` audits the
+        # drained CMS store through the identical relation and oracle)
+        "dup_keep_audit": lambda s, d: CU.dup_keep_audit(
+            load_table(s, d, "documents")
+        ),
         # --- r9 additions: the three formerly pytest-only streaming
         # twins (drained == batch parity is pinned in tests, so each
         # oracle is its batch twin's SQL verbatim) + the two new LLM
@@ -524,9 +535,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_latest": _streaming_stateful,
         # --- r8 continuation additions (absent from _R10_ORDER ->
         # auto-prepended to the driver window) ---
-        "slo_burn_alerts": lambda s, d: DT.slo_burn_alerts(
-            B.dedup_exact(_bronze(s, d))
-        ),
         "cdc_apply": lambda s, d: M.cdc_apply(B.dedup_exact(_bronze(s, d))),
         "trend_report": lambda s, d: DV.trend_report(B.dedup_exact(_bronze(s, d))),
         "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
@@ -536,9 +544,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "orders")
         ),
         "fuzzy_join": lambda s, d: DD.fuzzy_join(load_table(s, d, "documents")),
-        "freq_sketch_audit": lambda s, d: R.freq_sketch_audit(
-            B.dedup_exact(_bronze(s, d))
-        ),
         "bm25_indexed": lambda s, d: TX.bm25_indexed(s, d),
         # --- block C: r3-only LLM-pipeline keys (18) ---
         "hard_negatives": lambda s, d: SIM.hard_negatives(
@@ -1055,6 +1060,14 @@ FROM deduped GROUP BY metric, datestamp
             TX.bm25_search_oracle(k=SIM.HYBRID_DEPTH),
             SIM.cosine_topk_oracle([SIM.HYBRID_QUERY_VEC_ID], k=SIM.HYBRID_DEPTH),
         ),
+        # per-depth fusion twins composed from the retrievers' own
+        # oracle builders, truth = exact cosine top-k
+        "retrieval_quality_report": SIM.retrieval_quality_report_oracle(
+            lambda d: TX.bm25_search_oracle(k=d),
+            lambda d: SIM.cosine_topk_oracle([SIM.HYBRID_QUERY_VEC_ID], k=d),
+            SIM.cosine_topk_oracle([SIM.HYBRID_QUERY_VEC_ID], k=SIM.HYBRID_TOP_K),
+        ),
+        "dup_keep_audit": CU.dup_keep_audit_oracle(),
         # frozen centroids make extend == rebuild, so the incremental
         # index probe shares the from-scratch IVF oracle verbatim
         "ann_ivf_incremental": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
@@ -1110,7 +1123,6 @@ FROM deduped GROUP BY metric, datestamp
         "ann_cosine_topk": SIM.cosine_topk_oracle(ANN_QUERY_IDS),
         "hard_negatives": SIM.hard_negatives_oracle(ANN_QUERY_IDS),
         "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
-        "slo_burn_alerts": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),
         "cdc_apply": M.cdc_apply_oracle(DEDUP_ORACLE),
         # streaming twins: availableNow drains are pinned == batch in
         # pytest, so each audits against its batch twin's oracle
@@ -1125,7 +1137,6 @@ FROM deduped GROUP BY metric, datestamp
         "fuzzy_blocking_report": DD.fuzzy_blocking_report_oracle(),
         "bloom_prune_join": SKW.bloom_prune_join_oracle(),
         "fuzzy_join": DD.fuzzy_join_oracle(),
-        "freq_sketch_audit": R.freq_sketch_audit_oracle(DEDUP_ORACLE),
         # the persisted-index probe is bit-identical to bm25_search
         # (shared scoring expressions, identical integer inputs) —
         # one oracle covers both

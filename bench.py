@@ -158,13 +158,15 @@ HEADLINE = [
     "seasonal_baseline",
     "dup_spans",
     "quality_classifier",
-    "slo_burn_alerts",
+    "streaming_slo_burn",
+    "retrieval_quality_report",
     "cdc_apply",
     "bloom_prune_join",
     "fuzzy_join",
     "trend_report",
     "fuzzy_blocking_report",
-    "freq_sketch_audit",
+    "streaming_freq_sketch",
+    "dup_keep_audit",
     "bm25_indexed",
     "ann_ivfpq",
     "domain_cap_sample",

@@ -156,3 +156,114 @@ SELECT ge.doc_id, ge.gate_keep, ge.is_exact_keeper,
 FROM ge
 LEFT JOIN canon c USING (doc_id)
 """
+
+
+def dup_keep_audit(documents: DataFrame) -> DataFrame:
+    """Per-CLUSTER keep-rate audit — the cluster-level form of
+    `fuzzy_blocking_report`'s no-silent-caps discipline: for every
+    near-dup cluster of the FULL corpus (so members the gate dropped
+    stay visible), where did the cluster's mass go?
+
+    Joins the three artifacts the audit question spans: corpus-level
+    `dup_clusters` labels (which docs are the same content),
+    `canonical_docs`' content-canonical choice (who the best
+    representative IS — longest normalized doc), and the
+    `curation_manifest` drop reasons (what the pipeline actually did
+    to each member).  The load-bearing columns: `fully_dropped`
+    flags clusters whose content vanished from the training set
+    entirely, and `canonical_survived` flags clusters whose BEST copy
+    was lost (e.g. gate-dropped) while a lesser copy carried the
+    content — both invisible in per-document views.
+
+    Scale shape: the cluster labels are near-dup-subset-sized and the
+    manifest is the one-pass composed plan; the audit itself is one
+    cluster-keyed aggregate over the (small) clustered subset —
+    nothing new is corpus-sized.  Note the manifest's own `near_dup`
+    reasons come from its survivor-restricted clustering (the
+    gate-then-dedup order); THIS audit clusters the full corpus on
+    purpose, so the two legs answer different questions and their
+    composition here is the point.
+    """
+    from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
+    pairs = ngram_jaccard_dedup(documents)
+    clusters = dup_clusters(pairs)
+    canon = canonical_docs(documents, clusters).select("doc_id", "canonical_id")
+    manifest = curation_manifest(documents).select(
+        "doc_id", "final_keep", "drop_reason"
+    )
+    joined = clusters.join(manifest, "doc_id").join(canon, "doc_id")
+    n_kept = F.sum(F.col("final_keep").cast("int"))
+    reason = lambda r: F.sum((F.col("drop_reason") == r).cast("int")).cast("int")
+    return joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size"),
+        F.min("canonical_id").alias("content_canonical_id"),
+        n_kept.cast("int").alias("n_kept"),
+        floor_round(n_kept / F.count(F.lit(1)), 6).alias("keep_rate"),
+        reason("gate").alias("n_gate_dropped"),
+        reason("exact_dup").alias("n_exact_dup_dropped"),
+        reason("near_dup").alias("n_near_dup_dropped"),
+        (n_kept == 0).alias("fully_dropped"),
+        (
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("doc_id") == F.col("canonical_id"),
+                        F.col("final_keep").cast("int"),
+                    )
+                ),
+                F.lit(0),
+            )
+            == 1
+        ).alias("canonical_survived"),
+    )
+
+
+def dup_keep_audit_oracle() -> str:
+    """Composed twin: the same three stage oracles (full-corpus
+    cluster labels, content-canonical window, manifest reasons) and
+    the same cluster-keyed aggregate."""
+    from telemetry_streaming_datalake_spark.operators.merge import (
+        dup_clusters_oracle,
+    )
+
+    floor6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+WITH clusters AS ({dup_clusters_oracle(ngram_jaccard_oracle())}),
+labeled AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+canon AS (
+    SELECT doc_id, cluster_id,
+           min(CASE WHEN rk = 1 THEN doc_id END) OVER (PARTITION BY cluster_id)
+               AS canonical_id
+    FROM (
+        SELECT doc_id, cluster_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM labeled
+    )
+),
+manifest AS ({curation_manifest_oracle()})
+SELECT cl.cluster_id,
+       CAST(count(*) AS INTEGER) AS cluster_size,
+       min(cn.canonical_id) AS content_canonical_id,
+       CAST(sum(CAST(m.final_keep AS INT)) AS INTEGER) AS n_kept,
+       {floor6("sum(CAST(m.final_keep AS INT)) * 1.0 / count(*)")} AS keep_rate,
+       CAST(sum(CASE WHEN m.drop_reason = 'gate' THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_gate_dropped,
+       CAST(sum(CASE WHEN m.drop_reason = 'exact_dup' THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_exact_dup_dropped,
+       CAST(sum(CASE WHEN m.drop_reason = 'near_dup' THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_near_dup_dropped,
+       sum(CAST(m.final_keep AS INT)) = 0 AS fully_dropped,
+       coalesce(max(CASE WHEN cl.doc_id = cn.canonical_id
+                         THEN CAST(m.final_keep AS INT) END), 0) = 1
+           AS canonical_survived
+FROM clusters cl
+JOIN manifest m USING (doc_id)
+JOIN canon cn USING (doc_id)
+GROUP BY cl.cluster_id
+"""

@@ -1262,8 +1262,104 @@ def probe_ivf_index(
 _IVFPQ_INDEX_CACHE: dict[tuple[str, int], str] = {}
 
 
+#: trained-PQ codebook geometry: per-dimension 1-D codebooks at the
+#: SAME byte budget as SQ8 (one code byte per dimension) — the regime
+#: where trained quantization provably helps: Lloyd's k-means adapts
+#: levels to each dimension's distribution while SQ8 spends them
+#: uniformly over the per-vector max range
+PQ_CODES = 256
+PQ_TRAIN_SAMPLE = 2048
+PQ_KMEANS_ITERS = 8
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    n_codes: int = PQ_CODES,
+    sample: int = PQ_TRAIN_SAMPLE,
+    iters: int = PQ_KMEANS_ITERS,
+) -> np.ndarray:
+    """Train per-dimension quantization codebooks (the FAISS
+    train-on-a-sample posture, made deterministic): the ``sample``
+    lowest vec_ids collect to the driver — bounded by design, the
+    `_centroid_matrix` precedent — and each dimension runs ``iters``
+    Lloyd rounds from a uniform init over that dimension's sample
+    range.  Returns ``(dim, n_codes)`` sorted codebooks.
+
+    This is the trained-codebook slot-in the SQ8 docstring promises:
+    same storage/IO layout (one code byte per dimension), swap the
+    code column + reconstruction expression.  It stays OUT of the
+    registry key deliberately — a trained codebook is an artifact, not
+    an ANSI-SQL-reproducible expression, so its contract is the
+    pytest pin (reconstruction error strictly below SQ8's at equal
+    bytes) rather than a DuckDB oracle."""
+    rows = (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(sample)
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    books = np.zeros((dim, n_codes))
+    for j in range(dim):
+        col = X[:, j]
+        cb = np.linspace(col.min(), col.max(), n_codes)
+        for _ in range(iters):
+            assign = np.abs(col[:, None] - cb[None, :]).argmin(1)
+            for c in range(n_codes):
+                pts = col[assign == c]
+                if len(pts):
+                    cb[c] = pts.mean()
+        books[j] = np.sort(cb)
+    return books
+
+
+def _pq_nearest(books: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-code assignment against SORTED per-dim
+    codebooks: searchsorted + closer-neighbor pick.  (rows, dim) →
+    (rows, dim) int codes."""
+    codes = np.zeros(X.shape, dtype=np.int64)
+    for j in range(books.shape[0]):
+        cb = books[j]
+        idx = np.clip(np.searchsorted(cb, X[:, j]), 1, len(cb) - 1)
+        left_closer = (X[:, j] - cb[idx - 1]) <= (cb[idx] - X[:, j])
+        codes[:, j] = np.where(left_closer, idx - 1, idx)
+    return codes
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-batched encoder: embedding → per-dim code array."""
+    from pyspark.sql.types import ArrayType, ShortType
+
+    @F.pandas_udf(ArrayType(ShortType()))
+    def _encode(embs: pd.Series) -> pd.Series:
+        X = np.array(embs.tolist(), dtype=np.float64)
+        codes = _pq_nearest(books, X).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def _pq_reconstruct_udf(books: np.ndarray):
+    """Arrow-batched decoder: code array → reconstructed vector (the
+    ADC reconstruction expression of the trained variant)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _decode(codes: pd.Series) -> pd.Series:
+        C = np.array(codes.tolist(), dtype=np.int64)
+        out = books[np.arange(books.shape[0])[None, :], C]
+        return pd.Series(list(out))
+
+    return _decode
+
+
 def build_ivfpq_index(
-    embeddings: DataFrame, index_dir: str, n_cells: int = IVF_CELLS
+    embeddings: DataFrame,
+    index_dir: str,
+    n_cells: int = IVF_CELLS,
+    codebooks: np.ndarray | None = None,
 ) -> str:
     """Materialize the quantized IVF index: posting lists store int8
     CODES + a per-vector scale instead of the float vectors — the
@@ -1292,24 +1388,35 @@ def build_ivfpq_index(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    assigned = (
-        embd.withColumn("cell", _nearest_cell_udf(cent_norm)(F.col("emb")))
-        .withColumn(
-            "scale",
-            F.lit(127.0)
-            / F.greatest(
-                F.array_max(F.transform("emb", F.abs)), F.lit(_QUANT_EPS)
-            ),
+    assigned = embd.withColumn("cell", _nearest_cell_udf(cent_norm)(F.col("emb")))
+    if codebooks is None:
+        assigned = (
+            assigned.withColumn(
+                "scale",
+                F.lit(127.0)
+                / F.greatest(
+                    F.array_max(F.transform("emb", F.abs)), F.lit(_QUANT_EPS)
+                ),
+            )
+            .withColumn(
+                "codes",
+                F.transform(
+                    "emb",
+                    lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("tinyint"),
+                ),
+            )
+            .select("vec_id", "scale", "codes", "cell")
         )
-        .withColumn(
-            "codes",
-            F.transform(
-                "emb",
-                lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("tinyint"),
-            ),
+    else:
+        # trained-codebook slot-in: same one-code-byte-per-dim layout,
+        # code column swapped for the k-means assignment (scale column
+        # kept for layout compatibility; reconstruction ignores it)
+        assigned = assigned.select(
+            "vec_id",
+            F.lit(1.0).alias("scale"),
+            _pq_encode_udf(codebooks)(F.col("emb")).alias("codes"),
+            "cell",
         )
-        .select("vec_id", "scale", "codes", "cell")
-    )
     (
         assigned.write.mode("overwrite")
         .partitionBy("cell")
@@ -1332,6 +1439,7 @@ def probe_ivfpq_index(
     nprobe: int = IVF_NPROBE,
     round_to: int = 4,
     rerank: int = 0,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Probe the quantized index: bounded centroid read, driver-side
     probe-cell selection over the tiny centroid matrix, then a
@@ -1371,13 +1479,13 @@ def probe_ivfpq_index(
     cells = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
         F.col("cell").isin(probe_cells)  # partition-pruned posting-list read
     )
-    recon = cells.select(
-        "vec_id",
-        "cell",
-        F.transform(
-            "codes", lambda c: c.cast("double") / F.col("scale")
-        ).alias("remb"),
+    recon_expr = (
+        F.transform("codes", lambda c: c.cast("double") / F.col("scale"))
+        if codebooks is None
+        # trained variant: the swapped reconstruction expression
+        else _pq_reconstruct_udf(codebooks)(F.col("codes"))
     )
+    recon = cells.select("vec_id", "cell", recon_expr.alias("remb"))
     cands = (
         recon.join(F.broadcast(probe_df), "cell")
         .join(F.broadcast(q), "query_id")
@@ -1851,4 +1959,134 @@ def ann_ivf_incremental(
         _IVF_INCR_CACHE[cache_key] = d
     return probe_ivf_index(
         spark, _IVF_INCR_CACHE[cache_key], embeddings, query_ids, k, nprobe
+    )
+
+
+# --------------------------------------------------------------------------
+# retrieval-quality report: nDCG@k / recall@k vs exact, pricing RRF depth
+# --------------------------------------------------------------------------
+
+#: retriever depths the report prices — how deep each retriever's
+#: candidate list must be before fusion quality saturates
+RETRIEVAL_EVAL_DEPTHS = (5, 10, 25, 50)
+
+
+def _dcg_weights_micro(k: int) -> list[int]:
+    """DCG position weights 1/log2(i+1), quantized to integer
+    micro-units at PLAN time so both engines sum EXACT integers in any
+    order (a float DCG sum would be accumulation-order-sensitive —
+    the trend_report/CUSUM exact-integer discipline)."""
+    import math
+
+    return [int(round(1_000_000 / math.log2(i + 1))) for i in range(1, k + 1)]
+
+
+def retrieval_quality_report(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int = HYBRID_QUERY_VEC_ID,
+    k: int = HYBRID_TOP_K,
+    depths: tuple[int, ...] = RETRIEVAL_EVAL_DEPTHS,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Quality-vs-cost curve for the hybrid retriever's DEPTH knob
+    (the `ann_recall_report` posture applied to fusion): for each
+    retriever depth, recall@k and binary-relevance nDCG@k of
+    :func:`hybrid_search`'s top-k against the exact-cosine top-k
+    ground truth.  Deeper candidate lists cost each retriever more
+    (BM25 heap size, cosine scan width) — this report shows where the
+    fused ranking stops improving, which is what prices the knob.
+
+    Scale shape: every frame below is k- or depth-sized (the
+    retrievers themselves do the corpus-scale work exactly as their
+    own registry entries do); the truth join broadcasts; one
+    depth-count union of 1-row aggregates.  nDCG sums integer
+    micro-unit weights (exact in any accumulation order) and divides
+    once by the plan-time ideal-DCG literal; recall divides two
+    exact integers — both floor-rounded at the edge only.
+    """
+    from pyspark.sql import Window
+
+    from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
+    w_micro = _dcg_weights_micro(k)
+    idcg = sum(w_micro)
+    wts = F.array(*[F.lit(w) for w in w_micro])
+    truth = cosine_topk(embeddings, [query_vec_id], k).select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel")
+    )
+    parts = []
+    for d in depths:
+        res = hybrid_search(documents, embeddings, query_vec_id, None, k, d, rrf_k)
+        wd = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+        ranked = res.select("doc_id", F.row_number().over(wd).alias("rnk"))
+        scored = ranked.join(F.broadcast(truth), "doc_id", "left").select(
+            "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+        )
+        parts.append(
+            scored.agg(
+                F.sum("rel").alias("hits"),
+                F.sum(
+                    F.col("rel") * F.element_at(wts, F.col("rnk")).cast("bigint")
+                ).alias("dcg_micro"),
+            ).select(
+                F.lit(d).alias("depth"),
+                F.lit(k).alias("k"),
+                F.col("hits").cast("int").alias("truth_hits"),
+                floor_round(F.col("hits") / F.lit(k), 6).alias("recall_at_k"),
+                floor_round(F.col("dcg_micro") / F.lit(idcg), 6).alias("ndcg_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("depth")
+
+
+def retrieval_quality_report_oracle(
+    bm25_sql_by_depth,
+    cosine_sql_by_depth,
+    truth_sql: str,
+    k: int = HYBRID_TOP_K,
+    depths: tuple[int, ...] = RETRIEVAL_EVAL_DEPTHS,
+    rrf_k: int = RRF_K,
+) -> str:
+    """Composes the per-depth hybrid fusion oracles (each built from
+    the two retrievers' own oracle SQL at that depth) against the
+    exact-cosine truth, with the identical micro-unit DCG arithmetic.
+    ``bm25_sql_by_depth`` / ``cosine_sql_by_depth`` are callables
+    depth -> SQL (the entry composes them from the retrievers' own
+    oracle builders, exactly like `hybrid_search`'s entry does)."""
+    w_micro = _dcg_weights_micro(k)
+    idcg = sum(w_micro)
+    wlist = "[" + ", ".join(str(w) for w in w_micro) + "]"
+    floor6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    ctes = [f"truth AS (SELECT vec_id AS doc_id FROM ({truth_sql}))"]
+    selects = []
+    for d in depths:
+        hybrid = hybrid_search_oracle(
+            bm25_sql_by_depth(d), cosine_sql_by_depth(d), k=k, rrf_k=rrf_k
+        )
+        ctes.append(
+            f"""r{d} AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+    FROM ({hybrid}))"""
+        )
+        selects.append(
+            f"""SELECT {d} AS depth, {k} AS k,
+       CAST(count(t.doc_id) AS INTEGER) AS truth_hits,
+       {floor6(f"count(t.doc_id) / {k}")} AS recall_at_k,
+       {floor6(
+           f"coalesce(sum(CASE WHEN t.doc_id IS NOT NULL "
+           f"THEN list_extract({wlist}, r.rnk) END), 0) / {idcg}"
+       )} AS ndcg_at_k
+FROM r{d} r LEFT JOIN truth t USING (doc_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY depth"
     )

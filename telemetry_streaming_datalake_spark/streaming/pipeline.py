@@ -38,17 +38,34 @@ from telemetry_streaming_datalake_spark.session import load_table, normalize_nan
 DEDUP_WATERMARK = "48 hours"
 
 
+def _stage_parquet(src: str, landing: str, name: str) -> None:
+    """Stage a parquet table into a streaming landing directory.  The
+    table may be a SINGLE file (the driver test lake) or a
+    Spark-written DIRECTORY of part files (any real lake table, e.g.
+    the 10x scale corpus) — a multi-file stage is exactly what a
+    multi-partition topic drop looks like to the file source."""
+    import shutil
+
+    if os.path.isdir(src):
+        for i, part in enumerate(sorted(os.listdir(src))):
+            if part.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src, part), os.path.join(landing, f"{i}_{name}")
+                )
+    else:
+        shutil.copy(src, os.path.join(landing, name))
+
+
 def _events_glob(spark: SparkSession, sf_dir: str, work_dir: str | None = None) -> DataFrame:
     """Stage the feed file into a landing directory and stream it —
     the file source watches directories (like a Kafka topic watches
     partitions), so this mirrors real file-drop ingestion."""
-    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
     landing = os.path.join(work_dir or tempfile.mkdtemp(prefix="tsdl_land_"), "landing")
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(src, os.path.join(landing, "events.parquet"))
+    _stage_parquet(src, landing, "events.parquet")
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(landing)
 
@@ -681,7 +698,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str, work_dir: str) -> 
 
     land = os.path.join(work_dir, "ssj_landing")
     os.makedirs(land, exist_ok=True)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(land, "events.parquet"))
+    _stage_parquet(os.path.join(sf_dir, "events.parquet"), land, "events.parquet")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
     def feed() -> DataFrame:
@@ -1113,7 +1130,7 @@ def streaming_corpus_gate(spark: SparkSession, sf_dir: str, work_dir: str) -> Da
     src = os.path.join(sf_dir, "documents.parquet")
     landing = os.path.join(work_dir, "docs_landing")
     os.makedirs(landing, exist_ok=True)
-    shutil.copy(src, os.path.join(landing, "documents.parquet"))
+    _stage_parquet(src, landing, "documents.parquet")
     schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).parquet(landing)
 

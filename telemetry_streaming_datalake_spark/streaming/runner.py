@@ -201,10 +201,13 @@ class AlwaysOnRunner:
         return dict(self.queries)
 
     def feed(self, src_parquet: str, name: str = "drop.parquet") -> None:
-        """Drop a feed file into the landing dir (a producer publish)."""
-        import shutil
+        """Drop a feed table into the landing dir (a producer publish);
+        single file or a part-file directory, like any lake table."""
+        from telemetry_streaming_datalake_spark.streaming.pipeline import (
+            _stage_parquet,
+        )
 
-        shutil.copy(src_parquet, os.path.join(self.landing_dir, name))
+        _stage_parquet(src_parquet, self.landing_dir, name)
 
     def status(self) -> list[dict]:
         """StreamingQueryManager view — one row per managed query, the

@@ -324,7 +324,6 @@ _MAIN_KEYS = [
     "anomaly_zscore",
     "anomaly_mad",
     "seasonal_baseline",
-    "slo_burn_alerts",
     "gap_detect",
     "percentile_rollup",
     "value_histogram",
@@ -365,7 +364,6 @@ _MAIN_KEYS_EXT = [
     "event_transitions",
     "cumulative_metric",
     "metric_correlation",
-    "freq_sketch_audit",
     "asof_latest_order",
     "order_window_activity",
     "gapfill_hourly",
@@ -413,9 +411,11 @@ _MAIN_KEYS_EXT = [
 _STREAMING_KEYS = [
     "streaming_corpus_gate",
     "streaming_ohlc",
-    # cusum-over-boundary-timestamps coverage moved here when the batch
-    # key retired (r10): identical oracle, drained-stream path
+    # cusum/slo-burn/CMS boundary-value coverage moved here when the
+    # batch keys retired (r10): identical oracles, drained-stream path
     "streaming_cusum",
+    "streaming_slo_burn",
+    "streaming_freq_sketch",
     "streaming_quarantine_split",
     "streaming_stateful_latest",
     "streaming_grouping_sets",

@@ -575,6 +575,16 @@ def test_png_meta_map_only(spark):
     assert "Exchange" not in p
 
 
+def test_video_meta_map_only(spark):
+    """AVI container synthesis + chunk-walk parse is a map-only
+    pipeline — zero exchanges of any kind (the png_meta shape)."""
+    from telemetry_streaming_datalake_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    p = MM.video_meta(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
 def test_availability_report_single_shuffle(spark):
     """Lag window and aggregate share the (serial, datestamp) key —
     exactly one exchange."""

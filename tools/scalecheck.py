@@ -364,7 +364,9 @@ def _timed_with_rows(spark, fn, sf_dir: str) -> tuple[float, int]:
     return round(min(first, second), 3), int(obs.get["rows"])
 
 
-def auto_sweep(spark, out_dir: str, threshold: float = 1.0) -> None:
+def auto_sweep(
+    spark, out_dir: str, threshold: float = 1.0, only: set[str] | None = None
+) -> None:
     """The STANDING per-round scale sweep (VERDICT r9 #3): every
     registry key whose sf0.1 wall is >= ``threshold`` seconds gets a
     10x row — wall at sf0.1 and at the synthesized 10x corpus, plus
@@ -375,16 +377,34 @@ def auto_sweep(spark, out_dir: str, threshold: float = 1.0) -> None:
     table ready to append to BASELINE.md."""
     import __spark_entry__ as E
 
+    from pyspark.sql import Observation
+
     qs = E.queries()
-    # pass 1: one timed run per key at sf0.1 to find the hot set (the
-    # first run overpays codegen compile, which only makes the cut
-    # INCLUSIVE — pass 2's best-of-2 is the reported number)
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+    # pass 1: one timed run per key at sf0.1; candidates over the
+    # threshold get a CONFIRMING second run (first runs overpay
+    # codegen compile — a single-run cut would flag half the registry)
+    # which doubles as the Observation row-count run, so the hot set
+    # reflects steady state and pass 2 only has to run the 10x side
     walls: dict[str, float] = {}
+    rows01: dict[str, int] = {}
     for name, fn in qs.items():
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, SRC).write.format("noop").mode("overwrite").save()
-        walls[name] = round(time.perf_counter() - t0, 3)
+        t1 = round(time.perf_counter() - t0, 3)
+        if t1 < threshold:
+            walls[name] = t1
+            continue
+        obs = Observation()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, SRC).observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        walls[name] = round(min(t1, time.perf_counter() - t0), 3)
+        rows01[name] = int(obs.get["rows"])
     hot = sorted(k for k, v in walls.items() if v >= threshold)
     print(
         json.dumps({"pass1_hot": {k: walls[k] for k in hot}, "threshold": threshold}),
@@ -393,7 +413,7 @@ def auto_sweep(spark, out_dir: str, threshold: float = 1.0) -> None:
 
     rows: dict[str, dict] = {}
     for name in hot:
-        small, small_rows = _timed_with_rows(spark, qs[name], SRC)
+        small, small_rows = walls[name], rows01[name]
         big, big_rows = _timed_with_rows(spark, qs[name], out_dir)
         rows[name] = {
             "sf0.1_s": small,
@@ -419,11 +439,12 @@ def auto_sweep(spark, out_dir: str, threshold: float = 1.0) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--auto":
         out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/tsdl_scale"
+        only = set(sys.argv[3:]) or None  # resume/focus: name the keys
         spark = get_spark("scalecheck")
         generate(spark, out_dir)
         generate_embeddings(spark, out_dir)
         load_table(spark, SRC, "events").count()  # warm scan/codegen
-        auto_sweep(spark, out_dir)
+        auto_sweep(spark, out_dir, only=only)
         return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tsdl_scale"
     only = set(sys.argv[2:]) or None  # focused runs: name the queries
