@@ -1101,7 +1101,7 @@ SELECT doc_id,
        CAST({w} AS INTEGER)  AS width,
        CAST({h} AS INTEGER)  AS height,
        CAST({nf} AS INTEGER) AS n_frames,
-       {fps} AS fps,
+       CAST({fps} AS DOUBLE) AS fps,
        CAST({nf} * 1000 // {VIDEO_FPS} AS INTEGER) AS duration_ms,
        CAST({fb} AS INTEGER) AS frame_bytes,
        CAST({movi} AS INTEGER) AS movi_bytes,

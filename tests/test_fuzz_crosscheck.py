@@ -233,12 +233,19 @@ def _extreme_ts_rows() -> pd.DataFrame:
         pd.Timestamp("1970-01-01 00:00:00"),
     ]
     rows = []
-    for i, ts in enumerate(stamps * 20):
+    # each SERIES (user) stays within one epoch era, jittered by a few
+    # seconds (the 1969 era deliberately crosses into 1970): the
+    # boundary class under test is per-VALUE formatting/flooring, and
+    # a series spanning 1969..2100 only adds volume — gapfill's hourly
+    # grid over a 131-year min..max was a 65 s test for zero extra
+    # boundary coverage
+    for i in range(len(stamps) * 20):
+        era = i % len(stamps)
         rows.append(
             {
                 "event_id": i,
-                "ts": ts,
-                "user_id": i % 5,
+                "ts": stamps[era] + pd.Timedelta(seconds=i // len(stamps)),
+                "user_id": era,
                 "event_type": ["click", "view", "purchase", "signup", "error"][i % 5],
                 "value": float(i % 37) / 8.0,
                 "props": json.dumps({"k": i % 10}),

@@ -33,6 +33,13 @@ def _plan(df) -> str:
 def plans(spark):
     import __spark_entry__ as E
 
+    # module-scoped fixtures instantiate BEFORE the function-scoped
+    # autouse _uncached_catalog, so an InMemoryRelation left by a file
+    # that ran earlier in THIS process (e.g. test_streaming's .cache()
+    # parity frames under tools/partest.py's size-ordered buckets)
+    # would bake InMemoryTableScan into every plan built here — clear
+    # first
+    spark.catalog.clearCache()
     qs = E.queries()
     names = [
         "gold_enrich",
