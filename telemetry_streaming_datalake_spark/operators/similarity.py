@@ -1997,27 +1997,65 @@ def retrieval_quality_report(
     (BM25 heap size, cosine scan width) — this report shows where the
     fused ranking stops improving, which is what prices the knob.
 
-    Scale shape: every frame below is k- or depth-sized (the
-    retrievers themselves do the corpus-scale work exactly as their
-    own registry entries do); the truth join broadcasts; one
-    depth-count union of 1-row aggregates.  nDCG sums integer
-    micro-unit weights (exact in any accumulation order) and divides
-    once by the plan-time ideal-DCG literal; recall divides two
-    exact integers — both floor-rounded at the edge only.
+    Scale shape — ONE corpus pass per retriever, not one per depth:
+    a depth-d ranked list is a RANK PREFIX of the depth-max list (the
+    scoring is depth-independent; only the heap size changes), so the
+    corpus-scale work runs once at max(depths) and every per-depth
+    fusion is a rank filter over the two depth-max lists, eagerly
+    localCheckpointed at depth-max cardinality.  The per-depth fusion
+    + truth join + 1-row aggregate are all k/depth-sized and the
+    truth join broadcasts.  nDCG sums integer micro-unit weights
+    (exact in any accumulation order) and divides once by the
+    plan-time ideal-DCG literal; recall divides two exact integers —
+    both floor-rounded at the edge only.  The oracle deliberately
+    stays the per-depth composed form (the reference semantics); this
+    prefix-sharing plan must hash-match it exactly.
     """
     from pyspark.sql import Window
 
     from telemetry_streaming_datalake_spark.operators.derived import floor_round
+    from telemetry_streaming_datalake_spark.operators.text import bm25_search
 
     w_micro = _dcg_weights_micro(k)
     idcg = sum(w_micro)
     wts = F.array(*[F.lit(w) for w in w_micro])
-    truth = cosine_topk(embeddings, [query_vec_id], k).select(
-        F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel")
+    truth = (
+        cosine_topk(embeddings, [query_vec_id], k)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel"))
+        .localCheckpoint(eager=True)  # k-sized; joined once per depth
+    )
+    max_d = max(depths)
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex_all = (
+        bm25_search(documents, k=max_d)
+        .select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+        .localCheckpoint(eager=True)
+    )
+    sem_all = (
+        cosine_topk(embeddings, [query_vec_id], k=max_d)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+        .localCheckpoint(eager=True)
     )
     parts = []
     for d in depths:
-        res = hybrid_search(documents, embeddings, query_vec_id, None, k, d, rrf_k)
+        fused = lex_all.filter(F.col("lex_rank") <= d).join(
+            sem_all.filter(F.col("sem_rank") <= d), "doc_id", "full_outer"
+        )
+        rrf = (
+            F.when(
+                F.col("lex_rank").isNotNull(),
+                1.0 / (F.lit(rrf_k) + F.col("lex_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("sem_rank").isNotNull(),
+                1.0 / (F.lit(rrf_k) + F.col("sem_rank")),
+            ).otherwise(F.lit(0.0))
+        )
+        res = (
+            fused.select("doc_id", F.round(rrf, 6).alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), "doc_id")
+            .limit(k)
+        )
         wd = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
         ranked = res.select("doc_id", F.row_number().over(wd).alias("rnk"))
         scored = ranked.join(F.broadcast(truth), "doc_id", "left").select(

@@ -592,6 +592,22 @@ def test_video_meta_map_only(spark):
     assert "Exchange" not in p
 
 
+def test_retrieval_quality_report_scans_corpus_once(spark):
+    """The depth curve must NOT rescan the corpus per depth: the
+    depth-max retriever lists and the k-sized truth list are eagerly
+    checkpointed, so the final report plan reads only depth-sized
+    checkpoint RDDs — zero corpus or embeddings file scans."""
+    from telemetry_streaming_datalake_spark.operators import similarity as SIM
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    rep = SIM.retrieval_quality_report(docs, emb)
+    p = rep._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in p
+    assert "embeddings.parquet" not in p
+
+
 def test_availability_report_single_shuffle(spark):
     """Lag window and aggregate share the (serial, datestamp) key —
     exactly one exchange."""
