@@ -188,7 +188,12 @@ def dup_keep_audit(documents: DataFrame) -> DataFrame:
 
     pairs = ngram_jaccard_dedup(documents)
     clusters = dup_clusters(pairs)
-    canon = canonical_docs(documents, clusters).select("doc_id", "canonical_id")
+    # the canonical window only matters for CLUSTER MEMBERS and a
+    # cluster's choice never depends on non-members — restrict the
+    # window input to the near-dup-subset-sized member frame instead
+    # of sorting the whole corpus into it
+    members = documents.join(clusters.select("doc_id"), "doc_id", "left_semi")
+    canon = canonical_docs(members, clusters).select("doc_id", "canonical_id")
     manifest = curation_manifest(documents).select(
         "doc_id", "final_keep", "drop_reason"
     )
