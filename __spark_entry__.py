@@ -134,7 +134,6 @@ _R10_ORDER = [
     "partition_stats",
     "merge_upsert_latest",
     "incremental_rollup",
-    "cdc_apply",
     "trend_report",
     "fuzzy_blocking_report",
     "bloom_prune_join",
@@ -481,6 +480,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_keep_audit": lambda s, d: CU.dup_keep_audit(
             load_table(s, d, "documents")
         ),
+        # near-dup threshold sensitivity curve (funded by retiring the
+        # batch `cdc_apply` key — `streaming_cdc_apply` runs the
+        # IDENTICAL oracle against the drained stream; batch operator
+        # + pytest remain)
+        "dedup_threshold_curve": lambda s, d: DD.dedup_threshold_curve(
+            load_table(s, d, "documents")
+        ),
         # --- r9 additions: the three formerly pytest-only streaming
         # twins (drained == batch parity is pinned in tests, so each
         # oracle is its batch twin's SQL verbatim) + the two new LLM
@@ -535,7 +541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_latest": _streaming_stateful,
         # --- r8 continuation additions (absent from _R10_ORDER ->
         # auto-prepended to the driver window) ---
-        "cdc_apply": lambda s, d: M.cdc_apply(B.dedup_exact(_bronze(s, d))),
         "trend_report": lambda s, d: DV.trend_report(B.dedup_exact(_bronze(s, d))),
         "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
             load_table(s, d, "documents")
@@ -1068,6 +1073,7 @@ FROM deduped GROUP BY metric, datestamp
             SIM.cosine_topk_oracle([SIM.HYBRID_QUERY_VEC_ID], k=SIM.HYBRID_TOP_K),
         ),
         "dup_keep_audit": CU.dup_keep_audit_oracle(),
+        "dedup_threshold_curve": DD.dedup_threshold_curve_oracle(),
         # frozen centroids make extend == rebuild, so the incremental
         # index probe shares the from-scratch IVF oracle verbatim
         "ann_ivf_incremental": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),
@@ -1123,7 +1129,6 @@ FROM deduped GROUP BY metric, datestamp
         "ann_cosine_topk": SIM.cosine_topk_oracle(ANN_QUERY_IDS),
         "hard_negatives": SIM.hard_negatives_oracle(ANN_QUERY_IDS),
         "seasonal_baseline": DT.seasonal_baseline_oracle(DEDUP_ORACLE),
-        "cdc_apply": M.cdc_apply_oracle(DEDUP_ORACLE),
         # streaming twins: availableNow drains are pinned == batch in
         # pytest, so each audits against its batch twin's oracle
         "streaming_slo_burn": DT.slo_burn_alerts_oracle(DEDUP_ORACLE),

@@ -160,7 +160,8 @@ HEADLINE = [
     "quality_classifier",
     "streaming_slo_burn",
     "retrieval_quality_report",
-    "cdc_apply",
+    "streaming_cdc_apply",
+    "dedup_threshold_curve",
     "bloom_prune_join",
     "fuzzy_join",
     "trend_report",

@@ -1587,3 +1587,111 @@ SELECT CAST(sum(n) AS BIGINT) AS n_gram_rows,
            AS clipped_members
 FROM sizes
 """
+
+
+# --------------------------------------------------------------------------
+# near-dup threshold sensitivity curve (prices the jaccard knob)
+# --------------------------------------------------------------------------
+
+#: thresholds the curve prices, loosest first — the loosest bound is
+#: the ONE pair-generation pass everything else filters
+DEDUP_CURVE_THRESHOLDS = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+def dedup_threshold_curve(
+    documents: DataFrame,
+    thresholds: tuple[float, ...] = DEDUP_CURVE_THRESHOLDS,
+) -> DataFrame:
+    """Sensitivity of the near-dup decision to the Jaccard threshold —
+    the knob-pricing report for the dedup family (the
+    `retrieval_quality_report` posture): per threshold, how many pairs
+    survive, how many DOCS are implicated, what fraction of the corpus
+    that is, and the surviving pairs' mean jaccard.  Curation teams
+    read this curve to place the cut where the pair mass stops being
+    boilerplate and starts being content.
+
+    Scale shape — ONE pair-generation pass, not one per threshold: a
+    threshold-t pair set is a FILTER of the loosest threshold's scored
+    pair set (scoring is threshold-independent), so
+    :func:`ngram_jaccard_dedup` runs once at min(thresholds), the
+    scored pairs are eagerly checkpointed at pair cardinality, and
+    each curve row is two tiny aggregates over that frame.  The mean
+    rides exact integer micro-units (jaccard is already 6dp, so
+    ``round(jaccard*1e6)`` is lossless) — accumulation-order-proof on
+    both engines, divided once at the edge.
+    """
+    from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
+    pairs = ngram_jaccard_dedup(documents, threshold=min(thresholds)).localCheckpoint(
+        eager=True
+    )
+    n_corpus = documents.count()  # 1 scalar, the broadcast-dim posture
+    parts = []
+    for t in sorted(thresholds):
+        surv = pairs.filter(F.col("jaccard") >= t)
+        agg = surv.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 1e6).cast("long")).alias("sum_micro"),
+        )
+        docs_t = surv.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d")
+        ).agg(F.count_distinct("d").alias("n_docs"))
+        parts.append(
+            agg.crossJoin(docs_t).select(
+                F.lit(float(t)).alias("threshold"),
+                F.col("n_pairs").cast("int").alias("n_pairs"),
+                F.col("n_docs").cast("int").alias("n_docs"),
+                floor_round(F.col("n_docs") / F.lit(n_corpus), 6).alias(
+                    "dup_doc_frac"
+                ),
+                F.when(
+                    F.col("n_pairs") > 0,
+                    floor_round(
+                        F.col("sum_micro") / F.col("n_pairs") / F.lit(1e6), 6
+                    ),
+                ).alias("mean_jaccard"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("threshold")
+
+
+def dedup_threshold_curve_oracle(
+    thresholds: tuple[float, ...] = DEDUP_CURVE_THRESHOLDS,
+) -> str:
+    """Composed twin: the ngram-jaccard pair oracle ONCE at the
+    loosest threshold, per-threshold filtered aggregates, identical
+    micro-unit mean arithmetic."""
+    floor6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    selects = []
+    for t in sorted(thresholds):
+        selects.append(
+            f"""SELECT CAST({t} AS DOUBLE) AS threshold,
+       CAST((SELECT count(*) FROM pairs WHERE jaccard >= {t}) AS INTEGER)
+           AS n_pairs,
+       CAST((SELECT count(DISTINCT d) FROM (
+                 SELECT doc_a AS d FROM pairs WHERE jaccard >= {t}
+                 UNION ALL
+                 SELECT doc_b AS d FROM pairs WHERE jaccard >= {t})) AS INTEGER)
+           AS n_docs,
+       {floor6(
+           f"(SELECT count(DISTINCT d) FROM ("
+           f"SELECT doc_a AS d FROM pairs WHERE jaccard >= {t} "
+           f"UNION ALL SELECT doc_b AS d FROM pairs WHERE jaccard >= {t})) "
+           f"/ (SELECT count(*) FROM documents)"
+       )} AS dup_doc_frac,
+       CASE WHEN (SELECT count(*) FROM pairs WHERE jaccard >= {t}) > 0 THEN
+           {floor6(
+               f"(SELECT sum(CAST(round(jaccard * 1000000.0) AS BIGINT)) "
+               f"FROM pairs WHERE jaccard >= {t}) "
+               f"/ (SELECT count(*) FROM pairs WHERE jaccard >= {t}) / 1000000.0"
+           )}
+       END AS mean_jaccard"""
+        )
+    return (
+        f"WITH pairs AS ({ngram_jaccard_oracle(threshold=min(thresholds))})\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY threshold"
+    )

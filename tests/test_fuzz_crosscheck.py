@@ -365,7 +365,7 @@ _MAIN_KEYS_EXT = [
     # temporal / detect over boundary timestamps
     "sessionize",
     "availability_report",
-    "cdc_apply",
+    "dedup_threshold_curve",
     "funnel_conversion",
     "cohort_retention",
     "event_transitions",

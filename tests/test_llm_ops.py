@@ -942,6 +942,35 @@ def test_dup_keep_audit_cluster_fates(spark):
     assert c.keep_rate == pytest.approx(0.5, abs=1e-6)
 
 
+def test_dedup_threshold_curve_counts_and_monotonicity(spark):
+    """Engineered corpus: an identical pair (jaccard 1.0) and a
+    half-overlap pair — the curve's pair/doc counts at each threshold
+    are exact, monotone non-increasing in the threshold, and the mean
+    matches the hand arithmetic."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base, "en", "s", 1),
+        (2, base, "en", "s", 1),  # exact dup of 1 -> jaccard 1.0
+        (3, base + " tail words here now", "en", "s", 1),  # high-overlap of 1/2
+        (4, "completely different content with nothing shared at all", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    curve = {r.threshold: r for r in DD.dedup_threshold_curve(docs).collect()}
+    assert sorted(curve) == sorted(DD.DEDUP_CURVE_THRESHOLDS)
+    pair_counts = [curve[t].n_pairs for t in sorted(curve)]
+    assert pair_counts == sorted(pair_counts, reverse=True)  # monotone
+    # at 0.9 only the exact pair survives; docs 1,2 implicated
+    assert curve[0.9].n_pairs == 1 and curve[0.9].n_docs == 2
+    assert curve[0.9].mean_jaccard == pytest.approx(1.0, abs=1e-6)
+    assert curve[0.9].dup_doc_frac == pytest.approx(0.5, abs=1e-6)
+    # at 0.1 all three near-dup pairs (1-2, 1-3, 2-3) survive
+    assert curve[0.1].n_pairs == 3 and curve[0.1].n_docs == 3
+
+
 def test_curation_manifest_precedence_and_composition(spark):
     """The end-to-end manifest: gate failures outrank dup reasons, an
     exact-dup group keeps exactly its lowest doc_id, and final_keep

@@ -608,6 +608,24 @@ def test_retrieval_quality_report_scans_corpus_once(spark):
     assert "embeddings.parquet" not in p
 
 
+def test_dedup_threshold_curve_scans_corpus_once(spark):
+    """The threshold curve must NOT regenerate pairs per threshold:
+    the loosest-threshold scored pairs are eagerly checkpointed, so
+    the final plan reads only the pair-sized checkpoint RDD — zero
+    corpus file scans."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = (
+        DD.dedup_threshold_curve(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "documents.parquet" not in p
+
+
 def test_availability_report_single_shuffle(spark):
     """Lag window and aggregate share the (serial, datestamp) key —
     exactly one exchange."""
