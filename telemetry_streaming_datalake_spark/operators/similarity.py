@@ -1838,6 +1838,14 @@ def hybrid_search(
     sem = cosine_topk(embeddings, [query_vec_id], k=depth).select(
         F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank")
     )
+    return _rrf_fuse(lex, sem, k, rrf_k)
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame, k: int, rrf_k: int) -> DataFrame:
+    """The fusion step shared by :func:`hybrid_search` and
+    :func:`retrieval_quality_report`'s per-depth curve: full-outer
+    join of two (doc_id, rank) lists, Σ 1/(rrf_k + rank_i), 6dp round,
+    deterministic top-k."""
     fused = lex.join(sem, "doc_id", "full_outer")
     rrf = (
         F.when(
@@ -2038,23 +2046,11 @@ def retrieval_quality_report(
     )
     parts = []
     for d in depths:
-        fused = lex_all.filter(F.col("lex_rank") <= d).join(
-            sem_all.filter(F.col("sem_rank") <= d), "doc_id", "full_outer"
-        )
-        rrf = (
-            F.when(
-                F.col("lex_rank").isNotNull(),
-                1.0 / (F.lit(rrf_k) + F.col("lex_rank")),
-            ).otherwise(F.lit(0.0))
-            + F.when(
-                F.col("sem_rank").isNotNull(),
-                1.0 / (F.lit(rrf_k) + F.col("sem_rank")),
-            ).otherwise(F.lit(0.0))
-        )
-        res = (
-            fused.select("doc_id", F.round(rrf, 6).alias("rrf_score"))
-            .orderBy(F.col("rrf_score").desc(), "doc_id")
-            .limit(k)
+        res = _rrf_fuse(
+            lex_all.filter(F.col("lex_rank") <= d),
+            sem_all.filter(F.col("sem_rank") <= d),
+            k,
+            rrf_k,
         )
         wd = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
         ranked = res.select("doc_id", F.row_number().over(wd).alias("rnk"))
