@@ -78,7 +78,6 @@ _R10_ORDER = [
     "q11_important_stock",
     "q20_excess_shippers",
     "q21_waiting_supplier",
-    "rollup_grouping_sets",
     "cohort_retention",
     "funnel_conversion",
     "importance_sample",
@@ -487,6 +486,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_curve": lambda s, d: DD.dedup_threshold_curve(
             load_table(s, d, "documents")
         ),
+        # per-rule gate attribution (funded by retiring the batch
+        # `rollup_grouping_sets` key — `streaming_grouping_sets` runs
+        # the IDENTICAL oracle against its drained partials store,
+        # and stays in the r10 forced window; batch operator + its
+        # Expand/partial-agg plan pins remain)
+        "gate_rule_report": lambda s, d: TX.gate_rule_report(
+            load_table(s, d, "documents")
+        ),
         # --- r9 additions: the three formerly pytest-only streaming
         # twins (drained == batch parity is pinned in tests, so each
         # oracle is its batch twin's SQL verbatim) + the two new LLM
@@ -704,7 +711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "supplier"), load_table(s, d, "nation"),
             load_table(s, d, "orders"), load_table(s, d, "lineitem"),
         ),
-        "rollup_grouping_sets": lambda s, d: R.rollup_grouping_sets(_gold(s, d)),
         "cohort_retention": lambda s, d: CO.cohort_retention(
             load_table(s, d, "events")
         ),
@@ -1023,7 +1029,6 @@ FROM (
         "q11_important_stock": Q.Q11_ORACLE,
         "q20_excess_shippers": Q.Q20_ORACLE,
         "q21_waiting_supplier": Q.Q21_ORACLE,
-        "rollup_grouping_sets": R.rollup_grouping_sets_oracle(gold),
         "cohort_retention": CO.cohort_retention_oracle(),
         "funnel_conversion": CO.funnel_conversion_oracle(),
         "importance_sample": CP.importance_sample_oracle(),
@@ -1074,6 +1079,7 @@ FROM deduped GROUP BY metric, datestamp
         ),
         "dup_keep_audit": CU.dup_keep_audit_oracle(),
         "dedup_threshold_curve": DD.dedup_threshold_curve_oracle(),
+        "gate_rule_report": TX.gate_rule_report_oracle(),
         # frozen centroids make extend == rebuild, so the incremental
         # index probe shares the from-scratch IVF oracle verbatim
         "ann_ivf_incremental": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),

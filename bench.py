@@ -112,7 +112,8 @@ HEADLINE = [
     "q11_important_stock",
     "q20_excess_shippers",
     "q21_waiting_supplier",
-    "rollup_grouping_sets",
+    "streaming_grouping_sets",
+    "gate_rule_report",
     "cohort_retention",
     "funnel_conversion",
     "importance_sample",

@@ -2076,3 +2076,93 @@ SELECT context, w AS word,
 FROM unioned
 QUALIFY row_number() OVER (PARTITION BY context ORDER BY score DESC, w) <= {top_k}
 """
+
+
+# --------------------------------------------------------------------------
+# gate-rule attribution report (prices each Gopher rule)
+# --------------------------------------------------------------------------
+
+#: the gate's rule columns, in gate order
+GOPHER_RULES = ("word_count", "word_len", "alpha_frac", "stopwords")
+
+
+def gate_rule_report(documents: DataFrame) -> DataFrame:
+    """Per-RULE drop attribution for the Gopher gate — the knob-
+    pricing report for quality filtering (the `dedup_threshold_curve`
+    posture): for each rule, how many docs fail it at all, how many
+    fail ONLY it (the docs that rule alone removes — relaxing it
+    recovers exactly these), and both as corpus fractions.  Overlap-
+    heavy rules are redundant; unique-heavy rules carry the gate.
+
+    Scale shape: :func:`gopher_filter` is one map-only projection;
+    the report is ONE global aggregate over its booleans (map-side
+    partials reduce every task to a handful of counters) and the
+    4-row output is carved from that single 1-row frame — one corpus
+    scan, one count-sized shuffle, nothing else.
+    """
+    from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
+    g = gopher_filter(documents)
+    pass_cols = {r: F.col(f"pass_{r}") for r in GOPHER_RULES}
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in GOPHER_RULES:
+        others = [pass_cols[o] for o in GOPHER_RULES if o != r]
+        all_others = others[0] & others[1] & others[2]
+        aggs.append(F.sum((~pass_cols[r]).cast("int")).alias(f"fail_{r}"))
+        aggs.append(
+            F.sum((~pass_cols[r] & all_others).cast("int")).alias(f"uniq_{r}")
+        )
+    one = g.agg(*aggs).localCheckpoint(eager=True)  # 1 row, reused 4x
+    parts = [
+        one.select(
+            F.lit(r).alias("rule"),
+            F.col(f"fail_{r}").cast("int").alias("n_fail"),
+            F.col(f"uniq_{r}").cast("int").alias("n_unique_fail"),
+            floor_round(F.col(f"fail_{r}") / F.col("n_docs"), 6).alias("fail_frac"),
+            floor_round(F.col(f"uniq_{r}") / F.col("n_docs"), 6).alias(
+                "unique_fail_frac"
+            ),
+        )
+        for r in GOPHER_RULES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")
+
+
+def gate_rule_report_oracle() -> str:
+    """Composed twin: the gopher oracle's boolean columns, one
+    aggregate CTE, the same 4-row carve."""
+    selects = []
+    for r in GOPHER_RULES:
+        others = [o for o in GOPHER_RULES if o != r]
+        sel = (
+            f"SELECT '{r}' AS rule,\n"
+            f"       CAST(fail_{r} AS INTEGER) AS n_fail,\n"
+            f"       CAST(uniq_{r} AS INTEGER) AS n_unique_fail,\n"
+            f"       {_floor6_sql(f'fail_{r} / n_docs')} AS fail_frac,\n"
+            f"       {_floor6_sql(f'uniq_{r} / n_docs')} AS unique_fail_frac\n"
+            f"FROM agg"
+        )
+        selects.append(sel)
+    fail_sums = []
+    for r in GOPHER_RULES:
+        others = [o for o in GOPHER_RULES if o != r]
+        all_others = " AND ".join(f"pass_{o}" for o in others)
+        fail_sums.append(
+            f"sum(CASE WHEN NOT pass_{r} THEN 1 ELSE 0 END) AS fail_{r}"
+        )
+        fail_sums.append(
+            f"sum(CASE WHEN NOT pass_{r} AND {all_others} THEN 1 ELSE 0 END)"
+            f" AS uniq_{r}"
+        )
+    return f"""
+WITH g AS ({gopher_filter_oracle()}),
+agg AS (
+    SELECT count(*) AS n_docs, {", ".join(fail_sums)} FROM g
+)
+{chr(10).join(s + (chr(10) + "UNION ALL") for s in selects[:-1])}
+{selects[-1]}
+ORDER BY rule
+"""

@@ -351,7 +351,7 @@ _MAIN_KEYS_EXT = [
     "bronze_feed_b",
     "bronze_feed_c",
     "latest_metric",
-    "rollup_grouping_sets",
+    "gate_rule_report",
     "incremental_rollup",
     "agg_consistency",
     "rollup_restate",
@@ -459,7 +459,7 @@ _EXTREME_TS_KEYS = [
     "sessionize",
     "gapfill_hourly",
     "availability_report",
-    "rollup_grouping_sets",
+    "streaming_grouping_sets",
     "seasonal_baseline",
 ]
 

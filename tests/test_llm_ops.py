@@ -942,6 +942,34 @@ def test_dup_keep_audit_cluster_fates(spark):
     assert c.keep_rate == pytest.approx(0.5, abs=1e-6)
 
 
+def test_gate_rule_report_unique_attribution(spark):
+    """Engineered corpus where each failure mode is isolated: a doc
+    failing ONLY word count, one failing ONLY stopwords, one failing
+    both (overlap — unique for neither), and clean docs.  Unique
+    counts attribute exactly; n_fail counts every failure."""
+    stop = "the cat and the dog of a mat sat on the hat with a bat near it"
+    rows = [
+        (1, stop, "en", "s", 1),                      # passes everything
+        (2, stop + " still fine words here", "en", "s", 1),   # passes
+        (3, "the of and a", "en", "s", 1),            # ONLY word count fails
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "en", "s", 1),  # ONLY stopwords fails
+        (5, "zz qq", "en", "s", 1),                   # word count AND stopwords fail
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.rule: r for r in TX.gate_rule_report(docs).collect()}
+    assert sorted(out) == sorted(TX.GOPHER_RULES)
+    assert out["word_count"].n_fail == 2          # docs 3, 5
+    assert out["word_count"].n_unique_fail == 1   # doc 3
+    assert out["stopwords"].n_fail == 2           # docs 4, 5
+    assert out["stopwords"].n_unique_fail == 1    # doc 4
+    assert out["alpha_frac"].n_fail == 0
+    assert out["word_len"].n_fail == 0
+    assert out["word_count"].fail_frac == pytest.approx(0.4, abs=1e-6)
+    assert out["word_count"].unique_fail_frac == pytest.approx(0.2, abs=1e-6)
+
+
 def test_dedup_threshold_curve_counts_and_monotonicity(spark):
     """Engineered corpus: an identical pair (jaccard 1.0) and a
     half-overlap pair — the curve's pair/doc counts at each threshold
