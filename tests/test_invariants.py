@@ -94,7 +94,11 @@ def test_rank_report_ranks_are_dense_and_bounded(q):
 
 
 def test_grouping_sets_no_null_grain_keys(q):
-    for r in q["rollup_grouping_sets"]().collect():
+    # registry key retired r10 (oracle survives via the streaming
+    # twin) — build the batch relation directly from the operator
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+
+    for r in R.rollup_grouping_sets(q["gold_enrich"]()).collect():
         assert r.grain in ("HOUR", "DAY", "MONTH")
         assert r.bucket is not None
         assert r.id.startswith(r.grain + "|")

@@ -44,7 +44,6 @@ def plans(spark):
     names = [
         "gold_enrich",
         "custom_metric_sum",
-        "rollup_grouping_sets",
         "latest_metric",
         "orphan_usage",
         "sessionize",
@@ -84,6 +83,13 @@ def plans(spark):
     from telemetry_streaming_datalake_spark.operators import derived as DV
     from telemetry_streaming_datalake_spark.session import load_table
 
+    # rollup_grouping_sets' registry key retired r10 (identical oracle
+    # via streaming_grouping_sets) — its plan pins stay, built direct
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+
+    out["rollup_grouping_sets"] = _plan(
+        R.rollup_grouping_sets(qs["gold_enrich"](spark, SF))
+    )
     out["counter_rate"] = _plan(
         DV.counter_rate(B.dedup_exact(B.parse_bronze(load_table(spark, SF, "events"))))
     )
@@ -332,7 +338,9 @@ def test_grouping_sets_rollup_single_expand_single_agg_exchange(spark):
 
     import __spark_entry__ as E
 
-    p = _plan(E.queries()["rollup_grouping_sets"](spark, SF))
+    from telemetry_streaming_datalake_spark.operators import rollup as R
+
+    p = _plan(R.rollup_grouping_sets(E.queries()["gold_enrich"](spark, SF)))
     assert len(re.findall(r"\(\d+\) Expand", p)) == 1
     assert "partial_" in p
     # gold's parquet source (events) is scanned once, not per-grain
