@@ -103,7 +103,6 @@ _R10_ORDER = [
     "streaming_approx_distinct",
     "streaming_cusum",
     "approx_percentile_audit",
-    "bm25_search",
     "hybrid_search",
     "ann_ivf_incremental",
     "approx_distinct_audit",
@@ -494,6 +493,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_rule_report": lambda s, d: TX.gate_rule_report(
             load_table(s, d, "documents")
         ),
+        # decontamination method-overlap audit (funded by retiring the
+        # `bm25_search` key — `bm25_indexed` probes the persisted index
+        # through the SAME shared scoring expressions and runs the
+        # IDENTICAL oracle, with probe==scan pinned bit-for-bit in
+        # pytest; the scan operator + its tests remain)
+        "decontamination_overlap": lambda s, d: SIM.decontamination_overlap(
+            load_table(s, d, "documents"), load_table(s, d, "embeddings")
+        ),
         # --- r9 additions: the three formerly pytest-only streaming
         # twins (drained == batch parity is pinned in tests, so each
         # oracle is its batch twin's SQL verbatim) + the two new LLM
@@ -780,7 +787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "availability_report": lambda s, d: DT.availability_report(
             B.dedup_exact(_bronze(s, d))
         ),
-        "bm25_search": lambda s, d: TX.bm25_search(load_table(s, d, "documents")),
         "hybrid_search": lambda s, d: SIM.hybrid_search(
             load_table(s, d, "documents"), load_table(s, d, "embeddings")
         ),
@@ -1065,7 +1071,6 @@ FROM deduped GROUP BY metric, datestamp
 """,
         "approx_percentile_audit": DV.approx_percentile_audit_oracle(DEDUP_ORACLE),
         "availability_report": DT.availability_report_oracle(DEDUP_ORACLE),
-        "bm25_search": TX.bm25_search_oracle(),
         "hybrid_search": SIM.hybrid_search_oracle(
             TX.bm25_search_oracle(k=SIM.HYBRID_DEPTH),
             SIM.cosine_topk_oracle([SIM.HYBRID_QUERY_VEC_ID], k=SIM.HYBRID_DEPTH),
@@ -1080,6 +1085,7 @@ FROM deduped GROUP BY metric, datestamp
         "dup_keep_audit": CU.dup_keep_audit_oracle(),
         "dedup_threshold_curve": DD.dedup_threshold_curve_oracle(),
         "gate_rule_report": TX.gate_rule_report_oracle(),
+        "decontamination_overlap": SIM.decontamination_overlap_oracle(),
         # frozen centroids make extend == rebuild, so the incremental
         # index probe shares the from-scratch IVF oracle verbatim
         "ann_ivf_incremental": SIM.ann_ivf_topk_oracle(ANN_QUERY_IDS),

@@ -131,7 +131,7 @@ HEADLINE = [
     "png_meta",
     "approx_percentile_audit",
     "availability_report",
-    "bm25_search",
+    "decontamination_overlap",
     "hybrid_search",
     "ann_ivf_incremental",
     "bpe_merges",

@@ -2124,3 +2124,116 @@ FROM r{d} r LEFT JOIN truth t USING (doc_id)"""
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY depth"
     )
+
+
+# --------------------------------------------------------------------------
+# decontamination method-overlap report (n-gram vs semantic agreement)
+# --------------------------------------------------------------------------
+
+
+def decontamination_overlap(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    bench_ids: tuple[int, ...] | None = None,
+    threshold: float = SEMDECON_THRESHOLD,
+) -> DataFrame:
+    """Agreement audit between the two decontamination methods the
+    engine ships — exact n-gram overlap (`corpus.decontaminate`) and
+    embedding cosine (`semantic_decontaminate`) — run against the SAME
+    benchmark set: how many docs each flags, the intersection, each
+    method's unique catch, and the flag-set Jaccard.  The unique
+    columns are the decision data: `n_only_semantic` is the paraphrase
+    mass n-grams miss; `n_only_ngram` is the verbatim-overlap mass a
+    cosine threshold at this setting passes.  The `dup_keep_audit`
+    composition-audit posture applied to decontamination.
+
+    Scale shape: both flag legs are the operators' own plans (each one
+    corpus/embedding pass, benchmark broadcast); the overlap is a
+    full-outer join of two FLAGGED-subset frames + one global
+    aggregate — nothing corpus-sized moves beyond the legs themselves.
+    """
+    from telemetry_streaming_datalake_spark.operators.corpus import (
+        BENCH_DOC_IDS,
+        decontaminate,
+    )
+    from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
+    if bench_ids is None:
+        bench_ids = BENCH_DOC_IDS
+    ng = decontaminate(documents, bench_ids).select(
+        F.col("doc_id").alias("id"), F.lit(True).alias("f_ng")
+    )
+    sem = (
+        semantic_decontaminate(embeddings, bench_ids, threshold)
+        .filter(F.col("contaminated"))
+        .select(F.col("vec_id").alias("id"), F.lit(True).alias("f_sem"))
+    )
+    flags = ng.join(sem, "id", "full_outer").select(
+        F.coalesce("f_ng", F.lit(False)).alias("f_ng"),
+        F.coalesce("f_sem", F.lit(False)).alias("f_sem"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.coalesce(F.sum(F.col("f_ng").cast("int")), F.lit(0)).alias("n_ngram"),
+        F.coalesce(F.sum(F.col("f_sem").cast("int")), F.lit(0)).alias("n_semantic"),
+        F.coalesce(
+            F.sum((F.col("f_ng") & F.col("f_sem")).cast("int")), F.lit(0)
+        ).alias("n_both"),
+    )
+    return agg.select(
+        F.col("n_ngram").cast("int").alias("n_ngram"),
+        F.col("n_semantic").cast("int").alias("n_semantic"),
+        F.col("n_both").cast("int").alias("n_both"),
+        (F.col("n_ngram") - F.col("n_both")).cast("int").alias("n_only_ngram"),
+        (F.col("n_semantic") - F.col("n_both")).cast("int").alias(
+            "n_only_semantic"
+        ),
+        F.col("n_union").cast("int").alias("n_union"),
+        F.when(
+            F.col("n_union") > 0,
+            floor_round(F.col("n_both") / F.col("n_union"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap_jaccard"),
+    )
+
+
+def decontamination_overlap_oracle(
+    bench_ids: tuple[int, ...] | None = None,
+    threshold: float = SEMDECON_THRESHOLD,
+) -> str:
+    """Composed twin: both method oracles at the shared benchmark set,
+    the same full-outer flag join and aggregate."""
+    from telemetry_streaming_datalake_spark.operators.corpus import (
+        BENCH_DOC_IDS,
+        decontaminate_oracle,
+    )
+
+    if bench_ids is None:
+        bench_ids = BENCH_DOC_IDS
+    floor6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+WITH ng AS ({decontaminate_oracle(bench_ids)}),
+sem AS ({semantic_decontaminate_oracle(bench_ids, threshold)}),
+semf AS (SELECT vec_id FROM sem WHERE contaminated),
+flags AS (
+    SELECT n.doc_id IS NOT NULL AS f_ng, s.vec_id IS NOT NULL AS f_sem
+    FROM ng n FULL OUTER JOIN semf s ON n.doc_id = s.vec_id
+),
+a AS (
+    SELECT count(*) AS n_union,
+           coalesce(sum(CASE WHEN f_ng THEN 1 ELSE 0 END), 0) AS n_ngram,
+           coalesce(sum(CASE WHEN f_sem THEN 1 ELSE 0 END), 0) AS n_semantic,
+           coalesce(sum(CASE WHEN f_ng AND f_sem THEN 1 ELSE 0 END), 0) AS n_both
+    FROM flags
+)
+SELECT CAST(n_ngram AS INTEGER) AS n_ngram,
+       CAST(n_semantic AS INTEGER) AS n_semantic,
+       CAST(n_both AS INTEGER) AS n_both,
+       CAST(n_ngram - n_both AS INTEGER) AS n_only_ngram,
+       CAST(n_semantic - n_both AS INTEGER) AS n_only_semantic,
+       CAST(n_union AS INTEGER) AS n_union,
+       CASE WHEN n_union > 0 THEN {floor6("n_both / n_union")}
+            ELSE 0.0 END AS overlap_jaccard
+FROM a
+"""

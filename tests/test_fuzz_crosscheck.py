@@ -379,7 +379,8 @@ _MAIN_KEYS_EXT = [
     # text / corpus over hostile unicode + NULL text
     "boilerplate_ngrams",
     "lm_perplexity",
-    "bm25_search",
+    "bm25_indexed",
+    "decontamination_overlap",
     "tokenize_fixed_vocab",
     "bpe_merges",
     "pii_redact",

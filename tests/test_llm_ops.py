@@ -942,6 +942,39 @@ def test_dup_keep_audit_cluster_fates(spark):
     assert c.keep_rate == pytest.approx(0.5, abs=1e-6)
 
 
+def test_decontamination_overlap_attributes_methods(spark):
+    """Engineered contamination: one train doc shares a verbatim
+    16-gram with the benchmark (n-gram catch, orthogonal embedding)
+    and another is a PARAPHRASE (no shared 16-gram, near-identical
+    embedding — the catch only the semantic method makes).  The
+    overlap report attributes each uniquely."""
+    import numpy as np
+
+    bench_text = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (0, bench_text, "en", "s", 1),                       # benchmark doc
+        (1, bench_text + " plus a verbatim tail", "en", "s", 1),  # n-gram hit
+        (2, "totally different words rephrasing the same idea entirely", "en", "s", 1),  # paraphrase
+        (3, "clean unrelated content about other things", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rng = np.random.default_rng(7)
+    e0 = rng.standard_normal(16)
+    e2 = e0 + rng.standard_normal(16) * 0.05          # paraphrase: cos ~1
+    e1, e3 = rng.standard_normal(16), rng.standard_normal(16)  # unrelated
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate((e0, e1, e2, e3))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    row = SIM.decontamination_overlap(docs, emb, bench_ids=(0,)).collect()[0]
+    assert row.n_ngram == 1 and row.n_semantic == 1
+    assert row.n_both == 0 and row.n_union == 2
+    assert row.n_only_ngram == 1 and row.n_only_semantic == 1
+    assert row.overlap_jaccard == 0.0
+
+
 def test_gate_rule_report_unique_attribution(spark):
     """Engineered corpus where each failure mode is isolated: a doc
     failing ONLY word count, one failing ONLY stopwords, one failing
