@@ -56,14 +56,15 @@ MERGE_CUTOFF_UNIX = 1705276800
 INCR_CUTOFF_UNIX = 1705278600
 
 #: round-10 driver rotation (SURVEY §2b): the FULL stalest-first order
-#: emitted by `python tools/rotate.py` at r10 open (170 keys).  The
-#: r10 window (first 50) = the 33 r6-cohort keys at their 4-round
-#: deadline (`zipf_fit` ... `streaming_three_hop`) + the stalest r7
-#: keys (`png_meta` ... `gold_enrich`).  Keys added this round
-#: are absent from this list and auto-prepend to the window, each
-#: displacing one r7 fill slot toward r11; registry-retired keys are
-#: deleted from this list when their queries()/oracle_sql() rows go.
-#: Budget arithmetic in SURVEY §2b.
+#: emitted by `python tools/rotate.py` at r10 open, minus this round's
+#: seven registry retirements.  The r10 window (first 50) = the seven
+#: auto-prepended new keys + the 32 surviving r6-cohort keys at their
+#: 4-round deadline (`zipf_fit` ... `streaming_three_hop`) + the 11
+#: stalest r7 keys (`png_meta` ... `bronze_parse`).  Keys added
+#: mid-round are absent from this list and auto-prepend to the window,
+#: each displacing one r7 fill slot toward r11; registry-retired keys
+#: are deleted from this list when their queries()/oracle_sql() rows
+#: go.  Budget arithmetic in SURVEY §2b.
 _R10_ORDER = [
     "zipf_fit",
     "embedding_drift",
