@@ -931,9 +931,10 @@ def parse_avi(payload: bytes) -> dict:
         "n_movi_chunks": 0,
         "n_index_entries": 0,
         "index_ok": True,
+        "fps_strh": None,
     }
     strh_length = strf_geom = avih_geom = None
-    compression = None
+    compression = avih_usec = strh_timing = None
     movi_positions: list[tuple[int, int]] = []  # (offset-from-movi-fourcc, size)
     pos, n = 12, len(payload)
     while pos + 8 <= n:
@@ -950,6 +951,7 @@ def parse_avi(payload: bytes) -> dict:
                 w, h = struct.unpack("<II", avih[32:40])
                 out["n_frames"] = total
                 out["fps"] = round(1_000_000 / usec, 6)
+                avih_usec = usec
                 avih_geom = (w, h)
                 # walk hdrl's own children for the strl LIST
                 hp = 4
@@ -973,6 +975,7 @@ def parse_avi(payload: bytes) -> dict:
                                     "<I", sbody[32:36]
                                 )
                                 out["fps_strh"] = round(rate / scale, 6)
+                                strh_timing = (scale, rate)
                             elif scid == b"strf":
                                 bw, bh = struct.unpack("<ii", sbody[4:12])
                                 (compression,) = struct.unpack(
@@ -1021,6 +1024,11 @@ def parse_avi(payload: bytes) -> dict:
         out["index_ok"]
         and out["n_index_entries"] == out["n_frames"] == out["n_movi_chunks"]
         and strh_length == out["n_frames"]
+        # avih dwMicroSecPerFrame must be the integer truncation of the
+        # strh dwRate/dwScale timing — the only exact relation the spec
+        # guarantees between the two headers (avih is the rounded copy)
+        and strh_timing is not None
+        and avih_usec == 1_000_000 * strh_timing[0] // strh_timing[1]
     )
     return out
 

@@ -1427,7 +1427,27 @@ def build_ivfpq_index(
         [(i, [float(x) for x in cent_norm[i]]) for i in range(cent_norm.shape[0])],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    # encoding marker: an SQ8 index and a trained-PQ index are
+    # byte-compatible on disk (same codes/scale layout), so a probe
+    # with the wrong reconstruction mode would silently produce
+    # garbage — the marker makes the mismatch a loud error instead
+    spark.createDataFrame(
+        [(_encoding_tag(codebooks),)], "encoding string"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
     return index_dir
+
+
+def _encoding_tag(codebooks: np.ndarray | None) -> str:
+    """Stable identity of the code→vector reconstruction: ``sq8`` for
+    the scalar quantizer, ``pq:<md5 of the codebook bytes>`` for a
+    trained codebook — two different trainings are two different tags."""
+    if codebooks is None:
+        return "sq8"
+    import hashlib
+
+    return "pq:" + hashlib.md5(
+        np.ascontiguousarray(codebooks, dtype=np.float64).tobytes()
+    ).hexdigest()
 
 
 def probe_ivfpq_index(
@@ -1459,6 +1479,17 @@ def probe_ivfpq_index(
     ``rerank`` ≥ the probed-candidate count this EQUALS the
     full-precision IVF probe exactly (pytest-pinned), which is the
     correctness contract a refine stage must satisfy."""
+    want = _encoding_tag(codebooks)
+    try:
+        stored = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0][0]
+    except Exception:  # pre-marker index layout: trust the caller
+        stored = want
+    if stored != want:
+        raise ValueError(
+            f"index at {index_dir} was built with encoding {stored!r} but the "
+            f"probe requested {want!r} — reconstruction would be garbage; pass "
+            "the matching codebooks (or None for SQ8)"
+        )
     cent_rows = (
         spark.read.parquet(os.path.join(index_dir, "centroids"))
         .orderBy("cell")

@@ -8,6 +8,9 @@ chosen so the DuckDB oracle computes *identical* integers.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -290,7 +293,11 @@ def lang_id_model(documents: DataFrame) -> DataFrame:
     literal form is strictly cheaper (no explode blow-up of the 100 TB
     corpus).  Engine parity: counts are exact integers, weights are
     6dp literals, and both engines sum in the same syntactic order —
-    bit-identical scores, floor-formed only at the output edge.
+    bit-identical scores, and — belt over the suspenders — the argmax
+    and margin are decided on the floor-rounded 6dp scores (the exact
+    values both engines EMIT), so pred/margin parity no longer rests
+    on bit-identical raw sums: any future constant-folding or FMA
+    drift that survives the 6dp quantization cannot flip the decision.
     """
     norm = normalize_text(F.col("text"))
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
@@ -300,7 +307,9 @@ def lang_id_model(documents: DataFrame) -> DataFrame:
         s = F.lit(0.0)
         for g, w in grams.items():
             s = s + _count_occurrences(F.col("padded"), g) * F.lit(w)
-        scores[lang] = s
+        # quantize BEFORE the argmax: the decision rides the emitted
+        # representation, not the raw accumulation
+        scores[lang] = floor_round(s, 6)
     scored = base.select(
         "doc_id", "lang", *[scores[lang].alias(f"s_{lang}") for lang in scores]
     )
@@ -317,7 +326,7 @@ def lang_id_model(documents: DataFrame) -> DataFrame:
     return scored.select(
         "doc_id",
         "lang",
-        *[floor_round(cols[lang], 6).alias(f"score_{lang}") for lang in langs],
+        *[cols[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("lang_pred"),
         floor_round(margin, 6).alias("margin"),
         (pred == F.col("lang")).alias("matches_label"),
@@ -330,7 +339,8 @@ def lang_id_model_oracle() -> str:
     score_sql = {}
     for lang, grams in LANGID_NGRAM_WEIGHTS.items():
         terms = " + ".join(f"{_count_sql(padded, g)} * {w}" for g, w in grams.items())
-        score_sql[lang] = f"(0.0 + {terms})"
+        # quantize BEFORE the argmax — mirrors the Spark side exactly
+        score_sql[lang] = _floor6_sql(f"(0.0 + {terms})")
     langs = list(LANGID_NGRAM_WEIGHTS)
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     und = f"(s_en IS NULL OR {best} = 0.0)"
@@ -341,9 +351,7 @@ def lang_id_model_oracle() -> str:
         + ")"
         for lang in langs
     )
-    score_cols = ", ".join(
-        _floor6_sql(f"s_{lang}") + f" AS score_{lang}" for lang in langs
-    )
+    score_cols = ", ".join(f"s_{lang} AS score_{lang}" for lang in langs)
     return f"""
 WITH g AS (
     SELECT doc_id, lang, (' ' || {norm} || ' ') AS padded FROM documents
@@ -355,7 +363,7 @@ c AS (
 )
 SELECT doc_id, lang, {score_cols},
        CASE WHEN {und} THEN 'und' {pred_cases} END AS lang_pred,
-       CASE WHEN {und} THEN NULL {margin_cases} END AS margin,
+       {_floor6_sql(f"CASE WHEN {und} THEN NULL {margin_cases} END")} AS margin,
        (CASE WHEN {und} THEN 'und' {pred_cases} END) = lang AS matches_label
 FROM c
 """
@@ -2107,7 +2115,7 @@ def gate_rule_report(documents: DataFrame) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for r in GOPHER_RULES:
         others = [pass_cols[o] for o in GOPHER_RULES if o != r]
-        all_others = others[0] & others[1] & others[2]
+        all_others = reduce(operator.and_, others)
         aggs.append(F.sum((~pass_cols[r]).cast("int")).alias(f"fail_{r}"))
         aggs.append(
             F.sum((~pass_cols[r] & all_others).cast("int")).alias(f"uniq_{r}")

@@ -1485,6 +1485,34 @@ def test_trained_pq_probe_tracks_full_precision_ivf(spark, embeddings):
     assert len(approx & exact) / len(exact) >= 0.8
 
 
+def test_ivfpq_encoding_marker_rejects_mode_mismatch(spark, embeddings, tmp_path):
+    """An SQ8 index and a trained-PQ index are byte-compatible on disk,
+    so probing with the wrong reconstruction mode would silently return
+    garbage — the persisted encoding marker must make it a loud error
+    in BOTH directions, and a differently-trained codebook must also be
+    rejected (the tag hashes the codebook bytes)."""
+    qids = [0, 1]
+    sq8_dir = str(tmp_path / "sq8")
+    SIM.build_ivfpq_index(embeddings, sq8_dir, SIM.IVF_CELLS)
+    books = SIM.train_pq_codebooks(embeddings)
+    pq_dir = str(tmp_path / "pq")
+    SIM.build_ivfpq_index(embeddings, pq_dir, SIM.IVF_CELLS, codebooks=books)
+
+    with pytest.raises(ValueError, match="encoding"):
+        SIM.probe_ivfpq_index(spark, sq8_dir, embeddings, qids, codebooks=books)
+    with pytest.raises(ValueError, match="encoding"):
+        SIM.probe_ivfpq_index(spark, pq_dir, embeddings, qids, codebooks=None)
+    other = books + 0.25  # a different training -> a different tag
+    with pytest.raises(ValueError, match="encoding"):
+        SIM.probe_ivfpq_index(spark, pq_dir, embeddings, qids, codebooks=other)
+    # matching modes still probe clean
+    assert SIM.probe_ivfpq_index(spark, sq8_dir, embeddings, qids).count() > 0
+    assert (
+        SIM.probe_ivfpq_index(spark, pq_dir, embeddings, qids, codebooks=books).count()
+        > 0
+    )
+
+
 def test_domain_cap_sample_caps_hot_domain_deterministically(spark):
     """Over-cap domains are cut to exactly cap by md5 hash rank; the
     long tail passes through untouched; survivor choice is a pure

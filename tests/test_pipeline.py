@@ -418,6 +418,17 @@ def test_avi_container_roundtrip_index_and_codec_seam(spark):
     with pytest.raises(NotImplementedError):
         MM.parse_avi(bytes(bad))
 
+    # tamper the avih dwMicroSecPerFrame so it no longer equals the
+    # integer truncation of the strh dwRate/dwScale timing: the
+    # cross-header consistency check must drop index_ok
+    avih_pos = payload.index(b"avih")
+    bad = bytearray(payload)
+    bad[avih_pos + 8 : avih_pos + 12] = struct.pack("<I", 123_456)
+    parsed = MM.parse_avi(bytes(bad))
+    assert not parsed["index_ok"]
+    # fps_strh always materializes (None only when strh is absent)
+    assert parsed["fps_strh"] == float(MM.VIDEO_FPS)
+
 
 def test_dedup_keeps_lowest_event_id_across_partitions(spark):
     """Duplicates of one hash key scattered across MANY input
