@@ -451,8 +451,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full 3-round schedule and the 150-key sustainability ceiling).
     """
     base = {
-        # --- r10 additions (absent from _R10_ORDER -> auto-prepended
+        # --- r11 additions (absent from _R11_ORDER -> auto-prepended
         # to the driver window), displacement-funded per SURVEY §2b ---
+        # PNG as a full pixel citizen: the synthesizer now emits a REAL
+        # zlib IDAT (stored deflate + column-computed Adler-32), the
+        # decode path genuinely inflates + unfilters, and the shared
+        # intensity-histogram featurizer runs over the decoded pixels
+        # (closes VERDICT r10 #2 — the last guarded-seam capability gap)
+        "png_pixels": lambda s, d: MM.png_pixels(load_table(s, d, "documents")),
+        # --- r10 additions (displacement-funded per SURVEY §2b) ---
         # model-based language ID with a shipped char-bigram log-odds
         # artifact (funded by retiring the stopword-heuristic `lang_id`
         # key — the tokenize_bpe -> tokenize_fixed_vocab
@@ -1055,6 +1062,9 @@ FROM (
         # frozen limits + integer drift state: drained stream == batch
         "streaming_cusum": DV.cusum_changepoint_oracle(DEDUP_ORACLE),
         "png_meta": MM.png_meta_oracle(),
+        # every decoded-pixel histogram count rebuilt from the md5 fill
+        # arithmetic — one wrong inflated/unfiltered byte flips the hash
+        "png_pixels": MM.PNG_PIXELS_ORACLE,
         "video_meta": MM.video_meta_oracle(),
         # bounded-horizon EWMA is the SAME semantics batch and stream,
         # so the drained stream shares the batch oracle

@@ -168,15 +168,19 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a raster payload to an (h, w, 3) uint8 RGB array.
 
-    Real pure-numpy decoders for PPM(P6) and 24-bit BMP; compressed
-    formats (JPEG/PNG/…) need a codec library this environment does
-    not ship and raise through the same seam.
+    Real pure-numpy decoders for PPM(P6), 24-bit BMP, and 8-bit RGB
+    PNG (stdlib zlib inflate + full five-filter unfiltering); formats
+    needing a codec library this environment does not ship (JPEG/…)
+    raise through the same seam, as do the PNG shapes behind it
+    (16-bit, interlaced, palette/alpha color types).
     """
     magic = bytes(payload[:2])
     if magic == b"P6":
         return _decode_ppm(bytes(payload))
     if magic == b"BM":
         return _decode_bmp(bytes(payload))
+    if bytes(payload[:8]) == _PNG_SIG:
+        return _decode_png(bytes(payload))
     raise NotImplementedError(
         f"no decoder for magic {magic!r}: compressed formats require a "
         "codec library (PIL/av); wire it here when available"
@@ -610,19 +614,66 @@ def _chunk(ctype: bytes, data_col):
     )
 
 
+def _le16_hex(col):
+    """4-hex-char little-endian u16 — the zlib stored-block LEN/NLEN
+    wire form."""
+    be = F.lpad(F.lower(F.hex(col)), 4, "0")
+    return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+
+def _zlib_stored_hex(raw_hex, n_bytes):
+    """A VALID zlib stream (as hex) wrapping ``raw_hex`` in one stored
+    (BTYPE=00) deflate block, built entirely from column expressions:
+    0x78 0x01 header (30721 % 31 == 0, no preset dict), BFINAL|stored
+    marker, LEN/~LEN, the raw bytes, and a genuine Adler-32 computed
+    by two ``F.aggregate`` passes over the byte positions — so
+    ``zlib.decompress`` on the other side verifies framing AND
+    checksum of bytes the JVM assembled.  Requires ``n_bytes`` ≤
+    65535 (one block); the synthesized images are ≤ 784 bytes."""
+    byte_at = lambda i: F.conv(
+        raw_hex.substr(i * F.lit(2) + F.lit(1), F.lit(2)), 16, 10
+    ).cast("long")
+    seq = F.sequence(F.lit(0), n_bytes - 1)
+    n_long = n_bytes.cast("long")
+    sum_d = F.aggregate(
+        seq, F.lit(0).cast("long"), lambda acc, i: acc + byte_at(i)
+    )
+    # B = n + Σ (n - i)·d_i  (i 0-based) — the closed form of the
+    # running-A accumulation the spec defines
+    wsum = F.aggregate(
+        seq,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + (n_long - i.cast("long")) * byte_at(i),
+    )
+    a = (F.lit(1).cast("long") + sum_d) % F.lit(65521)
+    b = (n_long + wsum) % F.lit(65521)
+    adler_hex = F.lpad(F.lower(F.hex(b * F.lit(65536) + a)), 8, "0")
+    return F.concat(
+        F.lit("780101"),  # zlib CMF/FLG + (BFINAL=1, BTYPE=stored)
+        _le16_hex(n_bytes),
+        _le16_hex(F.lit(65535) - n_bytes),
+        raw_hex,
+        adler_hex,
+    )
+
+
 def attach_png_payload(documents: DataFrame) -> DataFrame:
-    """Materialize a REAL PNG container per document: signature, an
+    """Materialize a REAL decodable PNG per document: signature, an
     IHDR whose width/height derive from the first two md5 nibbles of
     the text (1..16 each — every row parses different geometry), an
-    IDAT carrying the 16 md5 bytes, and IEND — every chunk with its
-    genuine CRC-32.  Pure JVM column ops (md5 / conv / unhex / crc32 /
-    concat), deterministic from the text, so the DuckDB oracle rebuilds
-    every parsed field from the same hex arithmetic.
+    IDAT that is a GENUINE zlib stream (stored deflate block + real
+    Adler-32, see :func:`_zlib_stored_hex`) carrying ``height``
+    filter-0 scanlines whose pixel bytes are ``repeat(md5-bytes)``
+    (pixel byte j = md5 byte j mod 16 — the PPM fill pattern), and
+    IEND — every chunk with its genuine CRC-32.  Pure JVM column ops
+    (md5 / conv / unhex / crc32 / aggregate), deterministic from the
+    text, so the DuckDB oracle rebuilds every parsed field AND every
+    decoded pixel from the same hex arithmetic, while the Python side
+    must survive a real ``zlib.decompress`` (framing + checksum) to
+    read them back.
 
-    The IDAT payload is deliberately NOT a zlib stream: pixel decode
-    is behind the same guarded NotImplementedError seam as the other
-    compressed codecs (`decode_image`); THIS operator family is about
-    container/metadata parsing, which never inflates.
+    Interlaced, 16-bit, and dynamic-Huffman streams stay behind the
+    guarded ``NotImplementedError`` seam in :func:`_decode_png`.
     """
     h = F.md5("text")
     width = (F.conv(F.substring(h, 1, 1), 16, 10).cast("int") + 1).cast("int")
@@ -632,10 +683,26 @@ def attach_png_payload(documents: DataFrame) -> DataFrame:
         _be32(height),
         F.lit(bytearray(b"\x08\x02\x00\x00\x00")),  # 8-bit RGB, no interlace
     )
+    # raw scanline stream: per row, one 0x00 (filter None) byte then
+    # width*3 pixel bytes sliced from the repeated-md5 pixel plane
+    pixhex = F.repeat(h, _MD5_REPS)
+    row_hex_len = width * F.lit(6)
+    rows = [
+        F.when(
+            F.lit(r) <= height,
+            F.concat(
+                F.lit("00"),
+                pixhex.substr(F.lit(r - 1) * row_hex_len + F.lit(1), row_hex_len),
+            ),
+        ).otherwise(F.lit(""))
+        for r in range(1, 17)
+    ]
+    raw_hex = F.concat(*rows)
+    n_raw = height * (width * F.lit(3) + F.lit(1))
     payload = F.concat(
         F.lit(bytearray(_PNG_SIG)),
         _chunk(b"IHDR", ihdr_data),
-        _chunk(b"IDAT", F.unhex(h)),
+        _chunk(b"IDAT", F.unhex(_zlib_stored_hex(raw_hex, n_raw))),
         _chunk(b"IEND", F.lit(bytearray(b""))),
     )
     # NULL text ⇒ no synthesized media (see attach_image_payload)
@@ -678,6 +745,116 @@ def parse_png(payload: bytes) -> dict:
     if "width" not in out:
         raise ValueError("no IHDR chunk")
     return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG pixel decode for the 8-bit RGB non-interlaced shape:
+    chunk walk with CRC verification (:func:`parse_png`), IDAT concat,
+    a genuine ``zlib.decompress`` (which validates the deflate framing
+    and the Adler-32 the synthesizer computed in column expressions),
+    then per-scanline unfiltering — all five PNG filter types (None/
+    Sub/Up/Average/Paeth, bpp=3).  16-bit, interlaced, and non-RGB
+    color types stay behind the ``NotImplementedError`` codec seam."""
+    import zlib
+
+    meta = parse_png(payload)
+    if not meta["crc_ok"]:
+        raise ValueError("PNG chunk CRC mismatch")
+    if (meta["bit_depth"], meta["color_type"], meta["interlace"]) != (8, 2, 0):
+        raise NotImplementedError(
+            "only 8-bit RGB non-interlaced PNG decodes; bit_depth="
+            f"{meta['bit_depth']} color_type={meta['color_type']} "
+            f"interlace={meta['interlace']} is behind the codec seam"
+        )
+    # second walk, IDAT payload only (parse_png already verified CRCs)
+    import struct
+
+    idat, pos, n = b"", 8, len(payload)
+    while pos + 12 <= n:
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+        if ctype == b"IEND":
+            break
+    raw = zlib.decompress(idat)  # real inflate: framing + Adler-32
+    w, h = meta["width"], meta["height"]
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"decompressed stream is {len(raw)} bytes, want {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - 3] if x >= 3 else 0  # left, same channel
+                b = int(prev[x])  # up
+                if ftype == 1:
+                    cur[x] = (line[x] + a) % 256
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = int(prev[x - 3]) if x >= 3 else 0  # up-left
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = out[r]
+    return out.reshape(h, w, 3)
+
+
+def png_pixels(documents: DataFrame) -> DataFrame:
+    """PNG as a FULL pixel citizen (the PPM/BMP path): synthesize the
+    real-zlib PNG, genuinely inflate + unfilter it, and run the shared
+    intensity-histogram featurizer — one row per (doc, 16-wide
+    intensity bin) with the count of decoded pixel bytes in the bin.
+    Map-only ``mapInPandas`` (the decode-and-featurize batch shape);
+    the oracle rebuilds every count from the md5 fill arithmetic, so a
+    single wrong decoded byte anywhere flips the row hash."""
+    return feature_histogram(attach_png_payload(documents))
+
+
+PNG_PIXELS_ORACLE = """
+WITH geom AS (
+    SELECT doc_id, md5(text) AS h,
+           strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS w,
+           strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS ht
+    FROM documents WHERE text IS NOT NULL
+),
+contrib AS (
+    -- pixel byte j of the decoded image is md5 byte (j mod 16); md5
+    -- byte p lands in intensity bin (high nibble) and occurs
+    -- (3*w*ht - p + 15) // 16 times among the 3*w*ht pixel bytes
+    SELECT doc_id,
+           strpos('0123456789abcdef', substr(h, 2 * u.p + 1, 1)) - 1 AS bin,
+           (3 * w * ht - u.p + 15) // 16 AS cnt
+    FROM geom, unnest(range(0, 16)) AS u(p)
+)
+SELECT g.doc_id,
+       'image/png' AS media_type,
+       CAST(g.w AS INTEGER) AS width,
+       CAST(g.ht AS INTEGER) AS height,
+       CAST(b.bin AS INTEGER) AS bin,
+       CAST(COALESCE(SUM(c.cnt), 0) AS BIGINT) AS bin_count
+FROM geom g
+CROSS JOIN unnest(range(0, 16)) AS b(bin)
+LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.bin = b.bin
+GROUP BY g.doc_id, g.w, g.ht, b.bin
+"""
 
 
 def png_meta(documents: DataFrame) -> DataFrame:
@@ -741,7 +918,13 @@ SELECT doc_id,
        CAST(strpos({hexd}, substr(md5(text), 1, 1))
             * strpos({hexd}, substr(md5(text), 2, 1)) AS INTEGER) AS n_pixels,
        8 AS bit_depth, 2 AS color_type, 0 AS interlace,
-       3 AS n_chunks, 16 AS idat_bytes, TRUE AS crc_ok
+       3 AS n_chunks,
+       -- real zlib IDAT: 2 (hdr) + 5 (stored-block marker+LEN+NLEN)
+       -- + h*(3w+1) raw scanline bytes + 4 (Adler-32)
+       CAST(strpos({hexd}, substr(md5(text), 2, 1))
+            * (3 * strpos({hexd}, substr(md5(text), 1, 1)) + 1)
+            + 11 AS INTEGER) AS idat_bytes,
+       TRUE AS crc_ok
 FROM documents
 WHERE text IS NOT NULL
 """

@@ -1,6 +1,7 @@
 """LLM-data-pipeline operator tests: dedup family, similarity, text,
 multimodal."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -319,7 +320,127 @@ def test_decode_bmp_bottom_up_bgr():
 
 def test_decode_compressed_formats_still_gated():
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+        MM.decode_image(b"\x89PN")  # truncated magic: no decoder
+
+
+def _build_png(w, h, rows, filters, bit_depth=8, color_type=2, interlace=0):
+    """Hand-build a PNG (real zlib.compress stream) with an arbitrary
+    per-row filter list — the decoder must undo every filter type."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    prev = [0] * (w * 3)
+    for r, ftype in zip(rows, filters):
+        cur = list(r)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:  # Sub
+            enc = [(cur[x] - (cur[x - 3] if x >= 3 else 0)) % 256 for x in range(len(cur))]
+        elif ftype == 2:  # Up
+            enc = [(cur[x] - prev[x]) % 256 for x in range(len(cur))]
+        elif ftype == 3:  # Average
+            enc = [
+                (cur[x] - ((cur[x - 3] if x >= 3 else 0) + prev[x]) // 2) % 256
+                for x in range(len(cur))
+            ]
+        else:  # Paeth
+            enc = []
+            for x in range(len(cur)):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((cur[x] - pred) % 256)
+        raw += bytes([ftype]) + bytes(enc)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_unfilters_all_five_filter_types():
+    """A dynamic-Huffman zlib stream with one scanline per PNG filter
+    type (None/Sub/Up/Average/Paeth) decodes back to the exact pixels
+    — the unfilter path is real, not synthesizer-shaped."""
+    rng = np.random.default_rng(7)
+    w, h = 5, 5
+    rows = [list(rng.integers(0, 256, w * 3)) for _ in range(h)]
+    payload = _build_png(w, h, rows, filters=[0, 1, 2, 3, 4])
+    img = MM.decode_image(payload)
+    assert img.shape == (h, w, 3)
+    assert [list(r) for r in img.reshape(h, w * 3)] == rows
+
+
+def test_png_decode_seams_and_tamper():
+    """16-bit / interlaced / non-RGB stay behind the codec seam; a
+    tampered zlib stream (bad Adler-32) and a tampered chunk CRC both
+    fail loudly instead of returning garbage pixels."""
+    import zlib
+
+    rows = [[10, 20, 30]]
+    good = _build_png(1, 1, rows, [0])
+    assert MM.decode_image(good).tolist() == [[[10, 20, 30]]]
+    for kw in ({"bit_depth": 16}, {"color_type": 6}, {"interlace": 1}):
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(_build_png(1, 1, rows, [0], **kw))
+    # corrupt the zlib payload but re-seal the chunk CRC: the inflate
+    # layer itself must catch it (Adler-32 / framing)
+    import struct
+
+    idat_pos = good.index(b"IDAT")
+    (dlen,) = struct.unpack(">I", good[idat_pos - 4 : idat_pos])
+    data = bytearray(good[idat_pos + 4 : idat_pos + 4 + dlen])
+    data[-1] ^= 0xFF
+    resealed = (
+        good[: idat_pos - 4]
+        + struct.pack(">I", dlen)
+        + b"IDAT"
+        + bytes(data)
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bytes(data)) & 0xFFFFFFFF)
+        + good[idat_pos + 8 + dlen :]
+    )
+    with pytest.raises(Exception):
+        MM.decode_image(resealed)
+    # plain chunk-CRC tamper is caught before inflate
+    bad = bytearray(good)
+    bad[idat_pos + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_image(bytes(bad))
+
+
+def test_png_pixels_histogram_matches_numpy(spark):
+    """png_pixels == numpy bincount over the genuinely decoded pixel
+    plane, for every doc and every bin (zero bins included)."""
+    import hashlib
+
+    texts = [(1, "alpha doc"), (2, "some other text"), (3, "z")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bin): (r.bin_count, r.width, r.height)
+        for r in MM.png_pixels(docs).collect()
+    }
+    assert len(got) == len(texts) * 16
+    for doc_id, text in texts:
+        h = hashlib.md5(text.encode()).hexdigest()
+        w, ht = int(h[0], 16) + 1, int(h[1], 16) + 1
+        plane = (bytes.fromhex(h) * 48)[: 3 * w * ht]
+        counts = np.bincount(np.frombuffer(plane, np.uint8) // 16, minlength=16)
+        for b in range(16):
+            assert got[(doc_id, b)] == (counts[b], w, ht)
 
 
 def test_ngram_jaccard_blocks_and_verifies(spark):

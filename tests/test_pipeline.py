@@ -348,10 +348,13 @@ def test_png_container_roundtrip_and_crc_validation(spark):
     out = {r.doc_id: r for r in MM.png_meta(docs).collect()}
     for doc_id, text in [(1, "alpha doc"), (2, "some other text")]:
         h = hashlib.md5(text.encode()).hexdigest()
-        assert out[doc_id].width == int(h[0], 16) + 1
-        assert out[doc_id].height == int(h[1], 16) + 1
+        w, ht = int(h[0], 16) + 1, int(h[1], 16) + 1
+        assert out[doc_id].width == w
+        assert out[doc_id].height == ht
         assert out[doc_id].crc_ok and out[doc_id].n_chunks == 3
-        assert out[doc_id].idat_bytes == 16
+        # real zlib IDAT: hdr(2) + stored marker/LEN/NLEN(5) +
+        # h*(3w+1) scanline bytes + Adler-32(4)
+        assert out[doc_id].idat_bytes == ht * (3 * w + 1) + 11
         assert (out[doc_id].bit_depth, out[doc_id].color_type) == (8, 2)
 
     payload = bytearray(
@@ -360,8 +363,8 @@ def test_png_container_roundtrip_and_crc_validation(spark):
     meta = MM.parse_png(bytes(payload))
     assert meta["crc_ok"]
     # flip one IDAT body byte: structure still parses, CRC check fails
-    idat_body = len(payload) - 12 - 16 - 4  # IEND chunk + IDAT crc+data offset
-    payload[idat_body] ^= 0xFF
+    idat_pos = bytes(payload).index(b"IDAT")
+    payload[idat_pos + 10] ^= 0xFF
     assert not MM.parse_png(bytes(payload))["crc_ok"]
 
 
