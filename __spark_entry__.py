@@ -55,60 +55,22 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
-#: round-10 driver rotation (SURVEY §2b): the FULL stalest-first order
-#: emitted by `python tools/rotate.py` at r10 open, minus this round's
-#: seven registry retirements.  The r10 window (first 50) = the seven
-#: auto-prepended new keys + the 32 surviving r6-cohort keys at their
-#: 4-round deadline (`zipf_fit` ... `streaming_three_hop`) + the 11
-#: stalest r7 keys (`png_meta` ... `bronze_parse`).  Keys added
+#: round-11 driver rotation (SURVEY §2b): the FULL stalest-first order
+#: emitted by `python tools/rotate.py` at r11 open, minus this round's
+#: one registry retirement (`sessionize` -> survivor
+#: `streaming_sessionize`, which runs the identical gaps-and-islands
+#: oracle against the drained stream).  The r11 window (first 50) =
+#: the five auto-prepended new keys (`png_pixels`,
+#: `streaming_sessionize`, `tokenize_roundtrip`,
+#: `dedup_index_incremental`, `domain_quality_report`) + the 23
+#: surviving r7-cohort keys at their 4-round deadline
+#: (`silver_metrics` ... `incremental_rollup`) + the 22 stalest
+#: r8-cohort keys (`trend_report` ... `q12_priority`).  Keys added
 #: mid-round are absent from this list and auto-prepend to the window,
-#: each displacing one r7 fill slot toward r11; registry-retired keys
+#: each displacing one r8 fill slot toward r12; registry-retired keys
 #: are deleted from this list when their queries()/oracle_sql() rows
 #: go.  Budget arithmetic in SURVEY §2b.
-_R10_ORDER = [
-    "zipf_fit",
-    "embedding_drift",
-    "length_trim",
-    "anomaly_mad",
-    "latest_state_diff",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q20_excess_shippers",
-    "q21_waiting_supplier",
-    "cohort_retention",
-    "funnel_conversion",
-    "importance_sample",
-    "source_reputation",
-    "metric_rank_report",
-    "time_travel_read",
-    "compaction_plan",
-    "value_histogram",
-    "rolling_active_users",
-    "zorder_layout",
-    "event_transitions",
-    "streaming_grouping_sets",
-    "metric_correlation",
-    "bucketed_join",
-    "lm_perplexity",
-    "canonical_docs",
-    "rollup_restate",
-    "cumulative_metric",
-    "streaming_three_hop",
-    "png_meta",
-    "streaming_ewma",
-    "streaming_ohlc",
-    "streaming_approx_distinct",
-    "streaming_cusum",
-    "approx_percentile_audit",
-    "hybrid_search",
-    "ann_ivf_incremental",
-    "approx_distinct_audit",
-    "ts_similarity",
-    "bronze_parse",
+_R11_ORDER = [
     "silver_metrics",
     "silver_explode",
     "bronze_feed_b",
@@ -122,7 +84,6 @@ _R10_ORDER = [
     "retention_purge",
     "scd2_current",
     "agg_consistency",
-    "sessionize",
     "rolling_avg",
     "anomaly_zscore",
     "percentile_rollup",
@@ -229,6 +190,56 @@ _R10_ORDER = [
     "streaming_corpus_gate",
     "ann_recall_report",
     "corpus_drift",
+    "lang_id_model",
+    "video_meta",
+    "retrieval_quality_report",
+    "dup_keep_audit",
+    "dedup_threshold_curve",
+    "gate_rule_report",
+    "decontamination_overlap",
+    "zipf_fit",
+    "embedding_drift",
+    "length_trim",
+    "anomaly_mad",
+    "latest_state_diff",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "cohort_retention",
+    "funnel_conversion",
+    "importance_sample",
+    "source_reputation",
+    "metric_rank_report",
+    "time_travel_read",
+    "compaction_plan",
+    "value_histogram",
+    "rolling_active_users",
+    "zorder_layout",
+    "event_transitions",
+    "streaming_grouping_sets",
+    "metric_correlation",
+    "bucketed_join",
+    "lm_perplexity",
+    "canonical_docs",
+    "rollup_restate",
+    "cumulative_metric",
+    "streaming_three_hop",
+    "png_meta",
+    "streaming_ewma",
+    "streaming_ohlc",
+    "streaming_approx_distinct",
+    "streaming_cusum",
+    "approx_percentile_audit",
+    "hybrid_search",
+    "ann_ivf_incremental",
+    "approx_distinct_audit",
+    "ts_similarity",
+    "bronze_parse",
 ]
 
 
@@ -286,6 +297,13 @@ def _streaming_silver_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tsdl_stream_")
     return SP.streaming_silver_dedup(spark, sf_dir, work)
+
+
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_sess_")
+    return SP.streaming_sessionize(spark, sf_dir, work)
 
 
 def _streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,9 +460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
     no) driver-green CORRECTNESS row come first; with 134+ keys and a
     50-key window the sustainable cycle is 3 rounds.  The dict below is
-    grouped by topic for readability; `_R10_ORDER` (from
+    grouped by topic for readability; `_R11_ORDER` (from
     `python tools/rotate.py`) dictates the actual driver-visible order.
-    Keys added mid-round and absent from `_R10_ORDER` are prepended so
+    Keys added mid-round and absent from `_R11_ORDER` are prepended so
     they land inside the driver window immediately (VERDICT r5 item
     10) — as shipped, the round-6 window is the 14 new r6 keys plus the
     36 never-driver-checked keys — exactly 50 (SURVEY §2b holds the
@@ -459,6 +477,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # intensity-histogram featurizer runs over the decoded pixels
         # (closes VERDICT r10 #2 — the last guarded-seam capability gap)
         "png_pixels": lambda s, d: MM.png_pixels(load_table(s, d, "documents")),
+        # the one streaming twin that was still pytest-only (SURVEY row
+        # 25c): `session_window` run as the stateful streaming session
+        # operator, drained == batch pinned; funded by retiring the
+        # batch `sessionize` key — the streaming drain runs the
+        # IDENTICAL gaps-and-islands oracle (the slo_burn / cdc_apply /
+        # cusum retirement precedent; batch operator + pytest remain)
+        "streaming_sessionize": _streaming_sessionize,
+        # tokenizer round-trip auditor: decode(encode(x)) == x pinned
+        # per language over the shipped fixed vocab, plus the OOV token
+        # mass — pairs with lang_id_model's language axis (VERDICT r10
+        # #8a)
+        "tokenize_roundtrip": lambda s, d: TX.tokenize_roundtrip(
+            load_table(s, d, "documents")
+        ),
+        # MinHash-index extend == rebuild as a driver key: the extended
+        # index serves a probe whose oracle assumes a full-corpus
+        # rebuild (the ann_ivf_incremental / text-index precedent;
+        # VERDICT r10 #8b)
+        "dedup_index_incremental": lambda s, d: DD.dedup_index_incremental(s, d),
+        # per-domain dup-rate x quality x token-share knob-pricing
+        # dashboard (VERDICT r10 #8c)
+        "domain_quality_report": lambda s, d: CU.domain_quality_report(
+            load_table(s, d, "documents")
+        ),
         # --- r10 additions (displacement-funded per SURVEY §2b) ---
         # model-based language ID with a shipped char-bigram log-odds
         # artifact (funded by retiring the stopword-heuristic `lang_id`
@@ -561,7 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
-        # --- r8 continuation additions (absent from _R10_ORDER ->
+        # --- r8 continuation additions (absent from _R11_ORDER ->
         # auto-prepended to the driver window) ---
         "trend_report": lambda s, d: DV.trend_report(B.dedup_exact(_bronze(s, d))),
         "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
@@ -648,7 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (absent from _R10_ORDER -> auto-prepended to the window)
+        # round-6 additions (absent from _R11_ORDER -> auto-prepended to the window)
         "bronze_kafka": KF.bronze_from_kafka_analog,
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
@@ -783,7 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
         ),
         "rollup_restate": _rollup_restate,
-        # r7 additions (absent from _R10_ORDER -> auto-prepended to the window)
+        # r7 additions (absent from _R11_ORDER -> auto-prepended to the window)
         "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
         "streaming_ewma": _streaming_ewma,
         "streaming_ohlc": _streaming_ohlc,
@@ -842,7 +884,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production both read the materialized gold table; measured
         # 3.2 -> 1.5 s at sf0.1 when the lineage stops running twice)
         "agg_consistency": _agg_consistency,
-        "sessionize": lambda s, d: SES.sessionize(load_table(s, d, "events")),
         # --- derived-signal operators (rate / rolling / anomaly / pctl / pivot) ---
         "rolling_avg": lambda s, d: DV.rolling_avg(B.dedup_exact(_bronze(s, d))),
         "anomaly_zscore": lambda s, d: DV.anomaly_zscore(B.dedup_exact(_bronze(s, d))),
@@ -912,12 +953,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
-    fresh = {k: v for k, v in base.items() if k not in set(_R10_ORDER)}
-    ordered = fresh | {k: base[k] for k in _R10_ORDER if k in base}
+    fresh = {k: v for k, v in base.items() if k not in set(_R11_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R11_ORDER if k in base}
     # a typo'd rotation entry would silently fall out of the schedule
     # and its real key masquerade as "fresh" — fail loudly instead
-    missing = set(_R10_ORDER) - set(base)
-    assert not missing, f"_R10_ORDER names unknown keys: {sorted(missing)}"
+    missing = set(_R11_ORDER) - set(base)
+    assert not missing, f"_R11_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 
@@ -988,7 +1029,15 @@ FROM (
             R.rollup_oracle(gold, bucket_day, "bucket_ts"),
             R.rollup_oracle(gold, "substr(datestamp, 1, 7)", "bucket_month"),
         ),
-        "sessionize": SES.sessionize_oracle(),
+        # batch `sessionize` registry-retired r11: the streaming twin
+        # drains the same session_window plan and runs this identical
+        # gaps-and-islands oracle (batch operator + pytest remain)
+        "streaming_sessionize": SES.sessionize_oracle(),
+        "tokenize_roundtrip": TX.tokenize_roundtrip_oracle(),
+        # full-corpus twin: valid BECAUSE extend == rebuild (pytest
+        # pins file-content identity of the two index dirs)
+        "dedup_index_incremental": DD.dedup_index_incremental_oracle(),
+        "domain_quality_report": CU.domain_quality_report_oracle(),
         "rolling_avg": DV.rolling_avg_oracle(DEDUP_ORACLE),
         "anomaly_zscore": DV.anomaly_zscore_oracle(DEDUP_ORACLE),
         "percentile_rollup": DV.percentile_rollup_oracle(DEDUP_ORACLE),

@@ -272,3 +272,90 @@ JOIN manifest m USING (doc_id)
 JOIN canon cn USING (doc_id)
 GROUP BY cl.cluster_id
 """
+
+
+# --------------------------------------------------------------------------
+# per-domain curation dashboard: dup-rate x quality x token-share
+# --------------------------------------------------------------------------
+
+
+def domain_quality_report(documents: DataFrame, cap: int | None = None) -> DataFrame:
+    """Per-DOMAIN knob-pricing dashboard joining the three curation
+    axes that are otherwise read separately (`domain_cap_sample`'s cap,
+    `source_reputation`'s dup rate, `gate_rule_report`'s quality gate):
+    for each source — doc volume, token volume and corpus token share,
+    exact-dup rate, Gopher-gate pass rate, and what the default domain
+    frequency cap would cut here (`cap_excess_docs` / `cap_loss_rate`).
+    One row per domain answers "which knob removes how much of WHOSE
+    data" before any knob is turned.
+
+    Scale shape: ONE corpus scan — the gate is a map-only projection
+    (:func:`..text.gopher_filter` with the content hash appended into
+    the same stage), one source-keyed aggregate with map-side partials
+    (the exact DISTINCT swaps for ``approx_count_distinct`` at 100 TB,
+    the `source_reputation` note), then the domain-cardinality result
+    crossJoins a broadcast 1-row total for the share column — the
+    fact table never shuffles twice.
+    """
+    from telemetry_streaming_datalake_spark.operators.corpus import DOMAIN_CAP
+    from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
+    cap = DOMAIN_CAP if cap is None else cap
+    g = gopher_filter(
+        documents,
+        extra_cols=[F.md5(normalize_text(F.col("text"))).alias("content_hash")],
+    )
+    per = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        floor_round(
+            1.0 - F.count_distinct("content_hash") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        floor_round(
+            F.sum(F.col("keep").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("gate_pass_rate"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__total_tokens"))
+    excess = F.greatest(F.col("n_docs") - F.lit(cap), F.lit(0).cast("long"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        floor_round(F.col("n_tokens") / F.col("__total_tokens"), 6).alias(
+            "token_share"
+        ),
+        "dup_rate",
+        "gate_pass_rate",
+        excess.alias("cap_excess_docs"),
+        floor_round(excess / F.col("n_docs"), 6).alias("cap_loss_rate"),
+    )
+
+
+def domain_quality_report_oracle(cap: int | None = None) -> str:
+    from telemetry_streaming_datalake_spark.operators.corpus import DOMAIN_CAP
+
+    cap = DOMAIN_CAP if cap is None else cap
+    floor6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH g AS ({gopher_filter_oracle()}),
+h AS (SELECT doc_id, md5({norm}) AS content_hash FROM documents),
+per AS (
+    SELECT g.source,
+           count(*) AS n_docs,
+           CAST(sum(g.n_words) AS BIGINT) AS n_tokens,
+           {floor6("1.0 - count(DISTINCT h.content_hash) * 1.0 / count(*)")}
+               AS dup_rate,
+           {floor6("sum(CAST(g.keep AS INT)) * 1.0 / count(*)")}
+               AS gate_pass_rate
+    FROM g JOIN h USING (doc_id)
+    GROUP BY g.source
+)
+SELECT source, n_docs, n_tokens,
+       {floor6(f"n_tokens * 1.0 / (SELECT sum(n_tokens) FROM per)")}
+           AS token_share,
+       dup_rate, gate_pass_rate,
+       CAST(greatest(n_docs - {cap}, 0) AS BIGINT) AS cap_excess_docs,
+       {floor6(f"greatest(n_docs - {cap}, 0) * 1.0 / n_docs")} AS cap_loss_rate
+FROM per
+"""

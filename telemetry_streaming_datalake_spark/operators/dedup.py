@@ -924,6 +924,52 @@ def build_dedup_index(
     return index_dir
 
 
+def extend_dedup_index(
+    spark, index_dir: str, new_docs: DataFrame, fp_cap: int = BUCKET_CAP
+) -> str:
+    """FAISS-``add`` for the dedup index (the :func:`..similarity.
+    extend_ivf_index` posture): append the increment WITHOUT touching
+    what is already indexed.  Hash rows append unconditionally;
+    fingerprint rows fill only the per-fingerprint budget the existing
+    posting lists leave under ``fp_cap``.  Because production ids are
+    monotone (new docs get new ids), the capped union is EXACTLY what
+    a from-scratch :func:`build_dedup_index` over the full corpus
+    keeps — extend == rebuild, file-content-identical (pytest-pinned,
+    and the `dedup_index_incremental` driver key rides a full-corpus
+    oracle that assumes it).
+
+    Cost is O(increment): the existing index is only read for the
+    per-fingerprint COUNTS of the fingerprints the increment actually
+    touches (semi-join pruned, increment-cardinality output) — posting
+    lists are never rewritten, shingle sets never recomputed."""
+    base = _fingerprint_and_shingle_sets(new_docs)
+    idx_fp = spark.read.parquet(os.path.join(index_dir, "fingerprints"))
+    touched = base.select("fingerprint").distinct()
+    existing = (
+        idx_fp.join(F.broadcast(touched), "fingerprint", "left_semi")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__have"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    (
+        base.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(existing), "fingerprint", "left")
+        .filter(F.col("__rn") + F.coalesce(F.col("__have"), F.lit(0)) <= fp_cap)
+        .drop("__rn", "__have")
+        .select("doc_id", "fingerprint", "sh")
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "fingerprints"))
+    )
+    (
+        new_docs.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
+        )
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "hashes"))
+    )
+    return index_dir
+
+
 def incremental_dedup_against(
     spark, index_dir: str, incoming: DataFrame, threshold: float = 0.3
 ) -> DataFrame:
@@ -1052,8 +1098,64 @@ def incremental_dedup(spark, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     )
 
 
+#: (sf_dir) -> extended-index dir for dedup_index_incremental
+_DEDUP_EXT_CACHE: dict[str, str] = {}
+
+
+def dedup_index_incremental(spark, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Driver-checkable build-then-extend == rebuild, probed by a
+    later batch: the index builds on ``doc_id <= H`` (H = max id / 2
+    — yesterday's corpus), the even ids above H arrive later as the
+    :func:`extend_dedup_index` increment (today's accepted docs), and
+    the odd ids above H are the incoming batch deduped against the
+    EXTENDED index.  Because increment ids all exceed the build's, the
+    extended index is content-identical to a from-scratch build over
+    the full indexed set (pinned in pytest), so the probe rides a
+    full-corpus oracle — one SQL relation certifies the extend path
+    AND the probe in a single driver row (the `ann_ivf_incremental` /
+    text-index extend==rebuild precedent)."""
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _DEDUP_EXT_CACHE:
+        half = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # 1-row collect
+        d = tempfile.mkdtemp(prefix="tsdl_dedupext_")
+        build_dedup_index(docs.filter(F.col("doc_id") <= half), d)
+        extend_dedup_index(
+            spark,
+            d,
+            docs.filter((F.col("doc_id") > half) & (F.col("doc_id") % 2 == 0)),
+        )
+        _DEDUP_EXT_CACHE[sf_dir] = d
+    half = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    incoming = docs.filter((F.col("doc_id") > half) & (F.col("doc_id") % 2 == 1))
+    return incremental_dedup_against(
+        spark, _DEDUP_EXT_CACHE[sf_dir], incoming, threshold
+    )
+
+
+def dedup_index_incremental_oracle(threshold: float = 0.3) -> str:
+    """Full-corpus twin of :func:`dedup_index_incremental`: indexed =
+    build slice ∪ extend increment (valid BECAUSE extend == rebuild);
+    batch = the odd tail.  H is a scalar subquery so one SQL string
+    serves every scale factor."""
+    h = "(SELECT max(doc_id) // 2 FROM documents)"
+    return incremental_dedup_oracle(
+        threshold,
+        indexed_pred=f"(doc_id <= {h} OR doc_id % 2 = 0)",
+        batch_pred=f"(doc_id > {h} AND doc_id % 2 = 1)",
+    )
+
+
 def incremental_dedup_oracle(
-    threshold: float = 0.3, window: int = 16, n: int = 5, cap: int = BUCKET_CAP
+    threshold: float = 0.3,
+    window: int = 16,
+    n: int = 5,
+    cap: int = BUCKET_CAP,
+    indexed_pred: str = "doc_id % 2 = 0",
+    batch_pred: str = "doc_id % 2 = 1",
 ) -> str:
     """Twin restricted to (incoming i, earlier j): j indexed (even —
     always earlier) or j in-batch with j < i.  Candidates mirror the
@@ -1078,7 +1180,7 @@ WITH norm AS (
 ),
 hash AS (SELECT doc_id, md5(t) AS ch FROM norm),
 min_even AS (
-    SELECT ch, min(doc_id) AS min_indexed FROM hash WHERE doc_id % 2 = 0 GROUP BY 1
+    SELECT ch, min(doc_id) AS min_indexed FROM hash WHERE {indexed_pred} GROUP BY 1
 ),
 prev_odd AS (
     SELECT doc_id, ch,
@@ -1086,7 +1188,7 @@ prev_odd AS (
                PARTITION BY ch ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ) AS prev_batch
-    FROM hash WHERE doc_id % 2 = 1
+    FROM hash WHERE {batch_pred}
 ),
 fps AS (
     SELECT doc_id,
@@ -1097,13 +1199,13 @@ fps AS (
     FROM norm
 ),
 evens AS (
-    SELECT doc_id, f, s FROM fps WHERE doc_id % 2 = 0
+    SELECT doc_id, f, s FROM fps WHERE {indexed_pred}
     QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) <= {cap}
 ),
 odds AS (
     SELECT doc_id, f, s,
            row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-    FROM fps WHERE doc_id % 2 = 1
+    FROM fps WHERE {batch_pred}
 ),
 near AS (
     SELECT i AS doc_id, min(j) AS near_dup_of FROM (

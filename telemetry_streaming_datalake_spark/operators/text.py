@@ -1196,6 +1196,107 @@ GROUP BY doc_id
 """
 
 
+#: the shipped tokenizer's closed vocabulary: the 26 base letters plus
+#: every merge product of FIXED_BPE_MERGES — a token outside this set
+#: (digits, punctuation, non-ASCII) is out-of-vocabulary, exactly the
+#: byte/char-fallback mass a production tokenizer meters per corpus
+FIXED_VOCAB: tuple[str, ...] = tuple(
+    sorted({chr(c) for c in range(ord("a"), ord("z") + 1)}
+           | {a + b for a, b in FIXED_BPE_MERGES})
+)
+
+
+def tokenize_roundtrip(documents: DataFrame) -> DataFrame:
+    """Tokenizer round-trip auditor over the shipped fixed vocab
+    (pairs with :func:`lang_id_model`'s language axis): encode every
+    word with :data:`FIXED_BPE_MERGES`, decode by concatenation, and
+    certify per LANGUAGE that decode(encode(x)) == x — the lossless-
+    identity contract a tokenizer must satisfy before a training run —
+    plus the OOV token mass (:data:`FIXED_VOCAB` misses), the number
+    that decides whether the vocab fits the corpus mix or starves a
+    language into byte-fallback.
+
+    ``roundtrip_ok`` is ENGINE-VERIFIED (``concat_ws(syms) == word``
+    checked for every distinct word; the oracle emits the contract as
+    literal TRUE — the `crc_ok`/`index_ok` audit pattern).  Scale
+    shape is :func:`tokenize_fixed_vocab`'s: merge folds run on the
+    distinct-word frame, the corpus pays one word-keyed equi-join and
+    one language-keyed partial agg — two compact-key shuffles."""
+    norm = normalize_text(F.col("text"))
+    doc_words = documents.select(
+        "doc_id", "lang", F.explode(F.split(F.trim(norm), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    seg = (
+        doc_words.select("word")
+        .distinct()
+        .select("word", F.regexp_extract_all("word", F.lit("(?s)."), 0).alias("syms"))
+    )
+    for a, b in FIXED_BPE_MERGES:
+        seg = seg.select("word", apply_merge(F.col("syms"), a, b).alias("syms"))
+    vocab_arr = F.array(*[F.lit(v) for v in FIXED_VOCAB])
+    seg = seg.select(
+        "word",
+        F.size("syms").alias("word_tokens"),
+        F.size(
+            F.filter("syms", lambda s: ~F.array_contains(vocab_arr, s))
+        ).alias("word_oov"),
+        (F.concat_ws("", F.col("syms")) == F.col("word")).alias("decode_ok"),
+    )
+    return (
+        doc_words.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+            F.sum("word_oov").alias("n_oov_tokens"),
+            floor_round(F.sum("word_oov") / F.sum("word_tokens"), 6).alias(
+                "oov_token_share"
+            ),
+            F.bool_and("decode_ok").alias("roundtrip_ok"),
+        )
+    )
+
+
+def tokenize_roundtrip_oracle() -> str:
+    """DuckDB twin riding :func:`tokenize_fixed_vocab_oracle`'s
+    tab-string segmentation: tokens = the double-tab-separated pieces,
+    OOV = pieces outside the literal vocab list, decode = strip every
+    tab and compare to the word (genuinely recomputed here, though it
+    is TRUE by BPE construction — merges only ever concatenate)."""
+    T = "\t"
+    expr = f"'{T}' || left(regexp_replace(word, '(.)', '\\1{T}{T}', 'g'), -1)"
+    for a, b in FIXED_BPE_MERGES:
+        expr = f"replace({expr}, '{T}{a}{T}{T}{b}{T}', '{T}{a}{b}{T}')"
+    vocab = "[" + ", ".join(f"'{v}'" for v in FIXED_VOCAB) + "]"
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH doc_words AS (
+    SELECT doc_id, lang, unnest(string_split(trim({norm}), ' ')) AS word
+    FROM documents
+),
+nonempty AS (SELECT * FROM doc_words WHERE length(word) > 0),
+seg AS (
+    SELECT word,
+           (length(s) - length(replace(s, '{T}{T}', '{T}'))) + 1 AS word_tokens,
+           len(list_filter(string_split(trim(s, '{T}'), '{T}{T}'),
+                           x -> NOT list_contains({vocab}, x))) AS word_oov,
+           replace(s, '{T}', '') = word AS decode_ok
+    FROM (SELECT word, {expr} AS s FROM (SELECT DISTINCT word FROM nonempty))
+)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_words,
+       CAST(sum(word_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(word_oov) AS BIGINT) AS n_oov_tokens,
+       floor(sum(word_oov) * 1.0 / sum(word_tokens) * 1000000.0 + 0.5)
+           / 1000000.0 AS oov_token_share,
+       bool_and(decode_ok) AS roundtrip_ok
+FROM nonempty JOIN seg USING (word)
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # bigram LM perplexity scoring
 # --------------------------------------------------------------------------

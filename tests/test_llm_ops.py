@@ -1247,6 +1247,100 @@ def test_incremental_dedup_against_index(spark, tmp_path):
     assert out[7].near_dup_of == 1 and not out[7].is_new
 
 
+def test_extend_dedup_index_equals_rebuild(spark, tmp_path):
+    """extend_dedup_index over a monotone-id increment produces an
+    index CONTENT-identical to a from-scratch rebuild over the union —
+    including the per-fingerprint cap boundary (a bucket already full
+    at build admits no increment rows; a partial bucket fills in
+    doc_id order)."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    hot = "shared boilerplate fingerprint text here " * 4
+    initial = spark.createDataFrame(
+        [(i, hot) for i in range(6)]
+        + [(6, "unique early content about databases " * 4)],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [(i, hot) for i in range(10, 16)]  # hot bucket: over the cap
+        + [(16, "unique late content about telemetry " * 4)],
+        "doc_id long, text string",
+    )
+    ext_dir, reb_dir = str(tmp_path / "ext"), str(tmp_path / "reb")
+    DD.build_dedup_index(initial, ext_dir, fp_cap=8)
+    DD.extend_dedup_index(spark, ext_dir, increment, fp_cap=8)
+    DD.build_dedup_index(initial.unionByName(increment), reb_dir, fp_cap=8)
+    for table in ("hashes", "fingerprints"):
+        ext = spark.read.parquet(f"{ext_dir}/{table}")
+        reb = spark.read.parquet(f"{reb_dir}/{table}")
+        cols = [c for c in ext.columns if c != "sh"] + (
+            [F.sort_array("sh").cast("string").alias("sh")]
+            if "sh" in ext.columns
+            else []
+        )
+        e = {tuple(r) for r in ext.select(*cols).collect()}
+        r = {tuple(r) for r in reb.select(*cols).collect()}
+        assert e == r, table
+    # the hot bucket holds exactly cap members: 6 initial + 2 increment
+    fps = spark.read.parquet(f"{ext_dir}/fingerprints")
+    hot_bucket = (
+        fps.groupBy("fingerprint").count().orderBy(F.desc("count")).first()
+    )
+    assert hot_bucket["count"] == 8
+
+
+def test_tokenize_roundtrip_audit(spark):
+    """Per-language round-trip certification: decode == original for
+    every word (engine-verified), OOV mass counts exactly the tokens
+    outside the shipped vocab (digits/punctuation), and a pure-letter
+    corpus has zero OOV."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the thing is here", "en"),
+            (2, "abc123 def!", "xx"),  # digits + '!' are OOV tokens
+            (3, "ingot and another thing", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in TX.tokenize_roundtrip(docs).collect()}
+    assert out["en"].roundtrip_ok and out["xx"].roundtrip_ok
+    assert out["en"].n_oov_tokens == 0
+    assert out["en"].n_docs == 2
+    # "abc123": a,b,c in vocab; 1,2,3 OOV. "def!": d,e,f in vocab, ! OOV
+    assert out["xx"].n_oov_tokens == 4
+    assert out["xx"].n_tokens == 10
+    assert abs(out["xx"].oov_token_share - 0.4) < 1e-9
+
+
+def test_domain_quality_report_prices_all_three_knobs(spark):
+    """One domain over the cap with duplicates and gate failures: the
+    report prices cap loss, dup rate, and gate pass rate per source,
+    and token shares sum to 1."""
+    from telemetry_streaming_datalake_spark.operators.curation import (
+        domain_quality_report,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the green fields all day with great joy " * 3
+    )
+    rows = [(i, good + f" marker {i}", "en", "hot", 100) for i in range(5)]
+    rows += [(10, good, "en", "hot", 100), (11, good, "en", "hot", 100)]  # dups
+    rows += [(20, "x y", "en", "cold", 3)]  # fails the word-count gate
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in domain_quality_report(docs, cap=6).collect()}
+    hot, cold = out["hot"], out["cold"]
+    assert hot.n_docs == 7 and hot.cap_excess_docs == 1
+    assert abs(hot.cap_loss_rate - round(1 / 7, 6)) < 2e-6
+    # 7 docs, 6 distinct contents (10 and 11 share one hash)
+    assert abs(hot.dup_rate - round(1 - 6 / 7, 6)) < 2e-6
+    assert hot.gate_pass_rate == 1.0
+    assert cold.gate_pass_rate == 0.0 and cold.cap_excess_docs == 0
+    assert abs(hot.token_share + cold.token_share - 1.0) < 2e-6
+
+
 def test_incremental_dedup_hot_fingerprint_bounded(spark, tmp_path):
     """Mass-duplicated boilerplate on BOTH sides: the capped
     fingerprint table bounds the probe join while exact dedup (full
