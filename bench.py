@@ -37,7 +37,7 @@ HEADLINE = [
     "gap_detect",
     "stage_delay_report",
     "orphan_usage",
-    "sessionize",
+    "streaming_sessionize",
     "rolling_avg",
     "gapfill_hourly",
     "anomaly_zscore",
@@ -174,6 +174,10 @@ HEADLINE = [
     "domain_cap_sample",
     "semantic_decontaminate",
     "quality_percentile_gate",
+    "png_pixels",
+    "tokenize_roundtrip",
+    "dedup_index_incremental",
+    "domain_quality_report",
 ]
 
 

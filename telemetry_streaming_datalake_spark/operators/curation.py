@@ -305,15 +305,22 @@ def domain_quality_report(documents: DataFrame, cap: int | None = None) -> DataF
         documents,
         extra_cols=[F.md5(normalize_text(F.col("text"))).alias("content_hash")],
     )
-    per = g.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_words").alias("n_tokens"),
-        floor_round(
-            1.0 - F.count_distinct("content_hash") / F.count(F.lit(1)), 6
-        ).alias("dup_rate"),
-        floor_round(
-            F.sum(F.col("keep").cast("int")) / F.count(F.lit(1)), 6
-        ).alias("gate_pass_rate"),
+    per = (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            floor_round(
+                1.0 - F.count_distinct("content_hash") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            floor_round(
+                F.sum(F.col("keep").cast("int")) / F.count(F.lit(1)), 6
+            ).alias("gate_pass_rate"),
+        )
+        # domain-cardinality frame feeds BOTH the output rows and the
+        # token total — checkpoint it so the corpus lineage executes
+        # once, not once per consumer (the gate_rule_report pattern)
+        .localCheckpoint(eager=True)
     )
     total = per.agg(F.sum("n_tokens").alias("__total_tokens"))
     excess = F.greatest(F.col("n_docs") - F.lit(cap), F.lit(0).cast("long"))

@@ -600,6 +600,45 @@ def test_video_meta_map_only(spark):
     assert "Exchange" not in p
 
 
+def test_png_pixels_map_only(spark):
+    """Real-zlib synthesis (incl. the Adler-32 aggregates), inflate,
+    unfilter, and featurize stay ONE map-only pipeline — zero
+    exchanges; the decode-and-featurize stage shape at 100 TB."""
+    from telemetry_streaming_datalake_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    p = MM.png_pixels(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
+def test_domain_quality_report_single_fact_shuffle(spark):
+    """The domain dashboard pays ONE hash exchange over the fact table
+    (the source-keyed aggregate, with map-side partials); the token
+    total attaches as a broadcast 1-row scalar — no second fact
+    shuffle, no sort-aggregate, no window."""
+    from telemetry_streaming_datalake_spark.operators.curation import (
+        domain_quality_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "en", "s1", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = (
+        domain_quality_report(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus lineage is checkpointed away after the source-keyed
+    # aggregate: the executed plan starts from the domain-cardinality
+    # checkpoint RDD (no parquet scan, no fact exchange) and the
+    # total attaches as a broadcast scalar — no window, no sort
+    assert "Exchange hashpartitioning" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "Window" not in p and "Scan parquet" not in p
+
+
 def test_retrieval_quality_report_scans_corpus_once(spark):
     """The depth curve must NOT rescan the corpus per depth: the
     depth-max retriever lists and the k-sized truth list are eagerly

