@@ -403,6 +403,12 @@ _MAIN_KEYS_EXT = [
     "multimodal_thumb",
     "audio_features",
     "png_meta",
+    # r11: real-zlib pixel decode + the three new corpus/text keys over
+    # hostile unicode, NULL text, and the duplicate flood
+    "png_pixels",
+    "tokenize_roundtrip",
+    "domain_quality_report",
+    "dedup_index_incremental",
     # embeddings with NULL rows
     "label_centroids",
     "centroid_confusion",
