@@ -362,8 +362,9 @@ _MAIN_KEYS_EXT = [
     "partition_stats",
     "table_profile",
     "stage_delay_report",
-    # temporal / detect over boundary timestamps
-    "sessionize",
+    # temporal / detect over boundary timestamps (sessionize's key
+    # retired r11 -> the streaming twin runs the identical oracle)
+    "streaming_sessionize",
     "availability_report",
     "dedup_threshold_curve",
     "funnel_conversion",
@@ -463,7 +464,7 @@ def test_fuzz_streaming(spark, fuzz_main, key):
 #: time-derivation representatives over the epoch-extreme corpus
 _EXTREME_TS_KEYS = [
     "bronze_parse",
-    "sessionize",
+    "streaming_sessionize",
     "gapfill_hourly",
     "availability_report",
     "streaming_grouping_sets",

@@ -46,7 +46,6 @@ def plans(spark):
         "custom_metric_sum",
         "latest_metric",
         "orphan_usage",
-        "sessionize",
         "dedup_minhash",
         "dedup_simhash",
         "dedup_embedding",
@@ -93,6 +92,11 @@ def plans(spark):
     out["counter_rate"] = _plan(
         DV.counter_rate(B.dedup_exact(B.parse_bronze(load_table(spark, SF, "events"))))
     )
+    # batch sessionize's key retired r11 (identical oracle via the
+    # streaming_sessionize drain) — the operator + its plan pin stay
+    from telemetry_streaming_datalake_spark.operators import sessions as SES
+
+    out["sessionize"] = _plan(SES.sessionize(load_table(spark, SF, "events")))
     return out
 
 
