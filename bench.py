@@ -178,6 +178,7 @@ HEADLINE = [
     "tokenize_roundtrip",
     "dedup_index_incremental",
     "domain_quality_report",
+    "leakage_safe_split",
 ]
 
 

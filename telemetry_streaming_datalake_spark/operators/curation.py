@@ -366,3 +366,92 @@ SELECT source, n_docs, n_tokens,
        {floor6(f"greatest(n_docs - {cap}, 0) * 1.0 / n_docs")} AS cap_loss_rate
 FROM per
 """
+
+
+# --------------------------------------------------------------------------
+# leakage-safe train/val split (near-dup closure)
+# --------------------------------------------------------------------------
+
+
+def leakage_safe_split(documents: DataFrame, threshold_hex: str | None = None) -> DataFrame:
+    """Train/val split CLOSED under near-duplication — the eval-
+    leakage fix every corpus paper re-learns: the content-hash split
+    (`corpus.train_val_split`) keeps byte-identical copies together,
+    but a NEAR-duplicate pair can still straddle the boundary and leak
+    val content into train verbatim-minus-an-edit.  Here every
+    fingerprint-blocked Jaccard near-dup cluster (the `dup_clusters`
+    components) rides ONE side, decided by the md5 of the cluster
+    representative's normalized content (min doc_id — deterministic,
+    rerun-stable, same threshold convention as the naive split).
+
+    Output per doc: the split group (`group_id` — cluster id, or the
+    doc itself for singletons), the leakage-safe `split`, the
+    `naive_split` the content-hash rule alone would give, and
+    `rescued` — the docs this operator actually moved, i.e. the
+    leakage the naive split WOULD have had (engine-computed, oracle-
+    recomputed: the count of TRUE rescues is the operator's value
+    measured on every run).
+
+    Scale shape: the pair pipeline and min-label propagation are the
+    `dup_clusters` cost (bucket-blocked, never all-pairs); cluster
+    labels and rep hashes are pair-participant-cardinality frames
+    that BROADCAST onto the corpus (the `canonical_docs` posture);
+    the split itself is map-only hash arithmetic.
+    """
+    from telemetry_streaming_datalake_spark.operators.corpus import (
+        VAL_THRESHOLD_HEX,
+        train_val_split,
+    )
+
+    thr = VAL_THRESHOLD_HEX if threshold_hex is None else threshold_hex
+    naive = train_val_split(documents, thr).select(
+        "doc_id", "content_hash", F.col("split").alias("naive_split")
+    )
+    clusters = dup_clusters(ngram_jaccard_dedup(documents))
+    reps = clusters.join(
+        naive.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("content_hash").alias("rep_hash"),
+        ),
+        "cluster_id",
+    )
+    out = naive.join(F.broadcast(reps), "doc_id", "left")
+    decide = F.coalesce(F.col("rep_hash"), F.col("content_hash"))
+    split = F.when(F.substring(decide, 1, 4) < thr, "val").otherwise("train")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_id"),
+        split.alias("split"),
+        "naive_split",
+        (split != F.col("naive_split")).alias("rescued"),
+    )
+
+
+def leakage_safe_split_oracle(threshold_hex: str | None = None) -> str:
+    from telemetry_streaming_datalake_spark.operators.corpus import (
+        VAL_THRESHOLD_HEX,
+        train_val_split_oracle,
+    )
+    from telemetry_streaming_datalake_spark.operators.merge import (
+        dup_clusters_oracle,
+    )
+
+    thr = VAL_THRESHOLD_HEX if threshold_hex is None else threshold_hex
+    clusters = dup_clusters_oracle(ngram_jaccard_oracle()).strip()
+    naive = train_val_split_oracle(thr).strip()
+    return f"""
+WITH clusters AS ({clusters}),
+naive AS (SELECT doc_id, content_hash, split AS naive_split FROM ({naive})),
+reps AS (
+    SELECT c.doc_id, c.cluster_id, n.content_hash AS rep_hash
+    FROM clusters c JOIN naive n ON n.doc_id = c.cluster_id
+)
+SELECT n.doc_id,
+       COALESCE(r.cluster_id, n.doc_id) AS group_id,
+       CASE WHEN substr(COALESCE(r.rep_hash, n.content_hash), 1, 4) < '{thr}'
+            THEN 'val' ELSE 'train' END AS split,
+       n.naive_split,
+       (CASE WHEN substr(COALESCE(r.rep_hash, n.content_hash), 1, 4) < '{thr}'
+             THEN 'val' ELSE 'train' END) <> n.naive_split AS rescued
+FROM naive n LEFT JOIN reps r USING (doc_id)
+"""

@@ -410,6 +410,7 @@ _MAIN_KEYS_EXT = [
     "tokenize_roundtrip",
     "domain_quality_report",
     "dedup_index_incremental",
+    "leakage_safe_split",
     # embeddings with NULL rows
     "label_centroids",
     "centroid_confusion",

@@ -1341,6 +1341,42 @@ def test_domain_quality_report_prices_all_three_knobs(spark):
     assert abs(hot.token_share + cold.token_share - 1.0) < 2e-6
 
 
+def test_leakage_safe_split_closes_near_dup_clusters(spark):
+    """A near-dup pair the naive content-hash split separates must be
+    pulled onto ONE side (the rep's side); singletons keep their naive
+    assignment; every group is split-homogeneous."""
+    from telemetry_streaming_datalake_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # cluster rep (min id)
+            (2, base + " tail edit"),        # near-dup of 1
+            # append-only edits keep every base gram, so the winnowing
+            # fingerprint (min 16-gram) provably collides with doc 1
+            (3, base + " another small suffix change"),
+            (10, "entirely unrelated content about databases " * 6),
+            (11, None),                      # NULL text -> train, singleton
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in leakage_safe_split(docs).collect()}
+    # the cluster is homogeneous and keyed by the rep (doc 1)
+    assert out[1].group_id == out[2].group_id == out[3].group_id == 1
+    assert out[1].split == out[2].split == out[3].split
+    # members whose own hash would have landed elsewhere are rescued
+    for d in (2, 3):
+        assert out[d].rescued == (out[d].naive_split != out[1].split)
+    # the rep itself always keeps its naive side (it IS the decider)
+    assert out[1].split == out[1].naive_split and not out[1].rescued
+    # singletons: group = self, split = naive, never rescued
+    for d in (10, 11):
+        assert out[d].group_id == d
+        assert out[d].split == out[d].naive_split and not out[d].rescued
+
+
 def test_incremental_dedup_hot_fingerprint_bounded(spark, tmp_path):
     """Mass-duplicated boilerplate on BOTH sides: the capped
     fingerprint table bounds the probe join while exact dedup (full
