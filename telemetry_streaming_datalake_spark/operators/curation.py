@@ -407,7 +407,9 @@ def leakage_safe_split(documents: DataFrame, threshold_hex: str | None = None) -
     naive = train_val_split(documents, thr).select(
         "doc_id", "content_hash", F.col("split").alias("naive_split")
     )
-    clusters = dup_clusters(ngram_jaccard_dedup(documents))
+    # pair-participant cardinality — broadcast onto the corpus-sized
+    # naive frame (reps keep only clustered docs)
+    clusters = F.broadcast(dup_clusters(ngram_jaccard_dedup(documents)))
     reps = clusters.join(
         naive.select(
             F.col("doc_id").alias("cluster_id"),
