@@ -610,8 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_silver_dedup": _streaming_silver_dedup,
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
-        # --- r8 continuation additions (absent from _R11_ORDER ->
-        # auto-prepended to the driver window) ---
+        # --- r8 continuation additions (now rotation-scheduled via
+        # _R11_ORDER like every non-r11 key) ---
         "trend_report": lambda s, d: DV.trend_report(B.dedup_exact(_bronze(s, d))),
         "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
             load_table(s, d, "documents")
@@ -697,7 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (absent from _R11_ORDER -> auto-prepended to the window)
+        # round-6 additions (now rotation-scheduled via _R11_ORDER)
         "bronze_kafka": KF.bronze_from_kafka_analog,
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
@@ -832,7 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
         ),
         "rollup_restate": _rollup_restate,
-        # r7 additions (absent from _R11_ORDER -> auto-prepended to the window)
+        # r7 additions (now rotation-scheduled via _R11_ORDER)
         "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
         "streaming_ewma": _streaming_ewma,
         "streaming_ohlc": _streaming_ohlc,

@@ -1119,8 +1119,10 @@ def dedup_index_incremental(spark, sf_dir: str, threshold: float = 0.3) -> DataF
     from telemetry_streaming_datalake_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # one bounded 1-row collect, shared by build and probe (an empty
+    # corpus yields None — split at 0, everything lands in the batch)
+    half = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) // 2
     if sf_dir not in _DEDUP_EXT_CACHE:
-        half = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # 1-row collect
         d = tempfile.mkdtemp(prefix="tsdl_dedupext_")
         build_dedup_index(docs.filter(F.col("doc_id") <= half), d)
         extend_dedup_index(
@@ -1129,7 +1131,6 @@ def dedup_index_incremental(spark, sf_dir: str, threshold: float = 0.3) -> DataF
             docs.filter((F.col("doc_id") > half) & (F.col("doc_id") % 2 == 0)),
         )
         _DEDUP_EXT_CACHE[sf_dir] = d
-    half = docs.agg(F.max("doc_id")).collect()[0][0] // 2
     incoming = docs.filter((F.col("doc_id") > half) & (F.col("doc_id") % 2 == 1))
     return incremental_dedup_against(
         spark, _DEDUP_EXT_CACHE[sf_dir], incoming, threshold

@@ -802,7 +802,9 @@ def parse_png(payload: bytes) -> dict:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, n = 8, len(payload)
-    out = {"n_chunks": 0, "idat_bytes": 0, "crc_ok": True}
+    # "_idat" carries the concatenated stream data so the pixel
+    # decoder never re-walks the container (single chunk walker)
+    out = {"n_chunks": 0, "idat_bytes": 0, "crc_ok": True, "_idat": b""}
     while pos + 12 <= n:
         (clen,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -818,6 +820,7 @@ def parse_png(payload: bytes) -> dict:
             )
         elif ctype == b"IDAT":
             out["idat_bytes"] += clen
+            out["_idat"] += data
         pos += 12 + clen
         if ctype == b"IEND":
             break
@@ -845,19 +848,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
             f"{meta['bit_depth']} color_type={meta['color_type']} "
             f"interlace={meta['interlace']} is behind the codec seam"
         )
-    # second walk, IDAT payload only (parse_png already verified CRCs)
-    import struct
-
-    idat, pos, n = b"", 8, len(payload)
-    while pos + 12 <= n:
-        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        if ctype == b"IDAT":
-            idat += payload[pos + 8 : pos + 8 + clen]
-        pos += 12 + clen
-        if ctype == b"IEND":
-            break
-    raw = zlib.decompress(idat)  # real inflate: framing + Adler-32
+    raw = zlib.decompress(meta["_idat"])  # real inflate: framing + Adler-32
     w, h = meta["width"], meta["height"]
     stride = w * 3
     if len(raw) != h * (stride + 1):
@@ -1211,6 +1202,8 @@ def parse_avi(payload: bytes) -> dict:
                 avih = body[12 : 12 + alen]
                 usec, _, _, _flags, total = struct.unpack("<5I", avih[0:20])
                 w, h = struct.unpack("<II", avih[32:40])
+                if usec == 0:
+                    raise ValueError("avih dwMicroSecPerFrame is zero")
                 out["n_frames"] = total
                 out["fps"] = round(1_000_000 / usec, 6)
                 avih_usec = usec
@@ -1236,7 +1229,9 @@ def parse_avi(payload: bytes) -> dict:
                                 (strh_length,) = struct.unpack(
                                     "<I", sbody[32:36]
                                 )
-                                out["fps_strh"] = round(rate / scale, 6)
+                                out["fps_strh"] = (
+                                    round(rate / scale, 6) if scale else None
+                                )
                                 strh_timing = (scale, rate)
                             elif scid == b"strf":
                                 bw, bh = struct.unpack("<ii", sbody[4:12])
@@ -1288,8 +1283,10 @@ def parse_avi(payload: bytes) -> dict:
         and strh_length == out["n_frames"]
         # avih dwMicroSecPerFrame must be the integer truncation of the
         # strh dwRate/dwScale timing — the only exact relation the spec
-        # guarantees between the two headers (avih is the rounded copy)
+        # guarantees between the two headers (avih is the rounded copy);
+        # a zero dwRate is itself an inconsistency, not a crash
         and strh_timing is not None
+        and strh_timing[1] != 0
         and avih_usec == 1_000_000 * strh_timing[0] // strh_timing[1]
     )
     return out

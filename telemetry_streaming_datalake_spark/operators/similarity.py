@@ -1480,9 +1480,12 @@ def probe_ivfpq_index(
     full-precision IVF probe exactly (pytest-pinned), which is the
     correctness contract a refine stage must satisfy."""
     want = _encoding_tag(codebooks)
-    try:
+    # ONLY a missing meta dir (pre-marker index layout) may fall back
+    # to trusting the caller — a corrupt/unreadable/empty marker must
+    # stay loud, or the guard silently disables itself
+    if os.path.isdir(os.path.join(index_dir, "meta")):
         stored = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0][0]
-    except Exception:  # pre-marker index layout: trust the caller
+    else:
         stored = want
     if stored != want:
         raise ValueError(

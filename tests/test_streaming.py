@@ -286,9 +286,14 @@ def test_stateful_latest_runs_under_rocksdb_state_store(spark, tmp_path):
         streaming_stateful_latest,
     )
 
+    from telemetry_streaming_datalake_spark.config import STREAMING_RUNTIME_CONF
+
     sf = "/root/testdata/sf0.001"
     key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
+    # restore EVERY conf apply_runtime_conf sets — leaking any of them
+    # into the shared session is the SURVEY §5 order-dependence class
+    prev = {k: spark.conf.get(k, None) for k in STREAMING_RUNTIME_CONF}
+    got = want = None
     try:
         apply_runtime_conf(spark)
         assert "RocksDBStateStoreProvider" in spark.conf.get(key)
@@ -317,10 +322,14 @@ def test_stateful_latest_runs_under_rocksdb_state_store(spark, tmp_path):
             f.endswith(".zip") or f.endswith(".changelog") for f in state_files
         ), state_files[:20]
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for df in (got, want):
+            if df is not None:
+                df.unpersist()
 
 
 def test_two_hop_table_as_stream_matches_batch_silver(spark, tmp_path):
