@@ -1341,6 +1341,57 @@ def test_domain_quality_report_prices_all_three_knobs(spark):
     assert abs(hot.token_share + cold.token_share - 1.0) < 2e-6
 
 
+def test_dedup_ingest_loop_converges_to_one_shot(spark, tmp_path):
+    """The production ingestion loop — for each arriving increment,
+    dedup against the persisted index THEN extend the index with the
+    increment — must converge to the one-shot earliest-earlier
+    relation over the whole corpus: for every doc, exact_dup_of /
+    near_dup_of is the EARLIEST earlier doc regardless of which
+    increment boundary separated them (caps not binding here).  This
+    is the composition contract `extend == rebuild` exists to serve."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog and runs away "
+    texts = {
+        0: base * 4,                    # first copy
+        1: "unrelated content about databases and queries " * 4,
+        2: base * 4,                    # exact dup of 0 (same increment)
+        3: base * 4 + "tail",           # near dup of 0
+        4: "fresh novel text with completely new words here " * 4,
+        5: base * 4,                    # exact dup of 0 (later increment)
+        6: "unrelated content about databases and queries " * 4,  # dup of 1
+        7: base * 4 + "another tail",   # near dup of 0 (later increment)
+        8: "fresh novel text with completely new words here " * 4,  # dup of 4
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "loopidx")
+    DD.build_dedup_index(docs.filter("doc_id < 0"), idx)  # empty index
+    outs = []
+    for lo, hi in ((0, 3), (3, 6), (6, 9)):  # three arriving increments
+        inc = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        outs.append(DD.incremental_dedup_against(spark, idx, inc))
+        DD.extend_dedup_index(spark, idx, inc)
+    looped = {r.doc_id: r for df in outs for r in df.collect()}
+    assert set(looped) == set(texts)
+    expect = {  # (exact_dup_of, near_dup_of, is_new) — an exact dup is
+        # also its earliest partner's near-dup (identical shingle sets)
+        0: (None, None, True),
+        1: (None, None, True),
+        2: (0, 0, False),
+        3: (None, 0, False),
+        4: (None, None, True),
+        5: (0, 0, False),
+        6: (1, 1, False),
+        7: (None, 0, False),
+        8: (4, 4, False),
+    }
+    for d, (ex, near, new) in expect.items():
+        r = looped[d]
+        assert (r.exact_dup_of, r.near_dup_of, r.is_new) == (ex, near, new), d
+
+
 def test_leakage_safe_split_closes_near_dup_clusters(spark):
     """A near-dup pair the naive content-hash split separates must be
     pulled onto ONE side (the rep's side); singletons keep their naive
