@@ -179,6 +179,7 @@ HEADLINE = [
     "dedup_index_incremental",
     "domain_quality_report",
     "leakage_safe_split",
+    "dedup_containment",
 ]
 
 

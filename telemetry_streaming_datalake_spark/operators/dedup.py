@@ -880,6 +880,112 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+#: minimum shingle-containment for a doc to count as contained in another
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_dedup(
+    documents: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    ``|A∩B| / |A|`` — the direction Jaccard is blind to.  A short doc
+    quoted or embedded verbatim inside a much longer page has Jaccard
+    ≈ |A|/|B| (arbitrarily small) but containment ≈ 1; dedup policies
+    that only look at symmetric similarity keep both copies and leak
+    the contained text twice into training (Broder's resemblance-vs-
+    containment distinction — the classic web-dedup pairing).
+
+    One row per directed containment: ``(contained_doc,
+    container_doc, containment ≥ threshold)`` — byte-identical dups
+    appear in both directions (containment 1.0 each way), which is the
+    honest reading.  Cost shape is :func:`ngram_jaccard_dedup`'s
+    verbatim: ONE corpus scan into the checkpointed fingerprint+
+    shingle frame, candidates through the capped ``bucket_pairs``
+    blocking, verify joins on the same frame; the oracle mirrors the
+    identical blocking, so the driver contract is exact.  Blocking
+    recall note: the winnowing fingerprint is the min gram over the
+    WHOLE doc, so a containing pair collides when the container's
+    global minimum gram falls inside the contained region — near-1
+    for substantial containment, the regime the threshold targets
+    (completeness vs an unblocked quadratic pass pinned in pytest).
+    """
+    base = _fingerprint_and_shingle_sets(documents).localCheckpoint(eager=True)
+    pairs = bucket_pairs(
+        base.select("doc_id", "fingerprint"), ["fingerprint"], ["doc_id"]
+    ).select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.size("sh_a"), 6).alias("c_ab"),
+            F.round(inter / F.size("sh_b"), 6).alias("c_ba"),
+        )
+        # scored once, filtered twice — pair generation never re-runs
+        .localCheckpoint(eager=True)
+    )
+    fwd = scored.filter(F.col("c_ab") >= threshold).select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        F.col("c_ab").alias("containment"),
+    )
+    rev = scored.filter(F.col("c_ba") >= threshold).select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        F.col("c_ba").alias("containment"),
+    )
+    return fwd.unionByName(rev)
+
+
+def containment_dedup_oracle(
+    threshold: float = CONTAINMENT_THRESHOLD,
+    window: int = 16,
+    n: int = 5,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin — the :func:`ngram_jaccard_oracle` blocking (capped
+    fingerprint buckets) with the directional containment formula and
+    both orientations emitted."""
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return f"""
+WITH d AS (
+    SELECT doc_id, {norm} AS norm FROM {src}
+),
+fp AS (
+    SELECT doc_id, norm,
+           list_min([md5(substr(norm, CAST(i AS INTEGER), {window}))
+                     for i in range(1, greatest(length(norm) - {window - 1}, 1) + 1)]) AS f
+    FROM d
+),
+sh AS (
+    SELECT doc_id, f,
+           list_distinct([substr(norm, CAST(i AS INTEGER), {n})
+                          for i in range(1, greatest(length(norm) - {n - 1}, 1) + 1)]) AS s
+    FROM fp
+),
+capped AS (
+    SELECT doc_id, f, s FROM (
+        SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM sh
+    ) WHERE rn <= {BUCKET_CAP}
+),
+scored AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS c_ab,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 6) AS c_ba
+    FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+)
+SELECT doc_a AS contained_doc, doc_b AS container_doc, c_ab AS containment
+FROM scored WHERE c_ab >= {threshold}
+UNION ALL
+SELECT doc_b, doc_a, c_ba FROM scored WHERE c_ba >= {threshold}
+"""
+
+
 # --------------------------------------------------------------------------
 # incremental dedup: new batch vs a persisted corpus index
 # --------------------------------------------------------------------------

@@ -411,6 +411,7 @@ _MAIN_KEYS_EXT = [
     "domain_quality_report",
     "dedup_index_incremental",
     "leakage_safe_split",
+    "dedup_containment",
     # embeddings with NULL rows
     "label_centroids",
     "centroid_confusion",

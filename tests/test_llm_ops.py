@@ -451,6 +451,75 @@ def test_ngram_jaccard_blocks_and_verifies(spark):
     assert all(3 not in k for k in out)
 
 
+def test_containment_catches_doc_inside_doc_jaccard_misses(spark):
+    """The asymmetric case containment exists for: a short doc embedded
+    verbatim in a much longer page has low Jaccard (below the near-dup
+    threshold) but containment ≈ 1 — only the contained→container
+    direction fires, byte-identical dups fire BOTH directions, and
+    unrelated docs never pair."""
+    quote = "the quick brown fox jumps over the lazy dog again today "
+    page = ("completely different page framing text here " * 10
+            + quote * 3
+            + "and a long trailing section about something else entirely " * 10)
+    docs = _docs(
+        spark,
+        [
+            (1, quote * 3),          # the contained doc
+            (2, page),               # the container
+            (3, quote * 3),          # byte-identical to 1
+            (4, "unrelated words entirely about databases " * 8),
+        ],
+    )
+    jac = {(r.doc_a, r.doc_b) for r in DD.ngram_jaccard_dedup(docs, 0.8).collect()}
+    assert (1, 2) not in jac  # symmetric similarity misses the embed
+    out = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in DD.containment_dedup(docs).collect()
+    }
+    assert out[(1, 2)] > 0.95 and (2, 1) not in out  # directional
+    assert out[(1, 3)] == 1.0 and out[(3, 1)] == 1.0  # exact dup: both ways
+    assert all(4 not in k for k in out)
+
+
+def test_containment_sound_vs_quadratic_truth(spark):
+    """Every emitted containment is confirmed by the unblocked
+    quadratic ground truth with the exact score (PRECISION is
+    unconditional — the verify join computes true containment), and
+    the planted embed pair is found.  Recall through the
+    1-permutation fingerprint block is the family's documented trade
+    (the oracle mirrors the identical blocking, so the driver contract
+    is exact regardless)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, "intro words " + base + " outro words"),
+        (3, base + " small suffix"),
+        (4, "other content with different words entirely " * 5),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in DD.containment_dedup(docs).collect()
+    }
+    # quadratic ground truth over normalized 5-gram sets
+    import re
+
+    def sh(t):
+        t = re.sub(r"\s+", " ", t.strip()).lower()
+        return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+
+    shs = {i: sh(t) for i, t in rows}
+    want = {
+        (a, b): round(len(shs[a] & shs[b]) / len(shs[a]), 6)
+        for a in shs
+        for b in shs
+        if a != b and len(shs[a] & shs[b]) / len(shs[a]) >= 0.8
+    }
+    assert (1, 2) in got  # the planted embed
+    for pair, c in got.items():
+        assert pair in want and abs(c - want[pair]) < 2e-6, pair
+
+
 def test_embedding_near_dups_finds_planted_pair(spark):
     import numpy as np
 
