@@ -60,13 +60,13 @@ INCR_CUTOFF_UNIX = 1705278600
 #: one registry retirement (`sessionize` -> survivor
 #: `streaming_sessionize`, which runs the identical gaps-and-islands
 #: oracle against the drained stream).  The r11 window (first 50) =
-#: the seven auto-prepended new keys (`png_pixels`,
+#: the eight auto-prepended new keys (`png_pixels`,
 #: `streaming_sessionize`, `tokenize_roundtrip`,
 #: `dedup_index_incremental`, `domain_quality_report`,
-#: `leakage_safe_split`, `dedup_containment`) + the 23 surviving
-#: r7-cohort keys at their 4-round deadline (`silver_metrics` ...
-#: `incremental_rollup`) + the 20 stalest r8-cohort keys
-#: (`trend_report` ... `q6_forecast`).  Keys added
+#: `leakage_safe_split`, `dedup_containment`, `perplexity_buckets`)
+#: + the 23 surviving r7-cohort keys at their 4-round deadline
+#: (`silver_metrics` ... `incremental_rollup`) + the 19 stalest
+#: r8-cohort keys (`trend_report` ... `adhoc_gold_slice`).  Keys added
 #: mid-round are absent from this list and auto-prepend to the window,
 #: each displacing one r8 fill slot toward r12; registry-retired keys
 #: are deleted from this list when their queries()/oracle_sql() rows
@@ -513,6 +513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # direction Jaccard is blind to (Broder resemblance vs
         # containment; seventh r11 key, displaces one r8 fill slot)
         "dedup_containment": lambda s, d: DD.containment_dedup(
+            load_table(s, d, "documents")
+        ),
+        # CCNet head/middle/tail perplexity terciles PER LANGUAGE —
+        # the published quality axis downstream mixtures sample from
+        # (eighth r11 key, displaces one r8 fill slot)
+        "perplexity_buckets": lambda s, d: TX.perplexity_buckets(
             load_table(s, d, "documents")
         ),
         # --- r10 additions (displacement-funded per SURVEY §2b) ---
@@ -1055,6 +1061,7 @@ FROM (
         # recursive-CTE clusters + the same rep-hash split arithmetic
         "leakage_safe_split": CU.leakage_safe_split_oracle(),
         "dedup_containment": DD.containment_dedup_oracle(),
+        "perplexity_buckets": TX.perplexity_buckets_oracle(),
         "rolling_avg": DV.rolling_avg_oracle(DEDUP_ORACLE),
         "anomaly_zscore": DV.anomaly_zscore_oracle(DEDUP_ORACLE),
         "percentile_rollup": DV.percentile_rollup_oracle(DEDUP_ORACLE),

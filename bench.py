@@ -180,6 +180,7 @@ HEADLINE = [
     "domain_quality_report",
     "leakage_safe_split",
     "dedup_containment",
+    "perplexity_buckets",
 ]
 
 

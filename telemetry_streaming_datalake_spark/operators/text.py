@@ -1403,6 +1403,81 @@ GROUP BY 1
 """
 
 
+#: tercile boundaries for the CCNet-style perplexity bucketing — the
+#: literal strings are shared VERBATIM with the oracle so both engines
+#: interpolate with bit-identical q
+_PPL_Q_HEAD = "0.3333333333333333"
+_PPL_Q_MIDDLE = "0.6666666666666666"
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet §4.3 perplexity bucketing: per LANGUAGE, split the corpus
+    into head / middle / tail terciles of bigram-LM perplexity (head =
+    lowest perplexity = most fluent) — the bucketing CCNet publishes
+    as its quality axis, which downstream mixtures sample from at
+    different rates instead of hard-filtering.  Per-language terciles,
+    not global: a language whose perplexity distribution sits higher
+    (less training data for the LM) would otherwise land wholesale in
+    the tail — the `quality_percentile_gate` starvation argument.
+
+    Shape: :func:`lm_perplexity`'s two corpus lineages, one doc-keyed
+    join to attach ``lang``, then the gate idiom — per-lang thresholds
+    as ONE exact interpolated percentile aggregate (language-
+    cardinality output, broadcast back, NO rank window / corpus sort;
+    `percentile_approx` is the 100 TB swap-in), bucket assignment
+    map-only.  Thresholds floor-round (interpolation-derived values
+    gate row membership — the SURVEY §6 midpoint class) and ship in
+    the output so the knob is auditable per row."""
+    lm = lm_perplexity(documents)
+    scored = lm.join(documents.select("doc_id", "lang"), "doc_id")
+    thr = scored.groupBy("lang").agg(
+        floor_round(F.expr(f"percentile(perplexity, {_PPL_Q_HEAD})"), 6).alias(
+            "t_head"
+        ),
+        floor_round(
+            F.expr(f"percentile(perplexity, {_PPL_Q_MIDDLE})"), 6
+        ).alias("t_middle"),
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "perplexity",
+            F.when(F.col("perplexity") <= F.col("t_head"), "head")
+            .when(F.col("perplexity") <= F.col("t_middle"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "t_head",
+            "t_middle",
+        )
+    )
+
+
+def perplexity_buckets_oracle() -> str:
+    floor6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+WITH lm AS ({lm_perplexity_oracle()}),
+scored AS (
+    SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.perplexity
+    FROM lm JOIN documents d USING (doc_id)
+),
+thr AS (
+    SELECT lang,
+           {floor6(f"quantile_cont(perplexity, {_PPL_Q_HEAD})")} AS t_head,
+           {floor6(f"quantile_cont(perplexity, {_PPL_Q_MIDDLE})")} AS t_middle
+    FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_bigrams, s.perplexity,
+       CASE WHEN s.perplexity <= t.t_head THEN 'head'
+            WHEN s.perplexity <= t.t_middle THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       t.t_head, t.t_middle
+FROM scored s JOIN thr t USING (lang)
+"""
+
+
 # --------------------------------------------------------------------------
 # Gopher-rules quality GATE (pass/fail filter with reasons)
 # --------------------------------------------------------------------------

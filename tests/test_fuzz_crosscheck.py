@@ -412,6 +412,7 @@ _MAIN_KEYS_EXT = [
     "dedup_index_incremental",
     "leakage_safe_split",
     "dedup_containment",
+    "perplexity_buckets",
     # embeddings with NULL rows
     "label_centroids",
     "centroid_confusion",

@@ -520,6 +520,50 @@ def test_containment_sound_vs_quadratic_truth(spark):
         assert pair in want and abs(c - want[pair]) < 2e-6, pair
 
 
+def test_perplexity_buckets_per_language_terciles(spark):
+    """Buckets are assigned per LANGUAGE: a language whose perplexity
+    distribution sits wholesale above another still gets its own
+    head/middle/tail split (the starvation argument); head holds the
+    lowest-perplexity docs; thresholds are ordered and shipped."""
+    # lang 'aa': repetitive fluent-ish docs; lang 'bb': shuffled word
+    # soup (higher perplexity under the corpus LM) — both must split
+    fluent = [
+        "the cat sat on the mat and the cat sat again " * 3,
+        "the cat sat on the mat and the dog sat again " * 3,
+        "the cat sat on the mat and the cat ran again " * 3,
+        "the cat sat on the mat then the cat sat again " * 3,
+        "the cat sat on a mat and the cat sat again " * 3,
+        "the cat sat on the mat and one cat sat again " * 3,
+    ]
+    soup = [
+        "mat again ran the dog on cat a sat then one and " * 3,
+        "again cat the on sat mat dog ran one a and then " * 3,
+        "on the a and mat cat again sat dog then ran one " * 3,
+        "sat dog a on again and ran the one mat then cat " * 3,
+        "a then on and again one sat ran cat dog mat the " * 3,
+        "ran one mat sat the a again then cat and dog on " * 3,
+    ]
+    rows = [(i, t, "aa") for i, t in enumerate(fluent)]
+    rows += [(100 + i, t, "bb") for i, t in enumerate(soup)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = TX.perplexity_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang in ("aa", "bb"):
+        rs = by_lang[lang]
+        assert len(rs) == 6
+        buckets = {b: [r for r in rs if r.bucket == b] for b in ("head", "middle", "tail")}
+        # every tercile populated within the language
+        assert all(buckets[b] for b in buckets), lang
+        # head strictly the lowest-perplexity stratum
+        assert max(r.perplexity for r in buckets["head"]) <= min(
+            r.perplexity for r in buckets["tail"]
+        )
+        # shipped thresholds ordered
+        assert rs[0].t_head <= rs[0].t_middle
+
+
 def test_embedding_near_dups_finds_planted_pair(spark):
     import numpy as np
 
