@@ -108,8 +108,17 @@ def exploded_shingles(documents: DataFrame, n: int = 5) -> DataFrame:
     # from few/compact files would otherwise expand on a handful of
     # cores; repartitioning the raw docs first is a tiny keyed shuffle
     # (docs are small pre-explosion) that buys full-cluster fan-out.
-    spread = documents.select("doc_id", norm.alias("norm")).repartition(
-        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    # NULL text must DROP the doc (the simhash precedent, re-found for
+    # minhash by the r11 two-NULL-doc fuzz corpus): xxhash64(NULL)
+    # degenerates to the seed, so two NULL docs would share an
+    # identical signature and band-pair in the engine while the exact
+    # all-pairs oracle never pairs them
+    spread = (
+        documents.select("doc_id", norm.alias("norm"))
+        .filter(F.col("norm").isNotNull())
+        .repartition(
+            documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     )
     return spread.select("doc_id", "norm", pos.alias("i")).select(
         "doc_id", F.col("norm").substr(F.col("i"), F.lit(n)).alias("s")
@@ -771,8 +780,19 @@ def _fingerprint_and_shingle_sets(
     where separate fingerprint/shingle passes would cost two of each.
     """
     norm = normalize_text(F.col("text"))
-    spread = documents.select("doc_id", norm.alias("norm")).repartition(
-        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    # NULL-text docs carry no shingles and must not pair: without this
+    # filter two NULL docs share fingerprint NULL through groupBy
+    # (which groups NULL keys) and sh [xxhash64-seed], pairing in the
+    # ENGINE while every oracle's `a.f = b.f` equi-join drops NULL —
+    # the r9 "latent with the current parquet" divergence class,
+    # re-found by the r11 review (empty-string docs are consistent on
+    # both sides and stay)
+    spread = (
+        documents.select("doc_id", norm.alias("norm"))
+        .filter(F.col("norm").isNotNull())
+        .repartition(
+            documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     )
     n_short = F.greatest(F.length("norm") - (n - 1), F.lit(1))
     n_long = F.greatest(F.length("norm") - (window - 1), F.lit(1))
@@ -835,19 +855,15 @@ def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.3) -> DataFra
     )
 
 
-def ngram_jaccard_oracle(
-    threshold: float = 0.3, window: int = 16, n: int = 5, src: str = "documents"
-) -> str:
-    """DuckDB twin of :func:`ngram_jaccard_dedup`, modeling the
-    engine's :data:`BUCKET_CAP` hot-bucket bound (the
-    `_banded_pairs_tail_sql` convention): per fingerprint bucket, only
-    the first ``cap`` docs by doc_id enter pair expansion, so the
-    contract stays exact even on a corpus where the cap binds.
-    Pigeonhole/recall completeness is pinned separately in pytest on a
-    cap-slack corpus."""
+def _capped_shingle_cte(src: str = "documents", window: int = 16, n: int = 5) -> str:
+    """The shared oracle CTE block for the fingerprint-blocked shingle
+    family — normalize, winnowing fingerprint, distinct n-gram set,
+    per-bucket BUCKET_CAP (the `_banded_pairs_tail_sql` convention).
+    ONE definition serves `ngram_jaccard_oracle` AND
+    `containment_dedup_oracle`, so a future blocking change cannot
+    silently de-sync one driver contract from the other."""
     norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
-    return f"""
-WITH d AS (
+    return f"""d AS (
     SELECT doc_id, {norm} AS norm FROM {src}
 ),
 fp AS (
@@ -867,7 +883,21 @@ capped AS (
         SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
         FROM sh
     ) WHERE rn <= {BUCKET_CAP}
-),
+)"""
+
+
+def ngram_jaccard_oracle(
+    threshold: float = 0.3, window: int = 16, n: int = 5, src: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_dedup`, modeling the
+    engine's :data:`BUCKET_CAP` hot-bucket bound (the
+    `_banded_pairs_tail_sql` convention): per fingerprint bucket, only
+    the first ``cap`` docs by doc_id enter pair expansion, so the
+    contract stays exact even on a corpus where the cap binds.
+    Pigeonhole/recall completeness is pinned separately in pytest on a
+    cap-slack corpus."""
+    return f"""
+WITH {_capped_shingle_cte(src, window, n)},
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(list_intersect(a.s, b.s)) AS inter,
@@ -902,12 +932,13 @@ def containment_dedup(
     verbatim: ONE corpus scan into the checkpointed fingerprint+
     shingle frame, candidates through the capped ``bucket_pairs``
     blocking, verify joins on the same frame; the oracle mirrors the
-    identical blocking, so the driver contract is exact.  Blocking
-    recall note: the winnowing fingerprint is the min gram over the
-    WHOLE doc, so a containing pair collides when the container's
-    global minimum gram falls inside the contained region — near-1
-    for substantial containment, the regime the threshold targets
-    (completeness vs an unblocked quadratic pass pinned in pytest).
+    identical blocking (the SHARED :func:`_capped_shingle_cte`), so
+    the driver contract is exact.  Blocking recall note: the winnowing
+    fingerprint is the min gram over the WHOLE doc, so a containing
+    pair collides when the container's global minimum gram falls
+    inside the contained region — near-1 for substantial containment,
+    the regime the threshold targets (precision vs an unblocked
+    quadratic pass pinned in pytest).
     """
     base = _fingerprint_and_shingle_sets(documents).localCheckpoint(eager=True)
     pairs = bucket_pairs(
@@ -942,37 +973,14 @@ def containment_dedup(
 
 
 def containment_dedup_oracle(
-    threshold: float = CONTAINMENT_THRESHOLD,
-    window: int = 16,
-    n: int = 5,
-    src: str = "documents",
+    threshold: float = CONTAINMENT_THRESHOLD, src: str = "documents"
 ) -> str:
-    """DuckDB twin — the :func:`ngram_jaccard_oracle` blocking (capped
-    fingerprint buckets) with the directional containment formula and
-    both orientations emitted."""
-    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    """DuckDB twin — the SHARED :func:`_capped_shingle_cte` blocking
+    with the directional containment formula and both orientations
+    emitted.  No window/n overrides: the engine side hard-codes the
+    family defaults, so the oracle must too."""
     return f"""
-WITH d AS (
-    SELECT doc_id, {norm} AS norm FROM {src}
-),
-fp AS (
-    SELECT doc_id, norm,
-           list_min([md5(substr(norm, CAST(i AS INTEGER), {window}))
-                     for i in range(1, greatest(length(norm) - {window - 1}, 1) + 1)]) AS f
-    FROM d
-),
-sh AS (
-    SELECT doc_id, f,
-           list_distinct([substr(norm, CAST(i AS INTEGER), {n})
-                          for i in range(1, greatest(length(norm) - {n - 1}, 1) + 1)]) AS s
-    FROM fp
-),
-capped AS (
-    SELECT doc_id, f, s FROM (
-        SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-        FROM sh
-    ) WHERE rn <= {BUCKET_CAP}
-),
+WITH {_capped_shingle_cte(src)},
 scored AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS c_ab,

@@ -790,21 +790,23 @@ def attach_png_payload(documents: DataFrame) -> DataFrame:
     )
 
 
-def parse_png(payload: bytes) -> dict:
+def parse_png(payload: bytes, collect_idat: bool = False) -> dict:
     """Real PNG container parser: signature check, chunk walk
     (length/type/data/CRC), CRC-32 verification of EVERY chunk against
     zlib.crc32, IHDR field extraction.  Raises on malformed
-    containers; pixel decode (zlib inflate + unfilter) stays behind
-    the guarded seam by design."""
+    containers.  With ``collect_idat`` the concatenated stream data
+    rides out as ``_idat`` so the pixel decoder never re-walks the
+    container (single chunk walker); the metadata-only ``png_meta``
+    path leaves it off and stays allocation-free (list-gathered +
+    joined once — never quadratic ``bytes +=``)."""
     import struct
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, n = 8, len(payload)
-    # "_idat" carries the concatenated stream data so the pixel
-    # decoder never re-walks the container (single chunk walker)
-    out = {"n_chunks": 0, "idat_bytes": 0, "crc_ok": True, "_idat": b""}
+    out = {"n_chunks": 0, "idat_bytes": 0, "crc_ok": True}
+    idat_parts: list[bytes] = []
     while pos + 12 <= n:
         (clen,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -820,12 +822,15 @@ def parse_png(payload: bytes) -> dict:
             )
         elif ctype == b"IDAT":
             out["idat_bytes"] += clen
-            out["_idat"] += data
+            if collect_idat:
+                idat_parts.append(data)
         pos += 12 + clen
         if ctype == b"IEND":
             break
     if "width" not in out:
         raise ValueError("no IHDR chunk")
+    if collect_idat:
+        out["_idat"] = b"".join(idat_parts)
     return out
 
 
@@ -839,7 +844,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     color types stay behind the ``NotImplementedError`` codec seam."""
     import zlib
 
-    meta = parse_png(payload)
+    meta = parse_png(payload, collect_idat=True)
     if not meta["crc_ok"]:
         raise ValueError("PNG chunk CRC mismatch")
     if (meta["bit_depth"], meta["color_type"], meta["interlace"]) != (8, 2, 0):

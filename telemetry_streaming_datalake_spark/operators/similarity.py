@@ -1480,13 +1480,21 @@ def probe_ivfpq_index(
     full-precision IVF probe exactly (pytest-pinned), which is the
     correctness contract a refine stage must satisfy."""
     want = _encoding_tag(codebooks)
-    # ONLY a missing meta dir (pre-marker index layout) may fall back
+    # ONLY a missing meta path (pre-marker index layout) may fall back
     # to trusting the caller — a corrupt/unreadable/empty marker must
-    # stay loud, or the guard silently disables itself
-    if os.path.isdir(os.path.join(index_dir, "meta")):
+    # stay loud, or the guard silently disables itself.  The check
+    # rides Spark's own path resolution (NOT os.path, which returns
+    # False for file:/hdfs:/s3: URI dirs and would disable the guard
+    # exactly where production indexes live).
+    from pyspark.errors import AnalysisException
+
+    try:
         stored = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0][0]
-    else:
-        stored = want
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            stored = want  # pre-marker layout
+        else:
+            raise
     if stored != want:
         raise ValueError(
             f"index at {index_dir} was built with encoding {stored!r} but the "

@@ -92,6 +92,10 @@ def _doc_rows(rng: np.random.Generator, flood: int) -> pd.DataFrame:
     add("", lang="en")
     add("   ", lang="en")
     add(None, lang="en")
+    # TWO NULL-text docs: the r11 review class — NULL fingerprints must
+    # not pair in the engine (groupBy groups NULL keys) while every
+    # oracle's equi-join drops them
+    add(None, lang="de")
     add("x", lang="en")
     add("the " * 3000, lang="en")  # long doc, window grams
     add("césar naïve коро 中文 🙂 tab\tchars", lang="zh")
