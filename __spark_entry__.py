@@ -55,65 +55,16 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
-#: round-11 driver rotation (SURVEY §2b): the FULL stalest-first order
-#: emitted by `python tools/rotate.py` at r11 open, minus this round's
-#: one registry retirement (`sessionize` -> survivor
-#: `streaming_sessionize`, which runs the identical gaps-and-islands
-#: oracle against the drained stream).  The r11 window (first 50) =
-#: the eight auto-prepended new keys (`png_pixels`,
-#: `streaming_sessionize`, `tokenize_roundtrip`,
-#: `dedup_index_incremental`, `domain_quality_report`,
-#: `leakage_safe_split`, `dedup_containment`, `perplexity_buckets`)
-#: + the 23 surviving r7-cohort keys at their 4-round deadline
-#: (`silver_metrics` ... `incremental_rollup`) + the 19 stalest
-#: r8-cohort keys (`trend_report` ... `adhoc_gold_slice`).  Keys added
-#: mid-round are absent from this list and auto-prepend to the window,
-#: each displacing one r8 fill slot toward r12; registry-retired keys
-#: are deleted from this list when their queries()/oracle_sql() rows
-#: go.  Budget arithmetic in SURVEY §2b.
-_R11_ORDER = [
-    "silver_metrics",
-    "silver_explode",
-    "bronze_feed_b",
-    "gold_enrich",
-    "custom_metric_sum",
-    "custom_metric_join",
-    "latest_metric",
-    "gap_detect",
-    "serving_latest_monitor",
-    "orphan_usage",
-    "retention_purge",
-    "scd2_current",
-    "agg_consistency",
-    "rolling_avg",
-    "anomaly_zscore",
-    "percentile_rollup",
-    "pivot_metrics",
-    "gapfill_hourly",
-    "asof_latest_order",
-    "order_window_activity",
-    "partition_stats",
-    "merge_upsert_latest",
-    "incremental_rollup",
-    "trend_report",
-    "fuzzy_blocking_report",
-    "bloom_prune_join",
-    "fuzzy_join",
-    "bm25_indexed",
-    "hard_negatives",
-    "seasonal_baseline",
-    "dup_spans",
-    "quality_classifier",
-    "availability_report",
-    "always_on_topology",
-    "tokenize_fixed_vocab",
-    "bpe_merges",
-    "dup_clusters",
-    "online_entities",
-    "q1_pricing",
-    "q3_shipping",
-    "q5_supplier",
-    "adhoc_gold_slice",
+#: round-12 driver rotation (SURVEY §2b): the FULL stalest-first order
+#: emitted by `python tools/rotate.py` at r12 open (no registry
+#: retirements this round).  The r12 window (first 50) = the 28-key
+#: r8 cohort at its 4-round deadline (`q6_forecast` ... `token_count`)
+#: + the 22 stalest r9 keys (`streaming_slo_burn` ... `dedup_minhash`).
+#: Keys added mid-round are absent from this list and auto-prepend to
+#: the window, each displacing one r9 fill slot toward r13;
+#: registry-retired keys are deleted from this list when their
+#: queries()/oracle_sql() rows go.  Budget arithmetic in SURVEY §2b.
+_R12_ORDER = [
     "q6_forecast",
     "q10_returns",
     "q12_priority",
@@ -241,6 +192,56 @@ _R11_ORDER = [
     "approx_distinct_audit",
     "ts_similarity",
     "bronze_parse",
+    "png_pixels",
+    "streaming_sessionize",
+    "tokenize_roundtrip",
+    "dedup_index_incremental",
+    "domain_quality_report",
+    "leakage_safe_split",
+    "dedup_containment",
+    "perplexity_buckets",
+    "silver_metrics",
+    "silver_explode",
+    "bronze_feed_b",
+    "gold_enrich",
+    "custom_metric_sum",
+    "custom_metric_join",
+    "latest_metric",
+    "gap_detect",
+    "serving_latest_monitor",
+    "orphan_usage",
+    "retention_purge",
+    "scd2_current",
+    "agg_consistency",
+    "rolling_avg",
+    "anomaly_zscore",
+    "percentile_rollup",
+    "pivot_metrics",
+    "gapfill_hourly",
+    "asof_latest_order",
+    "order_window_activity",
+    "partition_stats",
+    "merge_upsert_latest",
+    "incremental_rollup",
+    "trend_report",
+    "fuzzy_blocking_report",
+    "bloom_prune_join",
+    "fuzzy_join",
+    "bm25_indexed",
+    "hard_negatives",
+    "seasonal_baseline",
+    "dup_spans",
+    "quality_classifier",
+    "availability_report",
+    "always_on_topology",
+    "tokenize_fixed_vocab",
+    "bpe_merges",
+    "dup_clusters",
+    "online_entities",
+    "q1_pricing",
+    "q3_shipping",
+    "q5_supplier",
+    "adhoc_gold_slice",
 ]
 
 
@@ -461,16 +462,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
     no) driver-green CORRECTNESS row come first; with 134+ keys and a
     50-key window the sustainable cycle is 3 rounds.  The dict below is
-    grouped by topic for readability; `_R11_ORDER` (from
+    grouped by topic for readability; `_R12_ORDER` (from
     `python tools/rotate.py`) dictates the actual driver-visible order.
-    Keys added mid-round and absent from `_R11_ORDER` are prepended so
+    Keys added mid-round and absent from `_R12_ORDER` are prepended so
     they land inside the driver window immediately (VERDICT r5 item
     10) — as shipped, the round-6 window is the 14 new r6 keys plus the
     36 never-driver-checked keys — exactly 50 (SURVEY §2b holds the
     full 3-round schedule and the 150-key sustainability ceiling).
     """
     base = {
-        # --- r11 additions (absent from _R11_ORDER -> auto-prepended
+        # --- r11 additions (absent from _R12_ORDER -> auto-prepended
         # to the driver window), displacement-funded per SURVEY §2b ---
         # PNG as a full pixel citizen: the synthesizer now emits a REAL
         # zlib IDAT (stored deflate + column-computed Adler-32), the
@@ -624,7 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
         # --- r8 continuation additions (now rotation-scheduled via
-        # _R11_ORDER like every non-r11 key) ---
+        # _R12_ORDER like every non-r11 key) ---
         "trend_report": lambda s, d: DV.trend_report(B.dedup_exact(_bronze(s, d))),
         "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
             load_table(s, d, "documents")
@@ -710,7 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (now rotation-scheduled via _R11_ORDER)
+        # round-6 additions (now rotation-scheduled via _R12_ORDER)
         "bronze_kafka": KF.bronze_from_kafka_analog,
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
@@ -845,7 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
         ),
         "rollup_restate": _rollup_restate,
-        # r7 additions (now rotation-scheduled via _R11_ORDER)
+        # r7 additions (now rotation-scheduled via _R12_ORDER)
         "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
         "streaming_ewma": _streaming_ewma,
         "streaming_ohlc": _streaming_ohlc,
@@ -973,12 +974,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
-    fresh = {k: v for k, v in base.items() if k not in set(_R11_ORDER)}
-    ordered = fresh | {k: base[k] for k in _R11_ORDER if k in base}
+    fresh = {k: v for k, v in base.items() if k not in set(_R12_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R12_ORDER if k in base}
     # a typo'd rotation entry would silently fall out of the schedule
     # and its real key masquerade as "fresh" — fail loudly instead
-    missing = set(_R11_ORDER) - set(base)
-    assert not missing, f"_R11_ORDER names unknown keys: {sorted(missing)}"
+    missing = set(_R12_ORDER) - set(base)
+    assert not missing, f"_R12_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 
