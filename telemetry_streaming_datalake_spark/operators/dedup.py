@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from telemetry_streaming_datalake_spark.operators.derived import floor_round
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -953,8 +955,12 @@ def containment_dedup(
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / F.size("sh_a"), 6).alias("c_ab"),
-            F.round(inter / F.size("sh_b"), 6).alias("c_ba"),
+            # floor-form rounding (derived.floor_round): F.round and
+            # DuckDB round disagree on decimal midpoints, and c_ab/c_ba
+            # GATE row membership at `threshold` — the SURVEY §6
+            # convention for division-derived gating values
+            floor_round(inter / F.size("sh_a"), 6).alias("c_ab"),
+            floor_round(inter / F.size("sh_b"), 6).alias("c_ba"),
         )
         # scored once, filtered twice — pair generation never re-runs
         .localCheckpoint(eager=True)
@@ -983,8 +989,10 @@ def containment_dedup_oracle(
 WITH {_capped_shingle_cte(src)},
 scored AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS c_ab,
-           round(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 6) AS c_ba
+           floor((len(list_intersect(a.s, b.s)) * 1.0 / len(a.s)) * 1000000.0 + 0.5)
+               / 1000000.0 AS c_ab,
+           floor((len(list_intersect(a.s, b.s)) * 1.0 / len(b.s)) * 1000000.0 + 0.5)
+               / 1000000.0 AS c_ba
     FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
 )
 SELECT doc_a AS contained_doc, doc_b AS container_doc, c_ab AS containment
@@ -999,8 +1007,23 @@ SELECT doc_b, doc_a, c_ba FROM scored WHERE c_ba >= {threshold}
 # --------------------------------------------------------------------------
 
 #: module-level index cache — building per call would hide the very
-#: amortization the index exists for (same discipline as the IVF index)
-_DEDUP_INDEX_CACHE: dict[str, str] = {}
+#: amortization the index exists for (same discipline as the IVF index).
+#: Keyed by (sf_dir, max doc_id, row count), NOT path alone: a corpus
+#: regenerated at the same path within the process (fuzz/driver reruns
+#: reusing a dir) must invalidate, or the probe silently reads a stale
+#: index while the oracle reads the fresh table (ADVICE r11).
+_DEDUP_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _corpus_cache_key(sf_dir: str, docs: DataFrame) -> tuple:
+    """(sf_dir, max doc_id, row count) — one bounded 1-row agg; cheap
+    relative to an index build and changes whenever the corpus does
+    (regeneration keeps neither cardinality nor the id ceiling by
+    construction of the test generator's seeds)."""
+    row = docs.agg(
+        F.max("doc_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return (sf_dir, row.mx, row.n)
 
 
 def build_dedup_index(
@@ -1055,7 +1078,21 @@ def extend_dedup_index(
     Cost is O(increment): the existing index is only read for the
     per-fingerprint COUNTS of the fingerprints the increment actually
     touches (semi-join pruned, increment-cardinality output) — posting
-    lists are never rewritten, shingle sets never recomputed."""
+    lists are never rewritten, shingle sets never recomputed.
+
+    Failure/retry contract (ADVICE r11): both increments are computed
+    into a STAGING dir first (the live index is only read during that
+    phase), then committed by moving part files into the live tables —
+    so a failed Spark job leaves the index untouched and is safely
+    retryable.  The commit itself is two directory-local renames; only
+    a crash INSIDE that window (machine-level, not job-level) can
+    leave a half-applied extend, in which case rebuild from source —
+    do NOT re-run extend, appends are not idempotent."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+
     base = _fingerprint_and_shingle_sets(new_docs)
     idx_fp = spark.read.parquet(os.path.join(index_dir, "fingerprints"))
     touched = base.select("fingerprint").distinct()
@@ -1065,22 +1102,34 @@ def extend_dedup_index(
         .agg(F.count(F.lit(1)).alias("__have"))
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    stage = tempfile.mkdtemp(prefix="tsdl_dedupext_stage_")
     (
         base.withColumn("__rn", F.row_number().over(w))
         .join(F.broadcast(existing), "fingerprint", "left")
         .filter(F.col("__rn") + F.coalesce(F.col("__have"), F.lit(0)) <= fp_cap)
         .drop("__rn", "__have")
         .select("doc_id", "fingerprint", "sh")
-        .write.mode("append")
-        .parquet(os.path.join(index_dir, "fingerprints"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(stage, "fingerprints"))
     )
     (
         new_docs.select(
             "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
         )
-        .write.mode("append")
-        .parquet(os.path.join(index_dir, "hashes"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(stage, "hashes"))
     )
+    # commit: rename staged part files into the live tables (parquet
+    # readers take any non-underscore file).  One uuid tags the whole
+    # extend so a forensic read can attribute rows to the operation.
+    tag = uuid.uuid4().hex
+    for sub in ("fingerprints", "hashes"):
+        parts = sorted(_glob.glob(os.path.join(stage, sub, "*.parquet")))
+        for i, p in enumerate(parts):
+            shutil.move(
+                p, os.path.join(index_dir, sub, f"part-ext-{tag}-{i:05d}.parquet")
+            )
+    shutil.rmtree(stage, ignore_errors=True)
     return index_dir
 
 
@@ -1202,18 +1251,21 @@ def incremental_dedup(spark, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     from telemetry_streaming_datalake_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    if sf_dir not in _DEDUP_INDEX_CACHE:
+    key = _corpus_cache_key(sf_dir, docs)
+    if key not in _DEDUP_INDEX_CACHE:
         d = tempfile.mkdtemp(prefix="tsdl_dedupidx_")
         build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), d)
-        _DEDUP_INDEX_CACHE[sf_dir] = d
+        _DEDUP_INDEX_CACHE[key] = d
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_dedup_against(
-        spark, _DEDUP_INDEX_CACHE[sf_dir], incoming, threshold
+        spark, _DEDUP_INDEX_CACHE[key], incoming, threshold
     )
 
 
-#: (sf_dir) -> extended-index dir for dedup_index_incremental
-_DEDUP_EXT_CACHE: dict[str, str] = {}
+#: (sf_dir, max doc_id, row count) -> extended-index dir for
+#: dedup_index_incremental (corpus-fingerprint keying, see
+#: _DEDUP_INDEX_CACHE)
+_DEDUP_EXT_CACHE: dict[tuple, str] = {}
 
 
 def dedup_index_incremental(spark, sf_dir: str, threshold: float = 0.3) -> DataFrame:
@@ -1233,10 +1285,12 @@ def dedup_index_incremental(spark, sf_dir: str, threshold: float = 0.3) -> DataF
     from telemetry_streaming_datalake_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    # one bounded 1-row collect, shared by build and probe (an empty
-    # corpus yields None — split at 0, everything lands in the batch)
-    half = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) // 2
-    if sf_dir not in _DEDUP_EXT_CACHE:
+    # one bounded 1-row agg, shared by the split point and the cache
+    # key (an empty corpus yields None — split at 0, everything lands
+    # in the batch)
+    key = _corpus_cache_key(sf_dir, docs)
+    half = (key[1] or 0) // 2
+    if key not in _DEDUP_EXT_CACHE:
         d = tempfile.mkdtemp(prefix="tsdl_dedupext_")
         build_dedup_index(docs.filter(F.col("doc_id") <= half), d)
         extend_dedup_index(
@@ -1244,10 +1298,10 @@ def dedup_index_incremental(spark, sf_dir: str, threshold: float = 0.3) -> DataF
             d,
             docs.filter((F.col("doc_id") > half) & (F.col("doc_id") % 2 == 0)),
         )
-        _DEDUP_EXT_CACHE[sf_dir] = d
+        _DEDUP_EXT_CACHE[key] = d
     incoming = docs.filter((F.col("doc_id") > half) & (F.col("doc_id") % 2 == 1))
     return incremental_dedup_against(
-        spark, _DEDUP_EXT_CACHE[sf_dir], incoming, threshold
+        spark, _DEDUP_EXT_CACHE[key], incoming, threshold
     )
 
 

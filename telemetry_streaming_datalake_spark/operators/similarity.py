@@ -1491,7 +1491,14 @@ def probe_ivfpq_index(
     try:
         stored = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0][0]
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # error-class first (stable across Spark versions and message
+        # rewording), message substrings as the pre-3.4 fallback
+        cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        if (cond is not None and cond() == "PATH_NOT_FOUND") or (
+            "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+        ):
             stored = want  # pre-marker layout
         else:
             raise
