@@ -395,21 +395,27 @@ def leakage_safe_split(documents: DataFrame, threshold_hex: str | None = None) -
     Scale shape: the pair pipeline and min-label propagation are the
     `dup_clusters` cost (bucket-blocked, never all-pairs); cluster
     labels and rep hashes are pair-participant-cardinality frames
-    that BROADCAST onto the corpus (the `canonical_docs` posture);
-    the split itself is map-only hash arithmetic.
+    that broadcast onto the corpus only BELOW the size gate
+    (`skew.broadcast_if_small`) — at crawl-scale dup fractions 30-50%
+    of docs are pair participants, O(corpus) frames that must
+    shuffle-join instead (VERDICT r11); the split itself is map-only
+    hash arithmetic.
     """
     from telemetry_streaming_datalake_spark.operators.corpus import (
         VAL_THRESHOLD_HEX,
         train_val_split,
+    )
+    from telemetry_streaming_datalake_spark.operators.skew import (
+        broadcast_if_small,
     )
 
     thr = VAL_THRESHOLD_HEX if threshold_hex is None else threshold_hex
     naive = train_val_split(documents, thr).select(
         "doc_id", "content_hash", F.col("split").alias("naive_split")
     )
-    # pair-participant cardinality — broadcast onto the corpus-sized
-    # naive frame (reps keep only clustered docs)
-    clusters = F.broadcast(dup_clusters(ngram_jaccard_dedup(documents)))
+    # pair-participant cardinality — size-gated broadcast onto the
+    # corpus-sized naive frame (reps keep only clustered docs)
+    clusters = broadcast_if_small(dup_clusters(ngram_jaccard_dedup(documents)))
     reps = clusters.join(
         naive.select(
             F.col("doc_id").alias("cluster_id"),
@@ -417,7 +423,7 @@ def leakage_safe_split(documents: DataFrame, threshold_hex: str | None = None) -
         ),
         "cluster_id",
     )
-    out = naive.join(F.broadcast(reps), "doc_id", "left")
+    out = naive.join(broadcast_if_small(reps), "doc_id", "left")
     decide = F.coalesce(F.col("rep_hash"), F.col("content_hash"))
     split = F.when(F.substring(decide, 1, 4) < thr, "val").otherwise("train")
     return out.select(

@@ -410,16 +410,23 @@ def canonical_docs(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     training-mix builders keep ``is_canonical`` and drop the rest.
 
     Shape: the cluster labels (near-dup-subset cardinality) broadcast
-    onto the corpus; the canonical choice is one window over
+    onto the corpus only below the size gate (`skew.broadcast_if_small`
+    — at crawl-scale dup fractions the label frame is O(corpus) and an
+    unconditional hint would OOM the driver; above the gate the join
+    shuffles, VERDICT r11); the canonical choice is one window over
     cluster-partitioned rows (cluster sizes are small by construction
     — bucket-capped candidate generation upstream bounds them).
     Deterministic: (n_chars desc, doc_id) is a total order.
     """
     from pyspark.sql import Window
 
+    from telemetry_streaming_datalake_spark.operators.skew import (
+        broadcast_if_small,
+    )
+
     labeled = (
         documents.select("doc_id", "n_chars")
-        .join(F.broadcast(clusters), "doc_id", "left")
+        .join(broadcast_if_small(clusters), "doc_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
     )
     w = Window.partitionBy("cluster_id").orderBy(

@@ -26,6 +26,35 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+#: rows above which broadcast_if_small refuses the hint.  1M rows of a
+#: (doc_id, cluster_id)-shaped frame is ~100 MB driver-side after
+#: deserialization overhead — near the comfortable ceiling for a
+#: broadcast, far below the O(corpus) cluster-member frames a
+#: crawl-scale dedup pass produces (30-50% of docs are pair
+#: participants there, which MUST shuffle-join instead).
+BROADCAST_ROW_GATE = 1_000_000
+
+
+def broadcast_if_small(df: DataFrame, max_rows: int = BROADCAST_ROW_GATE) -> DataFrame:
+    """Size-gated broadcast hint (VERDICT r11): hint only when the
+    frame is actually small; above the gate return it un-hinted so the
+    planner shuffle-joins (AQE may still promote at runtime if stats
+    disagree with the count — that is fine, AQE sees real sizes).
+
+    An explicit ``F.broadcast`` is a command, not a suggestion — the
+    planner obeys it at any size, so an unconditional hint on a
+    pair-participant-cardinality frame OOMs the driver exactly when
+    dedup matters most.  The count that decides the gate runs over an
+    eager ``localCheckpoint``, so the (possibly expensive) subtree is
+    computed once and reused by the join itself; blocks are freed by
+    the ContextCleaner when the result frame drops (the persist-leak
+    discipline of ADVICE r5).
+    """
+    df = df.localCheckpoint(eager=True)
+    if df.count() <= max_rows:
+        return F.broadcast(df)
+    return df
+
 
 def salted_join(
     fact: DataFrame,

@@ -103,3 +103,46 @@ def test_bloom_prune_join_equals_plain_join(spark, lineitem, orders):
         )
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_broadcast_if_small_gates_on_row_count(spark):
+    """Below the gate the join plan broadcasts; above it the hint is
+    withheld (shuffle join) and the OUTPUT is identical — the
+    crawl-scale posture for pair-participant-cardinality frames
+    (VERDICT r11: an unconditional hint on an O(corpus) cluster-label
+    frame OOMs the driver exactly when dedup matters most)."""
+    left = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    labels = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("lbl")
+    )
+
+    # the gate controls the HINT (a command the planner must obey at
+    # any size); whether the planner still picks a broadcast from its
+    # own stats below autoBroadcastJoinThreshold is its business
+    small = left.join(SK.broadcast_if_small(labels, max_rows=1000), "k", "left")
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+
+    big = left.join(SK.broadcast_if_small(labels, max_rows=10), "k", "left")
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+
+    got = {(r.k, r.lbl) for r in big.collect()}
+    want = {(r.k, r.lbl) for r in small.collect()}
+    assert got == want
+
+
+def test_canonical_docs_identical_above_broadcast_gate(spark, monkeypatch):
+    """Force the big-side (shuffle) path in canonical_docs by dropping
+    the gate to zero and assert the output matches the broadcast
+    path row-for-row."""
+    from telemetry_streaming_datalake_spark.operators import merge as MG
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i % 4)) for i in range(40)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "doc_id long, cluster_id long"
+    )
+    want = {tuple(r) for r in MG.canonical_docs(docs, clusters).collect()}
+    monkeypatch.setattr(SK, "BROADCAST_ROW_GATE", 0)
+    got = {tuple(r) for r in MG.canonical_docs(docs, clusters).collect()}
+    assert got == want
