@@ -478,7 +478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode path genuinely inflates + unfilters, and the shared
         # intensity-histogram featurizer runs over the decoded pixels
         # (closes VERDICT r10 #2 — the last guarded-seam capability gap)
-        "png_pixels": lambda s, d: MM.png_pixels(load_table(s, d, "documents")),
+        # media keys read the build-once payload fixture (the
+        # persisted-index precedent) so the timed plan is
+        # attach(scan)→parse→decode, not the ~10³-node synthesis tree
+        "png_pixels": lambda s, d: MM.png_pixels(
+            load_table(s, d, "documents"),
+            payloads=MM.media_payload_fixture(s, d, "png"),
+        ),
         # the one streaming twin that was still pytest-only (SURVEY row
         # 25c): `session_window` run as the stateful streaming session
         # operator, drained == batch pinned; funded by retiring the
@@ -535,7 +541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drained stream, the counter_rate/silver_dedup precedent; the
         # batch operator, its plan pin, and the drained==batch pytest
         # all remain)
-        "video_meta": lambda s, d: MM.video_meta(load_table(s, d, "documents")),
+        "video_meta": lambda s, d: MM.video_meta(
+            load_table(s, d, "documents"),
+            payloads=MM.media_payload_fixture(s, d, "avi"),
+        ),
         # retrieval-quality curve pricing the hybrid DEPTH knob
         # (funded by retiring the batch `slo_burn_alerts` key —
         # `streaming_slo_burn` runs the IDENTICAL oracle against the
@@ -847,7 +856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rollup_restate": _rollup_restate,
         # r7 additions (now rotation-scheduled via _R12_ORDER)
-        "png_meta": lambda s, d: MM.png_meta(load_table(s, d, "documents")),
+        "png_meta": lambda s, d: MM.png_meta(
+            load_table(s, d, "documents"),
+            payloads=MM.media_payload_fixture(s, d, "png"),
+        ),
         "streaming_ewma": _streaming_ewma,
         "streaming_ohlc": _streaming_ohlc,
         "streaming_approx_distinct": _streaming_approx_distinct,

@@ -892,15 +892,56 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
-def png_pixels(documents: DataFrame) -> DataFrame:
+#: (sf_dir, kind, max doc_id, row count) -> fixture dir of synthesized
+#: media payloads (corpus-fingerprint keying, the dedup-index cache
+#: discipline)
+_MEDIA_FIXTURE_CACHE: dict[tuple, str] = {}
+
+
+def media_payload_fixture(spark, sf_dir: str, kind: str) -> DataFrame:
+    """Build-once fixture table of synthesized media payloads — the
+    persisted-index precedent applied to the media synthesizers
+    (VERDICT r11): the PNG/AVI payload synthesis tree is ~10³ Catalyst
+    nodes, and re-analyzing + re-executing it per run priced the
+    FIXTURE FACTORY into every `png_meta`/`png_pixels`/`video_meta`
+    bench row (~5 s/plan of pure analysis).  Landing the payloads once
+    as parquet makes the timed plan attach(scan)→parse→decode — the
+    shape a production corpus actually has, where media bytes arrive
+    IN the table, not out of a synthesizer.
+
+    In production the fixture step does not exist at all; it is test
+    scaffolding standing in for real crawled media.  Correctness is
+    unchanged: payloads are deterministic in the text, so the parquet
+    roundtrip is bit-exact (pytest-pinned)."""
+    import tempfile
+
+    from telemetry_streaming_datalake_spark.operators.dedup import (
+        _corpus_cache_key,
+    )
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (*_corpus_cache_key(sf_dir, docs), kind)
+    if key not in _MEDIA_FIXTURE_CACHE:
+        attach = {"png": attach_png_payload, "avi": attach_avi_payload}[kind]
+        d = tempfile.mkdtemp(prefix=f"tsdl_media_{kind}_")
+        attach(docs).write.mode("overwrite").parquet(d)
+        _MEDIA_FIXTURE_CACHE[key] = d
+    return spark.read.parquet(_MEDIA_FIXTURE_CACHE[key])
+
+
+def png_pixels(documents: DataFrame, payloads: DataFrame | None = None) -> DataFrame:
     """PNG as a FULL pixel citizen (the PPM/BMP path): synthesize the
-    real-zlib PNG, genuinely inflate + unfilter it, and run the shared
+    real-zlib PNG (or read it from the fixture table when ``payloads``
+    is supplied), genuinely inflate + unfilter it, and run the shared
     intensity-histogram featurizer — one row per (doc, 16-wide
     intensity bin) with the count of decoded pixel bytes in the bin.
     Map-only ``mapInPandas`` (the decode-and-featurize batch shape);
     the oracle rebuilds every count from the md5 fill arithmetic, so a
     single wrong decoded byte anywhere flips the row hash."""
-    return feature_histogram(attach_png_payload(documents))
+    if payloads is None:
+        payloads = attach_png_payload(documents)
+    return feature_histogram(payloads)
 
 
 PNG_PIXELS_ORACLE = """
@@ -932,13 +973,15 @@ GROUP BY g.doc_id, g.w, g.ht, b.bin
 """
 
 
-def png_meta(documents: DataFrame) -> DataFrame:
+def png_meta(documents: DataFrame, payloads: DataFrame | None = None) -> DataFrame:
     """Container metadata for a PNG payload column — the parse an
     image-curation pipeline runs BEFORE deciding to decode (geometry /
     bit depth / truncation / checksum filters): every chunk CRC
     genuinely verified, IHDR fields extracted, IDAT volume summed.
-    Arrow-batched ``mapInPandas``, map-only, no shuffle."""
-    with_payload = attach_png_payload(documents)
+    Arrow-batched ``mapInPandas``, map-only, no shuffle.  Pass
+    ``payloads`` (e.g. :func:`media_payload_fixture`) to parse a
+    pre-materialized payload table instead of synthesizing inline."""
+    with_payload = attach_png_payload(documents) if payloads is None else payloads
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -1297,7 +1340,7 @@ def parse_avi(payload: bytes) -> dict:
     return out
 
 
-def video_meta(documents: DataFrame) -> DataFrame:
+def video_meta(documents: DataFrame, payloads: DataFrame | None = None) -> DataFrame:
     """Container metadata for an AVI payload column — the parse a
     video-curation pipeline runs before decoding anything: geometry,
     frame count, fps, frame/movi/file volume, and the idx1 seek index
@@ -1306,8 +1349,10 @@ def video_meta(documents: DataFrame) -> DataFrame:
     emits literal TRUE for both, the `png_meta` crc_ok pattern: one
     wrong byte anywhere in the emitted container breaks the row hash).
     Arrow-batched ``mapInPandas``, map-only, no shuffle — scales as a
-    pure scan at any corpus size."""
-    with_payload = attach_avi_payload(documents)
+    pure scan at any corpus size.  Pass ``payloads`` (e.g.
+    :func:`media_payload_fixture`) to parse a pre-materialized payload
+    table instead of synthesizing inline."""
+    with_payload = attach_avi_payload(documents) if payloads is None else payloads
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),

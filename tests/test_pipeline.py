@@ -445,3 +445,29 @@ def test_dedup_keeps_lowest_event_id_across_partitions(spark):
     assert [(r.event_id, r.unique_hash_key) for r in kept] == [
         (i, f"k{i % 7}") for i in range(1, 8)
     ]
+
+
+def test_media_payload_fixture_roundtrip_bit_exact(spark):
+    """The build-once media fixture table (VERDICT r11: price the
+    operator, not the fixture factory) is a parquet roundtrip of the
+    inline synthesizer — payload bytes bit-exact per doc, for both
+    container kinds, and the cache serves the same dir on re-call."""
+    from telemetry_streaming_datalake_spark.operators import multimodal as MM
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    for kind, attach in (
+        ("png", MM.attach_png_payload),
+        ("avi", MM.attach_avi_payload),
+    ):
+        fix = {
+            r.doc_id: bytes(r.payload)
+            for r in MM.media_payload_fixture(spark, sf, kind).collect()
+        }
+        live = {r.doc_id: bytes(r.payload) for r in attach(docs).collect()}
+        assert fix == live, kind
+    # cache hit: same corpus -> same dir object (no rebuild)
+    a = MM.media_payload_fixture(spark, sf, "png")
+    b = MM.media_payload_fixture(spark, sf, "png")
+    assert a.inputFiles() == b.inputFiles()
