@@ -34,6 +34,7 @@ from telemetry_streaming_datalake_spark.operators import dedup as DD
 from telemetry_streaming_datalake_spark.operators import multimodal as MM
 from telemetry_streaming_datalake_spark.operators import similarity as SIM
 from telemetry_streaming_datalake_spark.operators import text as TX
+from telemetry_streaming_datalake_spark.operators import web as WB
 from telemetry_streaming_datalake_spark.operators import derived as DV
 from telemetry_streaming_datalake_spark.queries import tpch as Q
 from telemetry_streaming_datalake_spark.sources import textfeeds as TF
@@ -526,6 +527,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the published quality axis downstream mixtures sample from
         # (eighth r11 key, displaces one r8 fill slot)
         "perplexity_buckets": lambda s, d: TX.perplexity_buckets(
+            load_table(s, d, "documents")
+        ),
+        # --- r12 additions (absent from _R12_ORDER -> auto-prepended
+        # to the driver window, each displacing one r9 fill slot;
+        # registry 177 -> 179 of the ~180 ceiling, inside the ≤3
+        # net-new budget VERDICT r11 set) ---
+        # HTML→text extraction — the front door of every web-scale
+        # corpus (VERDICT r11 gap #1): tag/script/style strip +
+        # per-block link-density boilerplate drop, map-only
+        "html_extract": lambda s, d: WB.html_extract(
+            load_table(s, d, "documents")
+        ),
+        # URL canonicalization + shipped pattern blocklist + canonical
+        # dedup — the filter that runs BEFORE fetch (VERDICT r11 gap
+        # #2; pairs with domain_cap_sample)
+        "url_canonicalize": lambda s, d: WB.url_canonicalize(
             load_table(s, d, "documents")
         ),
         # --- r10 additions (displacement-funded per SURVEY §2b) ---
@@ -1075,6 +1092,12 @@ FROM (
         "leakage_safe_split": CU.leakage_safe_split_oracle(),
         "dedup_containment": DD.containment_dedup_oracle(),
         "perplexity_buckets": TX.perplexity_buckets_oracle(),
+        # same synthesis arithmetic + regexp chain, blocks re-joined
+        # with string_agg ORDER BY block index
+        "html_extract": WB.html_extract_oracle(),
+        # same canonicalization regexps, blocklist, and first-doc_id
+        # dedup window
+        "url_canonicalize": WB.url_canonicalize_oracle(),
         "rolling_avg": DV.rolling_avg_oracle(DEDUP_ORACLE),
         "anomaly_zscore": DV.anomaly_zscore_oracle(DEDUP_ORACLE),
         "percentile_rollup": DV.percentile_rollup_oracle(DEDUP_ORACLE),

@@ -181,6 +181,8 @@ HEADLINE = [
     "leakage_safe_split",
     "dedup_containment",
     "perplexity_buckets",
+    "html_extract",
+    "url_canonicalize",
 ]
 
 
@@ -244,17 +246,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (Spark local)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline query wall time (Spark local)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(payload))
+    # the driver artifact keeps only the tail of the printed line
+    # (~72 keys survive, `parsed: null`), so round-over-round per-key
+    # comparison needs a full copy the repo retains (VERDICT r11):
+    # committed as BENCH_FULL.json each round
+    full = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
     spark.stop()
 
 

@@ -1,0 +1,142 @@
+"""HTML→text extraction + URL canonicalization (operators/web.py)."""
+
+from pyspark.sql import functions as F
+
+from telemetry_streaming_datalake_spark.operators import web as W
+from telemetry_streaming_datalake_spark.operators.dedup import normalize_text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_html_extract_recovers_normalized_text(spark):
+    """The synthesized page's only content block is the document text,
+    so a correct extraction (head dropped, script/style dropped, nav /
+    mixed / footer blocks dropped by link density) returns exactly the
+    whitespace-normalized text — any tag or boilerplate leak breaks
+    equality."""
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "plain words  with   messy\twhitespace"),
+            (2, "s", "x"),
+        ],
+    )
+    got = {r.doc_id: r for r in W.html_extract(docs).collect()}
+    want = {
+        r.doc_id: r.norm
+        for r in docs.select(
+            "doc_id", F.trim(normalize_text(F.col("text"))).alias("norm")
+        ).collect()
+    }
+    for doc_id, row in got.items():
+        # extraction lowercases nothing — compare case-insensitively
+        # via the same collapse the extractor applies
+        assert row.extracted_text.lower() == want[doc_id], doc_id
+        assert row.n_blocks == 4
+        assert row.n_dropped == 3  # nav + mixed + footer
+        assert 0.0 < row.link_density < 1.0
+
+
+def test_html_extract_null_text_emits_no_row(spark):
+    docs = _docs(spark, [(1, "s", "hello world"), (2, "s", None)])
+    assert [r.doc_id for r in W.html_extract(docs).collect()] == [1]
+
+
+def test_html_extract_drops_only_link_dense_blocks(spark):
+    """Direct payloads (not the synthesizer): a content block with a
+    minority link survives; a majority-link block drops."""
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "s",
+                "<html><body>"
+                "<p>a long sentence with one <a href='/x'>tiny</a> link"
+                " in lots of surrounding prose</p>"
+                "<div><a href='/y'>almost all of this block is anchor"
+                " text</a> no</div>"
+                "</body></html>",
+            )
+        ],
+        "doc_id long, source string, html string",
+    )
+    row = W.html_extract(None, payloads=pages).collect()[0]
+    assert "tiny" in row.extracted_text
+    assert "almost all" not in row.extracted_text
+    assert row.n_blocks == 2 and row.n_dropped == 1
+
+
+def test_canonical_url_generic_cases(spark):
+    """The canonicalizer on arbitrary URLs (not the synthesized
+    population): default vs non-default port, missing path, utm strip
+    (case-insensitive), param sort, fragment drop."""
+    cases = [
+        ("HTTP://Ex.COM:80/A/b?z=2&a=1#f", "http://ex.com/A/b?a=1&z=2"),
+        ("https://EX.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/p?UTM_source=x&utm_medium=y", "http://ex.com/p"),
+        ("http://ex.com/p?ref=1&utm_x=2&b=3", "http://ex.com/p?b=3&ref=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(W.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_url_canonicalize_dedup_and_blocklist(spark):
+    """Rows sharing a canonical URL chain to the earliest doc_id;
+    blocked rows are flagged, never keepers, never dup targets."""
+    docs = _docs(spark, [(i, f"src{i % 3}", f"t{i}") for i in range(60)])
+    rows = W.url_canonicalize(docs).collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical_url, []).append(r)
+    for canon, grp in by_canon.items():
+        grp.sort(key=lambda r: r.doc_id)
+        if grp[0].is_blocked:
+            assert all(r.is_blocked for r in grp)
+            assert all(r.dup_of is None and not r.is_keeper for r in grp)
+        else:
+            assert grp[0].is_keeper and grp[0].dup_of is None
+            for r in grp[1:]:
+                assert r.dup_of == grp[0].doc_id and not r.is_keeper
+    # the shipped blocklist hits the synthetic population (both
+    # branches exercised — the badwords posture)
+    assert any(r.is_blocked for r in rows)
+    assert any(not r.is_blocked for r in rows)
+
+
+def test_html_extract_composes_with_gopher_gate(spark):
+    """VERDICT r11 #4 composition: extraction output renamed to `text`
+    feeds gopher_filter / curation_manifest unchanged, and the gate
+    decisions equal running them on the normalized source text — the
+    end-to-end crawl→extract→curate path."""
+    from telemetry_streaming_datalake_spark.operators.curation import (
+        curation_manifest,
+    )
+    from telemetry_streaming_datalake_spark.operators.text import gopher_filter
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    extracted = W.html_extract(docs).select(
+        "doc_id",
+        "source",
+        F.col("extracted_text").alias("text"),
+        F.length("extracted_text").alias("n_chars"),
+    )
+    via_extract = {
+        r.doc_id: r.keep for r in gopher_filter(extracted).collect()
+    }
+    direct = {
+        r.doc_id: r.keep
+        for r in gopher_filter(
+            docs.filter(F.col("text").isNotNull())
+        ).collect()
+    }
+    assert via_extract == direct
+    # the manifest runs end-to-end on extracted text without error and
+    # covers every extracted doc
+    m = curation_manifest(extracted)
+    assert m.count() == extracted.count()
