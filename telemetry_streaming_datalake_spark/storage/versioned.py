@@ -361,6 +361,91 @@ class VersionedParquetStore:
             )
         return df
 
+    # ---------------------------------------------------- change feed
+
+    def read_changes(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Subscribe to the table's changes since a version — the
+        ``startingVersion``/``ignoreChanges`` analog of streaming FROM
+        Delta (reference: `Gold state/Step 04-04b Process Gold state
+        data Part 1.scala:42-46`, which chains the silver hop off the
+        bronze table's change feed exactly this way).
+
+        Returns the rows of every data file ADDED by versions in
+        ``(since_version, to_version]`` (manifest file-list set
+        difference — the add-file actions of the Delta log), stamped
+        with ``_commit_version`` so a consumer can checkpoint its
+        high-water mark and resume.  Plans directly from the file
+        lists: no directory scan, no data movement beyond the read
+        itself, O(changed files) like the upsert sink.
+
+        `ignoreChanges` semantics, faithfully: a copy-on-write rewrite
+        (:meth:`optimize`, :meth:`delete_partitions` re-listing) adds
+        files that carry already-delivered rows, so consumers must be
+        idempotent on redelivery — row-level exactness lives in
+        :meth:`change_feed` (the CDF analog).  An empty change set is
+        an empty DataFrame with the current schema, not an error.
+        """
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no versions committed at {self.path}")
+        to_v = latest if to_version is None else to_version
+        if since_version > to_v:
+            raise ValueError(
+                f"since_version {since_version} is beyond to_version {to_v}"
+            )
+        seen = (
+            set(self._read_manifest(since_version)["files"])
+            if since_version in self.versions()
+            else set()
+        )
+        out: DataFrame | None = None
+        for v in self.versions():
+            if v <= since_version or v > to_v:
+                continue
+            files = self._read_manifest(v)["files"]
+            added = [f for f in files if f not in seen]
+            seen.update(files)
+            if not added:
+                continue
+            df = self._read_files(added).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        if out is None:
+            return self.read(to_v).withColumn(
+                "_commit_version", F.lit(None).cast("long")
+            ).limit(0)
+        return out
+
+    def change_feed(
+        self,
+        since_version: int,
+        key: str,
+        compare_cols: list[str],
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots — the Delta
+        CHANGE DATA FEED analog: one ``table_diff`` (full-outer
+        co-partitioned join, `operators/merge.py`) between
+        ``read(since_version)`` and ``read(to_version)``, classifying
+        every key as inserted / updated / deleted.  Exact under
+        rewrites (unlike :meth:`read_changes`), at the cost of reading
+        both snapshots."""
+        from telemetry_streaming_datalake_spark.operators.merge import (
+            table_diff,
+        )
+
+        return table_diff(
+            self.read(since_version),
+            self.read(to_version),
+            key,
+            compare_cols,
+        )
+
     # -------------------------------------------------------------- vacuum
 
     def vacuum(

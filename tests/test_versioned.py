@@ -246,3 +246,97 @@ def test_delete_partitions_empty_store_raises_cleanly(spark, tmp_path):
     store = VersionedParquetStore(spark, str(tmp_path / "t"))
     with pytest.raises(FileNotFoundError):
         store.delete_partitions("serial", ["T1"])
+
+
+def test_read_changes_returns_appended_rows_with_commit_versions(spark, tmp_path):
+    """The startingVersion analog: rows of data files added AFTER
+    since_version, stamped with their commit version; since=latest is
+    an empty typed frame; OOB since raises."""
+    store = VersionedParquetStore(spark, str(tmp_path / "t"))
+    store.write(_df(spark, [(1, "2024-01-01", 1.0)]), mode="overwrite")
+    store.write(_df(spark, [(2, "2024-01-02", 2.0)]), mode="append")
+    store.write(_df(spark, [(3, "2024-01-03", 3.0)]), mode="append")
+    got = {(r.id, r._commit_version) for r in store.read_changes(0).collect()}
+    assert got == {(2, 1), (3, 2)}
+    # bounded upper end
+    got = {(r.id, r._commit_version) for r in store.read_changes(0, to_version=1).collect()}
+    assert got == {(2, 1)}
+    # caught-up subscriber: empty, schema intact
+    empty = store.read_changes(2)
+    assert empty.count() == 0
+    assert "_commit_version" in empty.columns and "id" in empty.columns
+    with pytest.raises(ValueError):
+        store.read_changes(5)
+
+
+def test_read_changes_redelivers_on_rewrite_like_ignorechanges(spark, tmp_path):
+    """A copy-on-write rewrite (optimize) re-adds files carrying old
+    rows — read_changes redelivers them, the documented ignoreChanges
+    contract (exactness lives in change_feed)."""
+    store = VersionedParquetStore(spark, str(tmp_path / "t"))
+    store.write(_df(spark, [(1, "2024-01-01", 1.0)]), mode="overwrite")
+    store.write(_df(spark, [(2, "2024-01-01", 2.0)]), mode="append")
+    store.optimize()  # v2: rewrites both rows into one file
+    ids = [r.id for r in store.read_changes(1).collect()]
+    assert sorted(ids) == [1, 2]  # redelivery, by design
+
+
+def test_change_feed_is_exact_row_level_diff(spark, tmp_path):
+    """The CDF analog on top of table_diff: inserted/updated/deleted
+    between two snapshots, exact even across a rewrite."""
+    store = VersionedParquetStore(spark, str(tmp_path / "t"))
+    store.write(
+        _df(spark, [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)]),
+        mode="overwrite",
+    )
+    store.write(
+        _df(spark, [(1, "2024-01-01", 9.0), (3, "2024-01-03", 3.0)]),
+        mode="overwrite",
+    )
+    got = {r.id: r.change for r in store.change_feed(0, "id", ["v"]).collect()}
+    assert got == {1: "updated", 2: "deleted", 3: "inserted"}
+
+
+def test_silver_hop_driven_from_change_feed(spark, tmp_path):
+    """VERDICT r11 #6 end-to-end: a bronze-shaped versioned table's
+    change feed drives the silver mapping hop — the silver output over
+    read_changes(v) equals the hop over exactly the post-v rows (the
+    `Gold state/Step 04-04b` startingVersion chaining, on this
+    engine's storage)."""
+    from telemetry_streaming_datalake_spark.ingest.silver import to_silver
+
+    bronze_schema = (
+        "event_id long, serial string, metric string, value double, "
+        "payload_k long, unix_ts long, datestamp string, hourstamp string"
+    )
+    mk = lambda rows: spark.createDataFrame(rows, bronze_schema)
+    b1 = mk([(1, "s1", "click", 2.0, 1, 1700000000, "2023-11-14", "22")])
+    b2 = mk(
+        [
+            (2, "s1", "signup", 5.0, 1, 1700000100, "2023-11-14", "22"),
+            (3, "s2", "error", -4.0, 2, 1700000200, "2023-11-14", "22"),
+        ]
+    )
+    mapping = spark.createDataFrame(
+        [("click", 10, 1, "SUM", 100), ("signup", 11, 1, "SUM", 100),
+         ("error", 12, 1, "AVG", 101)],
+        "raw_symbol string, metric_id long, provider_id long, "
+        "agg_type string, category_id long",
+    )
+    store = VersionedParquetStore(spark, str(tmp_path / "bronze"))
+    store.write(b1, mode="overwrite")
+    high_water = store.latest_version()
+    store.write(b2, mode="append")
+
+    changes = store.read_changes(high_water).drop("_commit_version")
+    got = {
+        (r.event_id, r.metric_id, r.value)
+        for r in to_silver(changes, mapping).collect()
+    }
+    want = {
+        (r.event_id, r.metric_id, r.value) for r in to_silver(b2, mapping).collect()
+    }
+    assert got == want
+    # normalization rules applied on the fed rows too
+    assert (2, 11, 1.0) in got   # signup status-normalized to 1
+    assert (3, 12, 0.0) in got   # error clamped at 0
