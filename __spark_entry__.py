@@ -545,6 +545,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": lambda s, d: WB.url_canonicalize(
             load_table(s, d, "documents")
         ),
+        # training-mix MATERIALIZER — token_budget_plan executed into
+        # the actual (doc, epoch) sample via deterministic md5
+        # thresholds (VERDICT r11 #9a; third and last net-new key of
+        # the ≤3 budget, registry at the ~180 ceiling).  target=40k
+        # puts sf0.01 in the full+fractional regime and sf0.1 in the
+        # frac-only regime, so the driver exercises both gate branches
+        "train_mix_materialize": lambda s, d: CP.train_mix_materialize(
+            load_table(s, d, "documents"), target_tokens=40_000
+        ),
         # --- r10 additions (displacement-funded per SURVEY §2b) ---
         # model-based language ID with a shipped char-bigram log-odds
         # artifact (funded by retiring the stopword-heuristic `lang_id`
@@ -1098,6 +1107,10 @@ FROM (
         # same canonicalization regexps, blocklist, and first-doc_id
         # dedup window
         "url_canonicalize": WB.url_canonicalize_oracle(),
+        # plan CTE verbatim + the same md5-uint32 epoch gate
+        "train_mix_materialize": CP.train_mix_materialize_oracle(
+            target_tokens=40_000
+        ),
         "rolling_avg": DV.rolling_avg_oracle(DEDUP_ORACLE),
         "anomaly_zscore": DV.anomaly_zscore_oracle(DEDUP_ORACLE),
         "percentile_rollup": DV.percentile_rollup_oracle(DEDUP_ORACLE),

@@ -183,6 +183,7 @@ HEADLINE = [
     "perplexity_buckets",
     "html_extract",
     "url_canonicalize",
+    "train_mix_materialize",
 ]
 
 

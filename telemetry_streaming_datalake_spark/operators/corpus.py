@@ -963,6 +963,114 @@ FROM shared
 """
 
 
+def train_mix_materialize(
+    documents: DataFrame,
+    target_tokens: int = BUDGET_TARGET_TOKENS,
+    alpha: float = MIXTURE_ALPHA,
+    epoch_cap: float = BUDGET_EPOCH_CAP,
+) -> DataFrame:
+    """EXECUTE :func:`token_budget_plan` into the actual sampled
+    corpus (VERDICT r11 #9a) — the step after the plan: one output row
+    per (doc, epoch) the training loader reads.  Every doc of a source
+    repeats ``floor(capped_epochs)`` times (epochs ``0..floor-1``);
+    the fractional remainder epoch admits each doc with probability
+    ``frac`` via the deterministic md5-threshold rule (the
+    `stratified_sample` discipline — no RNG, rerun- and
+    partitioning-stable: the first 8 hex chars of
+    ``md5(source|doc_id)`` as a uint32 compared against
+    ``frac·2^32``).  ``frac`` comes off the plan's floor-rounded
+    ``capped_epochs`` column, so both engines gate on bit-identical
+    doubles (the SURVEY §6 division-gating convention).
+
+    Scale shape: the plan is source-cardinality and broadcasts; the
+    epoch fan-out is a ``sequence``+``explode`` over ≤⌈cap⌉+1 ints per
+    doc — map-only after the broadcast join, no shuffle, output
+    bounded by cap·|corpus|."""
+    plan = token_budget_plan(documents, target_tokens, alpha, epoch_cap).select(
+        "source", "capped_epochs"
+    )
+    full = F.floor("capped_epochs").cast("int")
+    frac = F.col("capped_epochs") - F.floor("capped_epochs")
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("source"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    j = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", "source")
+        .join(F.broadcast(plan), "source")
+        .select(
+            "doc_id",
+            "source",
+            full.alias("__full"),
+            frac.alias("__frac"),
+            hv.alias("__hv"),
+        )
+    )
+    return (
+        j.select(
+            "doc_id",
+            "source",
+            "__full",
+            "__frac",
+            "__hv",
+            F.explode(F.sequence(F.lit(0), F.col("__full"))).alias("epoch"),
+        )
+        .filter(
+            (F.col("epoch") < F.col("__full"))
+            | (F.col("__hv") < F.col("__frac") * F.lit(4294967296.0))
+        )
+        .select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
+def train_mix_materialize_oracle(
+    target_tokens: int = BUDGET_TARGET_TOKENS,
+    alpha: float = MIXTURE_ALPHA,
+    epoch_cap: float = BUDGET_EPOCH_CAP,
+) -> str:
+    """Composed oracle: the plan CTE verbatim, the same md5-uint32
+    nibble arithmetic (the `png_meta` strpos pattern — DuckDB has no
+    hex-string CAST), the same inclusive epoch series and gate."""
+    hexd = "'0123456789abcdef'"
+    h = "md5(source || '|' || doc_id)"
+    hv = " + ".join(
+        f"(strpos({hexd}, substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH plan AS ({token_budget_plan_oracle(target_tokens, alpha, epoch_cap)}),
+j AS (
+    SELECT d.doc_id, d.source,
+           CAST(floor(p.capped_epochs) AS INTEGER) AS f,
+           p.capped_epochs - floor(p.capped_epochs) AS frac,
+           {hv} AS hv
+    FROM documents d JOIN plan p USING (source)
+    WHERE d.text IS NOT NULL
+),
+e AS (
+    SELECT doc_id, source, f, frac, hv,
+           unnest(generate_series(0, f)) AS epoch
+    FROM j
+)
+SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch
+FROM e
+WHERE epoch < f OR hv < frac * 4294967296.0
+"""
+
+
 # --------------------------------------------------------------------------
 # packing-efficiency report
 # --------------------------------------------------------------------------

@@ -2312,3 +2312,47 @@ def test_badwords_filter_gate_and_audit_columns(spark):
     # r10: zero-length tokens filtered (ngram_lm convention) — an empty
     # doc has no words and an undefined blocked fraction, but keeps
     assert out[5].keep and out[5].n_words == 0 and out[5].blocked_frac is None
+
+
+def test_train_mix_materialize_executes_the_plan(spark):
+    """The materialized (doc, epoch) rows implement token_budget_plan
+    exactly: every doc of a source appears floor(capped_epochs) times
+    unconditionally, the fractional epoch admits by the deterministic
+    md5 threshold (rerun-stable, duplicate calls identical), and the
+    realized token mass per source tracks achieved_tokens."""
+    import math
+
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20)), f"src{i % 3}") for i in range(90)],
+        "doc_id long, text string, source string",
+    )
+    target = 4000  # 1800 avail tokens total -> fractional epochs
+    plan = {r.source: r for r in CP.token_budget_plan(docs, target).collect()}
+    out = CP.train_mix_materialize(docs, target).collect()
+    again = CP.train_mix_materialize(docs, target).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # deterministic
+
+    per_doc: dict[int, set] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, set()).add(r.epoch)
+    by_source: dict[str, list] = {}
+    for r in docs.select("doc_id", "source").collect():
+        by_source.setdefault(r.source, []).append(r.doc_id)
+    for src, ids in by_source.items():
+        full = math.floor(plan[src].capped_epochs)
+        frac = plan[src].capped_epochs - full
+        for d in ids:
+            eps = per_doc.get(d, set())
+            # full epochs are unconditional and contiguous from 0
+            assert set(range(full)) <= eps
+            # at most one fractional copy, and only at epoch == full
+            assert eps - set(range(full)) <= {full}
+        if frac > 0:
+            n_frac = sum(1 for d in ids if full in per_doc.get(d, set()))
+            # the md5 thresholding realizes ~frac of the source
+            # (30 docs/source: allow wide but meaningful bounds)
+            assert 0 <= n_frac <= len(ids)
+            realized = (len(ids) * full + n_frac) * 20
+            assert abs(realized - plan[src].achieved_tokens) <= 20 * len(ids) * 0.35
