@@ -1653,6 +1653,123 @@ SELECT doc_i, doc_j, start_i, start_j, span_len FROM (
 
 
 # --------------------------------------------------------------------------
+# paragraph-grain dedup rewrite (C4 repeated-paragraph drop)
+# --------------------------------------------------------------------------
+
+#: words per paragraph-analog chunk.  The corpus has no newline/sentence
+#: delimiters, so the C4 "three-sentence span" grain maps to fixed
+#: word-windows; production text swaps the chunker for a
+#: split-on-blank-line (same downstream plan).
+PARA_CHUNK_WORDS = 10
+
+
+def paragraph_dedup(documents: DataFrame, chunk_words: int = PARA_CHUNK_WORDS) -> DataFrame:
+    """The C4 §2.2 repeated-paragraph DROP, as a REWRITE (VERDICT r11
+    #9b): every document's text re-emitted with corpus-duplicated
+    chunks removed — the first occurrence (lowest (doc_id, idx))
+    survives, later occurrences are cut out of their documents.  This
+    is the step past `dup_spans` (which only REPORTS cross-doc spans):
+    the output is a drop-in cleaned ``text`` column.
+
+    Shape — exactly the C4 MapReduce job: one scan explodes docs into
+    (chunk, doc, idx) rows (map-only arithmetic chunking of the
+    normalized word array); ONE shuffle keyed by chunk text ranks
+    occurrences (row_number — no all-pairs, hot chunks are one key's
+    partition and AQE skew-split applies); one doc-keyed shuffle
+    reassembles kept chunks in order.  Docs whose normalized text is
+    empty emit no row (the `decontaminate` convention); NULL text
+    likewise.
+    """
+    words = F.filter(
+        F.split(F.trim(normalize_text(F.col("text"))), " "),
+        lambda w: F.length(w) > 0,
+    )
+    n_chunks = F.ceil(F.size("__ws") / F.lit(chunk_words)).cast("int")
+    chunks = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", words.alias("__ws"))
+        .filter(F.size("__ws") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("__ws"),
+                            i * chunk_words + 1,
+                            chunk_words,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("__keep", F.row_number().over(w) == 1)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "__keep", "chunk"))
+            ).alias("__cs")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("__cs"), lambda s: s["__keep"]),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.size("__cs").cast("int").alias("n_chunks"),
+            F.size(F.filter(F.col("__cs"), lambda s: ~s["__keep"]))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def paragraph_dedup_oracle(
+    chunk_words: int = PARA_CHUNK_WORDS, src: str = "documents"
+) -> str:
+    """Same chunk arithmetic (1-based inclusive list slice == Spark
+    slice(start, length)), same first-occurrence row_number rank, same
+    in-order reassembly via string_agg ORDER BY idx."""
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    cw = chunk_words
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(trim({norm}), ' '),
+                       w -> length(w) > 0) AS ws
+    FROM {src} WHERE text IS NOT NULL
+),
+nz AS (SELECT * FROM d WHERE len(ws) > 0),
+c AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS idx,
+           array_to_string(ws[(i * {cw} + 1):(i * {cw} + {cw})], ' ') AS chunk
+    FROM nz,
+         unnest(generate_series(
+             0, CAST(ceil(len(ws) * 1.0 / {cw}) AS INTEGER) - 1)) t(i)
+),
+r AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS keep
+    FROM c
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx),
+                '') AS clean_text,
+       CAST(count(*) AS INTEGER) AS n_chunks,
+       CAST(count(*) FILTER (WHERE NOT keep) AS INTEGER) AS n_dropped
+FROM r GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # edit-distance (levenshtein) similarity join — PassJoin-style blocking
 # --------------------------------------------------------------------------
 

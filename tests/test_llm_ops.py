@@ -2356,3 +2356,33 @@ def test_train_mix_materialize_executes_the_plan(spark):
             assert 0 <= n_frac <= len(ids)
             realized = (len(ids) * full + n_frac) * 20
             assert abs(realized - plan[src].achieved_tokens) <= 20 * len(ids) * 0.35
+
+
+def test_paragraph_dedup_drops_repeats_keeps_first(spark):
+    """C4 repeated-paragraph rewrite: the first occurrence of a
+    duplicated chunk (lowest doc_id, then idx) survives; later
+    occurrences — cross-doc AND intra-doc — are cut out of the
+    rewritten text; unique docs pass through verbatim."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact chunk
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),          # first occurrence: kept
+            (2, f"{uniq_c} {boiler}"),          # cross-doc repeat: cut
+            (3, f"{boiler} {boiler}"),          # intra-doc repeat: cut
+            (4, "totally unique words only"),
+            (5, None),
+            (6, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in DD.paragraph_dedup(docs).collect()}
+    assert got[1].clean_text == f"{boiler} {uniq_a}"
+    assert got[1].n_dropped == 0
+    assert got[2].clean_text == uniq_c and got[2].n_dropped == 1
+    assert got[3].clean_text == "" and got[3].n_dropped == 2
+    assert got[4].clean_text == "totally unique words only"
+    assert 5 not in got and 6 not in got  # NULL / empty emit no row
