@@ -158,7 +158,20 @@ def html_extract(
             ).alias("avis"),
         ),
     )
-    nonempty = F.filter(info, lambda s: F.length(s["vis"]) > 0)
+    # Generate barrier (the `attach_png_payload` md5 pattern): the five
+    # output columns below each reference the block array, and inlined
+    # they would re-run the whole regexp/segment chain per column —
+    # exploding the one-element array materializes it once per row as
+    # an attribute (Generate is NOT an exchange; the plan stays
+    # map-only)
+    staged = payloads.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(F.filter(info, lambda s: F.length(s["vis"]) > 0))
+        ).alias("__blocks"),
+    )
+    nonempty = F.col("__blocks")
     kept = F.filter(
         nonempty,
         lambda s: floor_round(
@@ -172,7 +185,7 @@ def html_extract(
     a_total = F.aggregate(
         nonempty, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["avis"])
     )
-    return payloads.select(
+    return staged.select(
         "doc_id",
         "source",
         F.concat_ws(" ", F.transform(kept, lambda s: s["vis"])).alias(
