@@ -926,3 +926,56 @@ def test_lm_perplexity_two_corpus_lineages(spark):
     docs = load_table(spark, SF, "documents")
     p = TX.lm_perplexity(docs)._jdf.queryExecution().executedPlan().toString()
     assert p.count("FileScan") <= 2
+
+
+def test_html_extract_map_only_zero_exchanges(spark):
+    """The web front door must be a pure scan→project pipeline: no
+    exchange, no join, no Python — one Generate barrier (explode of a
+    1-element array, the attach_png_payload pattern) is the only
+    non-project node."""
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    p = _plan(W.html_extract(load_table(spark, SF, "documents")))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Generate" in p
+
+
+def test_url_canonicalize_single_dedup_shuffle(spark):
+    """Canonicalize + blocklist are map-only; the only exchange is the
+    canonical-URL dedup window's hash partitioning."""
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    df = W.url_canonicalize(load_table(spark, SF, "documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_train_mix_materialize_broadcasts_plan(spark):
+    """The source-cardinality plan broadcasts onto the corpus; the
+    epoch fan-out is sequence+explode — no fact-side shuffle beyond
+    the plan's own source aggregate."""
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    p = _plan(CP.train_mix_materialize(load_table(spark, SF, "documents")))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Generate" in p  # the explode
+
+
+def test_paragraph_dedup_two_keyed_shuffles(spark):
+    """The C4 rewrite is explode → chunk-keyed rank → doc-keyed
+    reassembly: exactly the two keyed exchanges, no all-pairs."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    df = DD.paragraph_dedup(load_table(spark, SF, "documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # chunk window + doc groupBy (partial agg on the reassembly side)
+    assert 1 <= p.count("Exchange hashpartitioning") <= 3, p
