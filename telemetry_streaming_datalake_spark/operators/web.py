@@ -136,7 +136,7 @@ def html_extract(
         payloads = attach_html_payload(documents)
     cleaned = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("html"), r"(?s)<head>.*?</head>", " "),
+            F.regexp_replace(F.col("html"), r"(?s)<head[^>]*>.*?</head>", " "),
             r"(?s)<script[^>]*>.*?</script>",
             " ",
         ),
@@ -232,7 +232,7 @@ cleaned AS (
            string_split_regex(
                regexp_replace(
                    regexp_replace(
-                       regexp_replace(html, '(?s)<head>.*?</head>', ' '),
+                       regexp_replace(html, '(?s)<head[^>]*>.*?</head>', ' '),
                        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
                    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
                '{_BLOCK_SPLIT}') AS blks
@@ -281,9 +281,13 @@ GROUP BY doc_id
 #: shipped URL-pattern blocklist (the `badwords_filter` artifact
 #: posture: the list is a deploy-time input like the BPE vocab; these
 #: placeholder patterns hit the synthetic URL population so both
-#: branches of the gate are exercised — C4/RefinedWeb block
-#: login/tracker/adult path families the same way)
-URL_BLOCKLIST = (r"(?i)/docs/0$", r"(?i)/docs/f$", r"(?i)[?&]ref=0\b")
+#: branches of the gate AND both pattern families — path-based and
+#: query-param-based — are exercised; C4/RefinedWeb block
+#: login/tracker/adult path families the same way.  `\b`, not `$`:
+#: a canonical URL usually continues past the path with its query
+#: string, so an end anchor would silently dead-letter the path rules
+#: (caught in the r12 second review pass).
+URL_BLOCKLIST = (r"(?i)/docs/0\b", r"(?i)/docs/f\b", r"(?i)[?&]ref=5\b")
 
 
 def attach_url(documents: DataFrame) -> DataFrame:
