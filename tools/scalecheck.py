@@ -47,6 +47,7 @@ from telemetry_streaming_datalake_spark.operators import curation as CU
 from telemetry_streaming_datalake_spark.operators import text as TX
 from telemetry_streaming_datalake_spark.operators import similarity as SIM
 from telemetry_streaming_datalake_spark.operators import skew as SKW
+from telemetry_streaming_datalake_spark.operators import web as WB
 
 #: same cutoff the driver key uses (mid-corpus)
 MERGE_CUTOFF_UNIX = 1705276800
@@ -191,6 +192,27 @@ def queries():
         "dedup_minhash": lambda s, d: DD.dedup_minhash(load_table(s, d, "documents")),
         "dup_clusters": lambda s, d: M.dup_clusters(
             DD.ngram_jaccard_dedup(load_table(s, d, "documents"))
+        ),
+        # r12: the broadcast-gate-touched cluster-label consumers and
+        # the new web/mix/paragraph operators join the standing sweep
+        "canonical_docs": lambda s, d: M.canonical_docs(
+            load_table(s, d, "documents"),
+            M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
+        ),
+        "leakage_safe_split": lambda s, d: CU.leakage_safe_split(
+            load_table(s, d, "documents")
+        ),
+        "html_extract": lambda s, d: WB.html_extract(
+            load_table(s, d, "documents")
+        ),
+        "url_canonicalize": lambda s, d: WB.url_canonicalize(
+            load_table(s, d, "documents")
+        ),
+        "train_mix_materialize": lambda s, d: CP.train_mix_materialize(
+            load_table(s, d, "documents"), target_tokens=40_000
+        ),
+        "paragraph_dedup": lambda s, d: DD.paragraph_dedup(
+            load_table(s, d, "documents")
         ),
         "gapfill_hourly": lambda s, d: DV.gapfill_hourly(
             B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
