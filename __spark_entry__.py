@@ -531,7 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- r12 additions (absent from _R12_ORDER -> auto-prepended
         # to the driver window, each displacing one r9 fill slot;
-        # registry 177 -> 179 of the ~180 ceiling, inside the ≤3
+        # registry 177 -> 180 of the ~180 ceiling, inside the ≤3
         # net-new budget VERDICT r11 set) ---
         # HTML→text extraction — the front door of every web-scale
         # corpus (VERDICT r11 gap #1): tag/script/style strip +

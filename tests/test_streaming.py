@@ -1432,3 +1432,45 @@ def test_streaming_cms_drops_cross_batch_duplicates(spark, tmp_path):
         for r in cms_sketch(dedup_exact(parse_bronze(raw))).collect()
     }
     assert merged == direct  # the 50 replayed rows left no trace
+
+
+def test_web_front_door_runs_as_a_stream(spark, tmp_path):
+    """The crawl-ingest shape end-to-end under Structured Streaming:
+    raw HTML pages stream in, `html_extract` runs per micro-batch
+    (map-only — streamable as-is, no state), and the drained
+    extraction equals the batch extraction row-for-row (batch==stream
+    code, the streaming_corpus_gate discipline)."""
+    import shutil
+
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pages = W.attach_html_payload(docs)
+    src = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(src)
+
+    out_dir = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    (
+        W.html_extract(None, payloads=stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    drained = {
+        (r.doc_id, r.extracted_text, r.n_blocks, r.n_dropped)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.doc_id, r.extracted_text, r.n_blocks, r.n_dropped)
+        for r in W.html_extract(docs).collect()
+    }
+    assert drained == batch
+    shutil.rmtree(out_dir, ignore_errors=True)
