@@ -49,9 +49,23 @@ from telemetry_streaming_datalake_spark.operators.derived import floor_round
 LINK_DENSITY_MAX = 0.5
 
 #: block-level closers the extractor segments on (the SQL-expressible
-#: stand-in for a DOM walk; production HTML segments on the same
-#: closers plus <br><br>)
-_BLOCK_SPLIT = r"</p>|</nav>|</div>|</footer>"
+#: stand-in for a DOM walk) — paragraph/section containers, list
+#: items, headings, and explicit line breaks
+_BLOCK_SPLIT = r"</p>|</nav>|</div>|</footer>|</li>|</h[1-6]>|<br[^>]*>"
+
+#: entity → replacement, DECODE ORDER SIGNIFICANT: `&amp;` must come
+#: LAST so `&amp;lt;` decodes to the literal `&lt;` (one pass, no
+#: re-scan) — the standard single-pass entity rule.  The five named
+#: entities + the apostrophe reference cover ~99% of crawl text; a
+#: production build swaps in the full table, same chain shape.
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
 
 
 def attach_html_payload(documents: DataFrame) -> DataFrame:
@@ -104,6 +118,15 @@ def _collapse(col):
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
+def _decode_entities(col):
+    """Single-pass HTML entity decode (AFTER tag strip, so a decoded
+    ``&lt;`` can never be mistaken for markup; ``&amp;`` last per
+    :data:`_ENTITIES`)."""
+    for src, dst in _ENTITIES:
+        col = F.regexp_replace(col, src, dst)
+    return col
+
+
 def html_extract(
     documents: DataFrame, payloads: DataFrame | None = None
 ) -> DataFrame:
@@ -147,13 +170,17 @@ def html_extract(
     info = F.transform(
         blocks,
         lambda b: F.struct(
-            _collapse(F.regexp_replace(b, r"(?s)<[^>]*>", " ")).alias("vis"),
             _collapse(
-                F.concat_ws(
-                    " ",
-                    F.regexp_extract_all(
-                        b, F.lit(r"(?s)<a[^>]*>(.*?)</a>"), F.lit(1)
-                    ),
+                _decode_entities(F.regexp_replace(b, r"(?s)<[^>]*>", " "))
+            ).alias("vis"),
+            _collapse(
+                _decode_entities(
+                    F.concat_ws(
+                        " ",
+                        F.regexp_extract_all(
+                            b, F.lit(r"(?s)<a[^>]*>(.*?)</a>"), F.lit(1)
+                        ),
+                    )
                 )
             ).alias("avis"),
         ),
@@ -219,6 +246,15 @@ FROM {src} WHERE text IS NOT NULL
 """
 
 
+def _decode_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_decode_entities` — generated from the
+    SAME :data:`_ENTITIES` table so the chains cannot de-sync."""
+    for pat, dst in _ENTITIES:
+        dst_sql = dst.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{dst_sql}', 'g')"
+    return expr
+
+
 def html_extract_oracle(src: str = "documents") -> str:
     """The identical regexp/segment/density chain in DuckDB: blocks
     via ``string_split_regex`` + index join (order-preserving, the
@@ -245,13 +281,15 @@ b AS (
 v AS (
     SELECT doc_id, source, i,
            trim(regexp_replace(
-               regexp_replace(blk, '(?s)<[^>]*>', ' ', 'g'),
+               {_decode_sql("regexp_replace(blk, '(?s)<[^>]*>', ' ', 'g')")},
                '\\s+', ' ', 'g')) AS vis,
            -- array_to_string yields NULL (not '') on a no-anchor
            -- block in DuckDB; the engine's concat_ws gives ''
            coalesce(trim(regexp_replace(
-               array_to_string(
-                   regexp_extract_all(blk, '(?s)<a[^>]*>(.*?)</a>', 1), ' '),
+               {_decode_sql(
+                   "array_to_string(regexp_extract_all("
+                   "blk, '(?s)<a[^>]*>(.*?)</a>', 1), ' ')"
+               )},
                '\\s+', ' ', 'g')), '') AS avis
     FROM b
 ),

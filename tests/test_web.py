@@ -140,3 +140,32 @@ def test_html_extract_composes_with_gopher_gate(spark):
     # covers every extracted doc
     m = curation_manifest(extracted)
     assert m.count() == extracted.count()
+
+
+def test_html_extract_decodes_entities_and_splits_production_closers(spark):
+    """Entity decode after tag strip (`&amp;lt;` → literal `&lt;`,
+    never markup), `&amp;` decoded last; list items / headings / <br>
+    all segment blocks."""
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "s",
+                "<html><body>"
+                "<h1>Title &amp; Subtitle</h1>"
+                "<p>a &lt;tag&gt; literal, &quot;quoted&quot;, Tom&#39;s,"
+                " amp-escaped &amp;lt; stays literal</p>"
+                "<li>first item</li><li>second item</li>"
+                "line one<br/>line two"
+                "</body></html>",
+            )
+        ],
+        "doc_id long, source string, html string",
+    )
+    row = W.html_extract(None, payloads=pages).collect()[0]
+    assert "Title & Subtitle" in row.extracted_text
+    assert 'a <tag> literal, "quoted", Tom\'s' in row.extracted_text
+    assert "&lt; stays literal" in row.extracted_text  # single-pass decode
+    # h1 + p + 2 li + 2 br-split lines = 6 blocks, none link-dense
+    assert row.n_blocks == 6 and row.n_dropped == 0
+    assert "first item" in row.extracted_text and "line two" in row.extracted_text
