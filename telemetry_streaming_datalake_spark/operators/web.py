@@ -378,6 +378,9 @@ def canonical_url(url):
         & ~((scheme == "https") & (port == "443"))
     )
     path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    # RFC 3986 normalization picks: duplicate-slash collapse, empty
+    # path -> '/'
+    path = F.regexp_replace(path, r"/{2,}", "/")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     params = F.array_sort(
@@ -464,7 +467,9 @@ parts AS (
                                 '^([^:]*)', 1)) AS host,
            regexp_extract(regexp_extract(url, '^[^:]+://([^/?#]*)', 1),
                           ':(\\d+)$', 1) AS port,
-           regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_replace(
+               regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1),
+               '/{{2,}}', '/', 'g') AS path,
            regexp_extract(url, '\\?([^#]*)', 1) AS query
     FROM raw
 ),
