@@ -502,3 +502,128 @@ SELECT doc_id, source, url, canonical_url, is_blocked,
        (NOT is_blocked AND doc_id = fst) AS is_keeper
 FROM dd
 """
+
+
+# --------------------------------------------------------------------------
+# WARC record ingestion (the CommonCrawl wire format)
+# --------------------------------------------------------------------------
+
+
+def attach_warc_payload(documents: DataFrame) -> DataFrame:
+    """One REAL WARC/1.0 response record per document (ISO 28500
+    framing): WARC headers (Type/Record-ID/Target-URI/Content-Type/
+    Content-Length in OCTETS), CRLF CRLF, then the HTTP response
+    message (status line + headers, CRLF CRLF, the synthesized HTML
+    body).  Everything derives from (text, source, doc_id), so the
+    oracle can rebuild every parsed field while the engine must
+    survive a real record walk.  In production a WARC file is a
+    concatenation of (usually gzip-membered) records — one record per
+    table row here; the reader semantics are identical.  NULL text ⇒
+    no record (the media-family convention)."""
+    pages = attach_html_payload(documents)
+    urls = attach_url(documents).select("doc_id", "url")
+    rec = pages.join(urls, "doc_id")
+    http = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n\r\n"
+        ),
+        F.col("html"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5("url"),
+        F.lit(">\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nContent-Type: application/http;msgtype=response\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+    )
+    return rec.select("doc_id", "source", record.alias("warc"))
+
+
+def warc_extract(
+    documents: DataFrame, records: DataFrame | None = None
+) -> DataFrame:
+    """Parse a ``warc`` record column — the stage BEFORE
+    `url_canonicalize`/`html_extract` in a real crawl pipeline: framing
+    check, WARC header extraction, Content-Length verified against the
+    actual octet count (the `png_meta` crc_ok posture — emitted as
+    ``length_ok``), HTTP status/Content-Type, and the HTML body
+    surfaced as ``html_md5`` (one wrong parsed byte anywhere flips the
+    hash; the body itself feeds :func:`html_extract` in composition).
+
+    Map-only JVM regexp extraction over the record string — zero
+    shuffles, zero Python, the pure-scan shape a WARC sweep needs at
+    100 TB (in production each gzip member is one record; the parse
+    per record is identical)."""
+    if records is None:
+        records = attach_warc_payload(documents)
+    rec = F.col("warc")
+    magic_ok = rec.startswith("WARC/1.0\r\n")
+    hdr = lambda name: F.regexp_extract(rec, f"{name}: ([^\\r]*)\\r\\n", 1)
+    # HTTP message = everything after the FIRST blank line
+    http = F.regexp_extract(rec, r"(?s)^.*?\r\n\r\n(.*)$", 1)
+    body = F.regexp_extract(http, r"(?s)^.*?\r\n\r\n(.*)$", 1)
+    clen = hdr("Content-Length").cast("long")
+    return records.select(
+        "doc_id",
+        "source",
+        magic_ok.alias("magic_ok"),
+        hdr("WARC-Type").alias("warc_type"),
+        hdr("WARC-Target-URI").alias("url"),
+        F.regexp_extract(http, r"^HTTP/1\.1 (\d+)", 1)
+        .cast("int")
+        .alias("status"),
+        F.regexp_extract(http, r"Content-Type: ([^\r]*)\r\n", 1).alias(
+            "content_type"
+        ),
+        clen.alias("content_length"),
+        (F.octet_length(http) == clen).alias("length_ok"),
+        F.md5(body).alias("html_md5"),
+    )
+
+
+def warc_extract_oracle(src: str = "documents") -> str:
+    """Rebuilds every parsed field from the synthesis arithmetic (the
+    `png_meta` posture): the URI from the URL synthesis, literal
+    status/type/magic (one wrong emitted byte breaks the framing and
+    flips a field), Content-Length from the octet arithmetic, and
+    html_md5 from the SAME page synthesis — the engine must parse the
+    real record to reproduce it."""
+    html = f"({_html_syn_sql(src)})"
+    return f"""
+WITH pages AS (SELECT doc_id, source, html FROM {html}),
+urls AS (
+    SELECT doc_id,
+           (CASE WHEN CAST(('0x' || substr(md5(source || '|' || doc_id), 1, 1))
+                      AS INTEGER) % 2 = 1
+                 THEN 'HTTPS://' ELSE 'HTTP://' END)
+           || 'WWW.' || upper(source) || '.Example.COM'
+           || (CASE WHEN CAST(('0x' || substr(md5(source || '|' || doc_id), 1, 1))
+                         AS INTEGER) % 2 = 1
+                    THEN ':443' ELSE ':80' END)
+           || '/Docs/' || substr(md5(source || '|' || doc_id), 1, 1)
+           || '?utm_source=feed&ref=' || substr(md5(source || '|' || doc_id), 1, 1)
+           || '&UTM_Campaign=' || substr(md5(source || '|' || doc_id), 3, 4)
+           || '&a=1#s' || substr(md5(source || '|' || doc_id), 7, 2) AS url
+    FROM {src}
+)
+SELECT p.doc_id, p.source,
+       TRUE AS magic_ok,
+       'response' AS warc_type,
+       u.url,
+       200 AS status,
+       'text/html; charset=utf-8' AS content_type,
+       -- strlen = OCTET count of a VARCHAR in DuckDB (octet_length
+       -- only takes BLOB); Spark side is F.octet_length
+       CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+            || 'Content-Type: text/html; charset=utf-8'
+            || chr(13) || chr(10) || chr(13) || chr(10) || p.html)
+            AS BIGINT) AS content_length,
+       TRUE AS length_ok,
+       md5(p.html) AS html_md5
+FROM pages p JOIN urls u USING (doc_id)
+"""
