@@ -423,6 +423,11 @@ _MAIN_KEYS_EXT = [
     "hard_negatives",
     "ann_ivf_indexed",
     "kmeans_refine",
+    # r12 web front door + mix materializer over hostile text (entity
+    # strings, NULL/empty docs, astral unicode, regexp metachars)
+    "html_extract",
+    "url_canonicalize",
+    "train_mix_materialize",
 ]
 
 #: streaming twins over the hostile corpus — the full streaming sweep
@@ -487,3 +492,34 @@ def test_fuzz_extreme_timestamps(spark, fuzz_extreme_ts, key):
 @pytest.mark.parametrize("key", _HOT_KEYS)
 def test_fuzz_cap_binding(spark, fuzz_hot, key):
     _run_key(spark, fuzz_hot, key)
+
+
+def test_fuzz_deferred_oracle_ready_ops(spark, fuzz_main):
+    """`paragraph_dedup` and `warc_extract` are pytest-only this round
+    (registry at the ~180 ceiling, SURVEY §2 rows 84-85); their READY
+    oracles must stay hostile-certified ahead of the r13 registration
+    — same driver-faithful compare, built direct (the retired-key
+    plan-pin precedent)."""
+    import duckdb
+
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    docs = load_table(spark, fuzz_main, "documents")
+    for name, frame, oracle in (
+        ("paragraph_dedup", DD.paragraph_dedup(docs), DD.paragraph_dedup_oracle()),
+        ("warc_extract", W.warc_extract(docs), W.warc_extract_oracle()),
+    ):
+        pdf_s = frame.toPandas()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{fuzz_main}/documents.parquet')"
+            )
+            pdf_o = con.execute(oracle).fetch_df()
+        finally:
+            con.close()
+        problems = compare_frames(pdf_s, pdf_o)
+        assert not problems, f"{name}: " + "; ".join(problems)
