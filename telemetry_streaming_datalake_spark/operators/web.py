@@ -361,13 +361,76 @@ def attach_url(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "source", raw.alias("url"))
 
 
+#: %XX → char for every RFC 3986 UNRESERVED character (ALPHA / DIGIT /
+#: - . _ ~) — the one percent-decoding a canonicalizer may apply
+#: unconditionally (reserved chars like %2F stay encoded: decoding
+#: them would change the URL's structure).  Hex digits in the wire
+#: form are case-insensitive (`%7e` == `%7E`), handled by the (?i)
+#: inline flag.  ONE table drives both the engine chain and the SQL
+#: twin, so the 66 rules cannot de-sync.
+_PCT_UNRESERVED = tuple(
+    (f"%{ord(c):02X}", c)
+    for c in (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        "0123456789-._~"
+    )
+)
+
+
+def _pct_map():
+    """'XX' (uppercase hex) -> decoded char, engine-side lookup form
+    of :data:`_PCT_UNRESERVED`.  Built lazily — F.lit at module import
+    would run before any SparkContext exists."""
+    return F.create_map(
+        *[F.lit(v) for tok, ch in _PCT_UNRESERVED for v in (tok[1:], ch)]
+    )
+
+
+def _pct_decode(col):
+    """Decode unreserved %XX escapes in ONE pass: split on ``%``, map
+    each fragment's leading two chars through a literal lookup map
+    (hex case-insensitive via ``upper``), re-join.  Semantically equal
+    to the oracle's sequential 66-regexp chain because decoded chars
+    are never ``%`` and ``%25`` (the escape for ``%`` itself) is
+    reserved and NOT in the table — decoding can never create a new
+    token.  A 66-regexp engine chain was measured first: 7.4 s of
+    whole-stage-codegen compile on first run + ~1 s/run at sf0.1; the
+    split-map form keeps the expression tree small.  Gated behind a
+    ``contains('%')`` probe — the overwhelmingly common escape-free
+    URL pays one substring scan."""
+    m = _pct_map()
+    parts = F.split(col, "%", -1)
+    decoded_tail = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda frag: F.coalesce(
+            F.concat(
+                m[F.upper(F.substring(frag, 1, 2))],
+                F.substring(frag, 3, 2_000_000_000),
+            ),
+            F.concat(F.lit("%"), frag),
+        ),
+    )
+    decoded = F.concat(F.get(parts, 0), F.array_join(decoded_tail, ""))
+    return F.when(col.contains("%"), decoded).otherwise(col)
+
+
+def _pct_decode_sql(expr: str) -> str:
+    """DuckDB twin — generated from the SAME table, same lazy gate."""
+    decoded = expr
+    for tok, ch in _PCT_UNRESERVED:
+        ch_sql = ch.replace("'", "''")
+        decoded = f"regexp_replace({decoded}, '(?i){tok}', '{ch_sql}', 'g')"
+    return f"(CASE WHEN strpos({expr}, '%') > 0 THEN {decoded} ELSE {expr} END)"
+
+
 def canonical_url(url):
     """Generic URL canonicalizer as one column expression: lowercase
     scheme+host, strip a default port (http:80 / https:443, keep any
-    other), keep path case (paths are case-sensitive), drop the
-    fragment, drop ``utm_*`` params (case-insensitive), sort the
-    survivors.  Works on ANY url string, not just the synthesized
-    population."""
+    other), keep path case (paths are case-sensitive), decode
+    unreserved percent-escapes in path and query (RFC 3986 §6.2.2.2),
+    collapse duplicate slashes, drop the fragment, drop ``utm_*``
+    params (case-insensitive), sort the survivors.  Works on ANY url
+    string, not just the synthesized population."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
     hostport = F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1)
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
@@ -378,11 +441,12 @@ def canonical_url(url):
         & ~((scheme == "https") & (port == "443"))
     )
     path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
-    # RFC 3986 normalization picks: duplicate-slash collapse, empty
-    # path -> '/'
-    path = F.regexp_replace(path, r"/{2,}", "/")
+    # RFC 3986 normalization picks: unreserved %XX decode (never
+    # creates a '/', %2F is reserved and stays), duplicate-slash
+    # collapse, empty path -> '/'
+    path = F.regexp_replace(_pct_decode(path), r"/{2,}", "/")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query = _pct_decode(F.regexp_extract(url, r"\?([^#]*)", 1))
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -416,14 +480,26 @@ def url_canonicalize(
     way production would."""
     if urls is None:
         urls = attach_url(documents)
-    canon = canonical_url(F.col("url"))
-    pat = "|".join(f"(?:{p})" for p in URL_BLOCKLIST)
-    flagged = urls.select(
+    # Generate barrier (the html_extract pattern): the canonical
+    # expression carries the gated 66-rule %-decode chain twice (path
+    # + query) — inlining it into BOTH canonical_url and is_blocked
+    # would double the analyzed tree and re-evaluate per column;
+    # exploded once, is_blocked reads the attribute
+    staged = urls.select(
         "doc_id",
         "source",
         "url",
-        canon.alias("canonical_url"),
-        (F.regexp_count(canon, F.lit(pat)) > 0).alias("is_blocked"),
+        F.explode(F.array(canonical_url(F.col("url")))).alias("canonical_url"),
+    )
+    pat = "|".join(f"(?:{p})" for p in URL_BLOCKLIST)
+    flagged = staged.select(
+        "doc_id",
+        "source",
+        "url",
+        "canonical_url",
+        (F.regexp_count(F.col("canonical_url"), F.lit(pat)) > 0).alias(
+            "is_blocked"
+        ),
     )
     w = Window.partitionBy("canonical_url", "is_blocked").orderBy("doc_id")
     first = F.first("doc_id").over(w)
@@ -444,6 +520,11 @@ def url_canonicalize_oracle(src: str = "documents") -> str:
     """Same synthesis, same canonicalization regexps, same blocklist,
     same first-doc_id dedup window in DuckDB."""
     pat = "|".join(f"(?:{p})" for p in URL_BLOCKLIST).replace("'", "''")
+    # pre-built (f-string expressions cannot contain backslashes)
+    path_sql = _pct_decode_sql(
+        "regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1)"
+    )
+    query_sql = _pct_decode_sql("regexp_extract(url, '\\?([^#]*)', 1)")
     return f"""
 WITH raw AS (
     SELECT doc_id, source,
@@ -468,9 +549,9 @@ parts AS (
            regexp_extract(regexp_extract(url, '^[^:]+://([^/?#]*)', 1),
                           ':(\\d+)$', 1) AS port,
            regexp_replace(
-               regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1),
+               {path_sql},
                '/{{2,}}', '/', 'g') AS path,
-           regexp_extract(url, '\\?([^#]*)', 1) AS query
+           {query_sql} AS query
     FROM raw
 ),
 canon AS (

@@ -80,6 +80,10 @@ def test_canonical_url_generic_cases(spark):
         ("http://ex.com/p?UTM_source=x&utm_medium=y", "http://ex.com/p"),
         ("http://ex.com/p?ref=1&utm_x=2&b=3", "http://ex.com/p?b=3&ref=1"),
         ("http://ex.com//a///b?x=1", "http://ex.com/a/b?x=1"),
+        # unreserved %XX decode (case-insensitive hex), reserved stays
+        ("http://ex.com/%7Euser/%41b?x=%31", "http://ex.com/~user/Ab?x=1"),
+        ("http://ex.com/a%2Fb?k=%2f", "http://ex.com/a%2Fb?k=%2f"),
+        ("http://ex.com/%7euser", "http://ex.com/~user"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(W.canonical_url(F.col("url")).alias("c")).collect()]
