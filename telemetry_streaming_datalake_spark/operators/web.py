@@ -708,3 +708,62 @@ SELECT p.doc_id, p.source,
        md5(p.html) AS html_md5
 FROM pages p JOIN urls u USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# extraction-yield audit (per-source dashboard)
+# --------------------------------------------------------------------------
+
+
+def extraction_yield_report(documents: DataFrame) -> DataFrame:
+    """Per-source extraction audit — the dashboard a crawl-curation
+    team reads after an extraction run (C4/RefinedWeb report the same
+    axes): docs extracted, mean page link density, block drop rate,
+    and TEXT YIELD (extracted chars / raw HTML chars — the cost of the
+    markup+boilerplate overhead).  A source whose yield collapses or
+    whose drop rate spikes is a template change or a spam farm.
+
+    Shape: two map-only frames off the same corpus scan (the page
+    synthesis and its extraction), ONE doc_id equi-join, ONE
+    source-keyed aggregate — no all-pairs, no windows.  All reported
+    ratios floor-rounded 6dp (SURVEY §6).
+    """
+    pages = attach_html_payload(documents).select(
+        "doc_id", F.length("html").alias("html_chars")
+    )
+    ext = html_extract(documents)
+    j = ext.join(pages, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            floor_round(F.avg("link_density"), 6).alias("avg_link_density"),
+            floor_round(
+                F.sum("n_dropped") / F.sum("n_blocks"), 6
+            ).alias("drop_rate"),
+            floor_round(
+                F.sum(F.length("extracted_text")) / F.sum("html_chars"), 6
+            ).alias("text_yield"),
+        )
+    )
+
+
+def extraction_yield_report_oracle(src: str = "documents") -> str:
+    """Extraction CTE verbatim + the synthesized page lengths, same
+    join/aggregate arithmetic."""
+    return f"""
+WITH ext AS ({html_extract_oracle(src)}),
+pages AS (
+    SELECT doc_id, length(html) AS html_chars FROM ({_html_syn_sql(src)})
+)
+SELECT e.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(avg(e.link_density) * 1000000.0 + 0.5) / 1000000.0
+           AS avg_link_density,
+       floor(sum(e.n_dropped) * 1.0 / sum(e.n_blocks) * 1000000.0 + 0.5)
+           / 1000000.0 AS drop_rate,
+       floor(sum(length(e.extracted_text)) * 1.0 / sum(p.html_chars)
+             * 1000000.0 + 0.5) / 1000000.0 AS text_yield
+FROM ext e JOIN pages p USING (doc_id)
+GROUP BY e.source
+"""

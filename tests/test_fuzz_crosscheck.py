@@ -510,6 +510,11 @@ def test_fuzz_deferred_oracle_ready_ops(spark, fuzz_main):
     for name, frame, oracle in (
         ("paragraph_dedup", DD.paragraph_dedup(docs), DD.paragraph_dedup_oracle()),
         ("warc_extract", W.warc_extract(docs), W.warc_extract_oracle()),
+        (
+            "extraction_yield_report",
+            W.extraction_yield_report(docs),
+            W.extraction_yield_report_oracle(),
+        ),
     ):
         pdf_s = frame.toPandas()
         con = duckdb.connect()

@@ -227,3 +227,26 @@ def test_warc_to_extract_to_gate_composition(spark):
         (r.doc_id, r.extracted_text) for r in W.html_extract(docs).collect()
     }
     assert via_warc == direct
+
+
+def test_extraction_yield_report_arithmetic(spark):
+    """Yield axes hand-verified on a two-source corpus: drop rate is
+    dropped/total blocks; text_yield is extracted/html chars; per
+    source, not global."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "ten words " * 5),
+            (2, "a", "other text here"),
+            (3, "b", "solo"),
+            (4, "b", None),  # no page, not counted
+        ],
+    )
+    got = {r.source: r for r in W.extraction_yield_report(docs).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"].n_docs == 2 and got["b"].n_docs == 1
+    for r in got.values():
+        # synthesized pages: 4 nonempty blocks, 3 boilerplate
+        assert r.drop_rate == 0.75
+        assert 0.0 < r.text_yield < 1.0
+        assert 0.0 < r.avg_link_density < 1.0
