@@ -1961,3 +1961,101 @@ def streaming_freq_sketch(
     )
     ground = dedup_exact(parse_bronze(load_table(spark, sf_dir, "events")))
     return freq_sketch_audit(ground, sketch=read_cms_store(spark, store))
+
+
+def streaming_url_frontier(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Crawl FRONTIER: URLs arrive in micro-batches, each batch is
+    canonicalized + blocklist-gated (`web.url_canonicalize`, identical
+    batch==stream code) and only canonical URLs NEVER SEEN before —
+    across ALL previous batches — are admitted for fetch.  The
+    cross-batch state is a persisted seen-store of canonical URLs
+    (parquet, batchId-scoped subdirectories written in OVERWRITE mode
+    — the `streaming_corpus_gate` replay-idempotency contract), and
+    each batch dedups against it with one LEFT ANTI join: the
+    `incremental_dedup` posture, O(batch) work per batch, the index
+    never rescanned.
+
+    The documents table is range-partitioned by doc_id into
+    ``n_files`` landing files drained with ``maxFilesPerTrigger=1``,
+    so the drain genuinely exercises multiple batches and the
+    first-batch-wins frontier semantics coincide with the batch
+    operator's earliest-doc_id keeper rule (pytest-pinned:
+    drained admissions == batch `is_keeper` rows exactly).
+    """
+    from telemetry_streaming_datalake_spark.operators import web as WB
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    staged_src = os.path.join(work_dir, "frontier_src")
+    (
+        spark.read.option("mergeSchema", "false")
+        .parquet(src)
+        .repartitionByRange(n_files, "doc_id")
+        .write.mode("overwrite")
+        .parquet(staged_src)
+    )
+    landing = os.path.join(work_dir, "frontier_landing")
+    os.makedirs(landing, exist_ok=True)
+    _stage_parquet(staged_src, landing, "documents.parquet")
+    # the file source orders files by MODIFICATION TIME — copies made
+    # within one clock tick arrive in arbitrary order, which would
+    # break the first-batch-wins == min-doc_id coincidence the pytest
+    # pins; stamp strictly increasing mtimes in range order (part-0000x
+    # of a repartitionByRange write holds the lowest doc_ids)
+    for i, f in enumerate(sorted(os.listdir(landing))):
+        p = os.path.join(landing, f)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(staged_src).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    seen_dir = os.path.join(work_dir, "frontier_seen")
+    admit_dir = os.path.join(work_dir, "frontier_admit")
+    os.makedirs(seen_dir, exist_ok=True)
+    os.makedirs(admit_dir, exist_ok=True)
+    ckpt = os.path.join(work_dir, "frontier_ckpt")
+
+    seen_schema = "canonical_url string"
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        flagged = WB.url_canonicalize(batch_df)
+        candidates = flagged.filter(
+            ~F.col("is_blocked") & F.col("is_keeper")
+        ).select("doc_id", "source", "url", "canonical_url")
+        seen_files = [
+            os.path.join(seen_dir, f)
+            for f in os.listdir(seen_dir)
+            if f.startswith("batch=")
+        ]
+        if seen_files:
+            seen = s.read.schema(seen_schema).parquet(*seen_files)
+            candidates = candidates.join(seen, "canonical_url", "left_anti")
+        # checkpoint: the admitted frame feeds BOTH sinks below; and
+        # batchId-scoped overwrite keeps replays idempotent
+        admitted = candidates.localCheckpoint(eager=True)
+        admitted.select("canonical_url").write.mode("overwrite").parquet(
+            os.path.join(seen_dir, f"batch={batch_id}")
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(admit_dir, f"batch={batch_id}")
+        )
+
+    (
+        raw.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out_schema = "doc_id long, source string, url string, canonical_url string"
+    subdirs = [
+        os.path.join(admit_dir, d)
+        for d in os.listdir(admit_dir)
+        if d.startswith("batch=")
+    ]
+    return spark.read.schema(out_schema).parquet(*subdirs)

@@ -1474,3 +1474,26 @@ def test_web_front_door_runs_as_a_stream(spark, tmp_path):
     }
     assert drained == batch
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_streaming_url_frontier_matches_batch_keepers(spark, tmp_path):
+    """The crawl frontier drained over four doc_id-ranged micro-batches
+    admits EXACTLY the batch operator's keeper rows (unblocked,
+    earliest doc_id per canonical URL) — first-batch-wins across the
+    persisted seen-store coincides with the batch min-doc_id rule."""
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    got = {
+        (r.doc_id, r.canonical_url)
+        for r in SP.streaming_url_frontier(spark, SF_DIR, str(tmp_path)).collect()
+    }
+    batch = W.url_canonicalize(load_table(spark, SF_DIR, "documents"))
+    want = {
+        (r.doc_id, r.canonical_url)
+        for r in batch.filter("is_keeper").collect()
+    }
+    assert got == want
+    # the frontier admitted strictly fewer rows than arrived (dedup
+    # and blocklist both live)
+    assert len(got) < load_table(spark, SF_DIR, "documents").count()
