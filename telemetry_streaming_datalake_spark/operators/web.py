@@ -767,3 +767,113 @@ SELECT e.source,
 FROM ext e JOIN pages p USING (doc_id)
 GROUP BY e.source
 """
+
+
+# --------------------------------------------------------------------------
+# robots-exclusion gate (longest-match, the pre-fetch stage after URL dedup)
+# --------------------------------------------------------------------------
+
+#: shipped robots ruleset — (host_regex, path_prefix, allow), the
+#: deploy-time artifact a crawler compiles from fetched robots.txt
+#: files (the badwords/URL-blocklist posture; these placeholders hit
+#: the synthetic population so every branch — host-wide disallow,
+#: longest-match carve-out, pattern default — is exercised).
+#: Semantics are the robots-exclusion standard's: the rule with the
+#: LONGEST matching path prefix wins; a tie goes to allow; no matching
+#: rule means allowed.
+ROBOTS_RULES = (
+    (r"(?i)^www\.src1\.example\.com$", "/", False),
+    (r"(?i)^www\.src1\.example\.com$", "/Docs/a", True),
+    (r"(?i).*", "/private", False),
+)
+
+
+def robots_gate(
+    urls: DataFrame, rules: tuple = ROBOTS_RULES
+) -> DataFrame:
+    """Apply the shipped robots ruleset to a ``canonical_url`` column:
+    host via regexp match, path via prefix, longest-prefix-wins with
+    allow breaking ties, default allow.  ONE broadcast join of the
+    literal rule table onto the URLs + one doc-keyed max(struct)
+    aggregate (no window sort) — the `cdc_apply` replay shape at
+    rule-table cardinality.
+
+    Input needs (doc_id, canonical_url); emits the gate decision plus
+    the deciding rule for auditability (NULL prefix = default-allow).
+    """
+    s = urls.sparkSession
+    rules_df = s.createDataFrame(
+        [(p, pre, a) for p, pre, a in rules],
+        "host_pattern string, path_prefix string, rule_allow boolean",
+    )
+    host = F.regexp_extract("canonical_url", r"^[^:]+://([^/:?#]*)", 1)
+    path = F.regexp_extract("canonical_url", r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    base = urls.select(
+        "doc_id", "canonical_url", host.alias("__host"), path.alias("__path")
+    )
+    matched = (
+        base.join(
+            F.broadcast(rules_df),
+            F.regexp_like(F.col("__host"), F.col("host_pattern"))
+            & F.col("__path").startswith(F.col("path_prefix")),
+            "left",
+        )
+        .groupBy("doc_id", "canonical_url")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("path_prefix").isNotNull(),
+                    F.struct(
+                        F.length("path_prefix").alias("plen"),
+                        F.col("rule_allow").cast("int").alias("aint"),
+                        F.col("path_prefix").alias("prefix"),
+                    ),
+                )
+            ).alias("__best")
+        )
+    )
+    return matched.select(
+        "doc_id",
+        "canonical_url",
+        F.coalesce(F.col("__best.aint") == 1, F.lit(True)).alias(
+            "robots_allowed"
+        ),
+        F.col("__best.prefix").alias("rule_prefix"),
+    )
+
+
+def robots_gate_oracle(rules: tuple = ROBOTS_RULES, src: str = "documents") -> str:
+    """URL canonicalization CTE + a VALUES rule table, the same
+    longest-prefix/allow-tie/default-allow arithmetic."""
+    vals = ", ".join(
+        "('{}', '{}', {})".format(p.replace("'", "''"), pre, str(a).upper())
+        for p, pre, a in rules
+    )
+    return f"""
+WITH urls AS (
+    SELECT doc_id, canonical_url FROM ({url_canonicalize_oracle(src)})
+),
+rules(host_pattern, path_prefix, rule_allow) AS (VALUES {vals}),
+base AS (
+    SELECT doc_id, canonical_url,
+           regexp_extract(canonical_url, '^[^:]+://([^/:?#]*)', 1) AS h,
+           regexp_extract(canonical_url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS p
+    FROM urls
+),
+m AS (
+    SELECT b.doc_id, b.canonical_url,
+           max(CASE WHEN r.path_prefix IS NOT NULL THEN
+               struct_pack(plen := length(r.path_prefix),
+                           aint := CAST(r.rule_allow AS INTEGER),
+                           prefix := r.path_prefix) END) AS best
+    FROM base b
+    LEFT JOIN rules r
+      ON regexp_matches(b.h, r.host_pattern)
+     AND starts_with(b.p, r.path_prefix)
+    GROUP BY b.doc_id, b.canonical_url
+)
+SELECT doc_id, canonical_url,
+       coalesce(best.aint = 1, TRUE) AS robots_allowed,
+       best.prefix AS rule_prefix
+FROM m
+"""

@@ -515,6 +515,13 @@ def test_fuzz_deferred_oracle_ready_ops(spark, fuzz_main):
             W.extraction_yield_report(docs),
             W.extraction_yield_report_oracle(),
         ),
+        (
+            "robots_gate",
+            W.robots_gate(
+                W.url_canonicalize(docs).select("doc_id", "canonical_url")
+            ),
+            W.robots_gate_oracle(),
+        ),
     ):
         pdf_s = frame.toPandas()
         con = duckdb.connect()

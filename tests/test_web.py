@@ -250,3 +250,33 @@ def test_extraction_yield_report_arithmetic(spark):
         assert r.drop_rate == 0.75
         assert 0.0 < r.text_yield < 1.0
         assert 0.0 < r.avg_link_density < 1.0
+
+
+def test_robots_gate_longest_match_semantics(spark):
+    """Robots-exclusion standard semantics, hand-verified: longest
+    matching prefix wins; tie goes to allow; no rule = allow; host
+    regexes scope the rules."""
+    rules = (
+        (r"(?i)^a\.com$", "/", False),         # host-wide disallow
+        (r"(?i)^a\.com$", "/pub", True),       # longer allow carve-out
+        (r"(?i)^a\.com$", "/pub/x", False),    # even longer disallow
+        (r"(?i)^t\.com$", "/d", True),         # tie pair: allow wins
+        (r"(?i)^t\.com$", "/d", False),
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/anything"),
+            (2, "http://a.com/pub/ok"),
+            (3, "http://a.com/pub/x/deep"),
+            (4, "http://b.com/free"),
+            (5, "http://t.com/d"),
+        ],
+        "doc_id long, canonical_url string",
+    )
+    got = {r.doc_id: (r.robots_allowed, r.rule_prefix)
+           for r in W.robots_gate(urls, rules).collect()}
+    assert got[1] == (False, "/")
+    assert got[2] == (True, "/pub")
+    assert got[3] == (False, "/pub/x")
+    assert got[4] == (True, None)   # default allow
+    assert got[5] == (True, "/d")   # tie -> allow
