@@ -1536,7 +1536,7 @@ def gopher_filter(documents: DataFrame, extra_cols: list | None = None) -> DataF
     )
 
 
-def gopher_filter_oracle() -> str:
+def gopher_filter_oracle(src: str = "documents") -> str:
     ft = _doc_features_sql()
     stop, n_words = ft["stop_hits"], ft["n_words"]
     mean_wlen, alpha_frac = ft["mean_word_len"], ft["alpha_frac"]
@@ -1556,7 +1556,7 @@ SELECT doc_id, source,
            AND ({mean_wlen} BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
            AND ({alpha_frac} >= {GOPHER_MIN_ALPHA_WORD_FRAC})
            AND ({stop} >= {GOPHER_MIN_STOP_HITS}) AS keep
-FROM documents
+FROM {src}
 """
 
 

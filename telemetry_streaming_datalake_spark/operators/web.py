@@ -877,3 +877,102 @@ SELECT doc_id, canonical_url,
        best.prefix AS rule_prefix
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# web-ingest manifest (the front-door capstone, one composed plan)
+# --------------------------------------------------------------------------
+
+
+def web_ingest_manifest(documents: DataFrame) -> DataFrame:
+    """Per-URL ingest decision for the WHOLE web front door in ONE
+    composed plan — the `curation_manifest` analog for the crawl side:
+    URL blocklist → canonical-URL dedup → robots exclusion → fetch
+    (content present) → extraction → Gopher quality gate, each stage's
+    verdict a column and the FIRST failing stage (crawl order) the
+    ``drop_reason``.  `final_keep` rows are what the corpus actually
+    ingests; every drop is attributable to the knob that caused it.
+
+    Shape: the three frames are doc_id-co-keyed joins off one corpus
+    (canonicalize+blocklist map-only, one dedup-window shuffle, one
+    broadcast rules join, extraction map-only, gate map-only) — no
+    all-pairs, no global sort; NULL-text docs surface as
+    ``no_content`` (the URL exists before the fetch does).
+    """
+    from telemetry_streaming_datalake_spark.operators.text import gopher_filter
+
+    flagged = url_canonicalize(documents).select(
+        "doc_id",
+        "source",
+        "canonical_url",
+        F.col("is_blocked").alias("url_blocked"),
+        F.col("dup_of").isNotNull().alias("url_duplicate"),
+    )
+    robots = robots_gate(flagged.select("doc_id", "canonical_url")).select(
+        "doc_id", "robots_allowed"
+    )
+    ext = html_extract(documents)
+    gate = gopher_filter(
+        ext.select("doc_id", "source", F.col("extracted_text").alias("text"))
+    ).select("doc_id", F.col("keep").alias("gate_keep"))
+    m = flagged.join(robots, "doc_id").join(gate, "doc_id", "left")
+    reason = (
+        F.when(F.col("url_blocked"), "url_blocklist")
+        .when(F.col("url_duplicate"), "url_duplicate")
+        .when(~F.col("robots_allowed"), "robots")
+        .when(F.col("gate_keep").isNull(), "no_content")
+        .when(~F.col("gate_keep"), "quality_gate")
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "canonical_url",
+        "url_blocked",
+        "url_duplicate",
+        "robots_allowed",
+        "gate_keep",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("final_keep"),
+    )
+
+
+def web_ingest_manifest_oracle(src: str = "documents") -> str:
+    """All four stage oracles composed verbatim (canonicalize+dedup,
+    robots, extraction, the gopher gate over the EXTRACTED text via a
+    column-aliasing CTE), the same crawl-order reason ladder."""
+    from telemetry_streaming_datalake_spark.operators.text import (
+        gopher_filter_oracle,
+    )
+
+    return f"""
+WITH uc AS ({url_canonicalize_oracle(src)}),
+rb AS ({robots_gate_oracle(src=src)}),
+ext AS ({html_extract_oracle(src)}),
+gtxt AS (SELECT doc_id, source, extracted_text AS text FROM ext),
+gate AS (SELECT doc_id, keep AS gate_keep FROM ({gopher_filter_oracle("gtxt")})),
+m AS (
+    SELECT u.doc_id, u.source, u.canonical_url,
+           u.is_blocked AS url_blocked,
+           u.dup_of IS NOT NULL AS url_duplicate,
+           r.robots_allowed,
+           g.gate_keep
+    FROM uc u
+    JOIN rb r USING (doc_id)
+    LEFT JOIN gate g USING (doc_id)
+)
+SELECT doc_id, source, canonical_url, url_blocked, url_duplicate,
+       robots_allowed, gate_keep,
+       (CASE WHEN url_blocked THEN 'url_blocklist'
+             WHEN url_duplicate THEN 'url_duplicate'
+             WHEN NOT robots_allowed THEN 'robots'
+             WHEN gate_keep IS NULL THEN 'no_content'
+             WHEN NOT gate_keep THEN 'quality_gate'
+        END) AS drop_reason,
+       (CASE WHEN url_blocked THEN 'url_blocklist'
+             WHEN url_duplicate THEN 'url_duplicate'
+             WHEN NOT robots_allowed THEN 'robots'
+             WHEN gate_keep IS NULL THEN 'no_content'
+             WHEN NOT gate_keep THEN 'quality_gate'
+        END) IS NULL AS final_keep
+FROM m
+"""

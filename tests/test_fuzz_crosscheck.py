@@ -516,6 +516,11 @@ def test_fuzz_deferred_oracle_ready_ops(spark, fuzz_main):
             W.extraction_yield_report_oracle(),
         ),
         (
+            "web_ingest_manifest",
+            W.web_ingest_manifest(docs),
+            W.web_ingest_manifest_oracle(),
+        ),
+        (
             "robots_gate",
             W.robots_gate(
                 W.url_canonicalize(docs).select("doc_id", "canonical_url")

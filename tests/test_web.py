@@ -280,3 +280,28 @@ def test_robots_gate_longest_match_semantics(spark):
     assert got[3] == (False, "/pub/x")
     assert got[4] == (True, None)   # default allow
     assert got[5] == (True, "/d")   # tie -> allow
+
+
+def test_web_ingest_manifest_reason_ladder(spark):
+    """Crawl-order attribution: blocklist beats duplicate beats robots
+    beats no_content beats quality_gate; final_keep iff no reason;
+    NULL-text docs surface as no_content (URL exists before fetch)."""
+    docs = _docs(
+        spark,
+        [(i, f"src{i % 4}", f"doc text {i} " * 6) for i in range(40)]
+        + [(100, "src0", None)],
+    )
+    rows = W.web_ingest_manifest(docs).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == 41  # every doc has a URL row, fetched or not
+    assert by_id[100].drop_reason == "no_content"
+    assert by_id[100].gate_keep is None and not by_id[100].final_keep
+    for r in rows:
+        if r.url_blocked:
+            assert r.drop_reason == "url_blocklist"
+        assert r.final_keep == (r.drop_reason is None)
+        if r.final_keep:
+            assert not r.url_blocked and not r.url_duplicate
+            assert r.robots_allowed and r.gate_keep
+    reasons = {r.drop_reason for r in rows}
+    assert "no_content" in reasons
