@@ -212,7 +212,11 @@ def html_extract(
     a_total = F.aggregate(
         nonempty, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["avis"])
     )
-    return staged.select(
+    # a page whose every block is empty after tag-strip (markup-only
+    # HTML, possible with direct `payloads=` input) yields NO row —
+    # same as the oracle's nz-filtered GROUP BY, and what a C4-style
+    # extraction does with an empty page anyway
+    return staged.filter(F.size(nonempty) > 0).select(
         "doc_id",
         "source",
         F.concat_ws(" ", F.transform(kept, lambda s: s["vis"])).alias(
@@ -389,11 +393,11 @@ def _pct_map():
 def _pct_decode(col):
     """Decode unreserved %XX escapes in ONE pass: split on ``%``, map
     each fragment's leading two chars through a literal lookup map
-    (hex case-insensitive via ``upper``), re-join.  Semantically equal
-    to the oracle's sequential 66-regexp chain because decoded chars
-    are never ``%`` and ``%25`` (the escape for ``%`` itself) is
-    reserved and NOT in the table — decoding can never create a new
-    token.  A 66-regexp engine chain was measured first: 7.4 s of
+    (hex case-insensitive via ``upper``), re-join.  The oracle twin is
+    built one-pass from the SAME table (a sequential regexp chain
+    double-decodes dangling-percent inputs like ``%7%41`` — see
+    :func:`_pct_decode_sql`).  A 66-regexp engine chain was measured
+    first: 7.4 s of
     whole-stage-codegen compile on first run + ~1 s/run at sf0.1; the
     split-map form keeps the expression tree small.  Gated behind a
     ``contains('%')`` probe — the overwhelmingly common escape-free
@@ -415,12 +419,23 @@ def _pct_decode(col):
 
 
 def _pct_decode_sql(expr: str) -> str:
-    """DuckDB twin — generated from the SAME table, same lazy gate."""
-    decoded = expr
-    for tok, ch in _PCT_UNRESERVED:
-        ch_sql = ch.replace("'", "''")
-        decoded = f"regexp_replace({decoded}, '(?i){tok}', '{ch_sql}', 'g')"
-    return f"(CASE WHEN strpos({expr}, '%') > 0 THEN {decoded} ELSE {expr} END)"
+    """DuckDB twin — generated from the SAME table, same lazy gate,
+    and the SAME one-pass split+lookup shape as the engine (a
+    sequential 66-regexp chain is NOT equivalent: on a dangling
+    percent followed by a valid escape, e.g. ``%7%41``, a chain first
+    decodes ``%41``→``A`` producing ``%7A`` and a later rule then
+    double-decodes it to ``z``, while one-pass — engine and this twin
+    — yields ``%7A``)."""
+    arms = " ".join(
+        "WHEN '{}' THEN '{}'".format(tok[1:], ch.replace("'", "''"))
+        for tok, ch in _PCT_UNRESERVED
+    )
+    case = f"CASE upper(substr(f, 1, 2)) {arms} END"
+    return f"""(CASE WHEN strpos({expr}, '%') > 0 THEN
+  string_split({expr}, '%')[1] ||
+  array_to_string(list_transform(string_split({expr}, '%')[2:],
+    f -> coalesce(({case}) || substr(f, 3), '%' || f)), '')
+ELSE {expr} END)"""
 
 
 def canonical_url(url):

@@ -395,11 +395,28 @@ class VersionedParquetStore:
             raise ValueError(
                 f"since_version {since_version} is beyond to_version {to_v}"
             )
-        seen = (
-            set(self._read_manifest(since_version)["files"])
-            if since_version in self.versions()
-            else set()
-        )
+        # Delta's startingVersion contract: the anchor must be an
+        # available version.  A silent empty seed would classify the
+        # first subsequent manifest's ENTIRE live file list as added —
+        # redelivering the whole pre-since snapshot as "changes".  On a
+        # manifest gap (vacuumed mid-log), seed from the newest
+        # available manifest <= since_version: only the gap versions'
+        # files can redeliver, never the full snapshot.
+        vs_all = self.versions()
+        if since_version in vs_all:
+            seed_v = since_version
+        else:
+            older = [v for v in vs_all if v < since_version]
+            if not older:
+                raise ValueError(
+                    f"since_version {since_version} is not an available "
+                    f"version at {self.path} (earliest is {vs_all[0]}) — "
+                    "a vacuumed or never-committed version cannot anchor "
+                    "a change feed; read a full snapshot with read() "
+                    "instead"
+                )
+            seed_v = older[-1]
+        seen = set(self._read_manifest(seed_v)["files"])
         out: DataFrame | None = None
         for v in self.versions():
             if v <= since_version or v > to_v:

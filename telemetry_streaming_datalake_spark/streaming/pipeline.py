@@ -1963,29 +1963,19 @@ def streaming_freq_sketch(
     return freq_sketch_audit(ground, sketch=read_cms_store(spark, store))
 
 
-def streaming_url_frontier(
-    spark: SparkSession, sf_dir: str, work_dir: str, n_files: int = 4
-) -> DataFrame:
-    """Crawl FRONTIER: URLs arrive in micro-batches, each batch is
-    canonicalized + blocklist-gated (`web.url_canonicalize`, identical
-    batch==stream code) and only canonical URLs NEVER SEEN before —
-    across ALL previous batches — are admitted for fetch.  The
-    cross-batch state is a persisted seen-store of canonical URLs
-    (parquet, batchId-scoped subdirectories written in OVERWRITE mode
-    — the `streaming_corpus_gate` replay-idempotency contract), and
-    each batch dedups against it with one LEFT ANTI join: the
-    `incremental_dedup` posture, O(batch) work per batch, the index
-    never rescanned.
-
-    The documents table is range-partitioned by doc_id into
-    ``n_files`` landing files drained with ``maxFilesPerTrigger=1``,
-    so the drain genuinely exercises multiple batches and the
-    first-batch-wins frontier semantics coincide with the batch
-    operator's earliest-doc_id keeper rule (pytest-pinned:
-    drained admissions == batch `is_keeper` rows exactly).
-    """
-    from telemetry_streaming_datalake_spark.operators import web as WB
-
+def _stage_frontier_landing(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_files: int
+) -> str:
+    """TEST/DRIVER SCAFFOLDING, not part of the frontier operator: lay
+    the documents table down as ``n_files`` doc_id-range landing files
+    so the availableNow drain genuinely exercises multiple batches.
+    The file source orders files by MODIFICATION TIME — copies made
+    within one clock tick arrive in arbitrary order, which would break
+    the first-batch-wins == min-doc_id coincidence the pytest pins —
+    so strictly increasing mtimes are stamped in range order
+    (part-0000x of a repartitionByRange write holds the lowest
+    doc_ids).  A production frontier consumes whatever landing
+    directory the fetcher drops files into and has no such staging."""
     src = os.path.join(sf_dir, "documents.parquet")
     staged_src = os.path.join(work_dir, "frontier_src")
     (
@@ -1998,16 +1988,39 @@ def streaming_url_frontier(
     landing = os.path.join(work_dir, "frontier_landing")
     os.makedirs(landing, exist_ok=True)
     _stage_parquet(staged_src, landing, "documents.parquet")
-    # the file source orders files by MODIFICATION TIME — copies made
-    # within one clock tick arrive in arbitrary order, which would
-    # break the first-batch-wins == min-doc_id coincidence the pytest
-    # pins; stamp strictly increasing mtimes in range order (part-0000x
-    # of a repartitionByRange write holds the lowest doc_ids)
     for i, f in enumerate(sorted(os.listdir(landing))):
         p = os.path.join(landing, f)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return landing
 
-    schema = spark.read.parquet(staged_src).schema
+
+def streaming_url_frontier(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Crawl FRONTIER: URLs arrive in micro-batches, each batch is
+    canonicalized + blocklist-gated (`web.url_canonicalize`, identical
+    batch==stream code) and only canonical URLs NEVER SEEN before —
+    across ALL previous batches — are admitted for fetch.  The
+    cross-batch state is a persisted seen-store of canonical URLs
+    (parquet, batchId-scoped subdirectories written in OVERWRITE mode),
+    and each batch dedups against it with one LEFT ANTI join: the
+    `incremental_dedup` posture, O(batch) work per batch, the index
+    never rescanned.  Replay-idempotent: the anti-join reads every
+    PRIOR batch's seen dir but never ``batch={batch_id}`` itself, so a
+    checkpoint-restart replay of a partially committed batch re-admits
+    the same rows and overwrites its own dirs with identical content
+    (anti-joining against its own prior output would admit zero rows
+    and overwrite the admissions with empty data — a permanent loss).
+
+    Landing staging lives in :func:`_stage_frontier_landing` (test/
+    driver scaffolding); the operator itself is readStream →
+    foreachBatch, production-shaped (pytest-pinned: drained admissions
+    == batch `is_keeper` rows exactly).
+    """
+    from telemetry_streaming_datalake_spark.operators import web as WB
+
+    landing = _stage_frontier_landing(spark, sf_dir, work_dir, n_files)
+    schema = spark.read.parquet(os.path.join(work_dir, "frontier_src")).schema
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -2030,7 +2043,11 @@ def streaming_url_frontier(
         seen_files = [
             os.path.join(seen_dir, f)
             for f in os.listdir(seen_dir)
-            if f.startswith("batch=")
+            # NEVER the current batch's own dir: on a foreachBatch
+            # replay it holds this batch's prior (possibly partial)
+            # output, and anti-joining against it would admit nothing
+            # and then overwrite the store with empty data
+            if f.startswith("batch=") and f != f"batch={batch_id}"
         ]
         if seen_files:
             seen = s.read.schema(seen_schema).parquet(*seen_files)
