@@ -922,6 +922,10 @@ def web_ingest_manifest(documents: DataFrame) -> DataFrame:
         "canonical_url",
         F.col("is_blocked").alias("url_blocked"),
         F.col("dup_of").isNotNull().alias("url_duplicate"),
+        # the winning doc_id itself, not just the boolean: the manifest
+        # carries `url_canonicalize`'s dedup attribution verbatim (it is
+        # that key's identical-oracle survivor in the registry)
+        "dup_of",
     )
     robots = robots_gate(flagged.select("doc_id", "canonical_url")).select(
         "doc_id", "robots_allowed"
@@ -944,6 +948,7 @@ def web_ingest_manifest(documents: DataFrame) -> DataFrame:
         "canonical_url",
         "url_blocked",
         "url_duplicate",
+        "dup_of",
         "robots_allowed",
         "gate_keep",
         reason.alias("drop_reason"),
@@ -969,13 +974,14 @@ m AS (
     SELECT u.doc_id, u.source, u.canonical_url,
            u.is_blocked AS url_blocked,
            u.dup_of IS NOT NULL AS url_duplicate,
+           u.dup_of,
            r.robots_allowed,
            g.gate_keep
     FROM uc u
     JOIN rb r USING (doc_id)
     LEFT JOIN gate g USING (doc_id)
 )
-SELECT doc_id, source, canonical_url, url_blocked, url_duplicate,
+SELECT doc_id, source, canonical_url, url_blocked, url_duplicate, dup_of,
        robots_allowed, gate_keep,
        (CASE WHEN url_blocked THEN 'url_blocklist'
              WHEN url_duplicate THEN 'url_duplicate'

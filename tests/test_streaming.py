@@ -1497,3 +1497,76 @@ def test_streaming_url_frontier_matches_batch_keepers(spark, tmp_path):
     # the frontier admitted strictly fewer rows than arrived (dedup
     # and blocklist both live)
     assert len(got) < load_table(spark, SF_DIR, "documents").count()
+
+
+def test_streaming_web_ingest_matches_batch_manifest(spark, tmp_path):
+    """The full front door drained as a stream (frontier admission →
+    robots → WARC parse → html_extract over the parsed body → Gopher
+    gate) lands EXACTLY the batch web_ingest_manifest's final_keep
+    rows joined to their extractions — and the html_md5 column proves
+    the extraction consumed the PARSED record body, not a
+    re-synthesis."""
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    got = {
+        (r.doc_id, r.canonical_url, r.html_md5, r.extracted_text, r.n_blocks)
+        for r in SP.streaming_web_ingest(spark, SF_DIR, str(tmp_path)).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    m = W.web_ingest_manifest(docs).filter("final_keep").select(
+        "doc_id", "canonical_url"
+    )
+    ext = W.html_extract(docs)
+    pages = W.attach_html_payload(docs).select(
+        "doc_id", F.md5("html").alias("html_md5")
+    )
+    want = {
+        (r.doc_id, r.canonical_url, r.html_md5, r.extracted_text, r.n_blocks)
+        for r in m.join(ext, "doc_id").join(pages, "doc_id").select(
+            "doc_id", "canonical_url", "html_md5", "extracted_text", "n_blocks"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_change_feed_matches_batch_silver_post_cutoff(spark, tmp_path):
+    """A silver hop drained FROM read_changes(v0) equals batch silver
+    restricted to the post-cutoff delta — the startingVersion chaining
+    run end-to-end through a stream."""
+    from telemetry_streaming_datalake_spark import datamodel as dm
+    from telemetry_streaming_datalake_spark.ingest.silver import to_silver
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    got = {
+        (r.event_id, r.metric_id, r.value, r.unix_ts)
+        for r in SP.streaming_change_feed(spark, SF_DIR, str(tmp_path)).collect()
+    }
+    ded = B.dedup_exact(B.parse_bronze(load_table(spark, SF_DIR, "events")))
+    want = {
+        (r.event_id, r.metric_id, r.value, r.unix_ts)
+        for r in to_silver(
+            ded.filter(F.col("unix_ts") >= 1705276800), dm.metric_mapping(spark)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_publish_jsonl_roundtrip_equals_batch_dedup(spark, tmp_path):
+    """The published JSONL feed re-read through the wire schema is a
+    LOSSLESS round trip of the deduped bronze — the pin that lets the
+    registry key ride `streaming_silver_dedup`'s identical oracle
+    (r13 retirement; the publish sink stays covered here)."""
+    got = {
+        (r.event_id, r.unique_hash_key, r.value, r.unix_ts)
+        for r in SP.streaming_publish_jsonl(spark, SF_DIR, str(tmp_path)).collect()
+    }
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    want = {
+        (r.event_id, r.unique_hash_key, r.value, r.unix_ts)
+        for r in B.dedup_exact(
+            B.parse_bronze(load_table(spark, SF_DIR, "events"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -300,8 +300,13 @@ def test_web_ingest_manifest_reason_ladder(spark):
         if r.url_blocked:
             assert r.drop_reason == "url_blocklist"
         assert r.final_keep == (r.drop_reason is None)
+        assert r.url_duplicate == (r.dup_of is not None)
         if r.final_keep:
             assert not r.url_blocked and not r.url_duplicate
             assert r.robots_allowed and r.gate_keep
     reasons = {r.drop_reason for r in rows}
     assert "no_content" in reasons
+    # the manifest carries url_canonicalize's dedup attribution verbatim
+    # (it is that key's identical-oracle survivor in the registry)
+    uc = {r.doc_id: r.dup_of for r in W.url_canonicalize(docs).collect()}
+    assert all(uc[r.doc_id] == r.dup_of for r in rows)
