@@ -33,7 +33,6 @@ HEADLINE = [
     "ngram_lm",
     "gold_enrich",
     "custom_metric_sum",
-    "latest_metric",
     "gap_detect",
     "stage_delay_report",
     "orphan_usage",
@@ -71,7 +70,6 @@ HEADLINE = [
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh",
-    "ann_ivf",
     "token_count",
     "lang_id_model",
     "text_quality",
@@ -133,7 +131,6 @@ HEADLINE = [
     "availability_report",
     "decontamination_overlap",
     "hybrid_search",
-    "ann_ivf_incremental",
     "bpe_merges",
     "metric_correlation",
     "rollup_restate",
@@ -141,12 +138,10 @@ HEADLINE = [
     "bucketed_join",
     "ts_similarity",
     "lm_perplexity",
-    "bronze_kafka",
     "token_budget_plan",
     "packing_efficiency",
     "tokenize_fixed_vocab",
     "ann_ivf_indexed",
-    "gopher_filter",
     "audio_features",
     "curation_manifest",
     "incremental_dedup",
@@ -181,9 +176,16 @@ HEADLINE = [
     "leakage_safe_split",
     "dedup_containment",
     "perplexity_buckets",
-    "html_extract",
-    "url_canonicalize",
     "train_mix_materialize",
+    # r13 registrations (the web front door end-to-end + change feed)
+    "paragraph_dedup",
+    "warc_extract",
+    "extraction_yield_report",
+    "robots_gate",
+    "web_ingest_manifest",
+    "streaming_url_frontier",
+    "streaming_web_ingest",
+    "streaming_change_feed",
 ]
 
 

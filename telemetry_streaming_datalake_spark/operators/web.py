@@ -997,3 +997,134 @@ SELECT doc_id, source, canonical_url, url_blocked, url_duplicate, dup_of,
         END) IS NULL AS final_keep
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# per-host crawl politeness / fetch-budget report (VERDICT r12 #8a)
+# --------------------------------------------------------------------------
+
+
+def host_politeness_report(
+    documents: DataFrame, requests_per_sec: float = 1.0
+) -> DataFrame:
+    """Per-host fetch-budget dashboard over the frontier's FETCHABLE
+    set (blocklist keepers that robots allows) — the operational twin
+    of `domain_cap_sample` on the crawl side: a polite crawler fetches
+    one host at ``requests_per_sec``, so a host's admitted-URL count IS
+    its wall-clock fetch cost, and the report prices where the next
+    crawl's time goes (`est_fetch_seconds`) and how concentrated the
+    frontier is (`frontier_share`).
+
+    Shape: the canonicalize+dedup shuffle and the broadcast robots
+    join feed ONE host-keyed aggregate; the corpus total rides a
+    broadcast 1-row scalar attach (no window, no second shuffle).
+    Ratios floor-rounded 6dp (SURVEY §6), division-first op order.
+    """
+    uc = url_canonicalize(documents)
+    admitted = uc.filter(F.col("is_keeper")).select("doc_id", "canonical_url")
+    allowed = robots_gate(admitted).filter(F.col("robots_allowed"))
+    host = F.regexp_extract("canonical_url", r"^[^:]+://([^/:?#]*)", 1)
+    per = (
+        allowed.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+    total = per.agg(F.sum("n_urls").alias("__total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "host",
+        "n_urls",
+        floor_round(F.col("n_urls") / F.lit(float(requests_per_sec)), 6).alias(
+            "est_fetch_seconds"
+        ),
+        floor_round(F.col("n_urls") / F.col("__total"), 6).alias(
+            "frontier_share"
+        ),
+    )
+
+
+def host_politeness_report_oracle(
+    requests_per_sec: float = 1.0, src: str = "documents"
+) -> str:
+    """Canonicalize + robots CTEs verbatim, one host aggregate, the
+    same scalar-total share arithmetic."""
+    return f"""
+WITH uc AS ({url_canonicalize_oracle(src)}),
+adm AS (SELECT doc_id, canonical_url FROM uc WHERE is_keeper),
+rb AS ({robots_gate_oracle(src=src)}),
+hosts AS (
+    SELECT regexp_extract(a.canonical_url, '^[^:]+://([^/:?#]*)', 1) AS host
+    FROM adm a JOIN rb r USING (doc_id)
+    WHERE r.robots_allowed
+),
+per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM hosts GROUP BY host)
+SELECT host, n_urls,
+       floor(n_urls / {float(requests_per_sec)!r} * 1000000.0 + 0.5)
+           / 1000000.0 AS est_fetch_seconds,
+       floor(n_urls * 1.0 / (SELECT sum(n_urls) FROM per) * 1000000.0 + 0.5)
+           / 1000000.0 AS frontier_share
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
+# WET-style plain-text record emitter (VERDICT r12 #8b — warc_extract's
+# write side)
+# --------------------------------------------------------------------------
+
+
+def wet_emit(documents: DataFrame, extracted: DataFrame | None = None) -> DataFrame:
+    """Emit the extraction as WET-style ``conversion`` records — the
+    write side of :func:`warc_extract` (CommonCrawl publishes exactly
+    this: a WARC/1.0 record whose body is the extracted plain text,
+    ``WARC-Refers-To`` naming the source response record, octet-exact
+    Content-Length).  Map-only string assembly in the same codegen
+    stage as the extraction; round-trip parse is pytest-pinned through
+    the SAME header regexes `warc_extract` uses."""
+    if extracted is None:
+        extracted = html_extract(documents)
+    urls = attach_url(documents).select("doc_id", "url")
+    rec = extracted.join(urls, "doc_id")
+    wet = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\r\nWARC-Refers-To: <urn:md5:"),
+        F.md5("url"),
+        F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length("extracted_text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("extracted_text"),
+    )
+    return rec.select("doc_id", "source", wet.alias("wet"))
+
+
+def wet_emit_oracle(src: str = "documents") -> str:
+    """The record string rebuilt from the extraction oracle + the URL
+    synthesis — one wrong emitted byte anywhere breaks the equality."""
+    return f"""
+WITH ext AS ({html_extract_oracle(src)}),
+urls AS (
+    SELECT doc_id,
+           (CASE WHEN CAST(('0x' || substr(md5(source || '|' || doc_id), 1, 1))
+                      AS INTEGER) % 2 = 1
+                 THEN 'HTTPS://' ELSE 'HTTP://' END)
+           || 'WWW.' || upper(source) || '.Example.COM'
+           || (CASE WHEN CAST(('0x' || substr(md5(source || '|' || doc_id), 1, 1))
+                         AS INTEGER) % 2 = 1
+                    THEN ':443' ELSE ':80' END)
+           || '/Docs/' || substr(md5(source || '|' || doc_id), 1, 1)
+           || '?utm_source=feed&ref=' || substr(md5(source || '|' || doc_id), 1, 1)
+           || '&UTM_Campaign=' || substr(md5(source || '|' || doc_id), 3, 4)
+           || '&a=1#s' || substr(md5(source || '|' || doc_id), 7, 2) AS url
+    FROM {src}
+)
+SELECT e.doc_id, e.source,
+       'WARC/1.0' || chr(13) || chr(10)
+       || 'WARC-Type: conversion' || chr(13) || chr(10)
+       || 'WARC-Target-URI: ' || u.url || chr(13) || chr(10)
+       || 'WARC-Refers-To: <urn:md5:' || md5(u.url) || '>' || chr(13) || chr(10)
+       || 'Content-Type: text/plain' || chr(13) || chr(10)
+       || 'Content-Length: ' || strlen(e.extracted_text)
+       || chr(13) || chr(10) || chr(13) || chr(10)
+       || e.extracted_text AS wet
+FROM ext e JOIN urls u USING (doc_id)
+"""

@@ -310,3 +310,95 @@ def test_web_ingest_manifest_reason_ladder(spark):
     # (it is that key's identical-oracle survivor in the registry)
     uc = {r.doc_id: r.dup_of for r in W.url_canonicalize(docs).collect()}
     assert all(uc[r.doc_id] == r.dup_of for r in rows)
+
+
+def test_host_politeness_report_prices_fetchable_frontier(spark):
+    """Per-host counts equal the robots-allowed keeper rows; shares sum
+    to 1; est_fetch_seconds = n_urls / rps with the floor-round
+    convention (VERDICT r12 #8a — pytest-pinned, oracle-ready)."""
+    docs = _docs(
+        spark, [(i, f"src{i % 4}", f"text {i} " * 5) for i in range(48)]
+    )
+    rows = W.host_politeness_report(docs, requests_per_sec=2.0).collect()
+    uc = W.url_canonicalize(docs).filter("is_keeper").select(
+        "doc_id", "canonical_url"
+    )
+    allowed = W.robots_gate(uc).filter("robots_allowed").collect()
+    import collections
+
+    want = collections.Counter(
+        r.canonical_url.split("://")[1].split("/")[0] for r in allowed
+    )
+    got = {r.host: r.n_urls for r in rows}
+    assert got == dict(want) and len(got) > 0
+    assert abs(sum(r.frontier_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.est_fetch_seconds - r.n_urls / 2.0) < 1e-6
+    # src1 is host-wide disallowed with only the /Docs/a carve-out, so
+    # its host must carry fewer fetchable URLs than an unrestricted one
+    hosts = {r.host: r.n_urls for r in rows}
+    if "www.src1.example.com" in hosts:
+        assert hosts["www.src1.example.com"] <= min(
+            v for k, v in hosts.items() if k != "www.src1.example.com"
+        )
+
+
+def test_wet_emit_roundtrips_through_warc_parse(spark):
+    """The emitted WET record parses back through the SAME header
+    regexes warc_extract uses: octet-exact Content-Length, the
+    extraction as the body, the Refers-To hash pinned to the source
+    URL (VERDICT r12 #8b — pytest-pinned, oracle-ready)."""
+    docs = _docs(
+        spark,
+        [(1, "src0", "plain text one two three"), (2, "src1", "&lt;tag&gt; text")],
+    )
+    wet = {r.doc_id: r.wet for r in W.wet_emit(docs).collect()}
+    ext = {r.doc_id: r.extracted_text for r in W.html_extract(docs).collect()}
+    urls = {r.doc_id: r.url for r in W.attach_url(docs).collect()}
+    import hashlib
+    import re
+
+    for did, rec in wet.items():
+        assert rec.startswith("WARC/1.0\r\n")
+        assert "WARC-Type: conversion\r\n" in rec
+        uri = re.search(r"WARC-Target-URI: ([^\r]*)\r\n", rec).group(1)
+        assert uri == urls[did]
+        ref = re.search(r"WARC-Refers-To: <urn:md5:([0-9a-f]{32})>", rec).group(1)
+        assert ref == hashlib.md5(urls[did].encode()).hexdigest()
+        clen = int(re.search(r"Content-Length: (\d+)\r\n", rec).group(1))
+        body = rec.split("\r\n\r\n", 1)[1]
+        assert body == ext[did]
+        assert len(body.encode("utf-8")) == clen
+
+
+def test_politeness_and_wet_oracles_match_engine(spark):
+    """Direct driver-faithful compare for the two pytest-only r13
+    extras (the deferred-key oracle-check precedent) — their oracles
+    stay certified even though neither holds a registry key."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from telemetry_streaming_datalake_spark.session import load_table
+    from tools.crosscheck import compare_frames
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for name, frame, oracle in (
+        (
+            "host_politeness_report",
+            W.host_politeness_report(docs),
+            W.host_politeness_report_oracle(),
+        ),
+        ("wet_emit", W.wet_emit(docs), W.wet_emit_oracle()),
+    ):
+        pdf_s = frame.toPandas()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')"
+            )
+            pdf_o = con.execute(oracle).fetch_df()
+        finally:
+            con.close()
+        problems = compare_frames(pdf_s, pdf_o)
+        assert not problems, f"{name}: " + "; ".join(problems)

@@ -214,6 +214,21 @@ def queries():
         "paragraph_dedup": lambda s, d: DD.paragraph_dedup(
             load_table(s, d, "documents")
         ),
+        # r13: the registered web front door + its streaming capstone
+        "warc_extract": lambda s, d: WB.warc_extract(
+            load_table(s, d, "documents")
+        ),
+        "robots_gate": lambda s, d: WB.robots_gate(
+            WB.url_canonicalize(load_table(s, d, "documents")).select(
+                "doc_id", "canonical_url"
+            )
+        ),
+        "extraction_yield_report": lambda s, d: WB.extraction_yield_report(
+            load_table(s, d, "documents")
+        ),
+        "web_ingest_manifest": lambda s, d: WB.web_ingest_manifest(
+            load_table(s, d, "documents")
+        ),
         "gapfill_hourly": lambda s, d: DV.gapfill_hourly(
             B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
         ),
