@@ -979,3 +979,61 @@ def test_paragraph_dedup_two_keyed_shuffles(spark):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     # chunk window + doc groupBy (partial agg on the reassembly side)
     assert 1 <= p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_warc_extract_map_only_zero_exchanges(spark):
+    """The WARC record walk is the pure-scan shape a 100 TB sweep
+    needs: regexp extraction in one codegen stage — the only join is
+    the synthesis-side URL attach (doc_id equi-join on the same scan),
+    no exchange beyond it, no Python."""
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    p = _plan(W.warc_extract(load_table(spark, SF, "documents")))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_robots_gate_broadcast_rules_no_window_sort(spark):
+    """The rule table rides a broadcast join; longest-match resolves
+    via max(struct) partial aggregation — never a per-URL window
+    sort."""
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    urls = W.url_canonicalize(load_table(spark, SF, "documents")).select(
+        "doc_id", "canonical_url"
+    )
+    p = _plan(W.robots_gate(urls))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p  # longest-match is an aggregate, not a sort-rank
+    # struct max is sort-based by construction; partial_max before the
+    # exchange is the map-side combine that keeps it one shuffle
+    assert "SortAggregate" in p or "HashAggregate" in p
+    assert "partial_max" in p
+
+
+def test_web_ingest_manifest_no_allpairs_bounded_exchanges(spark):
+    """The capstone composes four stages through doc_id-co-keyed
+    joins: no cartesian, the rule join broadcast, exchanges bounded by
+    the stage count (dedup window + robots agg + the equi-join
+    alignments), zero Python."""
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    p = _plan(W.web_ingest_manifest(load_table(spark, SF, "documents")))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 8, p
+
+
+def test_host_politeness_scalar_total_broadcast(spark):
+    """The corpus total attaches as a broadcast 1-row scalar — the
+    share arithmetic never re-shuffles the per-host frame."""
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    p = _plan(W.host_politeness_report(load_table(spark, SF, "documents")))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
