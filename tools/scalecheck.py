@@ -48,6 +48,9 @@ from telemetry_streaming_datalake_spark.operators import text as TX
 from telemetry_streaming_datalake_spark.operators import similarity as SIM
 from telemetry_streaming_datalake_spark.operators import skew as SKW
 from telemetry_streaming_datalake_spark.operators import web as WB
+from telemetry_streaming_datalake_spark.streaming import pipeline as SP
+
+import tempfile
 
 #: same cutoff the driver key uses (mid-corpus)
 MERGE_CUTOFF_UNIX = 1705276800
@@ -228,6 +231,15 @@ def queries():
         ),
         "web_ingest_manifest": lambda s, d: WB.web_ingest_manifest(
             load_table(s, d, "documents")
+        ),
+        "streaming_url_frontier": lambda s, d: SP.streaming_url_frontier(
+            s, d, tempfile.mkdtemp(prefix="sc_frontier_")
+        ),
+        "streaming_web_ingest": lambda s, d: SP.streaming_web_ingest(
+            s, d, tempfile.mkdtemp(prefix="sc_webingest_")
+        ),
+        "streaming_change_feed": lambda s, d: SP.streaming_change_feed(
+            s, d, tempfile.mkdtemp(prefix="sc_changefeed_")
         ),
         "gapfill_hourly": lambda s, d: DV.gapfill_hourly(
             B.dedup_exact(B.parse_bronze(load_table(s, d, "events")))
