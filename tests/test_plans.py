@@ -44,7 +44,6 @@ def plans(spark):
     names = [
         "gold_enrich",
         "custom_metric_sum",
-        "latest_metric",
         "orphan_usage",
         "dedup_minhash",
         "dedup_simhash",
@@ -97,6 +96,11 @@ def plans(spark):
     from telemetry_streaming_datalake_spark.operators import sessions as SES
 
     out["sessionize"] = _plan(SES.sessionize(load_table(spark, SF, "events")))
+    # latest_metric's key retired r13 (identical latest relation via
+    # always_on_topology's oracle) — the operator + its plan pins stay
+    from telemetry_streaming_datalake_spark.operators import latest as L
+
+    out["latest_metric"] = _plan(L.latest_metric(qs["gold_enrich"](spark, SF)))
     return out
 
 
