@@ -314,7 +314,8 @@ _MAIN_KEYS = [
     "lang_id_model",
     "token_count",
     "text_quality",
-    "gopher_filter",
+    # gopher_filter's key retired r13 -> streaming_corpus_gate runs the
+    # identical oracle in _STREAMING_KEYS below
     "quality_classifier",
     "quality_percentile_gate",
     "repetition_stats",
@@ -323,7 +324,8 @@ _MAIN_KEYS = [
     # embeddings — NULL rows, near-dups, tiny norms
     "ann_cosine_topk",
     "ann_lsh",
-    "ann_ivf",
+    # ann_ivf / ann_ivf_incremental keys retired r13 -> ann_ivf_indexed
+    # (identical oracle) carries the family in _MAIN_KEYS_EXT
     "ann_ivfpq",
     "quantize_embeddings",
     "semantic_dedup",
@@ -354,7 +356,9 @@ _MAIN_KEYS_EXT = [
     "silver_explode",
     "bronze_feed_b",
     "bronze_feed_c",
-    "latest_metric",
+    # latest_metric's key retired r13 -> the latest relation rides
+    # always_on_topology; merge_upsert_latest + the stateful streaming
+    # twin keep the latest-state arithmetic hostile-pinned here
     "gate_rule_report",
     "incremental_rollup",
     "agg_consistency",
@@ -423,11 +427,18 @@ _MAIN_KEYS_EXT = [
     "hard_negatives",
     "ann_ivf_indexed",
     "kmeans_refine",
-    # r12 web front door + mix materializer over hostile text (entity
-    # strings, NULL/empty docs, astral unicode, regexp metachars)
-    "html_extract",
-    "url_canonicalize",
+    # r12/r13 web front door + mix materializer over hostile text
+    # (entity strings, NULL/empty docs, astral unicode, regexp
+    # metachars).  html_extract / url_canonicalize keys retired r13 —
+    # web_ingest_manifest composes both verbatim, so their hostile
+    # coverage rides the capstone (plus robots + yield + WARC, all
+    # registered r13)
     "train_mix_materialize",
+    "paragraph_dedup",
+    "warc_extract",
+    "extraction_yield_report",
+    "robots_gate",
+    "web_ingest_manifest",
 ]
 
 #: streaming twins over the hostile corpus — the full streaming sweep
@@ -494,39 +505,25 @@ def test_fuzz_cap_binding(spark, fuzz_hot, key):
     _run_key(spark, fuzz_hot, key)
 
 
-def test_fuzz_deferred_oracle_ready_ops(spark, fuzz_main):
-    """`paragraph_dedup` and `warc_extract` are pytest-only this round
-    (registry at the ~180 ceiling, SURVEY §2 rows 84-85); their READY
-    oracles must stay hostile-certified ahead of the r13 registration
-    — same driver-faithful compare, built direct (the retired-key
+def test_fuzz_pytest_only_extras(spark, fuzz_main):
+    """`host_politeness_report` and `wet_emit` are registry-key-free by
+    design (VERDICT r12 #7 debt freeze), so the out-of-band fuzzcheck
+    never sees them — THIS is their hostile-corpus certification, the
+    same driver-faithful compare built direct (the retired-key
     plan-pin precedent)."""
     import duckdb
 
-    from telemetry_streaming_datalake_spark.operators import dedup as DD
     from telemetry_streaming_datalake_spark.operators import web as W
     from telemetry_streaming_datalake_spark.session import load_table
 
     docs = load_table(spark, fuzz_main, "documents")
     for name, frame, oracle in (
-        ("paragraph_dedup", DD.paragraph_dedup(docs), DD.paragraph_dedup_oracle()),
-        ("warc_extract", W.warc_extract(docs), W.warc_extract_oracle()),
         (
-            "extraction_yield_report",
-            W.extraction_yield_report(docs),
-            W.extraction_yield_report_oracle(),
+            "host_politeness_report",
+            W.host_politeness_report(docs),
+            W.host_politeness_report_oracle(),
         ),
-        (
-            "web_ingest_manifest",
-            W.web_ingest_manifest(docs),
-            W.web_ingest_manifest_oracle(),
-        ),
-        (
-            "robots_gate",
-            W.robots_gate(
-                W.url_canonicalize(docs).select("doc_id", "canonical_url")
-            ),
-            W.robots_gate_oracle(),
-        ),
+        ("wet_emit", W.wet_emit(docs), W.wet_emit_oracle()),
     ):
         pdf_s = frame.toPandas()
         con = duckdb.connect()

@@ -688,7 +688,12 @@ def test_always_on_runner_three_concurrent_queries(spark):
         got = r.await_rows(r.gold_dir, want_gold, timeout_s=180)
         assert got == want_gold
         # hop 4: the serving store converges to one row per latest key
-        want_latest = queries["latest_metric"](spark, sf).count()
+        # (latest_metric's registry key retired r13 — build direct)
+        from telemetry_streaming_datalake_spark.operators import latest as L
+
+        want_latest = L.latest_metric(
+            queries["gold_enrich"](spark, sf)
+        ).count()
         got_latest = r.await_store_rows(want_latest, timeout_s=120)
         assert got_latest == want_latest
         st = {s["name"]: s for s in r.status()}
