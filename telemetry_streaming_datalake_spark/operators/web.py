@@ -916,6 +916,14 @@ def web_ingest_manifest(documents: DataFrame) -> DataFrame:
     """
     from telemetry_streaming_datalake_spark.operators.text import gopher_filter
 
+    # NOTE on the double canonicalize: both the manifest spine and the
+    # robots gate consume `flagged`, and Catalyst does not share common
+    # subplans across join branches, so the canonicalize window
+    # executes twice.  An eager localCheckpoint was MEASURED SLOWER at
+    # sf0.1 (2.24 vs 1.82 s — the materialization barrier costs more
+    # than the second pass over a corpus this size); at crawl scale the
+    # canonical URL table is a persisted upstream stage and the
+    # question disappears.
     flagged = url_canonicalize(documents).select(
         "doc_id",
         "source",

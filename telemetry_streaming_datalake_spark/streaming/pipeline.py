@@ -2079,7 +2079,11 @@ def streaming_url_frontier(
 
 
 def streaming_web_ingest(
-    spark: SparkSession, sf_dir: str, work_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_files: int = 4,
+    pin_stages: bool = False,
 ) -> DataFrame:
     """The WHOLE web front door AS A STREAM — what a real crawl ingest
     looks like (VERDICT r12 #3): documents arrive in micro-batches and
@@ -2147,14 +2151,28 @@ def streaming_web_ingest(
         # have no record — the URL exists before the fetch succeeds),
         # framing + octet-verified Content-Length gate the parse
         docs_b = batch_df.join(allowed.select("doc_id"), "doc_id")
+        # pin_stages=True materializes the "fetched" records and the
+        # extraction once per batch (in production that checkpoint IS
+        # the fetcher's WARC landing file).  A/B at sf0.1 batch sizes
+        # (~1.2k docs/batch) measured the pins SLOWER (9.3-9.8 vs
+        # 8.2-8.9 s drain) — the barrier outweighs re-deriving a
+        # map-only chain on small batches — so the default re-derives;
+        # flip the knob when batches are big enough that the synthesis
+        # dominates (BASELINE.md r13)
         recs = WB.attach_warc_payload(docs_b)
+        if pin_stages:
+            recs = recs.localCheckpoint(eager=True)
         ok = WB.warc_extract(docs_b, records=recs).filter(
             F.col("magic_ok") & F.col("length_ok") & (F.col("status") == 200)
         )
         http = F.regexp_extract(F.col("warc"), r"(?s)^.*?\r\n\r\n(.*)$", 1)
         body = F.regexp_extract(http, r"(?s)^.*?\r\n\r\n(.*)$", 1)
         payloads = recs.select("doc_id", "source", body.alias("html"))
+        # the extraction feeds BOTH the gate and the final projection —
+        # pin it so the block/regexp chain runs once
         ext = WB.html_extract(docs_b, payloads=payloads)
+        if pin_stages:
+            ext = ext.localCheckpoint(eager=True)
         gate_ids = (
             gopher_filter(
                 ext.select(
