@@ -2075,6 +2075,8 @@ def streaming_url_frontier(
         for d in os.listdir(admit_dir)
         if d.startswith("batch=")
     ]
+    if not subdirs:  # empty landing drains zero batches — empty, not an error
+        return spark.createDataFrame([], out_schema)
     return spark.read.schema(out_schema).parquet(*subdirs)
 
 
@@ -2215,6 +2217,8 @@ def streaming_web_ingest(
         for d in os.listdir(lake_dir)
         if d.startswith("batch=")
     ]
+    if not subdirs:  # empty landing drains zero batches — empty, not an error
+        return spark.createDataFrame([], out_schema)
     return spark.read.schema(out_schema).parquet(*subdirs)
 
 
@@ -2238,7 +2242,7 @@ WHERE m.final_keep
 
 
 def streaming_change_feed(
-    spark: SparkSession, sf_dir: str, work_dir: str
+    spark: SparkSession, sf_dir: str, work_dir: str, cutoff: int = 1705276800
 ) -> DataFrame:
     """Silver hop driven FROM the versioned store's change feed — the
     ``startingVersion`` chaining the reference actually runs (`Gold
@@ -2262,7 +2266,7 @@ def streaming_change_feed(
         VersionedParquetStore,
     )
 
-    cutoff = 1705276800  # MERGE_CUTOFF_UNIX — the registry's split point
+    # default cutoff = MERGE_CUTOFF_UNIX, the registry's split point
     ded = dedup_exact(
         parse_bronze(load_table(spark, sf_dir, "events"))
     ).localCheckpoint(eager=True)
@@ -2279,11 +2283,18 @@ def streaming_change_feed(
     feed_schema = spark.read.parquet(feed_dir).schema
 
     lake_dir = os.path.join(work_dir, "silver_lake")
+    os.makedirs(lake_dir, exist_ok=True)
     ckpt = os.path.join(work_dir, "feed_ckpt")
     mapping = dm.metric_mapping(spark)
 
     def _hop(batch_df: DataFrame, batch_id: int) -> None:
-        to_silver(batch_df, mapping).write.mode("append").parquet(lake_dir)
+        # batchId-scoped OVERWRITE, never a blind append: a foreachBatch
+        # replay after a checkpoint restart re-lands the identical dir
+        # instead of double-writing rows (the frontier/corpus-gate
+        # idempotency contract)
+        to_silver(batch_df, mapping).write.mode("overwrite").parquet(
+            os.path.join(lake_dir, f"batch={batch_id}")
+        )
 
     (
         spark.readStream.schema(feed_schema)
@@ -2294,7 +2305,18 @@ def streaming_change_feed(
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(lake_dir)
+    subdirs = [
+        os.path.join(lake_dir, d)
+        for d in os.listdir(lake_dir)
+        if d.startswith("batch=")
+    ]
+    if not subdirs:
+        # an EMPTY delta (no commits past the high-water mark) drains
+        # zero batches — the hop's empty relation, not a read error
+        return to_silver(
+            spark.createDataFrame([], feed_schema), mapping
+        ).limit(0)
+    return spark.read.parquet(*subdirs)
 
 
 def streaming_change_feed_oracle(bronze_sql: str, cutoff: int = 1705276800) -> str:

@@ -1575,3 +1575,14 @@ def test_streaming_publish_jsonl_roundtrip_equals_batch_dedup(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_change_feed_empty_delta_is_empty_not_an_error(spark, tmp_path):
+    """A subscription with nothing past the high-water mark drains
+    zero batches and returns the hop's EMPTY relation with the right
+    schema — never a path error or a snapshot redelivery."""
+    out = SP.streaming_change_feed(
+        spark, SF_DIR, str(tmp_path), cutoff=4_000_000_000
+    )
+    assert out.count() == 0
+    assert "metric_id" in out.columns and "value" in out.columns
