@@ -470,15 +470,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Key ORDER is load-bearing: the driver oracle-checks the FIRST 50 keys.
 
     Rotation policy (SURVEY §2b): every round, keys with the stalest (or
-    no) driver-green CORRECTNESS row come first; with 134+ keys and a
-    50-key window the sustainable cycle is 3 rounds.  The dict below is
-    grouped by topic for readability; `_R13_ORDER` (from
-    `python tools/rotate.py`) dictates the actual driver-visible order.
-    Keys added mid-round and absent from `_R13_ORDER` are prepended so
-    they land inside the driver window immediately (VERDICT r5 item
-    10) — as shipped, the round-6 window is the 14 new r6 keys plus the
-    36 never-driver-checked keys — exactly 50 (SURVEY §2b holds the
-    full 3-round schedule and the 150-key sustainability ceiling).
+    no) driver-green CORRECTNESS row come first; the registry holds 180
+    keys against the 50-key window under a 4-round freshness bound, so
+    net-new keys (≤10/round) displace a named identical-oracle
+    survivor.  The dict below is grouped by topic for readability;
+    `_R13_ORDER` (from `python tools/rotate.py`, minus the round's
+    retirements) dictates the actual driver-visible order.  Keys added
+    mid-round and absent from `_R13_ORDER` auto-prepend so they land
+    inside the driver window immediately — as shipped, the r13 window
+    is the 8 new keys + the 28-key r9-deadline cohort + the 14 stalest
+    r10 keys, exactly 50 (full ledger and budget arithmetic in §2b).
     """
     base = {
         # --- r11 additions (absent from _R13_ORDER -> auto-prepended
