@@ -1663,7 +1663,11 @@ SELECT doc_i, doc_j, start_i, start_j, span_len FROM (
 PARA_CHUNK_WORDS = 10
 
 
-def paragraph_dedup(documents: DataFrame, chunk_words: int = PARA_CHUNK_WORDS) -> DataFrame:
+def paragraph_dedup(
+    documents: DataFrame,
+    chunk_words: int = PARA_CHUNK_WORDS,
+    dedup_via_agg: bool = False,
+) -> DataFrame:
     """The C4 §2.2 repeated-paragraph DROP, as a REWRITE (VERDICT r11
     #9b): every document's text re-emitted with corpus-duplicated
     chunks removed — the first occurrence (lowest (doc_id, idx))
@@ -1674,11 +1678,22 @@ def paragraph_dedup(documents: DataFrame, chunk_words: int = PARA_CHUNK_WORDS) -
     Shape — exactly the C4 MapReduce job: one scan explodes docs into
     (chunk, doc, idx) rows (map-only arithmetic chunking of the
     normalized word array); ONE shuffle keyed by chunk text ranks
-    occurrences (row_number — no all-pairs, hot chunks are one key's
-    partition and AQE skew-split applies); one doc-keyed shuffle
+    occurrences (row_number, no all-pairs); one doc-keyed shuffle
     reassembles kept chunks in order.  Docs whose normalized text is
     empty emit no row (the `decontaminate` convention); NULL text
     likewise.
+
+    A boilerplate chunk repeated across millions of documents is a
+    VIRAL key, and AQE cannot split a skewed WINDOW partition (it
+    splits skewed joins only) — the row_number form's 100 TB failure
+    mode is a single-task straggler.  ``dedup_via_agg=True`` computes
+    the winner as ``min(struct(doc_id, idx))`` per chunk instead:
+    partial aggregation collapses the hot chunk map-side and the join
+    back is AQE-skew-splittable (the `url_canonicalize` A/B,
+    BASELINE.md r13; row-identical, equality pytest-pinned — struct
+    ordering is lexicographic (doc_id, idx), exactly the window's
+    sort).  A production corpus run should use the agg path, keyed by
+    md5(chunk) if shuffle width matters (the C4 hash-dedup posture).
     """
     words = F.filter(
         F.split(F.trim(normalize_text(F.col("text"))), " "),
@@ -1706,8 +1721,18 @@ def paragraph_dedup(documents: DataFrame, chunk_words: int = PARA_CHUNK_WORDS) -
             ).alias("idx", "chunk"),
         )
     )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
-    ranked = chunks.withColumn("__keep", F.row_number().over(w) == 1)
+    if dedup_via_agg:
+        winners = chunks.groupBy("chunk").agg(
+            F.min(F.struct("doc_id", "idx")).alias("__w")
+        )
+        ranked = chunks.join(winners, "chunk").withColumn(
+            "__keep",
+            (F.col("doc_id") == F.col("__w.doc_id"))
+            & (F.col("idx") == F.col("__w.idx")),
+        )
+    else:
+        w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+        ranked = chunks.withColumn("__keep", F.row_number().over(w) == 1)
     return (
         ranked.groupBy("doc_id")
         .agg(

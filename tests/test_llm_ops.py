@@ -2386,3 +2386,25 @@ def test_paragraph_dedup_drops_repeats_keeps_first(spark):
     assert got[3].clean_text == "" and got[3].n_dropped == 2
     assert got[4].clean_text == "totally unique words only"
     assert 5 not in got and 6 not in got  # NULL / empty emit no row
+
+
+def test_paragraph_dedup_agg_path_equals_window_path(spark):
+    """The skew-safe min(struct) dedup path is row-identical to the
+    row_number window — including intra-doc repeats and cross-doc
+    boilerplate (the viral-chunk case the agg path exists for)."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    boiler = "subscribe to our newsletter for updates every day now"
+    rows = [
+        (1, "s", f"alpha beta gamma delta epsilon zeta eta theta {boiler}"),
+        (2, "s", f"{boiler} one two three four five six seven eight"),
+        (3, "s", f"{boiler} {boiler} nine ten eleven twelve thirteen x"),
+        (4, "s", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = {(r.doc_id, r.clean_text) for r in DD.paragraph_dedup(docs).collect()}
+    b = {
+        (r.doc_id, r.clean_text)
+        for r in DD.paragraph_dedup(docs, dedup_via_agg=True).collect()
+    }
+    assert a == b and len(a) == 3
