@@ -510,13 +510,23 @@ def test_fuzz_pytest_only_extras(spark, fuzz_main):
     design (VERDICT r12 #7 debt freeze), so the out-of-band fuzzcheck
     never sees them — THIS is their hostile-corpus certification, the
     same driver-faithful compare built direct (the retired-key
-    plan-pin precedent)."""
+    plan-pin precedent).  The skew-safe agg dedup paths are equality-
+    pinned against their window twins on the SAME hostile corpus."""
     import duckdb
 
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
     from telemetry_streaming_datalake_spark.operators import web as W
     from telemetry_streaming_datalake_spark.session import load_table
 
     docs = load_table(spark, fuzz_main, "documents")
+    a = {tuple(r) for r in W.url_canonicalize(docs).collect()}
+    b = {tuple(r) for r in W.url_canonicalize(docs, dedup_via_agg=True).collect()}
+    assert a == b
+    pa = {tuple(r) for r in DD.paragraph_dedup(docs).collect()}
+    pb = {
+        tuple(r) for r in DD.paragraph_dedup(docs, dedup_via_agg=True).collect()
+    }
+    assert pa == pb
     for name, frame, oracle in (
         (
             "host_politeness_report",
