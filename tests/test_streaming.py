@@ -1586,3 +1586,46 @@ def test_streaming_change_feed_empty_delta_is_empty_not_an_error(spark, tmp_path
     )
     assert out.count() == 0
     assert "metric_id" in out.columns and "value" in out.columns
+
+
+def _rerun_after_checkpoint_loss(spark, tmp_path, fn, ckpt_name):
+    """Drain once, then delete ONLY the checkpoint and drain again —
+    every batch replays against the surviving cross-batch state, the
+    exact scenario of the r12 frontier replay bug (a replayed batch
+    anti-joining its own prior output and erasing its admissions)."""
+    import shutil
+
+    first = {tuple(r) for r in fn().collect()}
+    shutil.rmtree(str(tmp_path / ckpt_name))
+    second = {tuple(r) for r in fn().collect()}
+    return first, second
+
+
+def test_streaming_url_frontier_full_replay_is_idempotent(spark, tmp_path):
+    first, second = _rerun_after_checkpoint_loss(
+        spark,
+        tmp_path,
+        lambda: SP.streaming_url_frontier(spark, SF_DIR, str(tmp_path)),
+        "frontier_ckpt",
+    )
+    assert first == second and len(first) > 0
+
+
+def test_streaming_web_ingest_full_replay_is_idempotent(spark, tmp_path):
+    first, second = _rerun_after_checkpoint_loss(
+        spark,
+        tmp_path,
+        lambda: SP.streaming_web_ingest(spark, SF_DIR, str(tmp_path)),
+        "ingest_ckpt",
+    )
+    assert first == second and len(first) > 0
+
+
+def test_streaming_change_feed_full_replay_is_idempotent(spark, tmp_path):
+    first, second = _rerun_after_checkpoint_loss(
+        spark,
+        tmp_path,
+        lambda: SP.streaming_change_feed(spark, SF_DIR, str(tmp_path)),
+        "feed_ckpt",
+    )
+    assert first == second and len(first) > 0
