@@ -1602,10 +1602,12 @@ def _rerun_after_checkpoint_loss(spark, tmp_path, fn, ckpt_name):
 
 
 def test_streaming_url_frontier_full_replay_is_idempotent(spark, tmp_path):
+    # n_files=2: the replay property needs >=2 batches, not 4 — halves
+    # the double-drain cost (partest budget)
     first, second = _rerun_after_checkpoint_loss(
         spark,
         tmp_path,
-        lambda: SP.streaming_url_frontier(spark, SF_DIR, str(tmp_path)),
+        lambda: SP.streaming_url_frontier(spark, SF_DIR, str(tmp_path), n_files=2),
         "frontier_ckpt",
     )
     assert first == second and len(first) > 0
@@ -1615,7 +1617,7 @@ def test_streaming_web_ingest_full_replay_is_idempotent(spark, tmp_path):
     first, second = _rerun_after_checkpoint_loss(
         spark,
         tmp_path,
-        lambda: SP.streaming_web_ingest(spark, SF_DIR, str(tmp_path)),
+        lambda: SP.streaming_web_ingest(spark, SF_DIR, str(tmp_path), n_files=2),
         "ingest_ckpt",
     )
     assert first == second and len(first) > 0
