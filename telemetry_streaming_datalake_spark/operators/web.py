@@ -537,8 +537,19 @@ def url_canonicalize(
             F.min("doc_id").alias("__first")
         )
         first = F.col("__first")
+        # NULL-SAFE join keys: a NULL canonical (possible with a custom
+        # `urls=` frame) forms ONE window partition in the default
+        # path, and groupBy likewise groups NULLs — a plain equi-join
+        # would silently DROP those rows and break path equality
+        f2 = firsts.withColumnRenamed(
+            "canonical_url", "__cu"
+        ).withColumnRenamed("is_blocked", "__ib")
         return (
-            flagged.join(firsts, ["canonical_url", "is_blocked"])
+            flagged.join(
+                f2,
+                F.col("canonical_url").eqNullSafe(F.col("__cu"))
+                & F.col("is_blocked").eqNullSafe(F.col("__ib")),
+            )
             .select(
                 "doc_id",
                 "source",

@@ -415,3 +415,20 @@ def test_url_canonicalize_agg_dedup_path_equals_window_path(spark):
     a = {tuple(r) for r in W.url_canonicalize(docs).collect()}
     b = {tuple(r) for r in W.url_canonicalize(docs, dedup_via_agg=True).collect()}
     assert a == b and len(a) == 120
+
+
+def test_url_canonicalize_agg_path_keeps_null_canonical_rows(spark):
+    """A custom `urls=` frame can carry NULL URLs; the window path
+    groups them into one NULL partition, and the agg path must do the
+    same (null-safe join keys — a plain equi-join would silently drop
+    them and break path equality)."""
+    urls = spark.createDataFrame(
+        [(1, "s", "HTTP://A.com/x"), (2, "s", None), (3, "s", None)],
+        "doc_id long, source string, url string",
+    )
+    a = {tuple(r) for r in W.url_canonicalize(None, urls=urls).collect()}
+    b = {
+        tuple(r)
+        for r in W.url_canonicalize(None, urls=urls, dedup_via_agg=True).collect()
+    }
+    assert a == b and len(a) == 3
