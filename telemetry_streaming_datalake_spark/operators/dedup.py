@@ -1667,6 +1667,7 @@ def paragraph_dedup(
     documents: DataFrame,
     chunk_words: int = PARA_CHUNK_WORDS,
     dedup_via_agg: bool = False,
+    key_by_hash: bool = False,
 ) -> DataFrame:
     """The C4 §2.2 repeated-paragraph DROP, as a REWRITE (VERDICT r11
     #9b): every document's text re-emitted with corpus-duplicated
@@ -1692,8 +1693,13 @@ def paragraph_dedup(
     back is AQE-skew-splittable (the `url_canonicalize` A/B,
     BASELINE.md r13; row-identical, equality pytest-pinned — struct
     ordering is lexicographic (doc_id, idx), exactly the window's
-    sort).  A production corpus run should use the agg path, keyed by
-    md5(chunk) if shuffle width matters (the C4 hash-dedup posture).
+    sort).  A production corpus run should use the agg path; add
+    ``key_by_hash=True`` to key BOTH the winner agg and the join back
+    by ``md5(chunk)`` instead of the raw chunk text (the C4 hash-dedup
+    posture): shuffle rows then carry a fixed 32-byte key instead of
+    the full chunk string, which matters when chunks are paragraphs.
+    Results are identical up to md5 collisions (~2^-64 per pair);
+    equality pytest-pinned against both other paths.
     """
     words = F.filter(
         F.split(F.trim(normalize_text(F.col("text"))), " "),
@@ -1722,10 +1728,16 @@ def paragraph_dedup(
         )
     )
     if dedup_via_agg:
-        winners = chunks.groupBy("chunk").agg(
+        # key_by_hash: the winner shuffle + join back ride a fixed
+        # 32-byte md5 instead of the raw chunk text — the chunk string
+        # itself never crosses the winner exchange
+        key = "__ck" if key_by_hash else "chunk"
+        if key_by_hash:
+            chunks = chunks.withColumn("__ck", F.md5("chunk"))
+        winners = chunks.groupBy(key).agg(
             F.min(F.struct("doc_id", "idx")).alias("__w")
         )
-        ranked = chunks.join(winners, "chunk").withColumn(
+        ranked = chunks.join(winners, key).withColumn(
             "__keep",
             (F.col("doc_id") == F.col("__w.doc_id"))
             & (F.col("idx") == F.col("__w.idx")),

@@ -396,27 +396,26 @@ class VersionedParquetStore:
                 f"since_version {since_version} is beyond to_version {to_v}"
             )
         # Delta's startingVersion contract: the anchor must be an
-        # available version.  A silent empty seed would classify the
-        # first subsequent manifest's ENTIRE live file list as added —
-        # redelivering the whole pre-since snapshot as "changes".  On a
-        # manifest gap (vacuumed mid-log), seed from the newest
-        # available manifest <= since_version: only the gap versions'
-        # files can redeliver, never the full snapshot.
+        # available version, PERIOD (Delta raises on a missing
+        # startingVersion commit).  A silent empty seed would classify
+        # the first subsequent manifest's ENTIRE live file list as
+        # added — redelivering the whole pre-since snapshot as
+        # "changes".  A gap-seed fallback (seed from the newest
+        # manifest <= since) was considered and dropped: it stamps the
+        # gap versions' files with the first post-since version's
+        # _commit_version — wrong commit attribution — and with this
+        # class's prefix-only VACUUM (a contiguous manifest suffix
+        # survives) a mid-log gap cannot exist anyway.
         vs_all = self.versions()
-        if since_version in vs_all:
-            seed_v = since_version
-        else:
-            older = [v for v in vs_all if v < since_version]
-            if not older:
-                raise ValueError(
-                    f"since_version {since_version} is not an available "
-                    f"version at {self.path} (earliest is {vs_all[0]}) — "
-                    "a vacuumed or never-committed version cannot anchor "
-                    "a change feed; read a full snapshot with read() "
-                    "instead"
-                )
-            seed_v = older[-1]
-        seen = set(self._read_manifest(seed_v)["files"])
+        if since_version not in vs_all:
+            raise ValueError(
+                f"since_version {since_version} is not an available "
+                f"version at {self.path} (available: {vs_all[0]}.."
+                f"{vs_all[-1]}) — a vacuumed or never-committed version "
+                "cannot anchor a change feed; read a full snapshot with "
+                "read() instead"
+            )
+        seen = set(self._read_manifest(since_version)["files"])
         out: DataFrame | None = None
         for v in self.versions():
             if v <= since_version or v > to_v:

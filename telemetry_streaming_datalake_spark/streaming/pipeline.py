@@ -1988,7 +1988,13 @@ def _stage_frontier_landing(
     landing = os.path.join(work_dir, "frontier_landing")
     os.makedirs(landing, exist_ok=True)
     _stage_parquet(staged_src, landing, "documents.parquet")
-    for i, f in enumerate(sorted(os.listdir(landing))):
+    # NUMERIC sort key: the staged names are '{i}_documents.parquet'
+    # and lexicographic order breaks at i >= 10 ('10_' < '2_'), which
+    # would silently scramble the first-batch-wins == min-doc_id
+    # coincidence the oracle and pytests rely on
+    for i, f in enumerate(
+        sorted(os.listdir(landing), key=lambda f: int(f.split("_", 1)[0]))
+    ):
         p = os.path.join(landing, f)
         os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
     return landing
@@ -2036,7 +2042,13 @@ def streaming_url_frontier(
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        flagged = WB.url_canonicalize(batch_df)
+        # skew-safe dedup path: crawl traffic is power-law in canonical
+        # URL (a flash-crowd URL is a viral key), and AQE cannot split
+        # a skewed WINDOW partition — the agg path collapses the hot
+        # key map-side and its join back IS AQE-splittable (the
+        # url_canonicalize A/B, BASELINE.md r13; row-identical,
+        # equality pytest-pinned)
+        flagged = WB.url_canonicalize(batch_df, dedup_via_agg=True)
         candidates = flagged.filter(
             ~F.col("is_blocked") & F.col("is_keeper")
         ).select("doc_id", "source", "url", "canonical_url")
@@ -2126,7 +2138,9 @@ def streaming_web_ingest(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        flagged = WB.url_canonicalize(batch_df)
+        # skew-safe agg dedup, not the window (viral-URL single-reducer
+        # straggler at crawl scale — see streaming_url_frontier._admit)
+        flagged = WB.url_canonicalize(batch_df, dedup_via_agg=True)
         candidates = flagged.filter(
             ~F.col("is_blocked") & F.col("is_keeper")
         ).select("doc_id", "canonical_url")
@@ -2170,8 +2184,10 @@ def streaming_web_ingest(
         http = F.regexp_extract(F.col("warc"), r"(?s)^.*?\r\n\r\n(.*)$", 1)
         body = F.regexp_extract(http, r"(?s)^.*?\r\n\r\n(.*)$", 1)
         payloads = recs.select("doc_id", "source", body.alias("html"))
-        # the extraction feeds BOTH the gate and the final projection —
-        # pin it so the block/regexp chain runs once
+        # the extraction feeds BOTH the gate and the final projection;
+        # it is only pinned when pin_stages=True — by default the
+        # block/regexp chain re-derives per consumer, measured FASTER
+        # at these batch sizes (A/B above)
         ext = WB.html_extract(docs_b, payloads=payloads)
         if pin_stages:
             ext = ext.localCheckpoint(eager=True)

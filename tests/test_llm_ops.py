@@ -2408,3 +2408,12 @@ def test_paragraph_dedup_agg_path_equals_window_path(spark):
         for r in DD.paragraph_dedup(docs, dedup_via_agg=True).collect()
     }
     assert a == b and len(a) == 3
+    # the md5(chunk)-keyed production variant (fixed-width shuffle key)
+    # is row-identical too
+    c = {
+        (r.doc_id, r.clean_text)
+        for r in DD.paragraph_dedup(
+            docs, dedup_via_agg=True, key_by_hash=True
+        ).collect()
+    }
+    assert a == c

@@ -269,6 +269,24 @@ def test_read_changes_returns_appended_rows_with_commit_versions(spark, tmp_path
         store.read_changes(5)
 
 
+def test_read_changes_vacuumed_anchor_raises(spark, tmp_path):
+    """The Delta startingVersion contract, strictly: ANY unavailable
+    anchor raises — including one vacuumed away.  No gap-seed
+    fallback: it would stamp gap-version files with a later version's
+    _commit_version (wrong attribution), and prefix-only VACUUM can't
+    produce a mid-log gap anyway (ADVICE r13)."""
+    store = VersionedParquetStore(spark, str(tmp_path / "t"))
+    store.write(_df(spark, [(1, "2024-01-01", 1.0)]), mode="overwrite")
+    store.write(_df(spark, [(2, "2024-01-02", 2.0)]), mode="append")
+    store.write(_df(spark, [(3, "2024-01-03", 3.0)]), mode="append")
+    store.vacuum(retain_last=2)  # drops v0; v1, v2 survive
+    with pytest.raises(ValueError, match="not an available version"):
+        store.read_changes(0)
+    # surviving anchors still work, attribution intact
+    got = {(r.id, r._commit_version) for r in store.read_changes(1).collect()}
+    assert got == {(3, 2)}
+
+
 def test_read_changes_redelivers_on_rewrite_like_ignorechanges(spark, tmp_path):
     """A copy-on-write rewrite (optimize) re-adds files carrying old
     rows — read_changes redelivers them, the documented ignoreChanges

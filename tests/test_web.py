@@ -326,8 +326,13 @@ def test_host_politeness_report_prices_fetchable_frontier(spark):
     allowed = W.robots_gate(uc).filter("robots_allowed").collect()
     import collections
 
+    # strip any port to match the operator's host semantics (its regex
+    # drops ports; the fixture URLs only carry default ports that
+    # canonicalization removes, but a non-default-port fixture must not
+    # silently diverge the expectation)
     want = collections.Counter(
-        r.canonical_url.split("://")[1].split("/")[0] for r in allowed
+        r.canonical_url.split("://")[1].split("/")[0].split(":")[0]
+        for r in allowed
     )
     got = {r.host: r.n_urls for r in rows}
     assert got == dict(want) and len(got) > 0
