@@ -55,59 +55,14 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
-#: round-13 driver rotation (SURVEY §2b): the FULL stalest-first order
-#: emitted by `python tools/rotate.py` at r13 open, MINUS the eight
-#: registry-retired keys of this round (each named with its
-#: identical-oracle survivor where its queries()/oracle_sql() rows were
-#: removed; operators + pytest remain).  The r13 window (first 50) =
-#: the 8 auto-prepended r13 keys + the 28-key r9 cohort at its 4-round
-#: deadline (`heavy_hitters` ... `corpus_drift`, minus the retired
-#: `bronze_kafka`/`gopher_filter`) + the 14 stalest r10 keys
-#: (`lang_id_model` ... `q17_small_quantity`).  Budget arithmetic in
-#: SURVEY §2b.
-_R13_ORDER = [
-    "heavy_hitters",
-    "quantize_embeddings",
-    "dedup_minhash",
-    "dedup_simhash",
-    "stage_delay_report",
-    "bronze_feed_c",
-    "dedup_simhash_weighted",
-    "q4_priority_check",
-    "q13_order_distribution",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q22_dormant_value",
-    "boilerplate_ngrams",
-    "semantic_dedup",
-    "pack_sequences",
-    "mixture_weights",
-    "kmeans_refine",
-    "streaming_quarantine_split",
-    "table_profile",
-    "token_budget_plan",
-    "packing_efficiency",
-    "ann_ivf_indexed",
-    "audio_features",
-    "curation_manifest",
-    "incremental_dedup",
-    "streaming_corpus_gate",
-    "ann_recall_report",
-    "corpus_drift",
-    "lang_id_model",
-    "video_meta",
-    "retrieval_quality_report",
-    "dup_keep_audit",
-    "dedup_threshold_curve",
-    "gate_rule_report",
-    "decontamination_overlap",
-    "zipf_fit",
-    "embedding_drift",
-    "length_trim",
-    "anomaly_mad",
-    "latest_state_diff",
-    "q15_top_supplier",
-    "q17_small_quantity",
+#: round-14 driver rotation (SURVEY §2b): the FULL stalest-first order
+#: emitted by `python tools/rotate.py` at r14 open.  The r14 window
+#: (first 50) = the complete 35-key r10 cohort at its 4-round deadline
+#: (`q2_min_cost_supplier` ... `bronze_parse`) + the 15 stalest r11
+#: keys (`png_pixels` ... `gap_detect`) — ZERO slack, per VERDICT r13
+#: #2: any net-new key auto-prepends and displaces an r11 key whose
+#: own deadline is r15.  Budget arithmetic in SURVEY §2b.
+_R14_ORDER = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
@@ -238,6 +193,56 @@ _R13_ORDER = [
     "train_val_split",
     "corpus_stats",
     "decontaminate",
+    "paragraph_dedup",
+    "warc_extract",
+    "extraction_yield_report",
+    "robots_gate",
+    "web_ingest_manifest",
+    "streaming_url_frontier",
+    "streaming_web_ingest",
+    "streaming_change_feed",
+    "heavy_hitters",
+    "quantize_embeddings",
+    "dedup_minhash",
+    "dedup_simhash",
+    "stage_delay_report",
+    "bronze_feed_c",
+    "dedup_simhash_weighted",
+    "q4_priority_check",
+    "q13_order_distribution",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_dormant_value",
+    "boilerplate_ngrams",
+    "semantic_dedup",
+    "pack_sequences",
+    "mixture_weights",
+    "kmeans_refine",
+    "streaming_quarantine_split",
+    "table_profile",
+    "token_budget_plan",
+    "packing_efficiency",
+    "ann_ivf_indexed",
+    "audio_features",
+    "curation_manifest",
+    "incremental_dedup",
+    "streaming_corpus_gate",
+    "ann_recall_report",
+    "corpus_drift",
+    "lang_id_model",
+    "video_meta",
+    "retrieval_quality_report",
+    "dup_keep_audit",
+    "dedup_threshold_curve",
+    "gate_rule_report",
+    "decontamination_overlap",
+    "zipf_fit",
+    "embedding_drift",
+    "length_trim",
+    "anomaly_mad",
+    "latest_state_diff",
+    "q15_top_supplier",
+    "q17_small_quantity",
 ]
 
 
@@ -474,15 +479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys against the 50-key window under a 4-round freshness bound, so
     net-new keys (≤10/round) displace a named identical-oracle
     survivor.  The dict below is grouped by topic for readability;
-    `_R13_ORDER` (from `python tools/rotate.py`, minus the round's
+    `_R14_ORDER` (from `python tools/rotate.py`, minus the round's
     retirements) dictates the actual driver-visible order.  Keys added
-    mid-round and absent from `_R13_ORDER` auto-prepend so they land
-    inside the driver window immediately — as shipped, the r13 window
-    is the 8 new keys + the 28-key r9-deadline cohort + the 14 stalest
-    r10 keys, exactly 50 (full ledger and budget arithmetic in §2b).
+    mid-round and absent from `_R14_ORDER` auto-prepend so they land
+    inside the driver window immediately — as shipped, the r14 window
+    is exactly the 35-key r10 cohort at its 4-round deadline + the 15
+    stalest r11 keys, zero slack (ledger and budget arithmetic in §2b).
     """
     base = {
-        # --- r11 additions (absent from _R13_ORDER -> auto-prepended
+        # --- r11 additions (absent from _R14_ORDER -> auto-prepended
         # to the driver window), displacement-funded per SURVEY §2b ---
         # PNG as a full pixel citizen: the synthesizer now emits a REAL
         # zlib IDAT (stored deflate + column-computed Adler-32), the
@@ -539,11 +544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": lambda s, d: TX.perplexity_buckets(
             load_table(s, d, "documents")
         ),
-        # --- r12 additions (absent from _R13_ORDER -> auto-prepended
+        # --- r12 additions (absent from _R14_ORDER -> auto-prepended
         # to the driver window, each displacing one r9 fill slot;
         # registry 177 -> 180 of the ~180 ceiling, inside the ≤3
         # net-new budget VERDICT r11 set) ---
-        # --- r13 additions (absent from _R13_ORDER -> auto-prepended
+        # --- r13 additions (absent from _R14_ORDER -> auto-prepended
         # to the driver window; VERDICT r12 #1/#3/#4 — the six
         # oracle-ready web-front-door registrations plus the two
         # end-to-end streaming keys, each funded by a NAMED
@@ -724,7 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
         # --- r8 continuation additions (now rotation-scheduled via
-        # _R13_ORDER like every non-r11 key) ---
+        # _R14_ORDER like every non-r11 key) ---
         "trend_report": lambda s, d: DV.trend_report(B.dedup_exact(_bronze(s, d))),
         "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
             load_table(s, d, "documents")
@@ -807,7 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (now rotation-scheduled via _R13_ORDER)
+        # round-6 additions (now rotation-scheduled via _R14_ORDER)
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
         ),
@@ -938,7 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
         ),
         "rollup_restate": _rollup_restate,
-        # r7 additions (now rotation-scheduled via _R13_ORDER)
+        # r7 additions (now rotation-scheduled via _R14_ORDER)
         "png_meta": lambda s, d: MM.png_meta(
             load_table(s, d, "documents"),
             payloads=MM.media_payload_fixture(s, d, "png"),
@@ -1065,12 +1070,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
-    fresh = {k: v for k, v in base.items() if k not in set(_R13_ORDER)}
-    ordered = fresh | {k: base[k] for k in _R13_ORDER if k in base}
+    fresh = {k: v for k, v in base.items() if k not in set(_R14_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R14_ORDER if k in base}
     # a typo'd rotation entry would silently fall out of the schedule
     # and its real key masquerade as "fresh" — fail loudly instead
-    missing = set(_R13_ORDER) - set(base)
-    assert not missing, f"_R13_ORDER names unknown keys: {sorted(missing)}"
+    missing = set(_R14_ORDER) - set(base)
+    assert not missing, f"_R14_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 

@@ -1,8 +1,12 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints the contract JSON line with the FULL per-key map first:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+then writes that payload to BENCH_FULL.json (committed per round) and
+prints a compact (<1 KB) summary line LAST — the driver artifact keeps
+only the final 2000 chars of stdout, so the last line must parse
+whole (VERDICT r13 #5).
 
 Each query executes fully via the noop sink (no driver collect cost,
 no result materialization skew) — the number is the end-to-end plan
@@ -257,14 +261,31 @@ def main() -> None:
         "sf": float(sf),
     }
     print(json.dumps(payload))
-    # the driver artifact keeps only the tail of the printed line
-    # (~72 keys survive, `parsed: null`), so round-over-round per-key
-    # comparison needs a full copy the repo retains (VERDICT r11):
-    # committed as BENCH_FULL.json each round
+    # The driver artifact captures only the LAST 2000 chars of stdout
+    # and json-parses the final line — the ~5 KB full-map line above
+    # truncates head-first there (`parsed: null`, three rounds
+    # running).  Fix per VERDICT r13 #5: the full per-key map lives in
+    # the committed side file, and the LAST printed line is a compact
+    # summary (<1 KB) that always parses — same metric/value/unit/sf,
+    # `queries` holding only the slowest 15 keys, and `queries_file`
+    # naming the complete map.
     full = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "queries_file": "BENCH_FULL.json",
+        "queries": slowest,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
