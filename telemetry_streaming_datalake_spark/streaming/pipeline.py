@@ -1963,6 +1963,146 @@ def streaming_freq_sketch(
     return freq_sketch_audit(ground, sketch=read_cms_store(spark, store))
 
 
+#: hash-bucket count for the crawl seen-store: admissions land in
+#: ``batch=N/bucket=B`` (B = pmod(xxhash64(canonical_url), BUCKETS)) so
+#: each micro-batch's anti-join is partition-pruned to the buckets its
+#: own keys touch — the `bm25_indexed`/`ann_ivf_indexed` pruned-probe
+#: posture (VERDICT r13 #3).  16 at test scale; production sizes this
+#: so one bucket's URL set fits an executor scan (e.g. 4096 at 10^9
+#: admitted URLs).
+SEEN_BUCKETS = 16
+#: fold ``batch=*`` delta dirs into one compacted store every K
+#: batches — bounds the store at ≤K delta dirs + 1 compacted dir
+#: instead of O(batches) dirs (the million-file-listing failure mode
+#: of a long-running crawl), amortizing the O(store) rewrite 1/K.
+SEEN_COMPACT_EVERY = 4
+
+
+def _seen_bucket_col():
+    return F.pmod(F.xxhash64(F.col("canonical_url")), F.lit(SEEN_BUCKETS)).cast(
+        "int"
+    )
+
+
+def _seen_complete_compactions(seen_dir: str) -> list[int]:
+    """Compacted store versions with a _SUCCESS marker (a dir without
+    one is a crashed write — its inputs are still intact, so it is
+    simply rewritten; never read)."""
+    out = []
+    for d in os.listdir(seen_dir):
+        if d.startswith("compacted_v=") and os.path.exists(
+            os.path.join(seen_dir, d, "_SUCCESS")
+        ):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _seen_compact(spark: SparkSession, seen_dir: str, batch_id: int) -> None:
+    """Fold the previous compacted store + every ``batch=j`` (j <
+    batch_id) delta dir into ``compacted_v={batch_id}``, then delete
+    the folded inputs — the LSM fold the `compaction_plan` operator
+    prices for lake tables, applied to cross-batch state.
+
+    Replay-safe by construction: inputs are only COMMITTED batches
+    (j < batch_id, and foreachBatch commits batch j before j+1 starts),
+    so a replayed fold is deterministic; deletion runs strictly AFTER
+    the overwrite-committed write (_SUCCESS), and a complete
+    ``compacted_v={batch_id}`` means a prior attempt already finished
+    (its inputs may be gone) — only the idempotent deletion sweep
+    re-runs."""
+    import shutil
+
+    target = os.path.join(seen_dir, f"compacted_v={batch_id}")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        prior = [
+            v for v in _seen_complete_compactions(seen_dir) if v < batch_id
+        ]
+        frames = []
+        if prior:
+            cdir = os.path.join(seen_dir, f"compacted_v={prior[-1]}")
+            frames.append(
+                spark.read.option("basePath", cdir)
+                .parquet(cdir)
+                .select("canonical_url", "bucket")
+            )
+        deltas = [
+            os.path.join(seen_dir, d)
+            for d in os.listdir(seen_dir)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
+        ]
+        if deltas:
+            frames.append(
+                spark.read.option("basePath", seen_dir)
+                .parquet(*deltas)
+                .select("canonical_url", "bucket")
+            )
+        if not frames:
+            return
+        folded = frames[0]
+        for f in frames[1:]:
+            folded = folded.unionByName(f)
+        # no distinct: per-batch admissions are disjoint by the
+        # anti-join's own contract, so the fold is a pure union
+        folded.write.partitionBy("bucket").mode("overwrite").parquet(target)
+    for d in os.listdir(seen_dir):
+        if d.startswith("compacted_v=") and int(d.split("=", 1)[1]) < batch_id:
+            shutil.rmtree(os.path.join(seen_dir, d))
+        elif d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id:
+            shutil.rmtree(os.path.join(seen_dir, d))
+
+
+def _seen_probe(
+    cand: DataFrame, seen_dir: str, batch_id: int
+) -> DataFrame:
+    """Anti-join ``cand`` (must carry ``canonical_url`` + ``bucket``)
+    against every PRIOR batch's admissions, reading ONLY the hash
+    buckets this batch's keys touch: both the compacted store and the
+    delta dirs are hive-partitioned on ``bucket``, so the
+    ``bucket IN (touched)`` filter is a pushed PartitionFilter (plan
+    pytest-pinned) and per-batch probe I/O is O(touched buckets), not
+    O(total admitted).  The own-batch dir is never read (replay
+    idempotency — a replayed batch anti-joining its own prior output
+    would admit nothing and erase its admissions)."""
+    s = cand.sparkSession
+    comp = [v for v in _seen_complete_compactions(seen_dir) if v <= batch_id]
+    comp_v = comp[-1] if comp else None
+    resid = []
+    for d in os.listdir(seen_dir):
+        if not d.startswith("batch="):
+            continue
+        j = int(d.split("=", 1)[1])
+        # batches < comp_v are folded into (and deleted after) the
+        # compacted store; leftover dirs from a crash mid-sweep are
+        # subsumed by it, so reading them would only duplicate work
+        if j != batch_id and (comp_v is None or j >= comp_v):
+            resid.append(os.path.join(seen_dir, d))
+    frames = []
+    if comp_v is not None:
+        cdir = os.path.join(seen_dir, f"compacted_v={comp_v}")
+        frames.append(
+            s.read.option("basePath", cdir)
+            .parquet(cdir)
+            .select("canonical_url", "bucket")
+        )
+    if resid:
+        frames.append(
+            s.read.option("basePath", seen_dir)
+            .parquet(*resid)
+            .select("canonical_url", "bucket")
+        )
+    if not frames:
+        return cand
+    # bounded collect: ≤ SEEN_BUCKETS ints, never corpus-sized
+    touched = [r[0] for r in cand.select("bucket").distinct().collect()]
+    pruned = [f.filter(F.col("bucket").isin(touched)) for f in frames]
+    seen = pruned[0]
+    for f in pruned[1:]:
+        seen = seen.unionByName(f)
+    return cand.join(
+        seen.select("canonical_url"), "canonical_url", "left_anti"
+    )
+
+
 def _stage_frontier_landing(
     spark: SparkSession, sf_dir: str, work_dir: str, n_files: int
 ) -> str:
@@ -2001,22 +2141,29 @@ def _stage_frontier_landing(
 
 
 def streaming_url_frontier(
-    spark: SparkSession, sf_dir: str, work_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_files: int = 4,
+    compact_every: int = SEEN_COMPACT_EVERY,
 ) -> DataFrame:
     """Crawl FRONTIER: URLs arrive in micro-batches, each batch is
     canonicalized + blocklist-gated (`web.url_canonicalize`, identical
     batch==stream code) and only canonical URLs NEVER SEEN before —
-    across ALL previous batches — are admitted for fetch.  The
-    cross-batch state is a persisted seen-store of canonical URLs
-    (parquet, batchId-scoped subdirectories written in OVERWRITE mode),
-    and each batch dedups against it with one LEFT ANTI join: the
-    `incremental_dedup` posture, O(batch) work per batch, the index
-    never rescanned.  Replay-idempotent: the anti-join reads every
-    PRIOR batch's seen dir but never ``batch={batch_id}`` itself, so a
-    checkpoint-restart replay of a partially committed batch re-admits
-    the same rows and overwrites its own dirs with identical content
-    (anti-joining against its own prior output would admit zero rows
-    and overwrite the admissions with empty data — a permanent loss).
+    across ALL previous batches — are admitted for fetch.
+
+    Cross-batch state is a persisted seen-store HASH-BUCKETED on
+    ``pmod(xxhash64(canonical_url), SEEN_BUCKETS)``: each batch writes
+    ``batch=N/bucket=B`` (overwrite mode), the anti-join reads ONLY
+    the buckets its own keys touch (pushed PartitionFilter —
+    :func:`_seen_probe`), and every ``compact_every`` batches the
+    delta dirs fold into one compacted store (:func:`_seen_compact`),
+    so probe I/O is O(touched buckets) and the dir count stays bounded
+    instead of growing with crawl length.  Replay-idempotent: the
+    probe never reads ``batch={batch_id}`` itself (anti-joining its
+    own prior output would admit zero rows and erase the admissions),
+    and compaction only folds committed batches behind a _SUCCESS
+    guard.
 
     Landing staging lives in :func:`_stage_frontier_landing` (test/
     driver scaffolding); the operator itself is readStream →
@@ -2038,10 +2185,10 @@ def streaming_url_frontier(
     os.makedirs(admit_dir, exist_ok=True)
     ckpt = os.path.join(work_dir, "frontier_ckpt")
 
-    seen_schema = "canonical_url string"
-
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if batch_id > 0 and batch_id % compact_every == 0:
+            _seen_compact(s, seen_dir, batch_id)
         # skew-safe dedup path: crawl traffic is power-law in canonical
         # URL (a flash-crowd URL is a viral key), and AQE cannot split
         # a skewed WINDOW partition — the agg path collapses the hot
@@ -2049,28 +2196,22 @@ def streaming_url_frontier(
         # url_canonicalize A/B, BASELINE.md r13; row-identical,
         # equality pytest-pinned)
         flagged = WB.url_canonicalize(batch_df, dedup_via_agg=True)
-        candidates = flagged.filter(
-            ~F.col("is_blocked") & F.col("is_keeper")
-        ).select("doc_id", "source", "url", "canonical_url")
-        seen_files = [
-            os.path.join(seen_dir, f)
-            for f in os.listdir(seen_dir)
-            # NEVER the current batch's own dir: on a foreachBatch
-            # replay it holds this batch's prior (possibly partial)
-            # output, and anti-joining against it would admit nothing
-            # and then overwrite the store with empty data
-            if f.startswith("batch=") and f != f"batch={batch_id}"
-        ]
-        if seen_files:
-            seen = s.read.schema(seen_schema).parquet(*seen_files)
-            candidates = candidates.join(seen, "canonical_url", "left_anti")
-        # checkpoint: the admitted frame feeds BOTH sinks below; and
-        # batchId-scoped overwrite keeps replays idempotent
-        admitted = candidates.localCheckpoint(eager=True)
-        admitted.select("canonical_url").write.mode("overwrite").parquet(
-            os.path.join(seen_dir, f"batch={batch_id}")
+        # pin the shuffle-bearing canonicalize+dedup chain: it feeds
+        # both the touched-bucket collect and the anti-join
+        cand = (
+            flagged.filter(~F.col("is_blocked") & F.col("is_keeper"))
+            .select("doc_id", "source", "url", "canonical_url")
+            .withColumn("bucket", _seen_bucket_col())
+            .localCheckpoint(eager=True)
         )
-        admitted.write.mode("overwrite").parquet(
+        admitted = _seen_probe(cand, seen_dir, batch_id)
+        if admitted is not cand:
+            # the probed frame feeds BOTH sinks below — pin once
+            admitted = admitted.localCheckpoint(eager=True)
+        admitted.select("canonical_url", "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(os.path.join(seen_dir, f"batch={batch_id}"))
+        admitted.drop("bucket").write.mode("overwrite").parquet(
             os.path.join(admit_dir, f"batch={batch_id}")
         )
 
@@ -2098,6 +2239,7 @@ def streaming_web_ingest(
     work_dir: str,
     n_files: int = 4,
     pin_stages: bool = False,
+    compact_every: int = SEEN_COMPACT_EVERY,
 ) -> DataFrame:
     """The WHOLE web front door AS A STREAM — what a real crawl ingest
     looks like (VERDICT r12 #3): documents arrive in micro-batches and
@@ -2117,8 +2259,11 @@ def streaming_web_ingest(
     their extractions (the oracle; composition equality pinned in
     tests/test_streaming.py).  Cross-batch dedup keeps first-batch-
     wins == earliest-doc_id via the staged landing order, exactly the
-    frontier's contract; replays are idempotent for the same reason
-    (own-batch seen dir excluded from the anti-join)."""
+    frontier's contract — including its hash-bucketed, periodically
+    compacted seen-store (:func:`_seen_probe`/:func:`_seen_compact`:
+    partition-pruned probes, bounded dir count); replays are
+    idempotent for the same reason (own-batch seen dir excluded from
+    the anti-join, _SUCCESS-guarded compaction)."""
     from telemetry_streaming_datalake_spark.operators import web as WB
     from telemetry_streaming_datalake_spark.operators.text import gopher_filter
 
@@ -2134,30 +2279,27 @@ def streaming_web_ingest(
     os.makedirs(seen_dir, exist_ok=True)
     os.makedirs(lake_dir, exist_ok=True)
     ckpt = os.path.join(work_dir, "ingest_ckpt")
-    seen_schema = "canonical_url string"
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if batch_id > 0 and batch_id % compact_every == 0:
+            _seen_compact(s, seen_dir, batch_id)
         # skew-safe agg dedup, not the window (viral-URL single-reducer
         # straggler at crawl scale — see streaming_url_frontier._admit)
         flagged = WB.url_canonicalize(batch_df, dedup_via_agg=True)
-        candidates = flagged.filter(
-            ~F.col("is_blocked") & F.col("is_keeper")
-        ).select("doc_id", "canonical_url")
-        seen_files = [
-            os.path.join(seen_dir, f)
-            for f in os.listdir(seen_dir)
-            # never the current batch's own dir (replay idempotency —
-            # see streaming_url_frontier)
-            if f.startswith("batch=") and f != f"batch={batch_id}"
-        ]
-        if seen_files:
-            seen = s.read.schema(seen_schema).parquet(*seen_files)
-            candidates = candidates.join(seen, "canonical_url", "left_anti")
-        admitted = candidates.localCheckpoint(eager=True)
-        admitted.select("canonical_url").write.mode("overwrite").parquet(
-            os.path.join(seen_dir, f"batch={batch_id}")
+        cand = (
+            flagged.filter(~F.col("is_blocked") & F.col("is_keeper"))
+            .select("doc_id", "canonical_url")
+            .withColumn("bucket", _seen_bucket_col())
+            .localCheckpoint(eager=True)
         )
+        probed = _seen_probe(cand, seen_dir, batch_id)
+        if probed is not cand:
+            probed = probed.localCheckpoint(eager=True)
+        probed.select("canonical_url", "bucket").write.partitionBy(
+            "bucket"
+        ).mode("overwrite").parquet(os.path.join(seen_dir, f"batch={batch_id}"))
+        admitted = probed.drop("bucket")
         allowed = (
             WB.robots_gate(admitted)
             .filter(F.col("robots_allowed"))

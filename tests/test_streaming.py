@@ -1504,6 +1504,107 @@ def test_streaming_url_frontier_matches_batch_keepers(spark, tmp_path):
     assert len(got) < load_table(spark, SF_DIR, "documents").count()
 
 
+def test_streaming_url_frontier_compaction_folds_and_bounds_store(
+    spark, tmp_path
+):
+    """With compact_every=2 over five micro-batches, the delta dirs
+    fold twice (batch 2: 0-1; batch 4: compacted+2-3) — admissions
+    are unchanged and the final store is ONE compacted dir + the last
+    batch's delta, not O(batches) dirs (VERDICT r13 #3)."""
+    import os
+
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    got = {
+        (r.doc_id, r.canonical_url)
+        for r in SP.streaming_url_frontier(
+            spark, SF_DIR, str(tmp_path), n_files=5, compact_every=2
+        ).collect()
+    }
+    batch = W.url_canonicalize(load_table(spark, SF_DIR, "documents"))
+    want = {
+        (r.doc_id, r.canonical_url)
+        for r in batch.filter("is_keeper").collect()
+    }
+    assert got == want
+    state = sorted(
+        d
+        for d in os.listdir(str(tmp_path / "frontier_seen"))
+        if d.startswith(("batch=", "compacted_v="))
+    )
+    assert state == ["batch=4", "compacted_v=4"]
+    # the compacted store is hive-bucketed for partition-pruned probes
+    comp = str(tmp_path / "frontier_seen" / "compacted_v=4")
+    assert any(d.startswith("bucket=") for d in os.listdir(comp))
+    # compacted + last delta together hold every admission exactly once
+    delta = str(tmp_path / "frontier_seen" / "batch=4")
+    urls = [
+        r.canonical_url
+        for r in spark.read.option("basePath", comp)
+        .parquet(comp)
+        .unionByName(
+            spark.read.option("basePath", delta).parquet(delta)
+        )
+        .collect()
+    ]
+    assert sorted(urls) == sorted({u for _d, u in got})
+
+
+def test_streaming_url_frontier_replay_with_compaction_is_idempotent(
+    spark, tmp_path
+):
+    """Checkpoint loss AFTER a compaction has folded (and deleted) the
+    early delta dirs: every batch replays against the compacted store
+    and re-admits identical rows — the _SUCCESS guard skips the
+    re-fold whose inputs are gone."""
+    first, second = _rerun_after_checkpoint_loss(
+        spark,
+        tmp_path,
+        lambda: SP.streaming_url_frontier(
+            spark, SF_DIR, str(tmp_path), n_files=3, compact_every=2
+        ),
+        "frontier_ckpt",
+    )
+    assert first == second and len(first) > 0
+
+
+def test_seen_probe_is_partition_pruned_on_touched_buckets(spark, tmp_path):
+    """The cross-batch anti-join's scan of the seen-store carries a
+    pushed PartitionFilter on `bucket` — per-batch probe I/O is
+    O(touched buckets), never a full-store scan (the bm25_indexed /
+    ann_ivf_indexed pruned-probe posture)."""
+    import re
+
+    seen_dir = str(tmp_path / "seen")
+    os.makedirs(seen_dir)
+    prior = (
+        spark.createDataFrame(
+            [(f"http://h{i}.example.com/",) for i in range(40)],
+            "canonical_url string",
+        )
+        .withColumn("bucket", SP._seen_bucket_col())
+    )
+    prior.write.partitionBy("bucket").parquet(
+        os.path.join(seen_dir, "batch=0")
+    )
+    cand = (
+        spark.createDataFrame(
+            [(1, "http://h1.example.com/"), (2, "http://new.example.com/")],
+            "doc_id long, canonical_url string",
+        )
+        .withColumn("bucket", SP._seen_bucket_col())
+        .localCheckpoint(eager=True)
+    )
+    probed = SP._seen_probe(cand, seen_dir, 1)
+    p = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "bucket" in m.group(1) and "IN" in m.group(1).upper()
+    # and the probe is correct: the seen URL drops, the new one stays
+    assert {r.doc_id for r in probed.collect()} == {2}
+
+
 def test_streaming_web_ingest_matches_batch_manifest(spark, tmp_path):
     """The full front door drained as a stream (frontier admission →
     robots → WARC parse → html_extract over the parsed body → Gopher
