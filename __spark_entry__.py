@@ -192,7 +192,6 @@ _R14_ORDER = [
     "doc_chunks",
     "train_val_split",
     "corpus_stats",
-    "decontaminate",
     "paragraph_dedup",
     "warc_extract",
     "extraction_yield_report",
@@ -215,7 +214,6 @@ _R14_ORDER = [
     "q22_dormant_value",
     "boilerplate_ngrams",
     "semantic_dedup",
-    "pack_sequences",
     "mixture_weights",
     "kmeans_refine",
     "streaming_quarantine_split",
@@ -615,6 +613,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (VERDICT r12 #4; funded by retiring `html_extract` ->
         # `web_ingest_manifest` per the manifest note above)
         "streaming_change_feed": _streaming_change_feed,
+        # --- r14 registrations (VERDICT r13 #4): the two r13
+        # pytest-only web extras get their standing driver rows.
+        # Funded by retiring `pack_sequences` -> `packing_efficiency`
+        # (whose oracle composes pack_sequences_oracle verbatim as its
+        # packed CTE) and `decontaminate` -> `decontamination_overlap`
+        # (whose oracle carries decontaminate_oracle verbatim as its
+        # ngram-method CTE); both retired operators + pytests remain.
+        # per-host fetch-budget pricing of the robots-allowed frontier
+        "host_politeness_report": lambda s, d: WB.host_politeness_report(
+            load_table(s, d, "documents")
+        ),
+        # warc_extract's write side: WET conversion records, octet-
+        # exact Content-Length, Refers-To pinned to the source URL
+        "wet_emit": lambda s, d: WB.wet_emit(load_table(s, d, "documents")),
         # training-mix MATERIALIZER — token_budget_plan executed into
         # the actual (doc, epoch) sample via deterministic md5
         # thresholds (VERDICT r11 #9a; third and last net-new key of
@@ -769,7 +781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": lambda s, d: CP.chunk_documents(load_table(s, d, "documents")),
         "train_val_split": lambda s, d: CP.train_val_split(load_table(s, d, "documents")),
         "corpus_stats": lambda s, d: CP.corpus_stats(load_table(s, d, "documents")),
-        "decontaminate": lambda s, d: CP.decontaminate(load_table(s, d, "documents")),
         "heavy_hitters": lambda s, d: CP.heavy_hitters(load_table(s, d, "documents")),
         "quantize_embeddings": lambda s, d: SIM.quantize_embeddings(
             load_table(s, d, "embeddings")
@@ -805,7 +816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": lambda s, d: SIM.semantic_dedup(
             load_table(s, d, "embeddings")
         ),
-        "pack_sequences": lambda s, d: CP.pack_sequences(load_table(s, d, "documents")),
         "mixture_weights": lambda s, d: CP.mixture_weights(load_table(s, d, "documents")),
         "kmeans_refine": lambda s, d: SIM.kmeans_refine(load_table(s, d, "embeddings")),
         "streaming_quarantine_split": _streaming_quarantine,
@@ -1176,6 +1186,11 @@ FROM (
         # all four stage oracles composed verbatim (this key is the
         # registry survivor carrying html_extract + url_canonicalize)
         "web_ingest_manifest": WB.web_ingest_manifest_oracle(),
+        # canonicalize + robots CTEs verbatim, one host aggregate,
+        # floor-rounded share/seconds (SURVEY §6)
+        "host_politeness_report": WB.host_politeness_report_oracle(),
+        # extraction + URL-synthesis CTEs, byte-exact record assembly
+        "wet_emit": WB.wet_emit_oracle(),
         # drained cross-batch admissions == the batch keeper rows
         # (first-batch-wins == earliest-doc_id, pytest-pinned)
         "streaming_url_frontier": (
@@ -1229,7 +1244,6 @@ FROM (
         "q22_dormant_value": Q.Q22_ORACLE,
         "boilerplate_ngrams": CP.boilerplate_ngrams_oracle(),
         "semantic_dedup": SIM.semantic_dedup_oracle(),
-        "pack_sequences": CP.pack_sequences_oracle(),
         "mixture_weights": CP.mixture_weights_oracle(),
         "kmeans_refine": SIM.kmeans_refine_oracle(),
         # two-sink streaming split unioned back == the batch router
@@ -1380,7 +1394,6 @@ FROM deduped GROUP BY metric, datestamp
         "doc_chunks": CP.chunk_documents_oracle(),
         "train_val_split": CP.train_val_split_oracle(),
         "corpus_stats": CP.corpus_stats_oracle(),
-        "decontaminate": CP.decontaminate_oracle(),
         "heavy_hitters": CP.heavy_hitters_oracle(),
         "quantize_embeddings": SIM.quantize_embeddings_oracle(),
         # one-micro-batch complete-mode agg == the batch aggregate

@@ -86,7 +86,6 @@ HEADLINE = [
     "doc_chunks",
     "train_val_split",
     "corpus_stats",
-    "decontaminate",
     "heavy_hitters",
     "quantize_embeddings",
     "stratified_sample",
@@ -99,7 +98,6 @@ HEADLINE = [
     "centroid_confusion",
     "boilerplate_ngrams",
     "semantic_dedup",
-    "pack_sequences",
     "mixture_weights",
     "kmeans_refine",
     "table_profile",
@@ -190,6 +188,9 @@ HEADLINE = [
     "streaming_url_frontier",
     "streaming_web_ingest",
     "streaming_change_feed",
+    # r14 registrations (politeness pricing + WET write side)
+    "host_politeness_report",
+    "wet_emit",
 ]
 
 
