@@ -192,7 +192,6 @@ _R14_ORDER = [
     "doc_chunks",
     "train_val_split",
     "corpus_stats",
-    "paragraph_dedup",
     "warc_extract",
     "extraction_yield_report",
     "robots_gate",
@@ -354,6 +353,13 @@ def _streaming_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tsdl_webingest_")
     return SP.streaming_web_ingest(spark, sf_dir, work)
+
+
+def _streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="tsdl_para_")
+    return SP.streaming_paragraph_dedup(spark, sf_dir, work)
 
 
 def _streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,13 +558,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end streaming keys, each funded by a NAMED
         # identical-oracle retirement; registry stays 180, net-new 8 ≤
         # the ≤10 cadence bound; full ledger in SURVEY §2b) ---
-        # C4 §2.2 repeated-paragraph REWRITE at paragraph grain (funded
-        # by retiring `ann_ivf` -> `ann_ivf_indexed`: all three IVF
-        # keys shared ann_ivf_topk_oracle verbatim; the in-session
-        # operator + its recall/equality pytests remain)
-        "paragraph_dedup": lambda s, d: DD.paragraph_dedup(
-            load_table(s, d, "documents")
-        ),
+        # C4 §2.2 repeated-paragraph REWRITE at paragraph grain, AS A
+        # STREAM: per-batch md5-keyed skew-safe winner agg + the
+        # frontier's bucketed cross-batch chunk-hash store; drained
+        # rewrite == the batch operator exactly (r14 — funded by
+        # retiring `paragraph_dedup` -> this key, IDENTICAL oracle,
+        # the gopher_filter->streaming_corpus_gate batch->stream
+        # precedent; batch operator + path-equality pytests remain)
+        "streaming_paragraph_dedup": _streaming_paragraph_dedup,
         # WARC/1.0 record walk with octet-verified Content-Length
         # (funded by retiring `bronze_kafka` -> `bronze_parse`, whose
         # oracle it shared verbatim — the bronze_orc/csv/jsonl
@@ -1172,9 +1179,10 @@ FROM (
         # the two end-to-end streaming keys (VERDICT r12 #1/#3/#4);
         # retirement ledger in SURVEY §2b and beside each queries()
         # entry ---
-        # C4 paragraph-grain rewrite: chunk-keyed first-wins window +
-        # doc-keyed reassembly, same arithmetic in DuckDB
-        "paragraph_dedup": DD.paragraph_dedup_oracle(),
+        # C4 paragraph-grain rewrite: chunk-keyed first-wins rank +
+        # doc-keyed reassembly, same arithmetic in DuckDB — IDENTICAL
+        # oracle as the retired batch key (drained == batch pinned)
+        "streaming_paragraph_dedup": DD.paragraph_dedup_oracle(),
         # every parsed WARC field rebuilt from the synthesis
         # arithmetic (the png_meta posture)
         "warc_extract": WB.warc_extract_oracle(),

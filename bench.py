@@ -180,7 +180,7 @@ HEADLINE = [
     "perplexity_buckets",
     "train_mix_materialize",
     # r13 registrations (the web front door end-to-end + change feed)
-    "paragraph_dedup",
+    "streaming_paragraph_dedup",
     "warc_extract",
     "extraction_yield_report",
     "robots_gate",

@@ -1701,12 +1701,41 @@ def paragraph_dedup(
     Results are identical up to md5 collisions (~2^-64 per pair);
     equality pytest-pinned against both other paths.
     """
+    chunks = para_chunk_rows(documents, chunk_words)
+    if dedup_via_agg:
+        # key_by_hash: the winner shuffle + join back ride a fixed
+        # 32-byte md5 instead of the raw chunk text — the chunk string
+        # itself never crosses the winner exchange
+        key = "__ck" if key_by_hash else "chunk"
+        if key_by_hash:
+            chunks = chunks.withColumn("__ck", F.md5("chunk"))
+        winners = chunks.groupBy(key).agg(
+            F.min(F.struct("doc_id", "idx")).alias("__w")
+        )
+        ranked = chunks.join(winners, key).withColumn(
+            "__keep",
+            (F.col("doc_id") == F.col("__w.doc_id"))
+            & (F.col("idx") == F.col("__w.idx")),
+        )
+    else:
+        w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+        ranked = chunks.withColumn("__keep", F.row_number().over(w) == 1)
+    return para_reassemble(ranked)
+
+
+def para_chunk_rows(
+    documents: DataFrame, chunk_words: int = PARA_CHUNK_WORDS
+) -> DataFrame:
+    """Map-only arithmetic chunking shared by :func:`paragraph_dedup`
+    and its streaming twin: docs explode into (doc_id, idx, chunk)
+    rows over the normalized word array; empty/NULL text emits no
+    row."""
     words = F.filter(
         F.split(F.trim(normalize_text(F.col("text"))), " "),
         lambda w: F.length(w) > 0,
     )
     n_chunks = F.ceil(F.size("__ws") / F.lit(chunk_words)).cast("int")
-    chunks = (
+    return (
         documents.filter(F.col("text").isNotNull())
         .select("doc_id", words.alias("__ws"))
         .filter(F.size("__ws") > 0)
@@ -1727,24 +1756,12 @@ def paragraph_dedup(
             ).alias("idx", "chunk"),
         )
     )
-    if dedup_via_agg:
-        # key_by_hash: the winner shuffle + join back ride a fixed
-        # 32-byte md5 instead of the raw chunk text — the chunk string
-        # itself never crosses the winner exchange
-        key = "__ck" if key_by_hash else "chunk"
-        if key_by_hash:
-            chunks = chunks.withColumn("__ck", F.md5("chunk"))
-        winners = chunks.groupBy(key).agg(
-            F.min(F.struct("doc_id", "idx")).alias("__w")
-        )
-        ranked = chunks.join(winners, key).withColumn(
-            "__keep",
-            (F.col("doc_id") == F.col("__w.doc_id"))
-            & (F.col("idx") == F.col("__w.idx")),
-        )
-    else:
-        w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
-        ranked = chunks.withColumn("__keep", F.row_number().over(w) == 1)
+
+
+def para_reassemble(ranked: DataFrame) -> DataFrame:
+    """In-order document reassembly shared by :func:`paragraph_dedup`
+    and its streaming twin: one doc-keyed shuffle collects (idx,
+    __keep, chunk) structs, kept chunks re-join in idx order."""
     return (
         ranked.groupBy("doc_id")
         .agg(

@@ -1978,10 +1978,8 @@ SEEN_BUCKETS = 16
 SEEN_COMPACT_EVERY = 4
 
 
-def _seen_bucket_col():
-    return F.pmod(F.xxhash64(F.col("canonical_url")), F.lit(SEEN_BUCKETS)).cast(
-        "int"
-    )
+def _seen_bucket_col(key_col: str = "canonical_url"):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(SEEN_BUCKETS)).cast("int")
 
 
 def _seen_complete_compactions(seen_dir: str) -> list[int]:
@@ -1997,7 +1995,12 @@ def _seen_complete_compactions(seen_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _seen_compact(spark: SparkSession, seen_dir: str, batch_id: int) -> None:
+def _seen_compact(
+    spark: SparkSession,
+    seen_dir: str,
+    batch_id: int,
+    key_col: str = "canonical_url",
+) -> None:
     """Fold the previous compacted store + every ``batch=j`` (j <
     batch_id) delta dir into ``compacted_v={batch_id}``, then delete
     the folded inputs — the LSM fold the `compaction_plan` operator
@@ -2023,7 +2026,7 @@ def _seen_compact(spark: SparkSession, seen_dir: str, batch_id: int) -> None:
             frames.append(
                 spark.read.option("basePath", cdir)
                 .parquet(cdir)
-                .select("canonical_url", "bucket")
+                .select(key_col, "bucket")
             )
         deltas = [
             os.path.join(seen_dir, d)
@@ -2034,7 +2037,7 @@ def _seen_compact(spark: SparkSession, seen_dir: str, batch_id: int) -> None:
             frames.append(
                 spark.read.option("basePath", seen_dir)
                 .parquet(*deltas)
-                .select("canonical_url", "bucket")
+                .select(key_col, "bucket")
             )
         if not frames:
             return
@@ -2052,7 +2055,10 @@ def _seen_compact(spark: SparkSession, seen_dir: str, batch_id: int) -> None:
 
 
 def _seen_probe(
-    cand: DataFrame, seen_dir: str, batch_id: int
+    cand: DataFrame,
+    seen_dir: str,
+    batch_id: int,
+    key_col: str = "canonical_url",
 ) -> DataFrame:
     """Anti-join ``cand`` (must carry ``canonical_url`` + ``bucket``)
     against every PRIOR batch's admissions, reading ONLY the hash
@@ -2082,13 +2088,13 @@ def _seen_probe(
         frames.append(
             s.read.option("basePath", cdir)
             .parquet(cdir)
-            .select("canonical_url", "bucket")
+            .select(key_col, "bucket")
         )
     if resid:
         frames.append(
             s.read.option("basePath", seen_dir)
             .parquet(*resid)
-            .select("canonical_url", "bucket")
+            .select(key_col, "bucket")
         )
     if not frames:
         return cand
@@ -2098,9 +2104,7 @@ def _seen_probe(
     seen = pruned[0]
     for f in pruned[1:]:
         seen = seen.unionByName(f)
-    return cand.join(
-        seen.select("canonical_url"), "canonical_url", "left_anti"
-    )
+    return cand.join(seen.select(key_col), key_col, "left_anti")
 
 
 def _stage_frontier_landing(
@@ -2397,6 +2401,112 @@ JOIN ext e USING (doc_id)
 JOIN pages p USING (doc_id)
 WHERE m.final_keep
 """
+
+
+def streaming_paragraph_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_files: int = 4,
+    compact_every: int = SEEN_COMPACT_EVERY,
+) -> DataFrame:
+    """CORPUS-grain C4 paragraph dedup AS A STREAM — crawl-side text
+    cleaning inside the ingest topology (VERDICT r13 #7's candidate):
+    each micro-batch explodes its documents into chunks
+    (`para_chunk_rows`, identical batch==stream code), claims
+    first-occurrence winners batch-locally with the skew-safe
+    md5-keyed agg (the `paragraph_dedup(dedup_via_agg=True,
+    key_by_hash=True)` production path — a viral boilerplate chunk
+    collapses map-side), drops every chunk whose hash ANY prior batch
+    already claimed (the frontier's bucketed chunk-hash store:
+    :func:`_seen_probe` keyed on ``chunk_md5``, partition-pruned to
+    touched buckets, :func:`_seen_compact`-folded), and re-emits the
+    batch's documents with surviving chunks re-joined in order
+    (`para_reassemble`).
+
+    The staged landing arrives in doc_id order, so cross-batch
+    first-batch-wins == the batch operator's global min-(doc_id, idx)
+    winner and the drained rewrite equals `paragraph_dedup` EXACTLY
+    (identical oracle; equality pytest-pinned).  Replay-idempotent
+    via the store contract itself: the probe never reads the
+    own-batch dir, compaction is _SUCCESS-guarded, and both sinks are
+    batchId-scoped overwrites."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+
+    landing = _stage_frontier_landing(spark, sf_dir, work_dir, n_files)
+    schema = spark.read.parquet(os.path.join(work_dir, "frontier_src")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    seen_dir = os.path.join(work_dir, "para_seen")
+    out_dir = os.path.join(work_dir, "para_clean")
+    os.makedirs(seen_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt = os.path.join(work_dir, "para_ckpt")
+
+    def _clean(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if batch_id > 0 and batch_id % compact_every == 0:
+            _seen_compact(s, seen_dir, batch_id, key_col="chunk_md5")
+        # pin the explode once: it feeds the winner agg, the store
+        # probe, and the reassembly
+        chunks = (
+            DD.para_chunk_rows(batch_df)
+            .withColumn("chunk_md5", F.md5("chunk"))
+            .withColumn("bucket", _seen_bucket_col("chunk_md5"))
+            .localCheckpoint(eager=True)
+        )
+        winners = chunks.groupBy("chunk_md5").agg(
+            F.min(F.struct("doc_id", "idx")).alias("__w")
+        )
+        hashes = chunks.select("chunk_md5", "bucket").distinct()
+        # hashes NO prior batch claimed; every fresh hash present in
+        # this batch is claimed by its batch-local winner, so the
+        # fresh set IS the store delta
+        fresh = _seen_probe(
+            hashes, seen_dir, batch_id, key_col="chunk_md5"
+        ).localCheckpoint(eager=True)
+        fresh.write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(seen_dir, f"batch={batch_id}")
+        )
+        ranked = (
+            chunks.join(winners, "chunk_md5")
+            .join(
+                fresh.select("chunk_md5").withColumn("__fresh", F.lit(True)),
+                "chunk_md5",
+                "left",
+            )
+            .withColumn(
+                "__keep",
+                F.coalesce(F.col("__fresh"), F.lit(False))
+                & (F.col("doc_id") == F.col("__w.doc_id"))
+                & (F.col("idx") == F.col("__w.idx")),
+            )
+        )
+        DD.para_reassemble(ranked).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    (
+        raw.writeStream.foreachBatch(_clean)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out_schema = (
+        "doc_id long, clean_text string, n_chunks int, n_dropped int"
+    )
+    subdirs = [
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("batch=")
+    ]
+    if not subdirs:
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(*subdirs)
 
 
 def streaming_change_feed(

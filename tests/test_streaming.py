@@ -1551,6 +1551,49 @@ def test_streaming_url_frontier_compaction_folds_and_bounds_store(
     assert sorted(urls) == sorted({u for _d, u in got})
 
 
+def test_streaming_paragraph_dedup_equals_batch_operator(spark, tmp_path):
+    """Corpus-grain paragraph dedup drained over doc_id-ranged
+    micro-batches equals the batch rewrite exactly: the cross-batch
+    chunk-hash store makes first-batch-wins coincide with the global
+    min-(doc_id, idx) winner (identical oracle — the batch->stream
+    twin pattern)."""
+    from telemetry_streaming_datalake_spark.operators import dedup as DD
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    got = {
+        tuple(r)
+        for r in SP.streaming_paragraph_dedup(
+            spark, SF_DIR, str(tmp_path), n_files=3, compact_every=2
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in DD.paragraph_dedup(
+            load_table(spark, SF_DIR, "documents")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the chunk store compacted at batch 2 (fold proof: bounded dirs)
+    state = sorted(
+        d
+        for d in os.listdir(str(tmp_path / "para_seen"))
+        if d.startswith(("batch=", "compacted_v="))
+    )
+    assert state == ["batch=2", "compacted_v=2"]
+
+
+def test_streaming_paragraph_dedup_full_replay_is_idempotent(spark, tmp_path):
+    first, second = _rerun_after_checkpoint_loss(
+        spark,
+        tmp_path,
+        lambda: SP.streaming_paragraph_dedup(
+            spark, SF_DIR, str(tmp_path), n_files=2
+        ),
+        "para_ckpt",
+    )
+    assert first == second and len(first) > 0
+
+
 def test_streaming_url_frontier_replay_with_compaction_is_idempotent(
     spark, tmp_path
 ):
