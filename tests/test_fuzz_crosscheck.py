@@ -320,7 +320,9 @@ _MAIN_KEYS = [
     "quality_percentile_gate",
     "repetition_stats",
     "dup_spans",
-    "decontaminate",
+    # decontaminate's key retired r14 -> decontamination_overlap
+    # (whose oracle carries decontaminate_oracle verbatim as its
+    # ngram-method CTE) runs in _MAIN_KEYS_EXT below
     # embeddings — NULL rows, near-dups, tiny norms
     "ann_cosine_topk",
     "ann_lsh",
@@ -434,7 +436,11 @@ _MAIN_KEYS_EXT = [
     # coverage rides the capstone (plus robots + yield + WARC, all
     # registered r13)
     "train_mix_materialize",
-    "paragraph_dedup",
+    # paragraph_dedup's key retired r14 -> streaming_paragraph_dedup
+    # drains the identical oracle over this hostile corpus; the batch
+    # operator's window==agg equality runs in
+    # test_fuzz_pytest_only_extras on the same corpus
+    "streaming_paragraph_dedup",
     "warc_extract",
     "extraction_yield_report",
     "robots_gate",

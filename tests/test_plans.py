@@ -53,7 +53,6 @@ def plans(spark):
         "silver_explode",
         "bronze_feed_b",
         "doc_chunks",
-        "decontaminate",
         "gap_detect",
         "pii_redact",
         "asof_latest_order",
@@ -169,8 +168,14 @@ def test_gap_detect_single_silver_execution(plans):
     assert len(set(scans)) == 1, scans
 
 
-def test_decontaminate_broadcasts_benchmark_side(plans):
-    p = plans["decontaminate"]
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # decontaminate's registry key retired r14 -> decontamination_overlap
+    # composes its oracle verbatim; the broadcast-semi-join plan pin
+    # stays on the operator directly
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    p = _plan(CP.decontaminate(load_table(spark, SF, "documents")))
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "SortMergeJoin" not in p
 
@@ -311,7 +316,12 @@ def test_pack_sequences_single_ordering_window(spark):
 
     import re
 
-    p = _plan(E.queries()["pack_sequences"](spark, SF))
+    # pack_sequences's registry key retired r14 -> packing_efficiency
+    # composes its oracle verbatim; the plan pin stays on the operator
+    from telemetry_streaming_datalake_spark.operators import corpus as CP
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    p = _plan(CP.pack_sequences(load_table(spark, SF, "documents")))
     assert "Join" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "rangepartitioning" not in p
