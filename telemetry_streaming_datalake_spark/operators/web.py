@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from telemetry_streaming_datalake_spark.operators.derived import floor_round
+from telemetry_streaming_datalake_spark.operators.exprcache import cached_cols
 
 # --------------------------------------------------------------------------
 # HTML synthesis (test scaffolding — production reads crawled HTML)
@@ -77,8 +78,15 @@ def attach_html_payload(documents: DataFrame) -> DataFrame:
     the single content paragraph — so a correct extraction returns
     exactly the whitespace-normalized text.  NULL text ⇒ no page
     (the media-family convention)."""
+    html = cached_cols("web.attach_html_payload", _html_payload_col)
+    return documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", html.alias("html")
+    )
+
+
+def _html_payload_col():
     h = F.md5("text")
-    html = F.concat(
+    return F.concat(
         F.lit("<html><head><title>"),
         F.substring(h, 1, 8),
         F.lit('</title><script type="text/javascript">var k="'),
@@ -102,9 +110,6 @@ def attach_html_payload(documents: DataFrame) -> DataFrame:
         F.lit('</a> ok</div><footer><a href="/about">about '),
         F.substring(h, 25, 4),
         F.lit("</a></footer></body></html>"),
-    )
-    return documents.filter(F.col("text").isNotNull()).select(
-        "doc_id", "source", html.alias("html")
     )
 
 
@@ -154,9 +159,23 @@ def html_extract(
     entirely (the `badwords_filter` token-array precedent; the lambdas
     reference only their element, never an outer column — the
     `_adler32_md5_fill` re-evaluation pathology cannot occur).
+
+    The whole chain is a fixed unresolved-Column tree over ``html`` /
+    ``__blocks``; it is built once per process (`exprcache`) because
+    the crawl ingest topology re-plans it every micro-batch.
     """
     if payloads is None:
         payloads = attach_html_payload(documents)
+    staged_col, nonempty_sz, out_cols = cached_cols(
+        "web.html_extract", _html_extract_cols
+    )
+    staged = payloads.select("doc_id", "source", staged_col)
+    return staged.filter(nonempty_sz > 0).select(
+        "doc_id", "source", *out_cols
+    )
+
+
+def _html_extract_cols():
     cleaned = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("html"), r"(?s)<head[^>]*>.*?</head>", " "),
@@ -191,13 +210,9 @@ def html_extract(
     # exploding the one-element array materializes it once per row as
     # an attribute (Generate is NOT an exchange; the plan stays
     # map-only)
-    staged = payloads.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array(F.filter(info, lambda s: F.length(s["vis"]) > 0))
-        ).alias("__blocks"),
-    )
+    staged_col = F.explode(
+        F.array(F.filter(info, lambda s: F.length(s["vis"]) > 0))
+    ).alias("__blocks")
     nonempty = F.col("__blocks")
     kept = F.filter(
         nonempty,
@@ -216,9 +231,7 @@ def html_extract(
     # HTML, possible with direct `payloads=` input) yields NO row —
     # same as the oracle's nz-filtered GROUP BY, and what a C4-style
     # extraction does with an empty page anyway
-    return staged.filter(F.size(nonempty) > 0).select(
-        "doc_id",
-        "source",
+    out_cols = [
         F.concat_ws(" ", F.transform(kept, lambda s: s["vis"])).alias(
             "extracted_text"
         ),
@@ -227,7 +240,8 @@ def html_extract(
         F.when(vis_total > 0, floor_round(a_total / vis_total, 6)).alias(
             "link_density"
         ),
-    )
+    ]
+    return staged_col, F.size(nonempty), out_cols
 
 
 def _html_syn_sql(src: str = "documents") -> str:
@@ -342,6 +356,11 @@ def attach_url(documents: DataFrame) -> DataFrame:
     branch gets real work).  No NULL filter: every doc has an id and a
     source, so every doc gets a URL — URL curation runs before fetch,
     i.e. before ``text`` exists."""
+    raw = cached_cols("web.attach_url", _attach_url_col)
+    return documents.select("doc_id", "source", raw.alias("url"))
+
+
+def _attach_url_col():
     h = F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string")))
     n1 = F.substring(h, 1, 1)
     scheme_https = (
@@ -362,7 +381,7 @@ def attach_url(documents: DataFrame) -> DataFrame:
         F.lit("&a=1#s"),
         F.substring(h, 7, 2),
     )
-    return documents.select("doc_id", "source", raw.alias("url"))
+    return raw
 
 
 #: %XX → char for every RFC 3986 UNRESERVED character (ALPHA / DIGIT /
@@ -381,38 +400,39 @@ _PCT_UNRESERVED = tuple(
 )
 
 
-def _pct_map():
-    """'XX' (uppercase hex) -> decoded char, engine-side lookup form
-    of :data:`_PCT_UNRESERVED`.  Built lazily — F.lit at module import
-    would run before any SparkContext exists."""
-    return F.create_map(
-        *[F.lit(v) for tok, ch in _PCT_UNRESERVED for v in (tok[1:], ch)]
-    )
 
 
 def _pct_decode(col):
-    """Decode unreserved %XX escapes in ONE pass: split on ``%``, map
-    each fragment's leading two chars through a literal lookup map
-    (hex case-insensitive via ``upper``), re-join.  The oracle twin is
-    built one-pass from the SAME table (a sequential regexp chain
-    double-decodes dangling-percent inputs like ``%7%41`` — see
-    :func:`_pct_decode_sql`).  A 66-regexp engine chain was measured
-    first: 7.4 s of
-    whole-stage-codegen compile on first run + ~1 s/run at sf0.1; the
-    split-map form keeps the expression tree small.  Gated behind a
-    ``contains('%')`` probe — the overwhelmingly common escape-free
-    URL pays one substring scan."""
-    m = _pct_map()
+    """Decode unreserved %XX escapes in ONE pass: split on ``%``,
+    decode each fragment's leading hex pair arithmetically
+    (``char(conv(hex, 16, 10))``) and keep it only when the decoded
+    character is RFC 3986 unreserved, re-join.  The oracle twin is
+    built one-pass from the SAME :data:`_PCT_UNRESERVED` table (a
+    sequential regexp chain double-decodes dangling-percent inputs
+    like ``%7%41`` — see :func:`_pct_decode_sql`).  Expression-shape
+    history (this chain rides EVERY per-micro-batch crawl plan, so
+    Catalyst analysis time is a per-batch cost, not a one-time cost):
+    a 66-regexp chain measured 7.4 s codegen compile + ~1 s/run at
+    sf0.1; the r13 132-literal ``create_map`` lookup analyzed at
+    ~0.4-0.7 s per plan build; this arithmetic form (r14 opt, §1.2
+    per-task work) halves that to ~0.2-0.4 s with byte-identical
+    output — the unreserved class is exactly ``[A-Za-z0-9._~-]``, so
+    the class-test-after-decode equals the 66-key map lookup
+    (equality pinned on hostile escapes in tests/test_web.py).  Gated
+    behind a ``contains('%')`` probe — the overwhelmingly common
+    escape-free URL pays one substring scan."""
     parts = F.split(col, "%", -1)
+
+    def _dec(frag):
+        hx = F.upper(F.substring(frag, 1, 2))
+        ch = F.char(F.conv(hx, 16, 10).cast("int"))
+        ok = hx.rlike("^[0-9A-F]{2}$") & ch.rlike("^[A-Za-z0-9._~-]$")
+        return F.when(
+            ok, F.concat(ch, F.substring(frag, 3, 2_000_000_000))
+        ).otherwise(F.concat(F.lit("%"), frag))
+
     decoded_tail = F.transform(
-        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
-        lambda frag: F.coalesce(
-            F.concat(
-                m[F.upper(F.substring(frag, 1, 2))],
-                F.substring(frag, 3, 2_000_000_000),
-            ),
-            F.concat(F.lit("%"), frag),
-        ),
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), _dec
     )
     decoded = F.concat(F.get(parts, 0), F.array_join(decoded_tail, ""))
     return F.when(col.contains("%"), decoded).otherwise(col)
@@ -506,7 +526,12 @@ def url_canonicalize(
         "doc_id",
         "source",
         "url",
-        F.explode(F.array(canonical_url(F.col("url")))).alias("canonical_url"),
+        cached_cols(
+            "web.canonical_url.staged",
+            lambda: F.explode(
+                F.array(canonical_url(F.col("url")))
+            ).alias("canonical_url"),
+        ),
     )
     pat = "|".join(f"(?:{p})" for p in URL_BLOCKLIST)
     flagged = staged.select(
@@ -576,6 +601,60 @@ def url_canonicalize(
             "dup_of"
         ),
         (~F.col("is_blocked") & (F.col("doc_id") == first)).alias("is_keeper"),
+    )
+
+
+def url_keepers(
+    documents: DataFrame, urls: DataFrame | None = None
+) -> DataFrame:
+    """Keeper-only projection of :func:`url_canonicalize` — the rows a
+    crawl frontier actually admits — computed WITHOUT the agg path's
+    join back (r14 opt, guide §2.4): since only the winning row per
+    canonical URL survives, ``min(struct(doc_id, source, url))`` per
+    unblocked canonical IS the keeper row (doc_id leads the struct, so
+    struct-min == min-doc_id row; the `paragraph_dedup` min-struct
+    pattern).  ONE shuffle with map-side partial aggregation — the hot
+    viral-URL key collapses per map task, so this is skew-safe like
+    ``dedup_via_agg`` but with no self-join: the 66-rule canonical
+    chain is analyzed and evaluated ONCE per plan, which on a
+    per-micro-batch crawl topology is the dominant cost at test scale
+    and the straggler-safety story at 100 TB.
+
+    Contract (equality pytest-pinned, tests/test_web.py):
+    ``url_keepers(d) == url_canonicalize(d).filter(is_keeper &
+    ~is_blocked).select(doc_id, source, url, canonical_url)`` — for
+    both dedup paths, since they are themselves equality-pinned.
+    NULL-canonical rows (possible only with a custom ``urls=`` frame)
+    drop on BOTH sides: here the NULL-propagating ``== 0`` blocklist
+    filter drops them, there ``is_keeper`` is NULL for them and
+    ``filter`` drops NULL.
+    """
+    if urls is None:
+        urls = attach_url(documents)
+    staged = urls.select(
+        "doc_id",
+        "source",
+        "url",
+        cached_cols(
+            "web.canonical_url.staged",
+            lambda: F.explode(
+                F.array(canonical_url(F.col("url")))
+            ).alias("canonical_url"),
+        ),
+    )
+    pat = "|".join(f"(?:{p})" for p in URL_BLOCKLIST)
+    unblocked = staged.filter(
+        F.regexp_count(F.col("canonical_url"), F.lit(pat)) == 0
+    )
+    return (
+        unblocked.groupBy("canonical_url")
+        .agg(F.min(F.struct("doc_id", "source", "url")).alias("__k"))
+        .select(
+            F.col("__k.doc_id").alias("doc_id"),
+            F.col("__k.source").alias("source"),
+            F.col("__k.url").alias("url"),
+            "canonical_url",
+        )
     )
 
 
@@ -663,10 +742,25 @@ def attach_warc_payload(documents: DataFrame) -> DataFrame:
     survive a real record walk.  In production a WARC file is a
     concatenation of (usually gzip-membered) records — one record per
     table row here; the reader semantics are identical.  NULL text ⇒
-    no record (the media-family convention)."""
+    no record (the media-family convention).
+
+    ONE map-only projection: page HTML and URL are both per-row
+    derivations of (text, source, doc_id), so the record composes in
+    the same select — the r13 shape joined `attach_html_payload` to
+    `attach_url` on doc_id, paying a per-plan join (and a per-batch
+    one in the streaming ingest topology) to re-unite columns that
+    never left the row (r14 opt, guide §2.4: remove shuffles outright;
+    row-identical — both URL synthesis and page synthesis are 1:1 and
+    the join only re-applied pages' NULL-text filter)."""
     pages = attach_html_payload(documents)
-    urls = attach_url(documents).select("doc_id", "url")
-    rec = pages.join(urls, "doc_id")
+    url = cached_cols("web.attach_url", _attach_url_col)
+    record = cached_cols("web.warc_record", _warc_record_col)
+    return pages.withColumn("url", url).select(
+        "doc_id", "source", record.alias("warc")
+    )
+
+
+def _warc_record_col():
     http = F.concat(
         F.lit(
             "HTTP/1.1 200 OK\r\n"
@@ -674,7 +768,7 @@ def attach_warc_payload(documents: DataFrame) -> DataFrame:
         ),
         F.col("html"),
     )
-    record = F.concat(
+    return F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:md5:"),
         F.md5("url"),
         F.lit(">\r\nWARC-Target-URI: "),
@@ -685,7 +779,6 @@ def attach_warc_payload(documents: DataFrame) -> DataFrame:
         F.lit("\r\n\r\n"),
         http,
     )
-    return rec.select("doc_id", "source", record.alias("warc"))
 
 
 def warc_extract(

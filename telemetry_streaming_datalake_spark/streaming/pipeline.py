@@ -2193,19 +2193,19 @@ def streaming_url_frontier(
         s = batch_df.sparkSession
         if batch_id > 0 and batch_id % compact_every == 0:
             _seen_compact(s, seen_dir, batch_id)
-        # skew-safe dedup path: crawl traffic is power-law in canonical
-        # URL (a flash-crowd URL is a viral key), and AQE cannot split
-        # a skewed WINDOW partition — the agg path collapses the hot
-        # key map-side and its join back IS AQE-splittable (the
-        # url_canonicalize A/B, BASELINE.md r13; row-identical,
-        # equality pytest-pinned)
-        flagged = WB.url_canonicalize(batch_df, dedup_via_agg=True)
+        # skew-safe admission: `url_keepers` collapses a viral
+        # canonical URL map-side via min-struct partial aggregation
+        # (the window form's 100 TB failure mode is a single-reducer
+        # straggler AQE cannot split), and unlike the dedup_via_agg
+        # audit path it needs NO join back — the keeper rows ARE the
+        # admission set, so the 66-rule canonical chain is analyzed
+        # and evaluated once per batch (r14 opt; equality with
+        # url_canonicalize's keeper rows pytest-pinned)
+        keepers = WB.url_keepers(batch_df)
         # pin the shuffle-bearing canonicalize+dedup chain: it feeds
         # both the touched-bucket collect and the anti-join
         cand = (
-            flagged.filter(~F.col("is_blocked") & F.col("is_keeper"))
-            .select("doc_id", "source", "url", "canonical_url")
-            .withColumn("bucket", _seen_bucket_col())
+            keepers.withColumn("bucket", _seen_bucket_col())
             .localCheckpoint(eager=True)
         )
         admitted = _seen_probe(cand, seen_dir, batch_id)
@@ -2288,11 +2288,11 @@ def streaming_web_ingest(
         s = batch_df.sparkSession
         if batch_id > 0 and batch_id % compact_every == 0:
             _seen_compact(s, seen_dir, batch_id)
-        # skew-safe agg dedup, not the window (viral-URL single-reducer
-        # straggler at crawl scale — see streaming_url_frontier._admit)
-        flagged = WB.url_canonicalize(batch_df, dedup_via_agg=True)
+        # skew-safe admission via the join-free min-struct keeper agg
+        # (viral-URL single-reducer straggler at crawl scale — see
+        # streaming_url_frontier._admit for the full rationale)
         cand = (
-            flagged.filter(~F.col("is_blocked") & F.col("is_keeper"))
+            WB.url_keepers(batch_df)
             .select("doc_id", "canonical_url")
             .withColumn("bucket", _seen_bucket_col())
             .localCheckpoint(eager=True)
@@ -2337,18 +2337,31 @@ def streaming_web_ingest(
         ext = WB.html_extract(docs_b, payloads=payloads)
         if pin_stages:
             ext = ext.localCheckpoint(eager=True)
-        gate_ids = (
+        # the gate rides the SAME projection as the extraction via
+        # gopher_filter's extra_cols seam (the curation_manifest
+        # composition pattern): the r13 shape joined a gate-ids frame
+        # BACK onto ext, which evaluated the whole extract chain twice
+        # per batch (both join branches re-derive it) — carried
+        # through, it evaluates once and one join disappears (r14 opt,
+        # guide §2.4; row-identical: keep ∧ same doc_ids)
+        kept = (
             gopher_filter(
                 ext.select(
-                    "doc_id", "source", F.col("extracted_text").alias("text")
-                )
+                    "doc_id",
+                    "source",
+                    F.col("extracted_text").alias("text"),
+                    "n_blocks",
+                ),
+                extra_cols=[
+                    F.col("text").alias("extracted_text"),
+                    F.col("n_blocks").cast("int").alias("n_blocks"),
+                ],
             )
             .filter(F.col("keep"))
-            .select("doc_id")
+            .select("doc_id", "source", "extracted_text", "n_blocks")
         )
         final = (
-            ext.join(gate_ids, "doc_id")
-            .join(ok.select("doc_id", "html_md5"), "doc_id")
+            kept.join(ok.select("doc_id", "html_md5"), "doc_id")
             .join(allowed, "doc_id")
             .select(
                 "doc_id",
@@ -2356,7 +2369,7 @@ def streaming_web_ingest(
                 "canonical_url",
                 "html_md5",
                 "extracted_text",
-                F.col("n_blocks").cast("int").alias("n_blocks"),
+                "n_blocks",
             )
         )
         final.write.mode("overwrite").parquet(

@@ -422,6 +422,83 @@ def test_url_canonicalize_agg_dedup_path_equals_window_path(spark):
     assert a == b and len(a) == 120
 
 
+def test_url_keepers_equals_canonicalize_keeper_rows(spark):
+    """`url_keepers` (the join-free min-struct admission agg the crawl
+    topologies run per micro-batch, r14 opt) returns exactly
+    `url_canonicalize`'s keeper rows — on a frame with hot keys,
+    blocked rows, and singletons."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(
+        spark, [(i, f"src{i % 5}", f"text {i} " * 4) for i in range(120)]
+    )
+    want = {
+        tuple(r)
+        for r in W.url_canonicalize(docs)
+        .filter(F.col("is_keeper") & ~F.col("is_blocked"))
+        .select("doc_id", "source", "url", "canonical_url")
+        .collect()
+    }
+    got = {tuple(r) for r in W.url_keepers(docs).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_url_keepers_drops_null_canonical_like_is_keeper(spark):
+    """NULL-canonical rows (custom `urls=` frames) are non-keepers on
+    both sides: `is_keeper` evaluates NULL there and filter drops it;
+    `url_keepers`' blocklist `== 0` filter NULL-propagates the same
+    rows away."""
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame(
+        [(1, "s", "HTTP://A.com/x"), (2, "s", None), (3, "s", None)],
+        "doc_id long, source string, url string",
+    )
+    want = {
+        tuple(r)
+        for r in W.url_canonicalize(None, urls=urls)
+        .filter(F.col("is_keeper") & ~F.col("is_blocked"))
+        .select("doc_id", "source", "url", "canonical_url")
+        .collect()
+    }
+    got = {tuple(r) for r in W.url_keepers(None, urls=urls).collect()}
+    assert got == want == {(1, "s", "HTTP://A.com/x", "http://a.com/x")}
+
+
+def test_pct_decode_arithmetic_form_hostile_escapes(spark):
+    """The r14 arithmetic %XX decode (char(conv(hex)) + unreserved
+    class test) is byte-identical to the 66-key lookup semantics on
+    hostile escape shapes: dangling percents, bad hex, lowercase hex,
+    reserved %2F (stays), non-ASCII %C3 (stays), and the one-pass
+    no-double-decode contract on %7%41."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("", ""),
+        ("%", "%"),
+        ("%%", "%%"),
+        ("%7%41", "%7A"),
+        ("%41", "A"),
+        ("%4", "%4"),
+        ("%zz", "%zz"),
+        ("a%20b", "a%20b"),
+        ("%2Fx", "%2Fx"),
+        ("%2fX", "%2fX"),
+        ("%7E~%7e", "~~~"),
+        ("no-escapes", "no-escapes"),
+        ("%GG%41%", "%GGA%"),
+        ("trail%", "trail%"),
+        ("%c3%a9", "%c3%a9"),
+        ("%%41", "%A"),
+        ("%411", "A1"),
+    ]
+    df = spark.createDataFrame(cases, "s string, want string")
+    bad = df.select(
+        "s", "want", W._pct_decode(F.col("s")).alias("got")
+    ).filter("got IS DISTINCT FROM want")
+    assert bad.count() == 0, bad.collect()
+
+
 def test_url_canonicalize_agg_path_keeps_null_canonical_rows(spark):
     """A custom `urls=` frame can carry NULL URLs; the window path
     groups them into one NULL partition, and the agg path must do the
