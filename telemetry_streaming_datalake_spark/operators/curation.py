@@ -54,10 +54,21 @@ from telemetry_streaming_datalake_spark.operators.text import (
 )
 
 
-def curation_manifest(documents: DataFrame) -> DataFrame:
+def curation_manifest(
+    documents: DataFrame, shingle_base: DataFrame | None = None
+) -> DataFrame:
     """Per-document curation manifest: gate/dedup/canonical/split in
     one composed plan.  Columns: doc_id, gate_keep, is_exact_keeper,
-    is_canonical, split, final_keep, drop_reason."""
+    is_canonical, split, final_keep, drop_reason.
+
+    ``shingle_base``: optional checkpointed full-corpus
+    `_fingerprint_and_shingle_sets(documents)` frame from a composing
+    caller (`dup_keep_audit` builds pairs over BOTH the full corpus
+    and the gate-survivor subset) — the near-dup leg then restricts it
+    by the survivor semi-join instead of re-running the text
+    explode+hash pass.  Pair-identical: per-doc fingerprints/shingles
+    are corpus-independent and the hot-bucket cap applies after the
+    restriction (see `ngram_jaccard_dedup`)."""
     # gate + content hash in ONE scan/projection (both map-only over
     # the same text column); the exact-keeper window rides that frame
     ch = F.md5(normalize_text(F.col("text")))
@@ -90,8 +101,13 @@ def curation_manifest(documents: DataFrame) -> DataFrame:
         F.col("gate_keep") & F.col("is_exact_keeper")
     ).select("doc_id")
     docs_surv = documents.join(surv_ids, "doc_id", "left_semi")
+    surv_base = (
+        shingle_base.join(surv_ids, "doc_id", "left_semi")
+        if shingle_base is not None
+        else None
+    )
     canon = canonical_docs(
-        docs_surv, dup_clusters(ngram_jaccard_dedup(docs_surv))
+        docs_surv, dup_clusters(ngram_jaccard_dedup(docs_surv, base=surv_base))
     ).select("doc_id", "is_canonical")
     manifest = (
         gate_exact
@@ -185,8 +201,20 @@ def dup_keep_audit(documents: DataFrame) -> DataFrame:
     composition here is the point.
     """
     from telemetry_streaming_datalake_spark.operators.derived import floor_round
+    from telemetry_streaming_datalake_spark.operators.dedup import (
+        _fingerprint_and_shingle_sets,
+    )
 
-    pairs = ngram_jaccard_dedup(documents)
+    # ONE text explode+hash pass serves BOTH pair pipelines (the
+    # full-corpus cluster leg here and the manifest's survivor-
+    # restricted leg): per-doc fingerprints/shingles are corpus-
+    # independent, so restricting this checkpointed frame is
+    # pair-identical to recomputing per leg — r14 opt, was the
+    # audit's second-largest cost after the manifest itself
+    base = _fingerprint_and_shingle_sets(documents).localCheckpoint(
+        eager=True
+    )
+    pairs = ngram_jaccard_dedup(documents, base=base)
     clusters = dup_clusters(pairs)
     # the canonical window only matters for CLUSTER MEMBERS and a
     # cluster's choice never depends on non-members — restrict the
@@ -194,7 +222,7 @@ def dup_keep_audit(documents: DataFrame) -> DataFrame:
     # of sorting the whole corpus into it
     members = documents.join(clusters.select("doc_id"), "doc_id", "left_semi")
     canon = canonical_docs(members, clusters).select("doc_id", "canonical_id")
-    manifest = curation_manifest(documents).select(
+    manifest = curation_manifest(documents, shingle_base=base).select(
         "doc_id", "final_keep", "drop_reason"
     )
     joined = clusters.join(manifest, "doc_id").join(canon, "doc_id")

@@ -818,7 +818,11 @@ def _fingerprint_and_shingle_sets(
     )
 
 
-def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.3) -> DataFrame:
+def ngram_jaccard_dedup(
+    documents: DataFrame,
+    threshold: float = 0.3,
+    base: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, blocked on the document
     fingerprint.
 
@@ -836,10 +840,22 @@ def ngram_jaccard_dedup(documents: DataFrame, threshold: float = 0.3) -> DataFra
     read the same cached frame.  Exactly ONE scan of the corpus —
     pinned by ``tests/test_plans.py``.
     """
-    # localCheckpoint (not persist) — same leak-class reasoning as
-    # dedup_minhash: no caller-side unpersist exists, so cache pins
-    # would accumulate across calls; checkpoint blocks are reclaimed
-    base = _fingerprint_and_shingle_sets(documents).localCheckpoint(eager=True)
+    # ``base=``: a caller composing SEVERAL pair pipelines over
+    # overlapping document sets (dup_keep_audit: full corpus + gate
+    # survivors) passes ONE checkpointed `_fingerprint_and_shingle_sets`
+    # frame, pre-restricted to exactly `documents`'s rows — per-doc
+    # fingerprints/shingles are corpus-independent and the BUCKET_CAP
+    # applies after the restriction, so the pairs are identical to
+    # recomputing from scratch while the text explode+hash pass (the
+    # family's dominant cost) runs once instead of per composition
+    # (r14 opt, guide §1.2 distributed-algorithm first).
+    if base is None:
+        # localCheckpoint (not persist) — same leak-class reasoning as
+        # dedup_minhash: no caller-side unpersist exists, so cache pins
+        # would accumulate across calls; checkpoint blocks are reclaimed
+        base = _fingerprint_and_shingle_sets(documents).localCheckpoint(
+            eager=True
+        )
     pairs = (
         bucket_pairs(base.select("doc_id", "fingerprint"), ["fingerprint"], ["doc_id"])
         .select(F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
