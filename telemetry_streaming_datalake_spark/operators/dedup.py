@@ -2084,36 +2084,64 @@ def dedup_threshold_curve(
         eager=True
     )
     n_corpus = documents.count()  # 1 scalar, the broadcast-dim posture
-    parts = []
-    for t in sorted(thresholds):
-        surv = pairs.filter(F.col("jaccard") >= t)
-        agg = surv.agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.round(F.col("jaccard") * 1e6).cast("long")).alias("sum_micro"),
-        )
-        docs_t = surv.select(
-            F.explode(F.array("doc_a", "doc_b")).alias("d")
-        ).agg(F.count_distinct("d").alias("n_docs"))
-        parts.append(
-            agg.crossJoin(docs_t).select(
-                F.lit(float(t)).alias("threshold"),
-                F.col("n_pairs").cast("int").alias("n_pairs"),
-                F.col("n_docs").cast("int").alias("n_docs"),
-                floor_round(F.col("n_docs") / F.lit(n_corpus), 6).alias(
-                    "dup_doc_frac"
-                ),
-                F.when(
-                    F.col("n_pairs") > 0,
-                    floor_round(
-                        F.col("sum_micro") / F.col("n_pairs") / F.lit(1e6), 6
-                    ),
-                ).alias("mean_jaccard"),
+    # r14 opt (guide §2.4): the per-threshold loop used to issue two
+    # aggregates + a crossJoin PER threshold (≈40 Exchange nodes, ~21
+    # tiny jobs over the checkpointed pair frame).  Every per-threshold
+    # number is a CONDITIONAL aggregate of the same frame, so all
+    # thresholds ride TWO aggregates total (pair stats; distinct
+    # implicated docs over one explode), and the wide single row
+    # explodes back into curve rows map-side.  Values are identical:
+    # sum(when(keep,1)) == count of the filter, count_distinct of a
+    # when() counts distinct non-NULLs == distinct survivors, and the
+    # empty-threshold NULL/0 conventions match the filtered forms.
+    ts = sorted(thresholds)
+    micro = F.round(F.col("jaccard") * 1e6).cast("long")
+    pair_aggs = []
+    for i, t in enumerate(ts):
+        keep = F.col("jaccard") >= t
+        pair_aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"np_{i}"))
+        pair_aggs.append(F.sum(F.when(keep, micro)).alias(f"sm_{i}"))
+    pa = pairs.agg(*pair_aggs)
+    exploded = pairs.select(
+        "jaccard", F.explode(F.array("doc_a", "doc_b")).alias("d")
+    )
+    da = exploded.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col("jaccard") >= t, F.col("d"))
+            ).alias(f"nd_{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    rows = pa.crossJoin(da).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(t)).alias("threshold"),
+                        F.col(f"np_{i}").alias("n_pairs"),
+                        F.col(f"nd_{i}").alias("n_docs"),
+                        F.col(f"sm_{i}").alias("sum_micro"),
+                    )
+                    for i, t in enumerate(ts)
+                ]
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("threshold")
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.threshold").alias("threshold"),
+        F.col("r.n_pairs").cast("int").alias("n_pairs"),
+        F.col("r.n_docs").cast("int").alias("n_docs"),
+        floor_round(F.col("r.n_docs") / F.lit(n_corpus), 6).alias(
+            "dup_doc_frac"
+        ),
+        F.when(
+            F.col("r.n_pairs") > 0,
+            floor_round(
+                F.col("r.sum_micro") / F.col("r.n_pairs") / F.lit(1e6), 6
+            ),
+        ).alias("mean_jaccard"),
+    ).orderBy("threshold")
 
 
 def dedup_threshold_curve_oracle(

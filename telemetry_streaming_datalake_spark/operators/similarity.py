@@ -2093,37 +2093,62 @@ def retrieval_quality_report(
         .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
         .localCheckpoint(eager=True)
     )
-    parts = []
-    for d in depths:
-        res = _rrf_fuse(
-            lex_all.filter(F.col("lex_rank") <= d),
-            sem_all.filter(F.col("sem_rank") <= d),
-            k,
-            rrf_k,
+    # r14 opt (guide §2.4): the per-depth loop fused, ranked, joined
+    # and aggregated once PER depth (~24 Exchange nodes of k-sized
+    # data).  A depth-d fusion is a function of (lex_rank, sem_rank,
+    # d) alone, so ONE full-outer join + a depth explode + ONE window
+    # partitioned by depth + ONE grouped aggregate replicate every
+    # per-depth list exactly: presence at depth d is rank<=d on either
+    # side (NULL ranks fail the test, same as the filtered join's
+    # missing side), the score adds the same two when() terms in the
+    # same order before the same 6dp round, and row_number over
+    # (score desc, doc_id) within a depth equals the old
+    # orderBy+limit(k) prefix because the order is total.
+    fused = lex_all.join(sem_all, "doc_id", "full_outer")
+    per = fused.select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.explode(F.array(*[F.lit(int(d)) for d in depths])).alias("depth"),
+    ).filter(
+        (F.col("lex_rank") <= F.col("depth"))
+        | (F.col("sem_rank") <= F.col("depth"))
+    )
+    term = lambda rank_col: F.when(
+        F.col(rank_col) <= F.col("depth"),
+        1.0 / (F.lit(rrf_k) + F.col(rank_col)),
+    ).otherwise(F.lit(0.0))
+    per = per.select(
+        "depth",
+        "doc_id",
+        F.round(term("lex_rank") + term("sem_rank"), 6).alias("rrf_score"),
+    )
+    wd = Window.partitionBy("depth").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    ranked = per.select(
+        "depth", "doc_id", F.row_number().over(wd).alias("rnk")
+    ).filter(F.col("rnk") <= k)
+    scored = ranked.join(F.broadcast(truth), "doc_id", "left").select(
+        "depth", "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    return (
+        scored.groupBy("depth")
+        .agg(
+            F.sum("rel").alias("hits"),
+            F.sum(
+                F.col("rel") * F.element_at(wts, F.col("rnk")).cast("bigint")
+            ).alias("dcg_micro"),
         )
-        wd = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
-        ranked = res.select("doc_id", F.row_number().over(wd).alias("rnk"))
-        scored = ranked.join(F.broadcast(truth), "doc_id", "left").select(
-            "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+        .select(
+            "depth",
+            F.lit(k).alias("k"),
+            F.col("hits").cast("int").alias("truth_hits"),
+            floor_round(F.col("hits") / F.lit(k), 6).alias("recall_at_k"),
+            floor_round(F.col("dcg_micro") / F.lit(idcg), 6).alias("ndcg_at_k"),
         )
-        parts.append(
-            scored.agg(
-                F.sum("rel").alias("hits"),
-                F.sum(
-                    F.col("rel") * F.element_at(wts, F.col("rnk")).cast("bigint")
-                ).alias("dcg_micro"),
-            ).select(
-                F.lit(d).alias("depth"),
-                F.lit(k).alias("k"),
-                F.col("hits").cast("int").alias("truth_hits"),
-                floor_round(F.col("hits") / F.lit(k), 6).alias("recall_at_k"),
-                floor_round(F.col("dcg_micro") / F.lit(idcg), 6).alias("ndcg_at_k"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("depth")
+        .orderBy("depth")
+    )
 
 
 def retrieval_quality_report_oracle(

@@ -1161,17 +1161,37 @@ def tokenize_fixed_vocab(
     doc_words = documents.select(
         "doc_id", F.explode(F.split(F.trim(norm), " ")).alias("word")
     ).filter(F.length("word") > 0)
-    seg = (
-        doc_words.select("word")
-        .distinct()
-        .select(
-            "word",
-            # codepoint-true symbols (see char_entropy)
-            F.regexp_extract_all("word", F.lit("(?s)."), 0).alias("syms"),
+    if merges is None:
+        # the shipped-rule fast path rides the process-cached composed
+        # chain (construction is per-plan cost in bench/driver runs)
+        from telemetry_streaming_datalake_spark.operators.exprcache import (
+            cached_cols,
         )
-    )
-    for a, b in rules:
-        seg = seg.select("word", apply_merge(F.col("syms"), a, b).alias("syms"))
+
+        seg = (
+            doc_words.select("word")
+            .distinct()
+            .select(
+                "word",
+                cached_cols(
+                    "text.fixed_merge_chain", _fixed_merge_chain_col
+                ).alias("syms"),
+            )
+        )
+    else:
+        seg = (
+            doc_words.select("word")
+            .distinct()
+            .select(
+                "word",
+                # codepoint-true symbols (see char_entropy)
+                F.regexp_extract_all("word", F.lit("(?s)."), 0).alias("syms"),
+            )
+        )
+        for a, b in rules:
+            seg = seg.select(
+                "word", apply_merge(F.col("syms"), a, b).alias("syms")
+            )
     seg = seg.select("word", F.size("syms").alias("word_tokens"))
     joined = doc_words.join(seg, "word")
     return joined.groupBy("doc_id").agg(
@@ -1230,6 +1250,19 @@ FIXED_VOCAB: tuple[str, ...] = tuple(
 )
 
 
+
+def _fixed_merge_chain_col():
+    """The full FIXED_BPE_MERGES application as ONE composed column
+    over ``word`` — built once per process (`exprcache`): each
+    `apply_merge` is a sizeable aggregate-fold expression and the r13
+    shape re-constructed all 20 per plan (the 20 stacked Projects
+    collapse to this exact composition in the optimizer anyway)."""
+    col = F.regexp_extract_all("word", F.lit("(?s)."), 0)
+    for a, b in FIXED_BPE_MERGES:
+        col = apply_merge(col, a, b)
+    return col
+
+
 def tokenize_roundtrip(documents: DataFrame) -> DataFrame:
     """Tokenizer round-trip auditor over the shipped fixed vocab
     (pairs with :func:`lang_id_model`'s language axis): encode every
@@ -1250,13 +1283,20 @@ def tokenize_roundtrip(documents: DataFrame) -> DataFrame:
     doc_words = documents.select(
         "doc_id", "lang", F.explode(F.split(F.trim(norm), " ")).alias("word")
     ).filter(F.length("word") > 0)
+    from telemetry_streaming_datalake_spark.operators.exprcache import (
+        cached_cols,
+    )
+
     seg = (
         doc_words.select("word")
         .distinct()
-        .select("word", F.regexp_extract_all("word", F.lit("(?s)."), 0).alias("syms"))
+        .select(
+            "word",
+            cached_cols(
+                "text.fixed_merge_chain", _fixed_merge_chain_col
+            ).alias("syms"),
+        )
     )
-    for a, b in FIXED_BPE_MERGES:
-        seg = seg.select("word", apply_merge(F.col("syms"), a, b).alias("syms"))
     vocab_arr = F.array(*[F.lit(v) for v in FIXED_VOCAB])
     seg = seg.select(
         "word",
