@@ -1168,9 +1168,11 @@ def host_politeness_report(
     join feed ONE host-keyed aggregate; the corpus total rides a
     broadcast 1-row scalar attach (no window, no second shuffle).
     Ratios floor-rounded 6dp (SURVEY §6), division-first op order.
+    The fetchable set comes from `url_keepers` (r14 opt) — the same
+    rows as ``url_canonicalize().filter(is_keeper)`` (equality-pinned)
+    via the join-free min-struct agg, sort-free and viral-URL-safe.
     """
-    uc = url_canonicalize(documents)
-    admitted = uc.filter(F.col("is_keeper")).select("doc_id", "canonical_url")
+    admitted = url_keepers(documents).select("doc_id", "canonical_url")
     allowed = robots_gate(admitted).filter(F.col("robots_allowed"))
     host = F.regexp_extract("canonical_url", r"^[^:]+://([^/:?#]*)", 1)
     per = (
