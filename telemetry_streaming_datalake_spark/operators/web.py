@@ -133,7 +133,9 @@ def _decode_entities(col):
 
 
 def html_extract(
-    documents: DataFrame, payloads: DataFrame | None = None
+    documents: DataFrame,
+    payloads: DataFrame | None = None,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Tag-strip + link-density boilerplate extraction over an ``html``
     column — the stage that turns a crawl into the ``text`` column
@@ -163,15 +165,26 @@ def html_extract(
     The whole chain is a fixed unresolved-Column tree over ``html`` /
     ``__blocks``; it is built once per process (`exprcache`) because
     the crawl ingest topology re-plans it every micro-batch.
+
+    ``passthrough`` names extra ``payloads`` columns to carry verbatim
+    through the extraction (r14 opt, guide §2.4): a consumer that needs
+    both the extraction AND a per-row payload derivation (the yield
+    report's ``html_chars``, the ingest ladder's ``html_md5``) would
+    otherwise join two frames that each re-derive the payload chain —
+    Catalyst shares no subtree across join branches.  Carried columns
+    ride the SAME projection, so the chain evaluates once and the join
+    disappears; row-identical to the doc_id equi-join because the
+    extraction is 1:1 over payload rows (minus its own all-empty-block
+    drops, which an inner join drops on both shapes alike).
     """
     if payloads is None:
         payloads = attach_html_payload(documents)
     staged_col, nonempty_sz, out_cols = cached_cols(
         "web.html_extract", _html_extract_cols
     )
-    staged = payloads.select("doc_id", "source", staged_col)
+    staged = payloads.select("doc_id", "source", *passthrough, staged_col)
     return staged.filter(nonempty_sz > 0).select(
-        "doc_id", "source", *out_cols
+        "doc_id", "source", *out_cols, *passthrough
     )
 
 
@@ -753,11 +766,20 @@ def attach_warc_payload(documents: DataFrame) -> DataFrame:
     row-identical — both URL synthesis and page synthesis are 1:1 and
     the join only re-applied pages' NULL-text filter)."""
     pages = attach_html_payload(documents)
-    url = cached_cols("web.attach_url", _attach_url_col)
-    record = cached_cols("web.warc_record", _warc_record_col)
-    return pages.withColumn("url", url).select(
-        "doc_id", "source", record.alias("warc")
+    staged = cached_cols(
+        "web.warc_record.staged",
+        lambda: F.explode(F.array(_warc_record_col())).alias("warc"),
     )
+    # Generate barrier (the `_html_extract_cols` pattern): downstream
+    # parsers reference ``warc`` from many columns AND filter
+    # predicates across operator boundaries, where projection collapse
+    # would inline — and re-evaluate — the whole synthesis concat per
+    # reference; exploding the one-element array materializes the
+    # record once per row as an attribute (Generate is NOT an
+    # exchange; the plan stays map-only)
+    return pages.withColumn(
+        "url", cached_cols("web.attach_url", _attach_url_col)
+    ).select("doc_id", "source", staged)
 
 
 def _warc_record_col():
@@ -782,7 +804,9 @@ def _warc_record_col():
 
 
 def warc_extract(
-    documents: DataFrame, records: DataFrame | None = None
+    documents: DataFrame,
+    records: DataFrame | None = None,
+    keep_body: bool = False,
 ) -> DataFrame:
     """Parse a ``warc`` record column — the stage BEFORE
     `url_canonicalize`/`html_extract` in a real crawl pipeline: framing
@@ -795,7 +819,14 @@ def warc_extract(
     Map-only JVM regexp extraction over the record string — zero
     shuffles, zero Python, the pure-scan shape a WARC sweep needs at
     100 TB (in production each gzip member is one record; the parse
-    per record is identical)."""
+    per record is identical).
+
+    ``keep_body=True`` additionally emits the parsed HTTP body as
+    ``html`` (r14 opt, guide §2.4): the ingest ladder consumes BOTH the
+    framing verdicts and the body, and as two separate consumers of the
+    record frame each re-evaluates the whole WARC synthesis; riding one
+    projection evaluates it once.  Default-off so the registered key's
+    schema is untouched."""
     if records is None:
         records = attach_warc_payload(documents)
     rec = F.col("warc")
@@ -820,6 +851,7 @@ def warc_extract(
         clen.alias("content_length"),
         (F.octet_length(http) == clen).alias("length_ok"),
         F.md5(body).alias("html_md5"),
+        *([body.alias("html")] if keep_body else []),
     )
 
 
@@ -879,16 +911,24 @@ def extraction_yield_report(documents: DataFrame) -> DataFrame:
     markup+boilerplate overhead).  A source whose yield collapses or
     whose drop rate spikes is a template change or a spam farm.
 
-    Shape: two map-only frames off the same corpus scan (the page
-    synthesis and its extraction), ONE doc_id equi-join, ONE
-    source-keyed aggregate — no all-pairs, no windows.  All reported
-    ratios floor-rounded 6dp (SURVEY §6).
+    Shape: ONE map-only frame and ONE source-keyed aggregate — the
+    page length rides the extraction's own projection
+    (``html_extract(passthrough=...)``, r14 opt, guide §2.4) instead of
+    the r13 doc_id self-join of two frames that EACH re-derived the
+    page synthesis (Catalyst shares no subtree across join branches).
+    Row-identical: the join was 1:1 on the extraction's rows (pages ⊇
+    ext by construction — ext only drops all-empty-block pages), so
+    carrying ``html_chars`` through yields the same joined rows.  No
+    all-pairs, no windows; ratios floor-rounded 6dp (SURVEY §6).
     """
-    pages = attach_html_payload(documents).select(
-        "doc_id", F.length("html").alias("html_chars")
+    pages = attach_html_payload(documents).withColumn(
+        "html_chars", F.length("html")
     )
-    ext = html_extract(documents)
-    j = ext.join(pages, "doc_id")
+    j = html_extract(
+        documents,
+        payloads=pages.select("doc_id", "source", "html", "html_chars"),
+        passthrough=("html_chars",),
+    )
     return (
         j.groupBy("source")
         .agg(
@@ -1230,11 +1270,23 @@ def wet_emit(documents: DataFrame, extracted: DataFrame | None = None) -> DataFr
     ``WARC-Refers-To`` naming the source response record, octet-exact
     Content-Length).  Map-only string assembly in the same codegen
     stage as the extraction; round-trip parse is pytest-pinned through
-    the SAME header regexes `warc_extract` uses."""
+    the SAME header regexes `warc_extract` uses.
+
+    On the default (synthesis) path the URL derives purely from
+    (source, doc_id), both of which the extraction carries — so it is
+    computed IN the extraction's own projection (r14 opt, guide §2.4:
+    the r13 shape joined `attach_url` back on doc_id, a join that
+    re-united per-row derivations that never left the row; equality
+    join-form == column-form pinned in tests/test_web.py).  A custom
+    ``extracted=`` frame keeps the join: its doc_ids/sources need not
+    agree with ``documents``."""
     if extracted is None:
-        extracted = html_extract(documents)
-    urls = attach_url(documents).select("doc_id", "url")
-    rec = extracted.join(urls, "doc_id")
+        rec = html_extract(documents).withColumn(
+            "url", cached_cols("web.attach_url", _attach_url_col)
+        )
+    else:
+        urls = attach_url(documents).select("doc_id", "url")
+        rec = extracted.join(urls, "doc_id")
     wet = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
         F.col("url"),

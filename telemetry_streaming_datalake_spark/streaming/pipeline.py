@@ -2045,8 +2045,16 @@ def _seen_compact(
         for f in frames[1:]:
             folded = folded.unionByName(f)
         # no distinct: per-batch admissions are disjoint by the
-        # anti-join's own contract, so the fold is a pure union
-        folded.write.partitionBy("bucket").mode("overwrite").parquet(target)
+        # anti-join's own contract, so the fold is a pure union.
+        # repartition("bucket") before the partitioned write (guide §6
+        # small-files): without it every input task writes a file into
+        # every bucket dir it touches — (tasks × buckets) files per
+        # fold, which is exactly the listing/open cost the compaction
+        # exists to remove.  Keyed on the partition column, each bucket
+        # lands in ONE task → one file per bucket, bounded store-wide.
+        folded.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(target)
     for d in os.listdir(seen_dir):
         if d.startswith("compacted_v=") and int(d.split("=", 1)[1]) < batch_id:
             shutil.rmtree(os.path.join(seen_dir, d))
@@ -2119,7 +2127,16 @@ def _stage_frontier_landing(
     so strictly increasing mtimes are stamped in range order
     (part-0000x of a repartitionByRange write holds the lowest
     doc_ids).  A production frontier consumes whatever landing
-    directory the fetcher drops files into and has no such staging."""
+    directory the fetcher drops files into and has no such staging.
+
+    r14 NEGATIVE RESULT (kept as the record): a zero-shuffle rewrite —
+    deterministic equal-width ranges off one min/max aggregate, each
+    range a filtered scan + coalesce(1) write from a thread pool —
+    measured SLOWER in isolation at BOTH scales (0.67 vs 0.46 s at
+    sf0.1, 0.74 vs 0.51 s at the 10x corpus, best-of-3): n_files+1
+    small jobs cost more than the one sample+shuffle at staging sizes,
+    and the filtered scans re-read the source n_files times when
+    row-group pruning cannot carry the predicate.  The shuffle stays."""
     src = os.path.join(sf_dir, "documents.parquet")
     staged_src = os.path.join(work_dir, "frontier_src")
     (
@@ -2212,9 +2229,14 @@ def streaming_url_frontier(
         if admitted is not cand:
             # the probed frame feeds BOTH sinks below — pin once
             admitted = admitted.localCheckpoint(eager=True)
-        admitted.select("canonical_url", "bucket").write.partitionBy(
+        # delta write keyed on the partition column (guide §6): one
+        # file per touched bucket instead of (tasks × buckets) — the
+        # probe's listing/open cost is bounded at any batch size
+        admitted.select("canonical_url", "bucket").repartition(
             "bucket"
-        ).mode("overwrite").parquet(os.path.join(seen_dir, f"batch={batch_id}"))
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(seen_dir, f"batch={batch_id}")
+        )
         admitted.drop("bucket").write.mode("overwrite").parquet(
             os.path.join(admit_dir, f"batch={batch_id}")
         )
@@ -2300,9 +2322,12 @@ def streaming_web_ingest(
         probed = _seen_probe(cand, seen_dir, batch_id)
         if probed is not cand:
             probed = probed.localCheckpoint(eager=True)
-        probed.select("canonical_url", "bucket").write.partitionBy(
+        # one file per touched bucket, not (tasks × buckets) — guide §6
+        probed.select("canonical_url", "bucket").repartition(
             "bucket"
-        ).mode("overwrite").parquet(os.path.join(seen_dir, f"batch={batch_id}"))
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(seen_dir, f"batch={batch_id}")
+        )
         admitted = probed.drop("bucket")
         allowed = (
             WB.robots_gate(admitted)
@@ -2313,37 +2338,41 @@ def streaming_web_ingest(
         # have no record — the URL exists before the fetch succeeds),
         # framing + octet-verified Content-Length gate the parse
         docs_b = batch_df.join(allowed.select("doc_id"), "doc_id")
-        # pin_stages=True materializes the "fetched" records and the
-        # extraction once per batch (in production that checkpoint IS
-        # the fetcher's WARC landing file).  A/B at sf0.1 batch sizes
-        # (~1.2k docs/batch) measured the pins SLOWER (9.3-9.8 vs
-        # 8.2-8.9 s drain) — the barrier outweighs re-deriving a
-        # map-only chain on small batches — so the default re-derives;
-        # flip the knob when batches are big enough that the synthesis
-        # dominates (BASELINE.md r13)
+        # ONE linear chain from synthesis to gate (r14 opt, guide
+        # §2.4/§1.2): the r13 shape consumed the record frame from TWO
+        # join branches (framing verdicts vs parsed body), so the WARC
+        # synthesis + parse evaluated twice per batch — Catalyst shares
+        # no subtree across join branches.  `warc_extract(keep_body=
+        # True)` emits the verdicts AND the body in one projection, the
+        # ok-filter runs BEFORE extraction (commutes with the inner
+        # joins: the final row set is kept ∧ ok ∧ allowed either way,
+        # and every stage in between is 1:1 per doc), `html_extract`
+        # carries html_md5 through via `passthrough`, and the old
+        # kept⋈ok join disappears.  pin_stages=True materializes the
+        # parsed records once per batch (in production that checkpoint
+        # IS the fetcher's WARC landing file); A/B at sf0.1 batch
+        # sizes (~1.2k docs/batch) measured the pins SLOWER — the
+        # barrier outweighs re-deriving a map-only chain on small
+        # batches — so the default re-derives (BASELINE.md r13,
+        # re-validated r14)
         recs = WB.attach_warc_payload(docs_b)
-        if pin_stages:
-            recs = recs.localCheckpoint(eager=True)
-        ok = WB.warc_extract(docs_b, records=recs).filter(
+        parsed = WB.warc_extract(docs_b, records=recs, keep_body=True).filter(
             F.col("magic_ok") & F.col("length_ok") & (F.col("status") == 200)
         )
-        http = F.regexp_extract(F.col("warc"), r"(?s)^.*?\r\n\r\n(.*)$", 1)
-        body = F.regexp_extract(http, r"(?s)^.*?\r\n\r\n(.*)$", 1)
-        payloads = recs.select("doc_id", "source", body.alias("html"))
-        # the extraction feeds BOTH the gate and the final projection;
-        # it is only pinned when pin_stages=True — by default the
-        # block/regexp chain re-derives per consumer, measured FASTER
-        # at these batch sizes (A/B above)
-        ext = WB.html_extract(docs_b, payloads=payloads)
+        if pin_stages:
+            parsed = parsed.localCheckpoint(eager=True)
+        ext = WB.html_extract(
+            docs_b,
+            payloads=parsed.select("doc_id", "source", "html", "html_md5"),
+            passthrough=("html_md5",),
+        )
         if pin_stages:
             ext = ext.localCheckpoint(eager=True)
         # the gate rides the SAME projection as the extraction via
         # gopher_filter's extra_cols seam (the curation_manifest
-        # composition pattern): the r13 shape joined a gate-ids frame
-        # BACK onto ext, which evaluated the whole extract chain twice
-        # per batch (both join branches re-derive it) — carried
-        # through, it evaluates once and one join disappears (r14 opt,
-        # guide §2.4; row-identical: keep ∧ same doc_ids)
+        # composition pattern; r14 opt — carried through, the whole
+        # synthesis→parse→extract→gate ladder is one map-only chain
+        # over the admitted batch)
         kept = (
             gopher_filter(
                 ext.select(
@@ -2351,26 +2380,24 @@ def streaming_web_ingest(
                     "source",
                     F.col("extracted_text").alias("text"),
                     "n_blocks",
+                    "html_md5",
                 ),
                 extra_cols=[
                     F.col("text").alias("extracted_text"),
                     F.col("n_blocks").cast("int").alias("n_blocks"),
+                    F.col("html_md5"),
                 ],
             )
             .filter(F.col("keep"))
-            .select("doc_id", "source", "extracted_text", "n_blocks")
+            .select("doc_id", "source", "extracted_text", "n_blocks", "html_md5")
         )
-        final = (
-            kept.join(ok.select("doc_id", "html_md5"), "doc_id")
-            .join(allowed, "doc_id")
-            .select(
-                "doc_id",
-                "source",
-                "canonical_url",
-                "html_md5",
-                "extracted_text",
-                "n_blocks",
-            )
+        final = kept.join(allowed, "doc_id").select(
+            "doc_id",
+            "source",
+            "canonical_url",
+            "html_md5",
+            "extracted_text",
+            "n_blocks",
         )
         final.write.mode("overwrite").parquet(
             os.path.join(lake_dir, f"batch={batch_id}")
@@ -2481,9 +2508,10 @@ def streaming_paragraph_dedup(
         fresh = _seen_probe(
             hashes, seen_dir, batch_id, key_col="chunk_md5"
         ).localCheckpoint(eager=True)
-        fresh.write.partitionBy("bucket").mode("overwrite").parquet(
-            os.path.join(seen_dir, f"batch={batch_id}")
-        )
+        # one file per touched bucket, not (tasks × buckets) — guide §6
+        fresh.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(seen_dir, f"batch={batch_id}"))
         ranked = (
             chunks.join(winners, "chunk_md5")
             .join(

@@ -514,3 +514,65 @@ def test_url_canonicalize_agg_path_keeps_null_canonical_rows(spark):
         for r in W.url_canonicalize(None, urls=urls, dedup_via_agg=True).collect()
     }
     assert a == b and len(a) == 3
+
+
+def test_html_extract_passthrough_equals_join(spark):
+    """The `passthrough` seam (r14 opt) must yield exactly the rows of
+    the doc_id equi-join it replaces: extraction columns unchanged, the
+    carried payload column verbatim, all-empty-block pages still
+    dropped on both shapes."""
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "plain words here"),
+            (2, "t", "x y z"),
+            (3, "s", None),  # no page at all
+        ],
+    )
+    pages = W.attach_html_payload(docs).withColumn(
+        "html_chars", F.length("html")
+    )
+    fused = W.html_extract(
+        docs,
+        payloads=pages.select("doc_id", "source", "html", "html_chars"),
+        passthrough=("html_chars",),
+    )
+    joined = W.html_extract(docs).join(
+        pages.select("doc_id", "html_chars"), "doc_id"
+    )
+    a = {tuple(r) for r in fused.select(*sorted(fused.columns)).collect()}
+    b = {tuple(r) for r in joined.select(*sorted(fused.columns)).collect()}
+    assert a == b and len(a) == 2
+
+
+def test_warc_extract_keep_body_surfaces_parsed_body(spark):
+    """`keep_body=True` (r14 opt) emits the parsed HTTP body alongside
+    the framing verdicts — same parse, one projection: md5(html) must
+    equal the html_md5 the parser already reports, and the default
+    schema must be untouched."""
+    docs = _docs(spark, [(1, "s", "alpha beta"), (2, "t", "gamma")])
+    with_body = W.warc_extract(docs, keep_body=True)
+    assert "html" in with_body.columns
+    assert "html" not in W.warc_extract(docs).columns
+    bad = with_body.filter(F.md5("html") != F.col("html_md5"))
+    assert bad.count() == 0
+    # and the body really is the page the synthesis attached
+    pages = {r.doc_id: r.html for r in W.attach_html_payload(docs).collect()}
+    for r in with_body.collect():
+        assert r.html == pages[r.doc_id]
+
+
+def test_wet_emit_column_form_equals_join_form(spark):
+    """The default (synthesis) path computes the URL in the
+    extraction's own projection (r14 opt); it must emit byte-identical
+    records to the r13 join shape it replaced."""
+    docs = _docs(
+        spark,
+        [(1, "s", "alpha beta gamma"), (2, "t", "delta"), (3, "s", None)],
+    )
+    col_form = {(r.doc_id, r.source, r.wet) for r in W.wet_emit(docs).collect()}
+    join_form = {
+        (r.doc_id, r.source, r.wet)
+        for r in W.wet_emit(docs, extracted=W.html_extract(docs)).collect()
+    }
+    assert col_form == join_form and len(col_form) == 2
