@@ -2490,41 +2490,57 @@ def streaming_paragraph_dedup(
         s = batch_df.sparkSession
         if batch_id > 0 and batch_id % compact_every == 0:
             _seen_compact(s, seen_dir, batch_id, key_col="chunk_md5")
-        # pin the explode once: it feeds the winner agg, the store
-        # probe, and the reassembly
+        # pin the explode once: it feeds the winner agg and the
+        # reassembly
         chunks = (
             DD.para_chunk_rows(batch_df)
             .withColumn("chunk_md5", F.md5("chunk"))
-            .withColumn("bucket", _seen_bucket_col("chunk_md5"))
             .localCheckpoint(eager=True)
         )
-        winners = chunks.groupBy("chunk_md5").agg(
-            F.min(F.struct("doc_id", "idx")).alias("__w")
+        # ONE hash-keyed aggregate serves the winner rank, the store
+        # probe AND the keep-join (guide §2.4): the winner frame has
+        # exactly one row per chunk_md5, so it IS the distinct hash
+        # set the probe needs — the former separate `distinct` was a
+        # second full shuffle of the same keys, and carrying `__w` on
+        # the probed frame makes the former winners join redundant.
+        # `bucket` is recomputed post-agg (functionally dependent on
+        # chunk_md5), keeping the winner shuffle at key+struct width.
+        winners = (
+            chunks.groupBy("chunk_md5")
+            .agg(F.min(F.struct("doc_id", "idx")).alias("__w"))
+            .withColumn("bucket", _seen_bucket_col("chunk_md5"))
         )
-        hashes = chunks.select("chunk_md5", "bucket").distinct()
         # hashes NO prior batch claimed; every fresh hash present in
         # this batch is claimed by its batch-local winner, so the
         # fresh set IS the store delta
         fresh = _seen_probe(
-            hashes, seen_dir, batch_id, key_col="chunk_md5"
+            winners, seen_dir, batch_id, key_col="chunk_md5"
         ).localCheckpoint(eager=True)
         # one file per touched bucket, not (tasks × buckets) — guide §6
-        fresh.repartition("bucket").write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(seen_dir, f"batch={batch_id}"))
-        ranked = (
-            chunks.join(winners, "chunk_md5")
-            .join(
-                fresh.select("chunk_md5").withColumn("__fresh", F.lit(True)),
-                "chunk_md5",
-                "left",
-            )
-            .withColumn(
-                "__keep",
-                F.coalesce(F.col("__fresh"), F.lit(False))
+        fresh.select("chunk_md5", "bucket").repartition(
+            "bucket"
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(seen_dir, f"batch={batch_id}")
+        )
+        ranked = chunks.join(
+            fresh.select("chunk_md5", "__w").withColumn(
+                "__fresh", F.lit(True)
+            ),
+            "chunk_md5",
+            "left",
+        ).withColumn(
+            # non-fresh chunks (hash claimed by a prior batch) take
+            # the NULL-&-NULL → coalesce FALSE arm — boolean-identical
+            # to the old `coalesce(__fresh, False) & winner-equality`
+            # over the inner winners join, where __fresh=NULL forced
+            # FALSE with __w always bound
+            "__keep",
+            F.coalesce(
+                F.col("__fresh")
                 & (F.col("doc_id") == F.col("__w.doc_id"))
                 & (F.col("idx") == F.col("__w.idx")),
-            )
+                F.lit(False),
+            ),
         )
         DD.para_reassemble(ranked).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
