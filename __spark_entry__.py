@@ -55,61 +55,15 @@ MERGE_CUTOFF_UNIX = 1705276800
 #: mid-hour cutoff so boundary buckets receive pre- AND post-cutoff rows
 INCR_CUTOFF_UNIX = 1705278600
 
-#: round-14 driver rotation (SURVEY §2b): the FULL stalest-first order
-#: emitted by `python tools/rotate.py` at r14 open.  The r14 window
-#: (first 50) = the complete 35-key r10 cohort at its 4-round deadline
-#: (`q2_min_cost_supplier` ... `bronze_parse`) + the 15 stalest r11
-#: keys (`png_pixels` ... `gap_detect`) — ZERO slack, per VERDICT r13
-#: #2: any net-new key auto-prepends and displaces an r11 key whose
-#: own deadline is r15.  Budget arithmetic in SURVEY §2b.
-_R14_ORDER = [
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q20_excess_shippers",
-    "q21_waiting_supplier",
-    "cohort_retention",
-    "funnel_conversion",
-    "importance_sample",
-    "source_reputation",
-    "metric_rank_report",
-    "time_travel_read",
-    "compaction_plan",
-    "value_histogram",
-    "rolling_active_users",
-    "zorder_layout",
-    "event_transitions",
-    "streaming_grouping_sets",
-    "metric_correlation",
-    "bucketed_join",
-    "lm_perplexity",
-    "canonical_docs",
-    "rollup_restate",
-    "cumulative_metric",
-    "streaming_three_hop",
-    "png_meta",
-    "streaming_ewma",
-    "streaming_ohlc",
-    "streaming_approx_distinct",
-    "streaming_cusum",
-    "approx_percentile_audit",
-    "hybrid_search",
-    "approx_distinct_audit",
-    "ts_similarity",
-    "bronze_parse",
-    "png_pixels",
-    "streaming_sessionize",
-    "tokenize_roundtrip",
-    "dedup_index_incremental",
-    "domain_quality_report",
-    "leakage_safe_split",
-    "dedup_containment",
-    "perplexity_buckets",
-    "silver_metrics",
-    "silver_explode",
-    "bronze_feed_b",
-    "gold_enrich",
+#: round-15 driver rotation (SURVEY §2b): the FULL stalest-first order
+#: emitted by `python tools/rotate.py` at r15 open.  The r15 window
+#: (first 50) = the complete 37-key r11 cohort at its 4-round deadline
+#: (`custom_metric_sum` ... `adhoc_gold_slice`) + the 13 stalest r12
+#: keys (`train_mix_materialize` ... `repetition_stats`) — per VERDICT
+#: r14 #6: zero net-new keys this round (optimization round), so the
+#: window is exactly rotate.py's first 50.  Budget arithmetic in
+#: SURVEY §2b.
+_R15_ORDER = [
     "custom_metric_sum",
     "custom_metric_join",
     "gap_detect",
@@ -240,6 +194,56 @@ _R14_ORDER = [
     "latest_state_diff",
     "q15_top_supplier",
     "q17_small_quantity",
+    "streaming_paragraph_dedup",
+    "host_politeness_report",
+    "wet_emit",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "cohort_retention",
+    "funnel_conversion",
+    "importance_sample",
+    "source_reputation",
+    "metric_rank_report",
+    "time_travel_read",
+    "compaction_plan",
+    "value_histogram",
+    "rolling_active_users",
+    "zorder_layout",
+    "event_transitions",
+    "streaming_grouping_sets",
+    "metric_correlation",
+    "bucketed_join",
+    "lm_perplexity",
+    "canonical_docs",
+    "rollup_restate",
+    "cumulative_metric",
+    "streaming_three_hop",
+    "png_meta",
+    "streaming_ewma",
+    "streaming_ohlc",
+    "streaming_approx_distinct",
+    "streaming_cusum",
+    "approx_percentile_audit",
+    "hybrid_search",
+    "approx_distinct_audit",
+    "ts_similarity",
+    "bronze_parse",
+    "png_pixels",
+    "streaming_sessionize",
+    "tokenize_roundtrip",
+    "dedup_index_incremental",
+    "domain_quality_report",
+    "leakage_safe_split",
+    "dedup_containment",
+    "perplexity_buckets",
+    "silver_metrics",
+    "silver_explode",
+    "bronze_feed_b",
+    "gold_enrich",
 ]
 
 
@@ -483,15 +487,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys against the 50-key window under a 4-round freshness bound, so
     net-new keys (≤10/round) displace a named identical-oracle
     survivor.  The dict below is grouped by topic for readability;
-    `_R14_ORDER` (from `python tools/rotate.py`, minus the round's
+    `_R15_ORDER` (from `python tools/rotate.py`, minus the round's
     retirements) dictates the actual driver-visible order.  Keys added
-    mid-round and absent from `_R14_ORDER` auto-prepend so they land
-    inside the driver window immediately — as shipped, the r14 window
-    is exactly the 35-key r10 cohort at its 4-round deadline + the 15
-    stalest r11 keys, zero slack (ledger and budget arithmetic in §2b).
+    mid-round and absent from `_R15_ORDER` auto-prepend so they land
+    inside the driver window immediately — as shipped, the r15 window
+    is exactly the 37-key r11 cohort at its 4-round deadline + the 13
+    stalest r12 keys, zero slack (ledger and budget arithmetic in §2b).
     """
     base = {
-        # --- r11 additions (absent from _R14_ORDER -> auto-prepended
+        # --- r11 additions (absent from _R15_ORDER -> auto-prepended
         # to the driver window), displacement-funded per SURVEY §2b ---
         # PNG as a full pixel citizen: the synthesizer now emits a REAL
         # zlib IDAT (stored deflate + column-computed Adler-32), the
@@ -548,11 +552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": lambda s, d: TX.perplexity_buckets(
             load_table(s, d, "documents")
         ),
-        # --- r12 additions (absent from _R14_ORDER -> auto-prepended
+        # --- r12 additions (absent from _R15_ORDER -> auto-prepended
         # to the driver window, each displacing one r9 fill slot;
         # registry 177 -> 180 of the ~180 ceiling, inside the ≤3
         # net-new budget VERDICT r11 set) ---
-        # --- r13 additions (absent from _R14_ORDER -> auto-prepended
+        # --- r13 additions (absent from _R15_ORDER -> auto-prepended
         # to the driver window; VERDICT r12 #1/#3/#4 — the six
         # oracle-ready web-front-door registrations plus the two
         # end-to-end streaming keys, each funded by a NAMED
@@ -748,7 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _streaming_upsert,
         "streaming_stateful_latest": _streaming_stateful,
         # --- r8 continuation additions (now rotation-scheduled via
-        # _R14_ORDER like every non-r11 key) ---
+        # _R15_ORDER like every non-r11 key) ---
         "trend_report": lambda s, d: DV.trend_report(B.dedup_exact(_bronze(s, d))),
         "fuzzy_blocking_report": lambda s, d: DD.fuzzy_blocking_report(
             load_table(s, d, "documents")
@@ -829,7 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": lambda s, d: DT.table_profile(_bronze(s, d)),
         # --- block E: outside the round-5 window (driver row comes with
         # the round-6 rotation; locally crosscheck-green + pytest now) ---
-        # round-6 additions (now rotation-scheduled via _R14_ORDER)
+        # round-6 additions (now rotation-scheduled via _R15_ORDER)
         "token_budget_plan": lambda s, d: CP.token_budget_plan(
             load_table(s, d, "documents")
         ),
@@ -960,7 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.dup_clusters(DD.ngram_jaccard_dedup(load_table(s, d, "documents"))),
         ),
         "rollup_restate": _rollup_restate,
-        # r7 additions (now rotation-scheduled via _R14_ORDER)
+        # r7 additions (now rotation-scheduled via _R15_ORDER)
         "png_meta": lambda s, d: MM.png_meta(
             load_table(s, d, "documents"),
             payloads=MM.media_payload_fixture(s, d, "png"),
@@ -1087,12 +1091,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")
         ),
     }
-    fresh = {k: v for k, v in base.items() if k not in set(_R14_ORDER)}
-    ordered = fresh | {k: base[k] for k in _R14_ORDER if k in base}
+    fresh = {k: v for k, v in base.items() if k not in set(_R15_ORDER)}
+    ordered = fresh | {k: base[k] for k in _R15_ORDER if k in base}
     # a typo'd rotation entry would silently fall out of the schedule
     # and its real key masquerade as "fresh" — fail loudly instead
-    missing = set(_R14_ORDER) - set(base)
-    assert not missing, f"_R14_ORDER names unknown keys: {sorted(missing)}"
+    missing = set(_R15_ORDER) - set(base)
+    assert not missing, f"_R15_ORDER names unknown keys: {sorted(missing)}"
     assert len(ordered) == len(base)
     return ordered
 

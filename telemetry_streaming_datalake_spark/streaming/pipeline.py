@@ -2067,16 +2067,26 @@ def _seen_probe(
     seen_dir: str,
     batch_id: int,
     key_col: str = "canonical_url",
+    touched_src: DataFrame | None = None,
 ) -> DataFrame:
-    """Anti-join ``cand`` (must carry ``canonical_url`` + ``bucket``)
-    against every PRIOR batch's admissions, reading ONLY the hash
-    buckets this batch's keys touch: both the compacted store and the
-    delta dirs are hive-partitioned on ``bucket``, so the
-    ``bucket IN (touched)`` filter is a pushed PartitionFilter (plan
-    pytest-pinned) and per-batch probe I/O is O(touched buckets), not
-    O(total admitted).  The own-batch dir is never read (replay
-    idempotency — a replayed batch anti-joining its own prior output
-    would admit nothing and erase its admissions)."""
+    """Anti-join ``cand`` (must carry ``key_col`` + ``bucket``; extra
+    columns pass through the left_anti join unchanged) against every
+    PRIOR batch's admissions, reading ONLY the hash buckets this
+    batch's keys touch: both the compacted store and the delta dirs
+    are hive-partitioned on ``bucket``, so the ``bucket IN (touched)``
+    filter is a pushed PartitionFilter (plan pytest-pinned) and
+    per-batch probe I/O is O(touched buckets), not O(total admitted).
+    The own-batch dir is never read (replay idempotency — a replayed
+    batch anti-joining its own prior output would admit nothing and
+    erase its admissions).
+
+    ``touched_src`` (optional) names a frame carrying ``bucket`` whose
+    key set equals ``cand``'s, for callers whose ``cand`` is an
+    UNPINNED aggregate: collecting the touched buckets from ``cand``
+    would execute that aggregate once here and again when the caller
+    pins the probed result — deriving them from an already-
+    checkpointed upstream frame keeps the aggregate at one execution
+    per batch (ADVICE r14)."""
     s = cand.sparkSession
     comp = [v for v in _seen_complete_compactions(seen_dir) if v <= batch_id]
     comp_v = comp[-1] if comp else None
@@ -2107,7 +2117,13 @@ def _seen_probe(
     if not frames:
         return cand
     # bounded collect: ≤ SEEN_BUCKETS ints, never corpus-sized
-    touched = [r[0] for r in cand.select("bucket").distinct().collect()]
+    touched = [
+        r[0]
+        for r in (touched_src if touched_src is not None else cand)
+        .select("bucket")
+        .distinct()
+        .collect()
+    ]
     pruned = [f.filter(F.col("bucket").isin(touched)) for f in frames]
     seen = pruned[0]
     for f in pruned[1:]:
@@ -2512,9 +2528,20 @@ def streaming_paragraph_dedup(
         )
         # hashes NO prior batch claimed; every fresh hash present in
         # this batch is claimed by its batch-local winner, so the
-        # fresh set IS the store delta
+        # fresh set IS the store delta.  touched_src=chunks (pinned):
+        # the probe's touched-bucket collect would otherwise execute
+        # the UNPINNED winner aggregate once here and again in the
+        # eager checkpoint below — chunks carries the same chunk_md5
+        # set, so its bucket set is identical and the distinct
+        # collapses map-side to ≤ SEEN_BUCKETS rows (ADVICE r14)
         fresh = _seen_probe(
-            winners, seen_dir, batch_id, key_col="chunk_md5"
+            winners,
+            seen_dir,
+            batch_id,
+            key_col="chunk_md5",
+            touched_src=chunks.withColumn(
+                "bucket", _seen_bucket_col("chunk_md5")
+            ),
         ).localCheckpoint(eager=True)
         # one file per touched bucket, not (tasks × buckets) — guide §6
         fresh.select("chunk_md5", "bucket").repartition(

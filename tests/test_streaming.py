@@ -1504,6 +1504,44 @@ def test_streaming_url_frontier_matches_batch_keepers(spark, tmp_path):
     assert len(got) < load_table(spark, SF_DIR, "documents").count()
 
 
+def test_streaming_frontier_staging_order_survives_ten_plus_files(
+    spark, tmp_path
+):
+    """≥10 staged landing files (VERDICT r14 #2): lexicographic file
+    order breaks at i>=10 ('10_' < '2_'), which would scramble the
+    arrival order first-batch-wins == min-doc_id relies on.  The
+    staging stamps mtimes under a NUMERIC sort key, so a 12-file drain
+    must (a) stage files whose mtimes strictly increase in doc_id-range
+    order and (b) admit exactly the batch keeper rows."""
+    import os
+
+    from telemetry_streaming_datalake_spark.operators import web as W
+    from telemetry_streaming_datalake_spark.session import load_table
+
+    got = {
+        (r.doc_id, r.canonical_url)
+        for r in SP.streaming_url_frontier(
+            spark, SF_DIR, str(tmp_path), n_files=12
+        ).collect()
+    }
+    landing = str(tmp_path / "frontier_landing")
+    staged = sorted(
+        os.listdir(landing), key=lambda f: int(f.split("_", 1)[0])
+    )
+    assert len(staged) >= 10, "staging must actually cross the i>=10 seam"
+    mtimes = [os.path.getmtime(os.path.join(landing, f)) for f in staged]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes), (
+        "mtimes must strictly increase in numeric index (= doc_id range) "
+        f"order, got {list(zip(staged, mtimes))}"
+    )
+    batch = W.url_canonicalize(load_table(spark, SF_DIR, "documents"))
+    want = {
+        (r.doc_id, r.canonical_url)
+        for r in batch.filter("is_keeper").collect()
+    }
+    assert got == want
+
+
 def test_streaming_url_frontier_compaction_folds_and_bounds_store(
     spark, tmp_path
 ):
