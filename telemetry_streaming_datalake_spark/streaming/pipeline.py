@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +55,72 @@ def _stage_parquet(src: str, landing: str, name: str) -> None:
                 )
     else:
         shutil.copy(src, os.path.join(landing, name))
+
+
+#: target bytes of drained input per state-shuffle partition.  Streaming
+#: plans run with AQE disabled, so the post-shuffle coalescing a batch
+#: query gets for free must be chosen up front: the shuffle-partition
+#: count at a streaming query's FIRST batch is baked into its
+#: checkpoint, and every partition is a live state-store instance that
+#: pays a per-batch commit (delta file write + fsync) for the query's
+#: whole life.  Profiled on this box (tools/drainprof.py, r15): the
+#: slo_burn drain spent ~50 s of task time in 64 state-store commits
+#: over a 2 MB feed — dimension-sized state does not need 32 stores,
+#: and 100 TB of drained input does not fit in 32 either.  Deriving the
+#: count from the drained bytes (capped at cluster parallelism, floored
+#: at 1) keeps both ends honest — guide §2.2 "fewer, larger partitions"
+#: + §2 "make partitioning scale-adaptive, not a constant".
+STREAM_STATE_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def _path_bytes(path: str) -> int:
+    """Data bytes under a file or directory (metadata files excluded)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _stream_state_parts(spark: SparkSession, *src_paths: str) -> int:
+    """Input-size-derived shuffle/state partition count for a stateful
+    streaming drain: ceil(input bytes / STREAM_STATE_TARGET_BYTES),
+    capped at the cluster's defaultParallelism, floored at 1.
+    ``SPARK_GRAFT_STREAM_PARTS`` pins it for production topologies
+    whose state outgrows their per-drain input (e.g. an unbounded
+    keyed store fed by a trickle)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    if env:
+        return max(1, int(env))
+    total = sum(_path_bytes(p) for p in src_paths if os.path.exists(p))
+    cap = spark.sparkContext.defaultParallelism
+    return max(1, min(cap, -(-total // STREAM_STATE_TARGET_BYTES)))
+
+
+@contextmanager
+def _scaled_state_shuffle(spark: SparkSession, *src_paths: str):
+    """Run a JVM-stateful streaming drain (watermarked dedup, windowed
+    aggregate, stream-stream join) under an input-sized shuffle
+    partition count; restore the session conf afterwards.  Results are
+    partition-count-invariant (keyed state; rounded aggregates), only
+    the state-store commit fan-out changes.  Python-stateful
+    (``applyInPandasWithState``) and foreachBatch-ladder topologies
+    are deliberately NOT wrapped: their cost is per-row compute in the
+    batch bodies, which wants the full core count (A/B'd in
+    OPTIMIZATION_r15.md — cusum regressed 2.3×, the crawl trio ~1.2×,
+    under a lowered count)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_parts(spark, *src_paths)),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_glob(spark: SparkSession, sf_dir: str, work_dir: str | None = None) -> DataFrame:
@@ -98,8 +165,15 @@ def run_stream_to_parquet(
     out_dir: str,
     checkpoint_dir: str,
     partition_by: str | None = "datestamp",
+    scale_src: tuple[str, ...] = (),
 ) -> None:
-    """Append sink + checkpoint, availableNow (deterministic drain)."""
+    """Append sink + checkpoint, availableNow (deterministic drain).
+
+    ``scale_src`` names the drained input path(s) for JVM-stateful
+    hops (watermarked dedup): when given, the drain runs under the
+    input-sized state partition count (:func:`_scaled_state_shuffle`).
+    Map-only hops leave it empty — their plans carry no exchange, so
+    the conf would be a no-op."""
     writer = (
         stream_df.writeStream.format("parquet")
         .option("path", out_dir)
@@ -109,7 +183,11 @@ def run_stream_to_parquet(
     )
     if partition_by:
         writer = writer.partitionBy(partition_by)
-    writer.start().awaitTermination()
+    if scale_src:
+        with _scaled_state_shuffle(stream_df.sparkSession, *scale_src):
+            writer.start().awaitTermination()
+    else:
+        writer.start().awaitTermination()
 
 
 def streaming_silver_dedup(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
@@ -122,7 +200,10 @@ def streaming_silver_dedup(spark: SparkSession, sf_dir: str, work_dir: str) -> D
     """
     out = os.path.join(work_dir, "bronze_out")
     ckpt = os.path.join(work_dir, "ckpt")
-    run_stream_to_parquet(streaming_bronze(spark, sf_dir, work_dir), out, ckpt)
+    run_stream_to_parquet(
+        streaming_bronze(spark, sf_dir, work_dir), out, ckpt,
+        scale_src=(os.path.join(sf_dir, "events.parquet"),),
+    )
     cols = [
         "event_id", "serial", "metric", "value", "payload_k",
         "unix_ts", "datestamp", "hourstamp", "unique_hash_key",
@@ -167,14 +248,15 @@ def streaming_upsert_rollup(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     store_path = os.path.join(work_dir, "rollup_store")
     ckpt = os.path.join(work_dir, "upsert_ckpt")
     store = ParquetUpsertStore(spark, store_path, key="id", partition_col="datestamp")
-    (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(store.apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scaled_state_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(store.apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return store.read().select(
         "id", "metric", F.col("datestamp").cast("string").alias("datestamp"),
         "hourstamp", "n_events", "sum_value", "min_value", "max_value",
@@ -497,14 +579,17 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str, work_dir: str) -> Dat
     sess = sessionize(raw)
     out = os.path.join(work_dir, "sessions_out")
     ckpt = os.path.join(work_dir, "sessions_ckpt")
-    (
-        sess.writeStream.outputMode("complete")
-        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scaled_state_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        (
+            sess.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda batch, _id: batch.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(out)
 
 
@@ -530,6 +615,7 @@ def streaming_silver_two_hop(spark: SparkSession, sf_dir: str, work_dir: str) ->
         streaming_bronze(spark, sf_dir, work_dir),
         bronze_dir,
         os.path.join(work_dir, "bronze_ckpt"),
+        scale_src=(os.path.join(sf_dir, "events.parquet"),),
     )
     bronze_schema = spark.read.parquet(bronze_dir).schema
     bronze_stream = (
@@ -642,14 +728,17 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str, work_dir: str) ->
     # — complete mode emits the full aggregate each trigger (in
     # production the sink runs append and those windows flush as the
     # stream advances; the semantics checked here are identical)
-    (
-        windowed.writeStream.outputMode("complete")
-        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scaled_state_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        (
+            windowed.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda batch, _id: batch.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     res = spark.read.parquet(out)
     return res.select(
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
@@ -739,15 +828,16 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str, work_dir: str) -> 
     )
     out = os.path.join(work_dir, "ssj_out")
     ckpt = os.path.join(work_dir, "ssj_ckpt")
-    (
-        joined.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scaled_state_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.read.parquet(out)
 
 
@@ -1354,6 +1444,7 @@ def streaming_ohlc(
     run_stream_to_parquet(
         deduped, silver_dir, os.path.join(work_dir, "ohlc_silver_ckpt"),
         partition_by=None,
+        scale_src=(os.path.join(sf_dir, "events.parquet"),),
     )
     silver = spark.readStream.schema(
         spark.read.parquet(silver_dir).schema
@@ -1373,14 +1464,17 @@ def streaming_ohlc(
     )
     out = os.path.join(work_dir, "ohlc_out")
     ckpt = os.path.join(work_dir, "ohlc_ckpt")
-    (
-        windowed.writeStream.outputMode("complete")
-        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scaled_state_shuffle(spark, silver_dir):
+        (
+            windowed.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda batch, _id: batch.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     res = spark.read.parquet(out)
     return res.select(
         "serial",
@@ -1746,6 +1840,7 @@ def streaming_slo_burn(
     run_stream_to_parquet(
         deduped, silver_dir, os.path.join(work_dir, "slo_silver_ckpt"),
         partition_by=None,
+        scale_src=(os.path.join(sf_dir, "events.parquet"),),
     )
     silver = spark.readStream.schema(
         spark.read.parquet(silver_dir).schema
@@ -1764,14 +1859,17 @@ def streaming_slo_burn(
     )
     out = os.path.join(work_dir, "slo_hourly_out")
     ckpt = os.path.join(work_dir, "slo_ckpt")
-    (
-        windowed.writeStream.outputMode("complete")
-        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scaled_state_shuffle(spark, silver_dir):
+        (
+            windowed.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda batch, _id: batch.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     hourly = spark.read.parquet(out).select(
         F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
         "hourstamp",
@@ -1821,6 +1919,7 @@ def streaming_cdc_apply(
     run_stream_to_parquet(
         deduped, silver_dir, os.path.join(work_dir, "cdc_silver_ckpt"),
         partition_by=None,
+        scale_src=(os.path.join(sf_dir, "events.parquet"),),
     )
     silver = spark.readStream.schema(
         spark.read.parquet(silver_dir).schema
@@ -1828,14 +1927,17 @@ def streaming_cdc_apply(
     folded = cdc_ops(silver).groupBy("serial", "metric").agg(*cdc_agg_cols())
     out = os.path.join(work_dir, "cdc_state_out")
     ckpt = os.path.join(work_dir, "cdc_ckpt")
-    (
-        folded.writeStream.outputMode("complete")
-        .foreachBatch(lambda batch, _id: batch.write.mode("overwrite").parquet(out))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scaled_state_shuffle(spark, silver_dir):
+        (
+            folded.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda batch, _id: batch.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return cdc_project(spark.read.parquet(out))
 
 
@@ -1952,13 +2054,14 @@ def streaming_freq_sketch(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         _merge_cms_store(spark, store, cms_sketch(batch_df), batch_id)
 
-    (
-        bronze.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _scaled_state_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        (
+            bronze.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     ground = dedup_exact(parse_bronze(load_table(spark, sf_dir, "events")))
     return freq_sketch_audit(ground, sketch=read_cms_store(spark, store))
 
