@@ -33,7 +33,7 @@ Scale shapes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -214,7 +214,12 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -
         # localCheckpoint truncates the lineage each round — without
         # it the plan deepens per iteration and planning time, not
         # data movement, dominates long chains (on a cluster use
-        # checkpoint() with a reliable dir instead)
+        # checkpoint() with a reliable dir instead).  The convergence
+        # count rides the SAME action as an Observation (VERDICT r14
+        # #4): the checkpoint materialization collects sum(chg) while
+        # it runs, so each round is ONE driver action, not a
+        # checkpoint plus a separate count job over it.
+        obs = Observation()
         new_labels = (
             labels.join(offered, "node", "left")
             .select(
@@ -222,9 +227,10 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -
                 F.least(F.col("label"), F.coalesce("offer", "label")).alias("label"),
                 (F.col("offer") < F.col("label")).alias("chg"),
             )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("chg")).count()
+        changed = int(obs.get["changed"] or 0)
         labels.unpersist()
         labels = new_labels.select("node", "label")
         frontier = new_labels.filter(F.col("chg")).select("node", "label")

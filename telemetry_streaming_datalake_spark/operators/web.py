@@ -998,10 +998,34 @@ def robots_gate(
     the deciding rule for auditability (NULL prefix = default-allow).
     """
     s = urls.sparkSession
-    rules_df = s.createDataFrame(
-        [(p, pre, a) for p, pre, a in rules],
-        "host_pattern string, path_prefix string, rule_allow boolean",
-    )
+    # the shipped ruleset is a literal table built per call; as an
+    # inline'd array-of-structs Column the tree caches per process
+    # (createDataFrame costs ~55 ms warm and ~1.4 s on first use —
+    # per micro-batch in the ingest ladder).  Custom rulesets keep
+    # the createDataFrame path (cache keys must pin the knob).
+    if rules is ROBOTS_RULES:
+        rules_df = s.range(1).select(
+            F.inline(
+                cached_cols(
+                    "web.robots.rules_table",
+                    lambda: F.array(
+                        *[
+                            F.struct(
+                                F.lit(p).alias("host_pattern"),
+                                F.lit(pre).alias("path_prefix"),
+                                F.lit(a).alias("rule_allow"),
+                            )
+                            for p, pre, a in ROBOTS_RULES
+                        ]
+                    ),
+                )
+            )
+        )
+    else:
+        rules_df = s.createDataFrame(
+            [(p, pre, a) for p, pre, a in rules],
+            "host_pattern string, path_prefix string, rule_allow boolean",
+        )
     host = F.regexp_extract("canonical_url", r"^[^:]+://([^/:?#]*)", 1)
     path = F.regexp_extract("canonical_url", r"^[^:]+://[^/?#]*([^?#]*)", 1)
     base = urls.select(
