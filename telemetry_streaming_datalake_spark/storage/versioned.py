@@ -363,6 +363,28 @@ class VersionedParquetStore:
 
     # ---------------------------------------------------- change feed
 
+    def commit_data_dirs(self, version: int) -> list[str]:
+        """Absolute data directories FIRST referenced by ``version``
+        (the version's add-file actions, grouped by commit dir).  A
+        committed commit dir is immutable, so a streaming file source
+        can drain a commit's added files IN PLACE — the Delta
+        change-feed-as-stream posture — instead of copying them to a
+        landing directory first (r15: saves one full write+read of the
+        delta in the change-feed topology)."""
+        vs = self.versions()
+        if version not in vs:
+            raise ValueError(
+                f"version {version} is not an available version at "
+                f"{self.path} (available: {vs})"
+            )
+        files = set(self._read_manifest(version)["files"])
+        idx = vs.index(version)
+        if idx > 0:
+            files -= set(self._read_manifest(vs[idx - 1])["files"])
+        return sorted(
+            {os.path.join(self.path, *f.split(os.sep)[:2]) for f in files}
+        )
+
     def read_changes(
         self, since_version: int, to_version: int | None = None
     ) -> DataFrame:

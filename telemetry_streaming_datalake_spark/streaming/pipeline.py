@@ -2728,13 +2728,27 @@ def streaming_change_feed(
     store = VersionedParquetStore(spark, os.path.join(work_dir, "bronze_store"))
     store.write(ded.filter(F.col("unix_ts") < cutoff), mode="append")
     high_water = store.latest_version()
-    store.write(ded.filter(F.col("unix_ts") >= cutoff), mode="append")
+    v_delta = store.write(ded.filter(F.col("unix_ts") >= cutoff), mode="append")
 
-    feed_dir = os.path.join(work_dir, "feed_landing")
-    os.makedirs(feed_dir, exist_ok=True)
-    store.read_changes(high_water).drop("_commit_version").write.mode(
-        "overwrite"
-    ).parquet(feed_dir)
+    # zero-copy feed (r15 opt, guide §6): a committed version's data
+    # dirs are immutable, so the silver hop streams the delta commit
+    # IN PLACE — the Delta change-feed-as-stream posture the reference
+    # itself runs (Step 04 chains the silver hop off the bronze
+    # table's changes) — saving one full write+read of the post-cutoff
+    # slice.  A multi-dir commit (impossible from a single write() but
+    # cheap to guard) or a commit whose write produced no parquet
+    # footer falls back to landing the read_changes copy.
+    dirs = store.commit_data_dirs(v_delta)
+    if len(dirs) == 1 and any(
+        n.endswith(".parquet") for n in os.listdir(dirs[0])
+    ):
+        feed_dir = dirs[0]
+    else:
+        feed_dir = os.path.join(work_dir, "feed_landing")
+        os.makedirs(feed_dir, exist_ok=True)
+        store.read_changes(high_water).drop("_commit_version").write.mode(
+            "overwrite"
+        ).parquet(feed_dir)
     feed_schema = spark.read.parquet(feed_dir).schema
 
     lake_dir = os.path.join(work_dir, "silver_lake")

@@ -358,3 +358,31 @@ def test_silver_hop_driven_from_change_feed(spark, tmp_path):
     # normalization rules applied on the fed rows too
     assert (2, 11, 1.0) in got   # signup status-normalized to 1
     assert (3, 12, 0.0) in got   # error clamped at 0
+
+
+def test_commit_data_dirs_are_the_versions_added_files_in_place(spark, tmp_path):
+    """commit_data_dirs(v) names exactly the immutable data dirs v's
+    write introduced: reading them in place equals read_changes(v-1)
+    minus the stamp — the zero-copy change-feed contract the streaming
+    silver hop drains (r15)."""
+    import os
+
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(5, 9).selectExpr("id", "id * 2 AS v")
+    store = VersionedParquetStore(spark, str(tmp_path / "t"))
+    v0 = store.write(df1, mode="overwrite")
+    v1 = store.write(df2, mode="append")
+    dirs = store.commit_data_dirs(v1)
+    assert len(dirs) == 1 and os.path.isdir(dirs[0])
+    got = {tuple(r) for r in spark.read.parquet(*dirs).collect()}
+    want = {
+        tuple(r)
+        for r in store.read_changes(v0).drop("_commit_version").collect()
+    }
+    assert got == want and len(got) == 4
+    # v0's own dirs are disjoint from v1's (immutability of commits)
+    assert set(store.commit_data_dirs(v0)).isdisjoint(dirs)
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.commit_data_dirs(99)
