@@ -1657,6 +1657,34 @@ _CUSUM_STATE_SCHEMA = (
 )
 
 
+def _round_half_up_int(x):
+    """Vectorized ``int(Decimal(repr(x)).quantize(1, ROUND_HALF_UP))``
+    — Spark's ``round()`` semantics (shortest-repr HALF_UP) over a
+    float64 array.  Fast path: half-away-from-zero in float.  The two
+    can disagree only within ~1 ulp of a .5 fraction boundary, or when
+    |x| is large enough that ``x±0.5`` loses integer precision — for
+    |x| < 2^40 the float error stack is < 2.5e-4, so rows within 1e-3
+    of a boundary (plus all |x| ≥ 2^40) take the exact Decimal path.
+    (r15: the cusum state fn ran this per row via Decimal — 4 Decimal
+    constructions per row dominated the drain's Python time.)"""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+        np.int64
+    )
+    frac = np.abs(x) % 1.0
+    risky = (np.abs(frac - 0.5) < 1e-3) | (np.abs(x) >= 2.0**40)
+    if risky.any():
+        for i in np.nonzero(risky)[0]:
+            out[i] = int(
+                Decimal(repr(float(x[i]))).quantize(
+                    Decimal("1"), ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def _cusum_state_fn_factory(moments: dict):
     """Build the per-(serial, metric) CUSUM state function for a FIXED
     control-limit table (metric → rounded mean/std) — the production
@@ -1674,8 +1702,7 @@ def _cusum_state_fn_factory(moments: dict):
     )
 
     def fn(key, pdfs, state):
-        from decimal import ROUND_HALF_UP, Decimal
-
+        import numpy as np
         import pandas as pd
 
         mean6, std6 = moments.get(key[1], (None, None))
@@ -1683,54 +1710,95 @@ def _cusum_state_fn_factory(moments: dict):
             last_ts, cum_p, min_p, cum_n, min_n = state.get
         else:
             last_ts, cum_p, min_p, cum_n, min_n = -1, 0, 0, 0, 0
-        out = []
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks and std6 is not None:
-            whole = (
-                pd.concat(chunks, ignore_index=True)
-                .sort_values(["unix_ts", "event_id"])
-                .drop_duplicates("unix_ts", keep="first")
-            )
-            h_limit = CUSUM_H * std6
-            for r in whole.itertuples(index=False):
-                ts, v = int(r.unix_ts), float(r.value)
-                if last_ts >= 0 and ts <= last_ts:
-                    continue
-                # HALF_UP over shortest repr == Spark's round()
-                d_p = int(
-                    Decimal(repr((v - mean6 - CUSUM_K * std6) * 1e7)).quantize(
-                        Decimal("1"), ROUND_HALF_UP
-                    )
-                )
-                d_n = int(
-                    Decimal(repr((mean6 - v - CUSUM_K * std6) * 1e7)).quantize(
-                        Decimal("1"), ROUND_HALF_UP
-                    )
-                )
-                cum_p += d_p
-                min_p = min(min_p, cum_p)
-                cum_n += d_n
-                min_n = min(min_n, cum_n)
-                s_p = float(
-                    Decimal(repr((cum_p - min(min_p, 0)) / 1e7)).quantize(
-                        Decimal("0.0000001"), ROUND_HALF_UP
-                    )
-                )
-                s_n = float(
-                    Decimal(repr((cum_n - min(min_n, 0)) / 1e7)).quantize(
-                        Decimal("0.0000001"), ROUND_HALF_UP
-                    )
-                )
-                out.append(
-                    [key[0], key[1], ts, v, s_p, s_n, s_p > h_limit or s_n > h_limit]
-                )
-                last_ts = ts
-        state.update((last_ts, cum_p, min_p, cum_n, min_n))
         cols = [
             "serial", "metric", "unix_ts", "value",
             "cusum_pos", "cusum_neg", "is_change",
         ]
-        yield pd.DataFrame(out, columns=cols)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks or std6 is None:
+            state.update((last_ts, cum_p, min_p, cum_n, min_n))
+            yield pd.DataFrame([], columns=cols)
+            return
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["unix_ts", "event_id"])
+            .drop_duplicates("unix_ts", keep="first")
+        )
+        # sorted + ts-deduped, so the old row loop's rolling
+        # `ts <= last_ts → skip` reduces to one vectorized cut at the
+        # state's carried high-water mark
+        if last_ts >= 0:
+            whole = whole[whole["unix_ts"] > last_ts]
+        if not len(whole):
+            state.update((last_ts, cum_p, min_p, cum_n, min_n))
+            yield pd.DataFrame([], columns=cols)
+            return
+        ts = whole["unix_ts"].to_numpy(np.int64)
+        v = whole["value"].to_numpy(np.float64)
+        # identical float expressions to the old per-row loop (same
+        # IEEE ops in the same order), then HALF_UP-to-int vectorized
+        # with an exact-boundary fallback (_round_half_up_int)
+        d_p = _round_half_up_int((v - mean6 - CUSUM_K * std6) * 1e7)
+        d_n = _round_half_up_int((mean6 - v - CUSUM_K * std6) * 1e7)
+        # int64 cumsum wraps silently where Python ints never did —
+        # escalate to object (unbounded) ints when the worst-case
+        # running sum could near the int64 edge
+        bound = 2**62
+        if (
+            int(np.abs(d_p).max()) * len(d_p) + abs(cum_p) >= bound
+            or int(np.abs(d_n).max()) * len(d_n) + abs(cum_n) >= bound
+        ):
+            d_p = d_p.astype(object)
+            d_n = d_n.astype(object)
+        cp = cum_p + np.cumsum(d_p)
+        cn = cum_n + np.cumsum(d_n)
+        mp = np.minimum(min_p, np.minimum.accumulate(cp))
+        mn = np.minimum(min_n, np.minimum.accumulate(cn))
+        # (cum - min(min,0)) is an exact int64; for |int| < 2^53 the
+        # IEEE division by 1e7 IS the 7dp shortest-repr HALF_UP value
+        # the old Decimal path produced (int*10^-7 has exactly ≤7
+        # decimals, and every double's shortest repr quantizes back to
+        # it — argued in OPTIMIZATION_r15.md; guarded below)
+        ip = cp - np.minimum(mp, 0)
+        in_ = cn - np.minimum(mn, 0)
+        if (
+            ip.dtype == object
+            or max(np.abs(ip).max(), np.abs(in_).max()) >= 2.0**53
+        ):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q7 = Decimal("0.0000001")
+            s_p = np.array(
+                [
+                    float(Decimal(repr(x / 1e7)).quantize(q7, ROUND_HALF_UP))
+                    for x in ip
+                ]
+            )
+            s_n = np.array(
+                [
+                    float(Decimal(repr(x / 1e7)).quantize(q7, ROUND_HALF_UP))
+                    for x in in_
+                ]
+            )
+        else:
+            s_p = ip / 1e7
+            s_n = in_ / 1e7
+        h_limit = CUSUM_H * std6
+        out = pd.DataFrame(
+            {
+                "serial": key[0],
+                "metric": key[1],
+                "unix_ts": ts,
+                "value": v,
+                "cusum_pos": s_p,
+                "cusum_neg": s_n,
+                "is_change": (s_p > h_limit) | (s_n > h_limit),
+            }
+        )
+        state.update(
+            (int(ts[-1]), int(cp[-1]), int(mp[-1]), int(cn[-1]), int(mn[-1]))
+        )
+        yield out
 
     return fn
 
